@@ -1,0 +1,100 @@
+"""Intra-flowgroup dependency resolution: view graph -> topological action order.
+
+Reference behavior (src/lhp/core/dependencies/dependency_resolver.py:25-177):
+build edges from action.source view names to the action producing that view,
+topo-sort, detect cycles and orphans. Implemented as a plain Kahn sort — no
+networkx needed at this scope.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict, deque
+
+from lakehouse_plumber_spark.models import Action, ActionType
+
+
+class CycleError(ValueError):
+    pass
+
+
+class ValidationError(ValueError):
+    pass
+
+
+def topo_sort(actions: list[Action]) -> list[Action]:
+    """Order actions so every consumed view is produced first.
+
+    External references (views not produced inside the flowgroup — e.g.
+    pre-registered tables) impose no ordering constraint.
+    """
+    producer: dict[str, int] = {}
+    for i, a in enumerate(actions):
+        view = a.produced_view()
+        if view:
+            if view in producer and actions[producer[view]].type != ActionType.WRITE:
+                raise ValidationError(f"view {view!r} produced by more than one action")
+            producer.setdefault(view, i)
+
+    deps: dict[int, set[int]] = defaultdict(set)
+    rdeps: dict[int, set[int]] = defaultdict(set)
+    for i, a in enumerate(actions):
+        for view in a.source_views():
+            j = producer.get(view)
+            if j is not None and j != i:
+                deps[i].add(j)
+                rdeps[j].add(i)
+
+    indeg = {i: len(deps[i]) for i in range(len(actions))}
+    # stable: seed queue in declaration order
+    queue = deque(i for i in range(len(actions)) if indeg[i] == 0)
+    order: list[int] = []
+    while queue:
+        i = queue.popleft()
+        order.append(i)
+        for j in sorted(rdeps[i]):
+            indeg[j] -= 1
+            if indeg[j] == 0:
+                queue.append(j)
+    if len(order) != len(actions):
+        cyclic = [actions[i].name for i in range(len(actions)) if i not in set(order)]
+        raise CycleError(f"dependency cycle among actions: {cyclic}")
+    return [actions[i] for i in order]
+
+
+def validate_flowgroup_graph(actions: list[Action]) -> list[str]:
+    """Relationship checks (reference: §3.2 — orphaned transforms, ≥1 write, etc.).
+
+    Returns a list of warning strings; raises ValidationError on hard errors.
+    """
+    warnings: list[str] = []
+    has_write = any(a.type == ActionType.WRITE for a in actions)
+    has_load = any(a.type == ActionType.LOAD for a in actions)
+    self_contained = any(
+        a.type == ActionType.WRITE
+        and a.write_target is not None
+        and (a.write_target.sql or a.write_target.sql_path or a.write_target.mode == "snapshot_cdc")
+        for a in actions
+    )
+    if not has_write and not any(a.type == ActionType.TEST for a in actions):
+        raise ValidationError("flowgroup must contain at least one write or test action")
+    if not has_load and not self_contained and has_write:
+        warnings.append("flowgroup has writes but no load actions and is not self-contained")
+
+    # single table-creator per fan-in target (reference: compatibility/table_creation.py)
+    creators: dict[str, int] = defaultdict(int)
+    for a in actions:
+        if a.type == ActionType.WRITE and a.write_target and a.write_target.type.value == "streaming_table":
+            if a.write_target.create_table:
+                creators[a.write_target.full_name] += 1
+    for tbl, n in creators.items():
+        if n > 1:
+            raise ValidationError(f"multiple creators for streaming table {tbl!r} (set create_table: false on contributors)")
+
+    topo_sort(actions)  # raises on cycles
+    consumed = {v for a in actions for v in a.source_views()}
+    for a in actions:
+        if a.type == ActionType.TRANSFORM:
+            v = a.produced_view()
+            if v and v not in consumed:
+                warnings.append(f"orphaned transform output view {v!r} ({a.name})")
+    return warnings

@@ -1,0 +1,65 @@
+"""Operational metadata columns (automatic audit columns).
+
+Reference defaults (src/lhp/core/codegen/operational_metadata/metadata.py:28-54)
+with preset->flowgroup->action selection resolution and `false` veto
+(metadata.py:170-205). Expressions are restricted to a whitelist of column
+functions (metadata.py:127-152) evaluated via `F.expr`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_COLUMNS: dict[str, str] = {
+    "_ingestion_timestamp": "current_timestamp()",
+    "_source_file": "_metadata.file_path",
+    "_pipeline_run_id": "__RUN_ID__",  # substituted with a literal at apply time
+    "_pipeline_name": "__PIPELINE__",
+    "_flowgroup_name": "__FLOWGROUP__",
+}
+
+
+def resolve_selection(
+    action_sel: Optional[Union[bool, list[str]]],
+    flowgroup_sel: Optional[Union[bool, list[str]]],
+    available: dict[str, str],
+) -> list[str]:
+    """Action-level wins over flowgroup-level; `False` vetoes; `True` = all."""
+    sel = action_sel if action_sel is not None else flowgroup_sel
+    if sel is None or sel is False:
+        return []
+    if sel is True:
+        return list(available)
+    return [c for c in sel if c in available]
+
+
+def apply_metadata(
+    df: DataFrame,
+    columns: list[str],
+    pipeline: str,
+    flowgroup: str,
+    run_id: str,
+    custom_columns: Optional[dict[str, str]] = None,
+    has_file_source: bool = True,
+) -> DataFrame:
+    available = dict(DEFAULT_COLUMNS)
+    if custom_columns:
+        available.update(custom_columns)
+    for name in columns:
+        expr = available[name]
+        if expr == "__RUN_ID__":
+            col = F.lit(run_id)
+        elif expr == "__PIPELINE__":
+            col = F.lit(pipeline)
+        elif expr == "__FLOWGROUP__":
+            col = F.lit(flowgroup)
+        elif expr == "_metadata.file_path":
+            # only valid on file-backed sources; null elsewhere
+            col = F.col("_metadata.file_path") if has_file_source else F.lit(None).cast("string")
+        else:
+            col = F.expr(expr)
+        df = df.withColumn(name, col)
+    return df

@@ -1,0 +1,299 @@
+"""Spec-layer models: FlowGroup / Action / WriteTarget / CDC configs.
+
+Field names and semantics mirror the reference's YAML surface so existing specs
+port verbatim (reference: src/lhp/models/_action.py:65-128,
+src/lhp/models/_flowgroup.py:12-21, src/lhp/models/_enums.py:6-10,
+src/lhp/models/_quarantine.py:6-12; CDC validator rules
+src/lhp/core/validators/compatibility/cdc_config.py:36-76). The implementation
+is new: pydantic v2 models feeding an executing Spark runtime rather than a
+code generator.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import Any, Callable, Optional, Union
+
+from pydantic import BaseModel, ConfigDict, Field, field_validator, model_validator
+
+
+class ActionType(str, Enum):
+    LOAD = "load"
+    TRANSFORM = "transform"
+    WRITE = "write"
+    TEST = "test"
+
+
+class LoadSourceType(str, Enum):
+    CLOUDFILES = "cloudfiles"
+    DELTA = "delta"
+    SQL = "sql"
+    PYTHON = "python"
+    JDBC = "jdbc"
+    KAFKA = "kafka"
+    CUSTOM_DATASOURCE = "custom_datasource"
+
+
+class TransformType(str, Enum):
+    SQL = "sql"
+    PYTHON = "python"
+    DATA_QUALITY = "data_quality"
+    SCHEMA = "schema"
+    TEMP_TABLE = "temp_table"
+
+
+class WriteTargetType(str, Enum):
+    STREAMING_TABLE = "streaming_table"
+    MATERIALIZED_VIEW = "materialized_view"
+    SINK = "sink"
+
+
+class SinkType(str, Enum):
+    DELTA = "delta"
+    KAFKA = "kafka"
+    FOREACHBATCH = "foreachbatch"
+    CUSTOM = "custom"
+
+
+class TestType(str, Enum):
+    ROW_COUNT = "row_count"
+    UNIQUENESS = "uniqueness"
+    REFERENTIAL_INTEGRITY = "referential_integrity"
+    COMPLETENESS = "completeness"
+    RANGE = "range"
+    SCHEMA_MATCH = "schema_match"
+    ALL_LOOKUPS_FOUND = "all_lookups_found"
+    CUSTOM_SQL = "custom_sql"
+    CUSTOM_EXPECTATIONS = "custom_expectations"
+
+
+class ViolationAction(str, Enum):
+    FAIL = "fail"
+    WARN = "warn"
+    DROP = "drop"
+
+
+class CDCConfig(BaseModel):
+    """AUTO CDC (apply-changes) config — SCD type 1 / 2.
+
+    Mirrors reference cdc_config (validator
+    src/lhp/core/validators/compatibility/cdc_config.py:36-76): required keys +
+    sequence_by; column_list XOR except_column_list; track_history lists are
+    SCD2-only and mutually exclusive.
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    keys: list[str]
+    sequence_by: Union[str, list[str]]
+    scd_type: int = 1
+    ignore_null_updates: bool = False
+    apply_as_deletes: Optional[str] = None
+    apply_as_truncates: Optional[str] = None
+    column_list: Optional[list[str]] = None
+    except_column_list: Optional[list[str]] = None
+    track_history_column_list: Optional[list[str]] = None
+    track_history_except_column_list: Optional[list[str]] = None
+
+    @model_validator(mode="after")
+    def _check(self) -> "CDCConfig":
+        if self.scd_type not in (1, 2):
+            raise ValueError("scd_type must be 1 or 2")
+        if self.column_list and self.except_column_list:
+            raise ValueError("column_list and except_column_list are mutually exclusive")
+        if self.track_history_column_list and self.track_history_except_column_list:
+            raise ValueError("track_history_* lists are mutually exclusive")
+        if not self.keys:
+            raise ValueError("cdc_config.keys must be non-empty")
+        return self
+
+    @property
+    def sequence_cols(self) -> list[str]:
+        return [self.sequence_by] if isinstance(self.sequence_by, str) else list(self.sequence_by)
+
+
+class SnapshotSourceFunction(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    file: str
+    function: str
+    parameters: dict[str, Any] = Field(default_factory=dict)
+
+
+class SnapshotCDCConfig(BaseModel):
+    """Snapshot-CDC config (reference: src/lhp/generators/write/streaming_table.py:121-141)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    source: Optional[str] = None
+    source_function: Optional[SnapshotSourceFunction] = None
+    keys: list[str]
+    stored_as_scd_type: int = 1
+    track_history_column_list: Optional[list[str]] = None
+    track_history_except_column_list: Optional[list[str]] = None
+    # engine extension: in-process callable () -> (df, version) | None
+    source_callable: Optional[Callable] = Field(default=None, exclude=True)
+
+    @model_validator(mode="after")
+    def _check(self) -> "SnapshotCDCConfig":
+        if not (self.source or self.source_function or self.source_callable):
+            raise ValueError("snapshot_cdc_config requires source or source_function")
+        if self.stored_as_scd_type not in (1, 2):
+            raise ValueError("stored_as_scd_type must be 1 or 2")
+        return self
+
+
+class QuarantineConfig(BaseModel):
+    """Quarantine/DLQ settings (reference: src/lhp/models/_quarantine.py:6-12)."""
+
+    model_config = ConfigDict(extra="allow")
+
+    dlq_table: str
+    source_table: Optional[str] = None
+
+
+class WriteTarget(BaseModel):
+    """Write-action target (reference: src/lhp/models/_action.py:16-62)."""
+
+    model_config = ConfigDict(extra="allow", populate_by_name=True)
+
+    type: WriteTargetType
+    catalog: Optional[str] = None
+    database: Optional[str] = Field(default=None, alias="schema")
+    table: Optional[str] = None
+    create_table: bool = True
+    mode: str = "standard"  # standard | cdc | snapshot_cdc
+    cdc_config: Optional[CDCConfig] = None
+    snapshot_cdc_config: Optional[SnapshotCDCConfig] = None
+    partition_columns: Optional[list[str]] = None
+    cluster_columns: Optional[list[str]] = None
+    cluster_by_auto: bool = False
+    table_properties: dict[str, Any] = Field(default_factory=dict)
+    spark_conf: dict[str, Any] = Field(default_factory=dict)
+    table_schema: Optional[Any] = None  # inline YAML schema dict or DDL string
+    schema_file: Optional[str] = None
+    row_filter: Optional[str] = None
+    temporary: bool = False
+    path: Optional[str] = None
+    comment: Optional[str] = None
+    # materialized view
+    sql: Optional[str] = None
+    sql_path: Optional[str] = None
+    refresh_schedule: Optional[str] = None
+    refresh_policy: Optional[str] = None
+    # sink
+    sink_type: Optional[SinkType] = None
+    bootstrap_servers: Optional[str] = None
+    topic: Optional[str] = None
+    options: dict[str, Any] = Field(default_factory=dict)
+    batch_handler: Optional[str] = None
+    batch_handler_callable: Optional[Callable] = Field(default=None, exclude=True)
+    module_path: Optional[str] = None
+    custom_sink_class: Optional[str] = None
+
+    @property
+    def full_name(self) -> str:
+        parts = [p for p in (self.catalog, self.database, self.table) if p]
+        return ".".join(parts) if parts else (self.path or "")
+
+
+class Action(BaseModel):
+    """One typed pipeline step (reference: src/lhp/models/_action.py:65-128)."""
+
+    model_config = ConfigDict(extra="allow", populate_by_name=True)
+
+    name: str
+    type: ActionType
+    # chaining: source view name(s) / source config dict; target view name
+    source: Optional[Union[str, list[str], dict[str, Any]]] = None
+    target: Optional[str] = None
+    readMode: Optional[str] = None  # batch | stream
+    operational_metadata: Optional[Union[bool, list[str]]] = None
+    description: Optional[str] = None
+    once: bool = False
+    depends_on: list[str] = Field(default_factory=list)
+
+    # transform fields
+    transform_type: Optional[TransformType] = None
+    sql: Optional[str] = None
+    sql_path: Optional[str] = None
+    module_path: Optional[str] = None
+    function_name: Optional[str] = None
+    parameters: Optional[Union[dict[str, Any], list[Any]]] = None
+    # engine extension: in-process callable for python transforms/loads
+    callable_fn: Optional[Callable] = Field(default=None, exclude=True)
+
+    # schema transform
+    schema_inline: Optional[Any] = None
+    schema_file: Optional[str] = None
+    enforcement: str = "strict"  # strict | permissive
+
+    # data-quality transform
+    mode: Optional[str] = None  # dqe | quarantine
+    expectations_file: Optional[str] = None
+    expectations_inline: Optional[Any] = None
+    quarantine: Optional[QuarantineConfig] = None
+
+    # write
+    write_target: Optional[WriteTarget] = None
+
+    # test
+    test_type: Optional[TestType] = None
+    on_violation: ViolationAction = ViolationAction.FAIL
+
+    @field_validator("readMode")
+    @classmethod
+    def _read_mode(cls, v: Optional[str]) -> Optional[str]:
+        if v is not None and v not in ("batch", "stream"):
+            raise ValueError(f"readMode must be batch|stream, got {v!r}")
+        return v
+
+    @property
+    def sub_type(self) -> str:
+        """Dispatch key: load source type / transform type / write target type / test type."""
+        if self.type == ActionType.LOAD:
+            if isinstance(self.source, dict):
+                return str(self.source.get("type", "sql"))
+            return "sql"
+        if self.type == ActionType.TRANSFORM:
+            return self.transform_type.value if self.transform_type else "sql"
+        if self.type == ActionType.WRITE:
+            return self.write_target.type.value if self.write_target else "streaming_table"
+        return self.test_type.value if self.test_type else "custom_sql"
+
+    def source_views(self) -> list[str]:
+        """Upstream view names this action consumes (edges of the DAG)."""
+        views: list[str] = []
+        if isinstance(self.source, str):
+            views.append(self.source)
+        elif isinstance(self.source, list):
+            views.extend(s for s in self.source if isinstance(s, str))
+        elif isinstance(self.source, dict):
+            for key in ("source", "view", "reference", "lookup_table"):
+                v = self.source.get(key)
+                if isinstance(v, str):
+                    views.append(v)
+        views.extend(self.depends_on)
+        return views
+
+    def produced_view(self) -> Optional[str]:
+        """View name this action registers (node output)."""
+        if self.target:
+            return self.target
+        if self.type == ActionType.WRITE and self.write_target is not None:
+            return self.write_target.full_name or None
+        return None
+
+
+class FlowGroup(BaseModel):
+    """Unit of compilation (reference: src/lhp/models/_flowgroup.py:12-21)."""
+
+    model_config = ConfigDict(extra="allow")
+
+    pipeline: str
+    flowgroup: str
+    presets: list[str] = Field(default_factory=list)
+    use_template: Optional[str] = None
+    template_parameters: dict[str, Any] = Field(default_factory=dict)
+    variables: dict[str, Any] = Field(default_factory=dict)
+    operational_metadata: Optional[Union[bool, list[str]]] = None
+    actions: list[Action] = Field(default_factory=list)

@@ -1,0 +1,102 @@
+"""Data-quality quarantine: clean path + DLQ + CDF recycle + union.
+
+Re-expresses the reference's quarantine template
+(src/lhp/templates/transform/data_quality_quarantine.py.j2:30-215) on the
+engine's store:
+
+1. clean path  — rows passing ALL rules;
+2. quarantine  — rows failing any rule, annotated with the failed-rules array
+   (`array_compact(array(when(~rule, struct(name, rule))...))`), a stable row
+   key `_dlq_sk = xxhash64(source_table, to_json(struct(data)))`, status 'new',
+   and `_row_data` (JSON of the full row; the reference uses VARIANT
+   `parse_json` — Spark 4 has it, we keep the JSON string form which
+   `try_variant_get` / `get_json_object` both read);
+3. DLQ merge   — idempotent insert-only by `_dlq_sk`
+   (whenNotMatchedInsertAll semantics);
+4. recycle     — read the DLQ change feed for rows an operator marked
+   'fixed' (`_change_type IN ('insert','update_postimage')`), dedup by
+   `_dlq_sk` on max `_commit_version`, re-type via the clean schema
+   (per-field `get_json_object` + cast ≙ try_variant_get), re-validate;
+5. output      — clean ∪ recycled-that-now-pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lakehouse_plumber_spark.context import BuildContext
+from lakehouse_plumber_spark.expectations import Expectation, combined_predicate, inverse_predicate
+from lakehouse_plumber_spark.models import Action
+
+
+def _failed_rules_col(exps: list[Expectation]):
+    entries = [
+        F.when(
+            ~F.coalesce(F.expr(e.constraint), F.lit(False)),
+            F.struct(F.lit(e.name).alias("name"), F.lit(e.constraint).alias("constraint")),
+        )
+        for e in exps
+    ]
+    return F.array_compact(F.array(*entries))
+
+
+def run_quarantine(
+    ctx: BuildContext, action: Action, df: DataFrame, exps: list[Expectation]
+) -> DataFrame:
+    assert action.quarantine is not None, "quarantine mode requires quarantine config"
+    qcfg = action.quarantine
+    dlq_table = qcfg.dlq_table
+    source_table = qcfg.source_table or str(action.source)
+    data_cols = df.columns
+
+    clean = df.filter(F.expr(combined_predicate(exps)))
+
+    bad = df.filter(F.expr(inverse_predicate(exps)))
+    bad = (
+        bad.withColumn("_dlq_failed_rules", _failed_rules_col(exps))
+        .withColumn("_dlq_source", F.lit(source_table))
+        .withColumn(
+            "_dlq_sk",
+            F.xxhash64(F.lit(source_table), F.to_json(F.struct(*[F.col(c) for c in data_cols]))),
+        )
+        .withColumn("_dlq_status", F.lit("new"))
+        .withColumn("_dlq_ts", F.current_timestamp())
+        .withColumn("_row_data", F.to_json(F.struct(*[F.col(c) for c in data_cols])))
+    )
+    dlq_row = bad.select(
+        "_dlq_sk", "_dlq_source", "_dlq_status", "_dlq_ts", "_row_data",
+        F.to_json("_dlq_failed_rules").alias("_dlq_failed_rules"),
+    )
+
+    # idempotent insert-only merge on _dlq_sk (whenNotMatchedInsertAll)
+    if ctx.store.exists(dlq_table):
+        existing = ctx.store.read(dlq_table).select("_dlq_sk")
+        new_rows = dlq_row.join(existing, on="_dlq_sk", how="left_anti")
+    else:
+        new_rows = dlq_row
+    ctx.store.append(dlq_table, new_rows)
+    ctx.store.log_changes(dlq_table, new_rows, "insert")
+    ctx.log(action.name, "quarantined", dlq_table=dlq_table)
+
+    # recycle: rows marked fixed in the DLQ change feed
+    recycled = None
+    if ctx.store.has_changes(dlq_table):
+        changes = ctx.store.read_changes(dlq_table)
+        fixed = changes.filter(
+            (F.col("_dlq_status") == "fixed")
+            & F.col("_change_type").isin("insert", "update_postimage")
+        )
+        w = Window.partitionBy("_dlq_sk").orderBy(F.col("_commit_version").desc())
+        fixed = fixed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+        # re-type each field from the JSON row back to the clean schema
+        typed_cols = [
+            F.get_json_object(F.col("_row_data"), f"$.{f.name}").cast(f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+        recycled = fixed.select(*typed_cols)
+        recycled = recycled.filter(F.expr(combined_predicate(exps)))
+
+    out = clean if recycled is None else clean.unionByName(recycled)
+    return out

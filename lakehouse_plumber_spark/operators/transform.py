@@ -1,0 +1,151 @@
+"""Transform operators. Reference inventory: SURVEY §2.2."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_plumber_spark.context import BuildContext
+from lakehouse_plumber_spark.expectations import (
+    apply_expectations,
+    load_expectations_file,
+    parse_expectations,
+)
+from lakehouse_plumber_spark.models import Action
+from lakehouse_plumber_spark.operators.load import _import_module, _rewrite_stream_refs
+from lakehouse_plumber_spark.schema_parser import coerce_schema
+
+
+def transform_sql(ctx: BuildContext, action: Action) -> DataFrame:
+    """Arbitrary SQL over upstream views (reference transform/sql.py).
+
+    The whole relational algebra is delegated to Spark SQL -> Catalyst does
+    pushdown/pruning/join-selection; no hand-planning here by design.
+    """
+    query = action.sql
+    if not query and action.sql_path:
+        with open(ctx.resolve_path(action.sql_path)) as f:
+            query = f.read()
+    if not query:
+        raise ValueError(f"sql transform {action.name!r} missing sql/sql_path")
+    # make sure upstream views are registered (runner does this on produce)
+    return ctx.spark.sql(_rewrite_stream_refs(query))
+
+
+def transform_python(ctx: BuildContext, action: Action) -> DataFrame:
+    """User function over 0/1/N source DataFrames (reference transform/python.py:1-133).
+
+    Call shapes: f(df, spark, params) | f([dfs], spark, params) | f(spark, params).
+    """
+    params = action.parameters or {}
+    fn = action.callable_fn
+    if fn is None:
+        mod = _import_module(ctx.resolve_path(action.module_path), f"lhp_tf_{action.name}")
+        fn = getattr(mod, action.function_name)
+    sources = action.source
+    if sources is None:
+        df = fn(ctx.spark, params)
+    elif isinstance(sources, str):
+        df = fn(ctx.resolve_view(sources), ctx.spark, params)
+    else:
+        df = fn([ctx.resolve_view(s) for s in sources], ctx.spark, params)
+    if not isinstance(df, DataFrame):
+        raise TypeError(f"python transform {action.name!r} must return a DataFrame")
+    return df
+
+
+def transform_schema(ctx: BuildContext, action: Action) -> DataFrame:
+    """Rename map -> cast map -> enforcement select (reference transform/schema.py.j2:10-47).
+
+    strict: exact select of schema columns (drops extras, errors on missing);
+    permissive: renames/casts applied, extra columns kept.
+    """
+    df = ctx.resolve_view(str(action.source))
+    spec = action.schema_inline
+    if spec is None and action.schema_file:
+        import yaml
+
+        with open(ctx.resolve_path(action.schema_file)) as f:
+            spec = yaml.safe_load(f)
+    if spec is None:
+        raise ValueError(f"schema transform {action.name!r} missing schema")
+
+    columns = spec.get("columns", []) if isinstance(spec, dict) else spec
+    renames: dict[str, str] = {}
+    casts: dict[str, str] = {}
+    ordered: list[str] = []
+    for col in columns:
+        name = col["name"]
+        ordered.append(name)
+        if col.get("rename_from"):
+            renames[col["rename_from"]] = name
+        if col.get("type"):
+            casts[name] = str(col["type"])
+    for old, new in renames.items():
+        if old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    for name, typ in casts.items():
+        if name in df.columns:
+            df = df.withColumn(name, F.col(name).cast(coerce_schema_type(typ)))
+    if (action.enforcement or "strict") == "strict":
+        missing = [c for c in ordered if c not in df.columns]
+        if missing:
+            raise ValueError(f"schema transform {action.name!r}: missing columns {missing}")
+        df = df.select(*ordered)
+    return df
+
+
+def coerce_schema_type(t: str):
+    from lakehouse_plumber_spark.schema_parser import parse_type
+
+    return parse_type(t)
+
+
+def transform_temp_table(ctx: BuildContext, action: Action) -> DataFrame:
+    """Persist an intermediate as a temporary pipeline table
+    (reference transform/temp_table.py.j2). Materializes to the store's `_tmp`
+    schema — a real barrier (cuts lineage / enables reuse across flows)."""
+    if action.sql:
+        df = ctx.spark.sql(_rewrite_stream_refs(action.sql))
+    else:
+        df = ctx.resolve_view(str(action.source))
+    name = f"_tmp.{ctx.flowgroup.flowgroup}.{action.target or action.name}"
+    if df.isStreaming:
+        q = (
+            df.writeStream.foreachBatch(
+                lambda b, _eid: ctx.store.append(name, b)
+            )
+            .option("checkpointLocation", ctx.checkpoint("tmp", action.name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    else:
+        ctx.store.overwrite(name, df)
+    return ctx.store.read(name)
+
+
+def transform_data_quality(ctx: BuildContext, action: Action) -> DataFrame:
+    """Expectations transform — dqe or quarantine mode
+    (reference transform/data_quality.py:24-211)."""
+    df = ctx.resolve_view(str(action.source))
+    if action.expectations_inline is not None:
+        exps = parse_expectations(action.expectations_inline)
+    elif action.expectations_file:
+        exps = load_expectations_file(ctx.resolve_path(action.expectations_file))
+    else:
+        raise ValueError(f"data_quality {action.name!r} missing expectations")
+
+    mode = action.mode or "dqe"
+    if mode == "quarantine":
+        from lakehouse_plumber_spark.operators.quarantine import run_quarantine
+
+        return run_quarantine(ctx, action, df, exps)
+
+    out, obs, fail_exps = apply_expectations(df, exps, observation_name=f"dq_{action.name}")
+    if obs is not None and not df.isStreaming:
+        ctx.pending_checks.append((action.name, obs, fail_exps))
+    ctx.log(action.name, "expectations_attached", rules=[e.name for e in exps], mode=mode)
+    return out

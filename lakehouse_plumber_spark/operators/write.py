@@ -1,0 +1,273 @@
+"""Write operators: streaming tables (standard/cdc/snapshot_cdc), materialized
+views, and the four sink sub-types. Reference inventory: SURVEY §2.3.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_plumber_spark.context import BuildContext
+from lakehouse_plumber_spark.models import Action, WriteTarget
+from lakehouse_plumber_spark.operators.cdc import apply_changes, apply_snapshot
+from lakehouse_plumber_spark.operators.load import _import_module, _rewrite_stream_refs
+from lakehouse_plumber_spark.schema_parser import coerce_schema
+
+
+def _cdf_enabled(wt: WriteTarget) -> bool:
+    return str((wt.table_properties or {}).get("delta.enableChangeDataFeed", "false")).lower() == "true"
+
+
+def _table_name(ctx: BuildContext, wt: WriteTarget) -> str:
+    name = wt.full_name
+    if not name:
+        raise ValueError("write target needs catalog/schema/table or path")
+    return name
+
+
+def write_streaming_table(ctx: BuildContext, action: Action) -> Optional[DataFrame]:
+    """Streaming table with append flows / AUTO CDC / snapshot CDC
+    (reference write/streaming_table.py.j2:1-244).
+
+    - standard: each flow appends; streaming inputs run through a checkpointed
+      `writeStream.foreachBatch` with `trigger(availableNow=True)` (the
+      triggered-DLT execution model); `once: true` flows run a single backfill
+      guarded by a marker file.
+    - cdc: every micro-batch goes through `apply_changes` (SCD1/SCD2 merge).
+    - snapshot_cdc: pull (df, version) snapshots until exhausted, diff, merge.
+
+    Scale: appends are file-level (no rewrite); CDC merges shuffle only on the
+    CDC keys over affected keys; partition_columns are honored for pruning.
+    """
+    wt = action.write_target
+    assert wt is not None
+    target = _table_name(ctx, wt)
+    cdf = _cdf_enabled(wt)
+
+    if wt.create_table and wt.mode == "standard":
+        schema = coerce_schema(wt.table_schema) if wt.table_schema else None
+        if wt.schema_file:
+            schema = coerce_schema(ctx.resolve_path(wt.schema_file))
+        ctx.store.create_if_not_exists(
+            target, schema=schema, partition_columns=wt.partition_columns,
+            table_properties=wt.table_properties, comment=wt.comment,
+        )
+
+    if wt.mode == "cdc":
+        assert wt.cdc_config is not None, "cdc mode requires cdc_config"
+        df = ctx.resolve_view(str(action.source))
+        if df.isStreaming:
+            def _merge(batch_df: DataFrame, _epoch: int) -> None:
+                apply_changes(ctx.store, target, batch_df, wt.cdc_config, wt.partition_columns)
+
+            q = (
+                df.writeStream.foreachBatch(_merge)
+                .option("checkpointLocation", ctx.checkpoint("cdc", action.name))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        else:
+            apply_changes(ctx.store, target, df, wt.cdc_config, wt.partition_columns)
+        ctx.log(action.name, "cdc_applied", target=target, scd_type=wt.cdc_config.scd_type)
+
+    elif wt.mode == "snapshot_cdc":
+        cfg = wt.snapshot_cdc_config
+        assert cfg is not None, "snapshot_cdc mode requires snapshot_cdc_config"
+        fn = cfg.source_callable
+        if fn is None and cfg.source_function is not None:
+            mod = _import_module(ctx.resolve_path(cfg.source_function.file), f"lhp_snap_{action.name}")
+            raw = getattr(mod, cfg.source_function.function)
+            params = cfg.source_function.parameters
+
+            def fn(v):  # noqa: ANN001
+                return raw(v, **params) if params else raw(v)
+
+        if fn is not None:
+            # iterate: fn(latest_applied_version|None) -> (df, version) | None
+            latest: Any = None
+            while True:
+                result = fn(latest)
+                if result is None:
+                    break
+                snap_df, version = result
+                apply_snapshot(ctx.store, target, snap_df, version, cfg)
+                latest = version
+        else:
+            snap_df = ctx.resolve_view(str(cfg.source))
+            version = ctx.conf.get("snapshot_version", 0)
+            apply_snapshot(ctx.store, target, snap_df, version, cfg)
+        ctx.log(action.name, "snapshot_cdc_applied", target=target)
+
+    else:  # standard append flow(s)
+        df = ctx.resolve_view(str(action.source))
+        if action.once:
+            marker = os.path.join(ctx.checkpoint("once"), f"{action.name}.done")
+            if os.path.exists(marker):
+                ctx.log(action.name, "once_flow_skipped", target=target)
+                return _register_read(ctx, action, target)
+        if df.isStreaming:
+            def _append(batch_df: DataFrame, _epoch: int) -> None:
+                ctx.store.append(target, batch_df, wt.partition_columns)
+                if cdf:
+                    ctx.store.log_changes(target, batch_df, "insert")
+
+            q = (
+                df.writeStream.foreachBatch(_append)
+                .option("checkpointLocation", ctx.checkpoint("flow", action.name))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        else:
+            ctx.store.append(target, df, wt.partition_columns)
+            if cdf:
+                ctx.store.log_changes(target, df, "insert")
+        if action.once:
+            with open(marker, "w") as f:
+                f.write(ctx.run_id)
+        ctx.log(action.name, "flow_appended", target=target, once=action.once)
+
+    return _register_read(ctx, action, target)
+
+
+def _register_read(ctx: BuildContext, action: Action, target: str) -> DataFrame:
+    out = ctx.strip_internal(ctx.store.read(target))
+    ctx.register(target, out)
+    return out
+
+
+def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
+    """Batch-recomputed table from SQL or a source view
+    (reference write/materialized_view.py.j2:1-61): full overwrite refresh.
+    """
+    wt = action.write_target
+    assert wt is not None
+    target = _table_name(ctx, wt)
+    query = wt.sql or action.sql
+    if not query and (wt.sql_path or action.sql_path):
+        with open(ctx.resolve_path(wt.sql_path or action.sql_path)) as f:
+            query = f.read()
+    if query:
+        df = ctx.spark.sql(_rewrite_stream_refs(query))
+    else:
+        df = ctx.resolve_view(str(action.source))
+    if wt.row_filter:
+        df = df.where(wt.row_filter)
+    ctx.store.overwrite(target, df, partition_columns=wt.partition_columns)
+    if _cdf_enabled(wt):
+        ctx.store.log_changes(target, df, "insert")
+    ctx.log(action.name, "mv_refreshed", target=target)
+    return _register_read(ctx, action, target)
+
+
+def write_sink(ctx: BuildContext, action: Action) -> Optional[DataFrame]:
+    """Sink dispatcher (reference write/sink.py:20-64): delta/kafka/foreachbatch/custom."""
+    wt = action.write_target
+    assert wt is not None
+    sink_type = wt.sink_type.value if wt.sink_type else "delta"
+    df = ctx.resolve_view(str(action.source))
+
+    if sink_type == "delta":
+        path = wt.path or (wt.options or {}).get("path")
+        table = (wt.options or {}).get("tableName") or wt.table
+        if df.isStreaming:
+            def _append(batch_df: DataFrame, _epoch: int) -> None:
+                if path:
+                    batch_df.write.mode("append").parquet(ctx.resolve_path(path))
+                else:
+                    ctx.store.append(table, batch_df)
+
+            q = (
+                df.writeStream.foreachBatch(_append)
+                .option("checkpointLocation", ctx.checkpoint("sink", action.name))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        elif path:
+            df.write.mode("append").parquet(ctx.resolve_path(path))
+        else:
+            ctx.store.append(table, df)
+        ctx.log(action.name, "sink_delta", path=path, table=table)
+        return None
+
+    if sink_type == "kafka":
+        if "value" not in df.columns:
+            raise ValueError("kafka sink requires a 'value' column")  # reference kafka_sink.py.j2:28-30
+        sim = (wt.options or {}).get("simulate_path")
+        if sim:
+            out = df.select(
+                *[c for c in ("key", "value") if c in df.columns],
+                F.lit(wt.topic).alias("topic"),
+            )
+            if out.isStreaming:
+                q = (
+                    out.writeStream.format("parquet")
+                    .option("path", ctx.resolve_path(sim))
+                    .option("checkpointLocation", ctx.checkpoint("sink", action.name))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            else:
+                out.write.mode("append").parquet(ctx.resolve_path(sim))
+        else:
+            writer = (df.writeStream if df.isStreaming else df.write).format("kafka")
+            writer = writer.option("kafka.bootstrap.servers", wt.bootstrap_servers or "")
+            if wt.topic:
+                writer = writer.option("topic", wt.topic)
+            for k, v in (wt.options or {}).items():
+                writer = writer.option(k, str(v))
+            if df.isStreaming:
+                q = writer.option("checkpointLocation", ctx.checkpoint("sink", action.name)).start()
+                q.awaitTermination()
+            else:
+                writer.save()
+        ctx.log(action.name, "sink_kafka", topic=wt.topic)
+        return None
+
+    if sink_type == "foreachbatch":
+        handler = wt.batch_handler_callable
+        if handler is None:
+            mod = _import_module(ctx.resolve_path(wt.batch_handler), f"lhp_fb_{action.name}")
+            handler = getattr(mod, "handle_batch", None) or getattr(mod, "batch_handler")
+        if df.isStreaming:
+            q = (
+                df.writeStream.foreachBatch(handler)
+                .option("checkpointLocation", ctx.checkpoint("sink", action.name))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        else:
+            handler(df, 0)
+        ctx.log(action.name, "sink_foreachbatch")
+        return None
+
+    if sink_type == "custom":
+        cls = (wt.options or {}).get("sink_class_obj")
+        if cls is None:
+            mod = _import_module(ctx.resolve_path(wt.module_path), f"lhp_sink_{action.name}")
+            cls = getattr(mod, wt.custom_sink_class)
+        ctx.spark.dataSource.register(cls)
+        fmt = (wt.options or {}).get("format") or cls.name()
+        opts = {k: str(v) for k, v in (wt.options or {}).items() if k not in ("format", "sink_class_obj")}
+        if df.isStreaming:
+            q = (
+                df.writeStream.format(fmt)
+                .options(**opts)
+                .option("checkpointLocation", ctx.checkpoint("sink", action.name))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        else:
+            df.write.format(fmt).options(**opts).mode("append").save()
+        ctx.log(action.name, "sink_custom", format=fmt)
+        return None
+
+    raise ValueError(f"unknown sink_type {sink_type!r}")

@@ -1,0 +1,149 @@
+"""YAML flowgroup parsing: discovery, presets, templates, substitution.
+
+Pipeline mirrors the reference's resolution order
+(src/lhp/core/processing/flowgroup_resolver.py:66-253): local %{var}
+variables -> Jinja template expansion -> preset deep-merge chain -> ${token}
+substitution -> validation.
+"""
+
+from __future__ import annotations
+
+import copy
+import glob
+import os
+from typing import Any, Mapping, Optional
+
+import yaml
+
+from lakehouse_plumber_spark.dag import validate_flowgroup_graph
+from lakehouse_plumber_spark.models import FlowGroup
+from lakehouse_plumber_spark.substitution import substitute
+
+
+def deep_merge(base: dict, override: dict) -> dict:
+    """Preset deep-merge (reference flowgroup_resolver.py:255-312): dicts merge
+    recursively, scalars/lists in the override win."""
+    out = copy.deepcopy(base)
+    for k, v in override.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def _load_presets(preset_names: list[str], presets_dir: Optional[str]) -> dict:
+    merged: dict = {}
+    for name in preset_names:
+        if not presets_dir:
+            raise FileNotFoundError(f"preset {name!r} requested but no presets_dir given")
+        path = os.path.join(presets_dir, f"{name}.yaml")
+        with open(path) as f:
+            preset = yaml.safe_load(f) or {}
+        # presets may themselves extend other presets
+        parent = preset.pop("extends", None)
+        if parent:
+            merged = deep_merge(merged, _load_presets([parent], presets_dir))
+        merged = deep_merge(merged, preset.get("defaults", preset))
+    return merged
+
+
+def _expand_template(
+    spec: dict, templates_dir: Optional[str], params: Mapping[str, Any]
+) -> dict:
+    """`use_template` expansion via Jinja2 (reference template_engine.py)."""
+    name = spec.get("use_template")
+    if not name:
+        return spec
+    if not templates_dir:
+        raise FileNotFoundError(f"template {name!r} requested but no templates_dir given")
+    import jinja2
+
+    path = os.path.join(templates_dir, f"{name}.yaml")
+    with open(path) as f:
+        raw = f.read()
+    rendered = jinja2.Template(raw, undefined=jinja2.StrictUndefined).render(**dict(params))
+    template = yaml.safe_load(rendered) or {}
+    merged = deep_merge({k: v for k, v in template.items() if k != "parameters"}, spec)
+    merged.pop("use_template", None)
+    merged.pop("template_parameters", None)
+    return merged
+
+
+def load_flowgroup(
+    spec: dict,
+    tokens: Optional[Mapping[str, Any]] = None,
+    secrets: Optional[Mapping[str, str]] = None,
+    presets_dir: Optional[str] = None,
+    templates_dir: Optional[str] = None,
+    validate: bool = True,
+) -> FlowGroup:
+    """Resolve a raw YAML dict into a validated FlowGroup model."""
+    spec = copy.deepcopy(spec)
+    variables = spec.get("variables", {}) or {}
+    spec = _expand_template(spec, templates_dir, spec.get("template_parameters", {}) or {})
+    preset_defaults = _load_presets(spec.get("presets", []) or [], presets_dir)
+    if preset_defaults:
+        # presets provide defaults under the flowgroup (actions keep their own fields)
+        spec = deep_merge(preset_defaults, spec)
+    spec = substitute(spec, tokens=tokens or {}, variables=variables, secrets=secrets)
+    fg = FlowGroup.model_validate(spec)
+    if validate:
+        validate_flowgroup_graph(fg.actions)
+    return fg
+
+
+def load_flowgroup_file(
+    path: str,
+    tokens: Optional[Mapping[str, Any]] = None,
+    secrets: Optional[Mapping[str, str]] = None,
+    presets_dir: Optional[str] = None,
+    templates_dir: Optional[str] = None,
+) -> FlowGroup:
+    with open(path) as f:
+        spec = yaml.safe_load(f)
+    base = os.path.dirname(os.path.abspath(path))
+    return load_flowgroup(
+        spec,
+        tokens=tokens,
+        secrets=secrets,
+        presets_dir=presets_dir or _find_dir(base, "presets"),
+        templates_dir=templates_dir or _find_dir(base, "templates"),
+    )
+
+
+def discover_flowgroups(
+    project_root: str,
+    tokens: Optional[Mapping[str, Any]] = None,
+    include: Optional[list[str]] = None,
+) -> list[FlowGroup]:
+    """Scan `pipelines/**/*.yaml` honoring include globs
+    (reference: src/lhp/core/discovery/flowgroup_discoverer.py)."""
+    patterns = include or ["pipelines/**/*.yaml", "pipelines/**/*.yml"]
+    paths: list[str] = []
+    for pat in patterns:
+        paths.extend(glob.glob(os.path.join(project_root, pat), recursive=True))
+    out = []
+    for p in sorted(set(paths)):
+        out.append(
+            load_flowgroup_file(
+                p,
+                tokens=tokens,
+                presets_dir=_find_dir(project_root, "presets"),
+                templates_dir=_find_dir(project_root, "templates"),
+            )
+        )
+    return out
+
+
+def _find_dir(root: str, name: str) -> Optional[str]:
+    cur = root
+    for _ in range(6):
+        cand = os.path.join(cur, name)
+        if os.path.isdir(cand):
+            return cand
+        nxt = os.path.dirname(cur)
+        if nxt == cur:
+            break
+        cur = nxt
+    return None

@@ -1,0 +1,115 @@
+"""PipelineRunner: execute a FlowGroup (or many) against a SparkSession.
+
+The engine's equivalent of the DLT runtime the reference compiles for:
+topo-sorts the action DAG (dag.py ≙ reference dependency_resolver), executes
+each action via the operator registry, tracks named views, enforces
+expectations, and emits an event log (≙ DLT event log flow_progress rows).
+
+Cross-pipeline orchestration (reference `lhp deps` / job stages,
+src/lhp/core/jobs/job_generator.py:60-108) is `run_many`: flowgroups are
+staged by table-level dependencies and executed stage by stage.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_plumber_spark.context import BuildContext
+from lakehouse_plumber_spark.dag import topo_sort, validate_flowgroup_graph
+from lakehouse_plumber_spark.expectations import check_failures
+from lakehouse_plumber_spark.models import ActionType, FlowGroup
+from lakehouse_plumber_spark.operators import REGISTRY
+from lakehouse_plumber_spark.tables import ParquetTableStore, new_store
+
+
+class PipelineRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: Optional[ParquetTableStore] = None,
+        base_dir: str = ".",
+    ):
+        self.spark = spark
+        self.store = store or new_store(spark)
+        self.base_dir = base_dir
+        self.event_log: list[dict] = []
+
+    def run(self, fg: FlowGroup, conf: Optional[dict] = None) -> BuildContext:
+        """Execute one flowgroup; returns the BuildContext with views/event log."""
+        validate_flowgroup_graph(fg.actions)
+        ctx = BuildContext(
+            spark=self.spark,
+            store=self.store,
+            flowgroup=fg,
+            base_dir=self.base_dir,
+            conf=conf or {},
+        )
+        for action in topo_sort(fg.actions):
+            t0 = time.time()
+            key = (action.type.value, action.sub_type)
+            executor = REGISTRY.get(key)
+            if executor is None:
+                raise ValueError(f"no operator registered for {key}")
+            df = executor(ctx, action)
+            if df is not None and action.target:
+                ctx.register(action.target, df)
+            ctx.log(action.name, "action_completed", seconds=round(time.time() - t0, 3))
+
+        # batch fail-expectation enforcement: force pending observed plans
+        for name, obs, fail_exps in ctx.pending_checks:
+            # observation requires the plan to have executed; writes usually did.
+            metrics = check_failures(obs, fail_exps)
+            ctx.log(name, "expectations_checked", **{k: v for k, v in metrics.items()})
+        self.event_log.extend(ctx.event_log)
+        return ctx
+
+    def run_many(self, flowgroups: list[FlowGroup]) -> list[BuildContext]:
+        """Run multiple flowgroups in dependency-stage order.
+
+        Stage graph: a flowgroup depends on another when it reads a table the
+        other writes (reference DependencyAnalysisService semantics, driven
+        here by write-target/view names instead of sqlglot SQL parsing).
+        """
+        writes: dict[str, int] = {}
+        for i, fg in enumerate(flowgroups):
+            for a in fg.actions:
+                if a.type == ActionType.WRITE and a.write_target is not None:
+                    writes[a.write_target.full_name] = i
+                    if a.write_target.table:
+                        writes[a.write_target.table] = i
+
+        deps: dict[int, set[int]] = {i: set() for i in range(len(flowgroups))}
+        for i, fg in enumerate(flowgroups):
+            for a in fg.actions:
+                for view in a.source_views():
+                    j = writes.get(view)
+                    if j is not None and j != i:
+                        deps[i].add(j)
+
+        done: set[int] = set()
+        out: list[BuildContext] = [None] * len(flowgroups)  # type: ignore[list-item]
+        while len(done) < len(flowgroups):
+            stage = [i for i in range(len(flowgroups)) if i not in done and deps[i] <= done]
+            if not stage:
+                raise ValueError("cross-flowgroup dependency cycle")
+            for i in stage:
+                out[i] = self.run(flowgroups[i])
+                done.add(i)
+        return out
+
+    def event_log_df(self) -> DataFrame:
+        import json
+
+        rows = [
+            (
+                e["pipeline"], e["flowgroup"], e["run_id"], e["action"], e["event"],
+                json.dumps(e.get("details", {}), default=str),
+            )
+            for e in self.event_log
+        ]
+        return self.spark.createDataFrame(
+            rows, "pipeline string, flowgroup string, run_id string, action string, event string, details string"
+        )

@@ -1,0 +1,90 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same config block is
+what we would ship to a 1000-executor cluster job (AQE on, adaptive skew join,
+Arrow transfers) — only master/memory change per deployment.
+
+Timezone is pinned to UTC so timestamp semantics match the DuckDB oracle
+(Spark timestamps are session-TZ; DuckDB's are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "lakehouse_plumber_spark", **extra_conf: str) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    AQE handles runtime coalescing/skew so a fixed ``shuffle.partitions`` of
+    ~2x cores is a starting hint, not a straitjacket; on a real cluster this
+    would be sized to total cores and AQE still re-plans per stage.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "8g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # driver testdata is written with TIMESTAMP(NANOS) which Spark refuses
+        # by default; read as long and convert in register_testdata
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register the driver's parquet tables as temp views named after the table.
+
+    Mirrors the reference's habit of reading named catalog tables
+    (reference: src/lhp/templates/load/delta.py.j2 reads `catalog.schema.table`);
+    here the "catalog" is a directory of parquet tables.
+    """
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            # nanos timestamps arrive as long (see nanosAsLong conf): convert
+            arrow_schema = pq.read_schema(path)
+            dtypes = dict(df.dtypes)
+            for fld in arrow_schema:
+                if (
+                    pa.types.is_timestamp(fld.type)
+                    and dtypes.get(fld.name) == "bigint"  # landed as nanos-long
+                ):
+                    df = df.withColumn(fld.name, F.expr(f"timestamp_micros({fld.name} DIV 1000)"))
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
