@@ -1,38 +1,991 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator from SURVEY.md §2 plus
+the LLM-data operators; `oracle_sql()` gives the DuckDB-equivalent ANSI SQL.
+Cross-engine float determinism recipe used throughout:
+
+- money/denormalized sums:  CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+  (per-row double arithmetic is IEEE-identical in both engines; the decimal
+  cast makes the *aggregation* exact and order-independent)
+- averages: exact decimal sum divided by COUNT(*) in double
+- cosine/jaccard scores: ROUND(..., 6)
+- timestamps: compared as epoch microseconds (unix_micros / epoch_us) or
+  formatted strings — never raw timestamp columns (ns-vs-us dtype mismatch)
+- probabilistic structures (minhash/simhash/LSH): md5-derived hashes that
+  evaluate identically in Spark SQL and DuckDB (llm/hashing.py)
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_plumber_spark import load_flowgroup, register_testdata
+from lakehouse_plumber_spark.llm import dedup as D
+from lakehouse_plumber_spark.llm import similarity as S
+from lakehouse_plumber_spark.llm import text as TX
+from lakehouse_plumber_spark.llm.hashing import (
+    md5int_duck,
+    md5int_spark,
+    tokens_duck,
+    tokens_spark,
+    word_ngrams_duck,
+    word_ngrams_spark,
+)
+from lakehouse_plumber_spark.runner import PipelineRunner
+from lakehouse_plumber_spark.tables import ParquetTableStore
+
+
+def _dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def _davg(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS {alias}"
+
+
+def _prep(spark: SparkSession, sf_dir: str) -> None:
+    register_testdata(spark, sf_dir)
+
+
+def _runner(spark: SparkSession) -> PipelineRunner:
+    root = tempfile.mkdtemp(prefix="lhp_q_")
+    return PipelineRunner(spark, store=ParquetTableStore(spark=spark, root=root))
+
+
+# ----------------------------------------------------------------------------
+# registry: name -> (spark_fn, duckdb_sql | None)
+# ----------------------------------------------------------------------------
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _register(name: str, duck_sql: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, duck_sql)
+        return fn
+
+    return deco
+
+
+def _sql_query(name: str, spark_sql: str, duck_sql: str | None = None):
+    """Register a query that is the same (or dialect-tweaked) SQL in both engines."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    _REGISTRY[name] = (fn, duck_sql if duck_sql is not None else spark_sql)
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# 1. Relational core (the reference's sql-transform surface, SURVEY §2.2):
+#    TPC-H-shaped queries over the acmi-style star schema
+# ---------------------------------------------------------------------------
+
+_sql_query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity', 'sum_qty')},
+           {_dsum('l_extendedprice', 'sum_base_price')},
+           {_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {_davg('l_quantity', 'avg_qty')},
+           {_davg('l_extendedprice', 'avg_price')},
+           {_davg('l_discount', 'avg_disc')},
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+_sql_query(
+    "q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           CAST(unix_micros(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_orderdate_us,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    duck_sql=f"""
+    SELECT l.l_orderkey,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+
+_sql_query(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+
+_sql_query(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {_dsum('l_extendedprice * l_discount', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 24
+    """,
+)
+
+_sql_query(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+_sql_query(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_revenue_pct
+    FROM (
+      SELECT {_dsum("CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 'promo')},
+             {_dsum('l.l_extendedprice * (1 - l.l_discount)', 'total')}
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    ) t
+    """,
+)
+
+_sql_query(
+    "q18_large_volume_customer",
+    f"""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(unix_micros(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_orderdate_us,
+           o.o_totalprice,
+           {_dsum('l.l_quantity', 'total_qty')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING SUM(l.l_quantity) > 150
+    """,
+    duck_sql=f"""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+           o.o_totalprice,
+           {_dsum('l.l_quantity', 'total_qty')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING SUM(l.l_quantity) > 150
+    """,
+)
+
+_ROLLUP_SQL = f"""
+    SELECT c.c_mktsegment, n.n_name,
+           {_dsum('c.c_acctbal', 'total_balance')},
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (c.c_mktsegment, n.n_name)
+"""
+_sql_query("rollup_segment_nation", _ROLLUP_SQL)
+
+_sql_query(
+    "topk_parts_per_brand",
+    f"""
+    SELECT p_brand, p_partkey, part_revenue, rk FROM (
+      SELECT p.p_brand, p.p_partkey, t.part_revenue,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p.p_brand ORDER BY t.part_revenue DESC, p.p_partkey) AS BIGINT) AS rk
+      FROM part p JOIN (
+        SELECT l_partkey, {_dsum('l_extendedprice * (1 - l_discount)', 'part_revenue')}
+        FROM lineitem GROUP BY l_partkey
+      ) t ON p.p_partkey = t.l_partkey
+    ) x WHERE rk <= 3
+    """,
+)
+
+_sql_query(
+    "cumulative_customer_spend",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+
+_sql_query(
+    "orders_pivot_status",
+    f"""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           {_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", 'sum_f')}
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+
+_sql_query(
+    "lineitem_median_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(median(l_quantity) AS DOUBLE) AS median_qty,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+# set operations + EXISTS/IN subqueries
+_sql_query(
+    "active_vs_bigticket_customers",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers FROM (
+      SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000
+    ) t
+    """,
+)
+
+_sql_query(
+    "suppliers_without_returns",
+    """
+    SELECT s.s_suppkey, s.s_name FROM supplier s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+    )
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# 2. Events: sessionization, windowed aggregation, JSON extraction
+# ---------------------------------------------------------------------------
+
+_SESSION_TMPL = """
+    WITH e AS (SELECT user_id, {eus} AS eus FROM events),
+    gaps AS (
+      SELECT user_id, eus,
+             CASE WHEN eus - LAG(eus) OVER (PARTITION BY user_id ORDER BY eus)
+                       > 1800000000 OR LAG(eus) OVER (PARTITION BY user_id ORDER BY eus) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM gaps GROUP BY user_id
+"""
+_sql_query(
+    "events_sessionize",
+    _SESSION_TMPL.format(eus="unix_micros(CAST(ts AS TIMESTAMP))"),
+    duck_sql=_SESSION_TMPL.format(eus="epoch_us(ts)"),
+)
+
+_HOURLY_TMPL = """
+    SELECT {hour_us} AS hour_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {vsum}
+    FROM events GROUP BY 1, 2
+"""
+_sql_query(
+    "events_hourly_rollup",
+    _HOURLY_TMPL.format(
+        hour_us="CAST(unix_micros(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT)",
+        vsum=_dsum("value", "total_value"),
+    ),
+    duck_sql=_HOURLY_TMPL.format(
+        hour_us="CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)",
+        vsum=_dsum("value", "total_value"),
+    ),
+)
+
+_JSON_TMPL = """
+    SELECT k_bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CAST({extract} AS BIGINT) % 10 AS k_bucket FROM events
+    ) t GROUP BY k_bucket
+"""
+_sql_query(
+    "events_json_extract",
+    _JSON_TMPL.format(extract="get_json_object(props, '$.k')"),
+    duck_sql=_JSON_TMPL.format(extract="json_extract_string(props, '$.k')"),
+)
+
+# ---------------------------------------------------------------------------
+# 3. Engine-pipeline queries: these run the declarative runtime end-to-end
+#    (load -> transform -> write -> read back), proving operator semantics
+# ---------------------------------------------------------------------------
+
+_REV_BY_REGION_SQL = f"""
+    SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS INT) AS order_year,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, year(o.o_orderdate)
+"""
+
+
+@_register(
+    "pipe_mv_revenue_by_region",
+    _REV_BY_REGION_SQL.replace("year(o.o_orderdate)", "year(o.o_orderdate)"),
+)
+def pipe_mv_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: engine pipeline (delta loads -> sql transform -> MV write).
+
+    Mirrors reference Example_Projects/acmi/pipelines/04_gold/revenue_by_region
+    (SQL/gld/revenue_by_region_mv.sql) on the open star schema.
+    """
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "gold",
+            "flowgroup": "revenue_by_region",
+            "actions": [
+                {"name": "rev", "type": "transform", "transform_type": "sql",
+                 "source": "lineitem", "sql": _REV_BY_REGION_SQL, "target": "v_rev"},
+                {"name": "mv", "type": "write", "source": "v_rev",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "gold", "table": "revenue_by_region"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.gold.revenue_by_region")
+
+
+@_register(
+    "pipe_schema_enforce",
+    """
+    SELECT p_partkey AS part_id, p_name AS part_name,
+           CAST(p_size AS BIGINT) AS size_big,
+           CAST(p_retailprice AS DOUBLE) AS price
+    FROM part
+    """,
+)
+def pipe_schema_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema transform: rename map -> cast map -> strict enforcement."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "silver", "flowgroup": "part_schema",
+            "actions": [
+                {"name": "load", "type": "load",
+                 "source": {"type": "delta", "table": "part"}, "target": "v_part"},
+                {"name": "enforce", "type": "transform", "transform_type": "schema",
+                 "source": "v_part", "target": "v_typed", "enforcement": "strict",
+                 "schema_inline": {"columns": [
+                     {"name": "part_id", "type": "bigint", "rename_from": "p_partkey"},
+                     {"name": "part_name", "type": "string", "rename_from": "p_name"},
+                     {"name": "size_big", "type": "bigint", "rename_from": "p_size"},
+                     {"name": "price", "type": "double", "rename_from": "p_retailprice"},
+                 ]}},
+                {"name": "mv", "type": "write", "source": "v_typed",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "silver", "table": "part_typed"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.silver.part_typed")
+
+
+@_register(
+    "pipe_dq_drop",
+    """
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    WHERE c_acctbal > 0 AND c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY','HOUSEHOLD','FURNITURE')
+    """,
+)
+def pipe_dq_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """data_quality dqe mode with drop expectations (reference dqe.py semantics)."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "silver", "flowgroup": "customer_dq",
+            "actions": [
+                {"name": "load", "type": "load",
+                 "source": {"type": "delta", "table": "customer"}, "target": "v_cust"},
+                {"name": "dq", "type": "transform", "transform_type": "data_quality",
+                 "source": "v_cust", "target": "v_clean", "mode": "dqe",
+                 "expectations_inline": [
+                     {"name": "positive_balance", "constraint": "c_acctbal > 0", "action": "drop"},
+                     {"name": "valid_segment",
+                      "constraint": "c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY','HOUSEHOLD','FURNITURE')",
+                      "action": "drop"},
+                 ]},
+                {"name": "mv", "type": "write", "source": "v_clean",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "silver", "table": "customer_clean",
+                                  "sql": "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM v_clean"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.silver.customer_clean")
+
+
+_CDC_FEED_SQL = "SELECT user_id, ts, event_type, value FROM events"
+
+_SCD1_ORACLE = """
+    SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type, value FROM (
+      SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      FROM events e
+    ) t WHERE rn = 1
+"""
+
+
+@_register("pipe_cdc_scd1", _SCD1_ORACLE)
+def pipe_cdc_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO CDC SCD1: events as a change feed keyed by user_id, seq by ts."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "silver", "flowgroup": "user_state",
+            "actions": [
+                {"name": "feed", "type": "transform", "transform_type": "sql",
+                 "source": "events", "sql": _CDC_FEED_SQL, "target": "v_feed"},
+                {"name": "apply", "type": "write", "source": "v_feed",
+                 "write_target": {"type": "streaming_table", "catalog": "main",
+                                  "schema": "silver", "table": "user_state", "mode": "cdc",
+                                  "cdc_config": {"keys": ["user_id"], "sequence_by": "ts",
+                                                 "scd_type": 1}}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    out = ctx.resolve_view("main.silver.user_state")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
+_SCD2_ORACLE = """
+    WITH feed AS (SELECT user_id, ts, event_type, value FROM events),
+    marked AS (
+      SELECT *, CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM feed WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id, run_id, event_type,
+             arg_max(value, ts) AS value,
+             arg_max(ts, ts) AS ts,
+             MIN(ts) AS start_ts
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, event_type, value,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(epoch_us(start_ts) AS BIGINT) AS start_us,
+           CAST(epoch_us(LEAD(start_ts) OVER (PARTITION BY user_id ORDER BY start_ts)) AS BIGINT) AS end_us
+    FROM agg
+"""
+
+
+@_register("pipe_cdc_scd2", _SCD2_ORACLE)
+def pipe_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO CDC SCD2 with track_history_column_list=[event_type]: value updates
+    in place within a run; event_type changes open history versions."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "silver", "flowgroup": "user_hist",
+            "actions": [
+                {"name": "feed", "type": "transform", "transform_type": "sql",
+                 "source": "events", "sql": _CDC_FEED_SQL, "target": "v_feed"},
+                {"name": "apply", "type": "write", "source": "v_feed",
+                 "write_target": {"type": "streaming_table", "catalog": "main",
+                                  "schema": "silver", "table": "user_hist", "mode": "cdc",
+                                  "cdc_config": {"keys": ["user_id"], "sequence_by": "ts",
+                                                 "scd_type": 2,
+                                                 "track_history_column_list": ["event_type"]}}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    out = ctx.resolve_view("main.silver.user_hist")
+    return out.select(
+        "user_id", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("__start_at").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("__end_at").cast("timestamp")).alias("end_us"),
+    )
+
+
+@_register(
+    "pipe_quarantine_clean",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+    WHERE c_acctbal > 0 AND c_custkey IS NOT NULL
+    """,
+)
+def pipe_quarantine_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-mode data quality: clean path (DLQ populated alongside)."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "silver", "flowgroup": "cust_quarantine",
+            "actions": [
+                {"name": "load", "type": "load",
+                 "source": {"type": "delta", "table": "customer"}, "target": "v_cust"},
+                {"name": "dq", "type": "transform", "transform_type": "data_quality",
+                 "source": "v_cust", "target": "v_clean", "mode": "quarantine",
+                 "quarantine": {"dlq_table": "main.dlq.customer_dlq", "source_table": "customer"},
+                 "expectations_inline": [
+                     {"name": "positive_balance", "constraint": "c_acctbal > 0", "action": "drop"},
+                     {"name": "has_key", "constraint": "c_custkey IS NOT NULL", "action": "drop"},
+                 ]},
+                {"name": "mv", "type": "write", "source": "v_clean",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "silver", "table": "cust_ok"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.silver.cust_ok")
+
+
+@_register(
+    "pipe_snapshot_cdc_scd1",
+    """
+    SELECT p_partkey, p_brand,
+           CAST(p_retailprice + CASE WHEN p_partkey % 3 = 0 THEN 2.0 ELSE 0.0 END AS DOUBLE) AS price
+    FROM part WHERE p_partkey % 10 < 9
+    """,
+)
+def pipe_snapshot_cdc_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC (SCD1): three full snapshots with inserts/updates/deletes;
+    the merged state must converge to the final snapshot."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    part = spark.table("part")
+
+    def snap(version):
+        if version is None:
+            v = 0
+        elif version >= 2:
+            return None
+        else:
+            v = version + 1
+        if v == 0:
+            df = part.where("p_partkey % 10 < 8").selectExpr(
+                "p_partkey", "p_brand", "CAST(p_retailprice AS DOUBLE) AS price")
+        elif v == 1:
+            df = part.where("p_partkey % 10 < 10").selectExpr(
+                "p_partkey", "p_brand",
+                "CAST(p_retailprice + CASE WHEN p_partkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS price")
+        else:
+            df = part.where("p_partkey % 10 < 9").selectExpr(
+                "p_partkey", "p_brand",
+                "CAST(p_retailprice + CASE WHEN p_partkey % 3 = 0 THEN 2.0 ELSE 0.0 END AS DOUBLE) AS price")
+        return (df, v)
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "silver", "flowgroup": "part_snap",
+            "actions": [
+                {"name": "apply", "type": "write",
+                 "write_target": {"type": "streaming_table", "catalog": "main",
+                                  "schema": "silver", "table": "part_state",
+                                  "mode": "snapshot_cdc",
+                                  "snapshot_cdc_config": {"keys": ["p_partkey"],
+                                                          "stored_as_scd_type": 1,
+                                                          "source": "unused"}}},
+            ],
+        }
+    )
+    fg.actions[0].write_target.snapshot_cdc_config.source_callable = snap
+    ctx = runner.run(fg)
+    out = ctx.resolve_view("main.silver.part_state")
+    return out.select("p_partkey", "p_brand", "price")
+
+
+@_register(
+    "pipe_streaming_fanin",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, {_dsum('value', 'total_value')}
+    FROM events GROUP BY event_type
+    """,
+)
+def pipe_streaming_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming table with two append flows (fan-in) fed by the file-source
+    Auto-Loader equivalent, executed availableNow (triggered-DLT model)."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema_ddl = ("event_id bigint, ts bigint, user_id bigint, event_type string, "
+                  "value double, props string")
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "events_ingest",
+            "actions": [
+                {"name": "ingest", "type": "load", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": events_path, "format": "parquet",
+                            "schema": schema_ddl},
+                 "target": "v_raw"},
+                {"name": "evens", "type": "transform", "transform_type": "sql",
+                 "source": "v_raw", "target": "v_even",
+                 "sql": "SELECT event_id, event_type, value FROM v_raw WHERE event_id % 2 = 0"},
+                {"name": "odds", "type": "transform", "transform_type": "sql",
+                 "source": "v_raw", "target": "v_odd",
+                 "sql": "SELECT event_id, event_type, value FROM v_raw WHERE event_id % 2 = 1"},
+                {"name": "flow_even", "type": "write", "source": "v_even",
+                 "write_target": {"type": "streaming_table", "catalog": "main",
+                                  "schema": "bronze", "table": "events_st", "create_table": True}},
+                {"name": "flow_odd", "type": "write", "source": "v_odd",
+                 "write_target": {"type": "streaming_table", "catalog": "main",
+                                  "schema": "bronze", "table": "events_st", "create_table": False}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    st = ctx.resolve_view("main.bronze.events_st")
+    return st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("total_value"),
+    )
+
+
+@_register(
+    "pipe_test_uniqueness",
+    """
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS duplicate_count
+    FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+    """,
+)
+def pipe_test_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqueness test operator: violation frame for a non-unique key."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "tests", "flowgroup": "uniq",
+            "actions": [
+                {"name": "t", "type": "test", "test_type": "uniqueness",
+                 "on_violation": "warn",
+                 "source": {"source": "lineitem", "columns": ["l_orderkey"]},
+                 "target": "v_violations"},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("v_violations").withColumn(
+        "duplicate_count", F.col("duplicate_count").cast("long")
+    )
+
+
+@_register(
+    "pipe_test_referential",
+    """
+    SELECT o.o_orderkey, o.o_custkey FROM orders o
+    LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0) c
+      ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def pipe_test_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """referential_integrity test operator: orphans vs a filtered dimension."""
+    _prep(spark, sf_dir)
+    spark.sql(
+        "SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0"
+    ).createOrReplaceTempView("customer_sample")
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "tests", "flowgroup": "ri",
+            "actions": [
+                {"name": "t", "type": "test", "test_type": "referential_integrity",
+                 "on_violation": "warn",
+                 "source": {"source": "orders", "reference": "customer_sample",
+                            "source_columns": ["o_custkey"], "reference_columns": ["c_custkey"]},
+                 "target": "v_orphans"},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("v_orphans").select("o_orderkey", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# 4. LLM-data operators (north-star): text analysis, dedup, similarity
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_token_count",
+    f"""
+    SELECT doc_id, CAST(len({tokens_duck('text')}) AS INT) AS n_tokens FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return TX.with_token_count(spark.table("documents")).select("doc_id", "n_tokens")
+
+
+@_register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return TX.with_fingerprint(spark.table("documents")).select("doc_id", "fingerprint")
+
+
+def _quality_duck() -> str:
+    toks = tokens_duck("text")
+    stop_list = ", ".join(f"'{w}'" for w in TX.ENGLISH_STOPWORDS)
+    return f"""
+    SELECT doc_id, round((
+        least(length(text) / 500.0, 1.0)
+        + (length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) / greatest(length(text), 1))
+        + least(len(list_filter({toks}, t -> t IN ({stop_list}))) * 5.0 / greatest(len({toks}), 1), 1.0)
+    ) / 3.0, 6) AS quality_score
+    FROM documents
+    """
+
+
+@_register("text_quality_score", _quality_duck())
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return TX.with_quality_score(spark.table("documents")).select("doc_id", "quality_score")
+
+
+def _langid_sql(dialect: str) -> str:
+    toks = tokens_spark("text") if dialect == "spark" else tokens_duck("text")
+    size = "size" if dialect == "spark" else "len"
+    flt = "filter" if dialect == "spark" else "list_filter"
+    scores = []
+    for lang in sorted(TX.LANG_MARKERS):
+        markers = ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
+        scores.append(f"{size}({flt}({toks}, t -> t IN ({markers}))) AS s_{lang}")
+    langs = sorted(TX.LANG_MARKERS)
+    gmax = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {gmax} = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {gmax} THEN '{lang}' "
+    case += "END"
+    return f"""
+    SELECT doc_id, {case} AS lang_pred, lang AS lang_true
+    FROM (SELECT doc_id, lang, {', '.join(scores)} FROM documents) t
+    """
+
+
+@_register("text_lang_id", _langid_sql("duck"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return spark.sql(_langid_sql("spark"))
+
+
+@_register(
+    "dedup_exact",
+    r"""
+    SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents) t
+    GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return D.exact_dedup(spark.table("documents")).select(
+        "doc_id", F.col("dup_count").cast("long").alias("dup_count")
+    )
+
+
+def _minhash_duck() -> str:
+    from lakehouse_plumber_spark.llm.hashing import minhash_coeffs, minhash_mix
+
+    grams = word_ngrams_duck("text", D.SHINGLE_N)
+    sig_entries = ", ".join(
+        f"list_min(list_transform(hg, h -> {minhash_mix(a, b, c, 'h', 'duck')}))"
+        for a, b, c in minhash_coeffs(D.MINHASH_K)
+    )
+    band_selects = []
+    for b in range(D.LSH_BANDS):
+        lo = b * D.LSH_ROWS + 1
+        hi = lo + D.LSH_ROWS - 1
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(array_to_string(sig[{lo}:{hi}], ',')) AS h FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH grams_t AS (SELECT doc_id, {grams} AS grams FROM documents),
+    hg_t AS (SELECT doc_id, list_transform(grams, g -> {md5int_duck('g')}) AS hg FROM grams_t),
+    sigs AS (SELECT doc_id, [{sig_entries}] AS sig FROM hg_t),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(ga.grams, gb.grams)) /
+                 (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
+    FROM cand c
+    JOIN grams_t ga ON ga.doc_id = c.id_a
+    JOIN grams_t gb ON gb.doc_id = c.id_b
+    WHERE round(len(list_intersect(ga.grams, gb.grams)) /
+                 (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))), 6) >= 0.5
+    """
+
+
+@_register("dedup_minhash_lsh", _minhash_duck())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return D.minhash_lsh_dedup(spark.table("documents"))
+
+
+def _ngram_jaccard_duck() -> str:
+    grams = word_ngrams_duck("text", D.SHINGLE_N)
+    return f"""
+    WITH grams_t AS (SELECT doc_id, unnest({grams}) AS g FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams_t GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM grams_t a JOIN grams_t b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.id_a, s.id_b,
+           round(s.inter / (sa.sz + sb.sz - s.inter), 6) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE round(s.inter / (sa.sz + sb.sz - s.inter), 6) >= 0.5
+    """
+
+
+@_register("dedup_ngram_jaccard", _ngram_jaccard_duck())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return D.ngram_jaccard_pairs(spark.table("documents"))
+
+
+_KNN_IDS = [0, 1, 2, 3, 4]
+
+
+def _knn_duck() -> str:
+    ids = ", ".join(str(i) for i in _KNN_IDS)
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN ({ids})),
+    scored AS (
+      SELECT q.query_id, b.vec_id,
+             round(list_dot_product(q.qv, b.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM base b, q WHERE b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 3
+    """
+
+
+@_register("knn_bruteforce", _knn_duck())
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return S.knn_bruteforce(spark.table("embeddings"), _KNN_IDS, k=3).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@_register(
+    "multimodal_bytes",
+    """
+    SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary content column -> Arrow-batched mapInPandas
+    feature extraction (decode stubbed; byte length + sha are oracle-checked)."""
+    from lakehouse_plumber_spark.llm.multimodal import documents_as_assets, extract_features
+
+    _prep(spark, sf_dir)
+    assets = documents_as_assets(spark.table("documents"))
+    feats = extract_features(assets)
+    return feats.select("asset_id", "n_bytes", "content_sha")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return pipe_mv_revenue_by_region(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,223 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design: every near-dup method is candidate-generation-by-bucket-join
+(LSH bands / simhash prefix bands), never an O(n^2) cross join. The only
+cross joins live in the *_bruteforce baselines used as correctness oracles.
+All hashes are md5-derived (llm/hashing.py) so the DuckDB oracle reproduces
+signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_plumber_spark.llm.hashing import md5int_spark, tokens_spark, word_ngrams_spark
+
+# MinHash parameters: k independent hashes = k seeded md5s; b bands x r rows.
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # LSH_BANDS * LSH_ROWS == MINHASH_K
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized content hash; survivor = min id per group.
+
+    Shuffle is one hash-partitioned aggregation on the 128-bit content hash —
+    the optimal plan at any scale (map-side partial min applies).
+    """
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    return (
+        df.withColumn("__fp", fp)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = MINHASH_K, shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of md5int(i||':'||shingle).
+
+    One narrow projection — no explode/shuffle; the k mins fold inside a
+    single higher-order `transform` per row.
+    """
+    from lakehouse_plumber_spark.llm.hashing import minhash_coeffs, minhash_mix
+
+    grams = word_ngrams_spark(text_col, shingle_n)
+    sig_entries = ", ".join(
+        f"array_min(transform(__hg, h -> {minhash_mix(a, b, c, 'h', 'spark')}))"
+        for a, b, c in minhash_coeffs(k)
+    )
+    return (
+        df.withColumn("__grams", F.expr(grams))
+        .withColumn("__hg", F.expr(f"transform(__grams, g -> {md5int_spark('g')})"))
+        .withColumn("sig", F.expr(f"array({sig_entries})"))
+        .select(id_col, "sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Docs sharing any LSH band -> candidate pairs (id_a < id_b).
+
+    Scale: explode to (band_id, band_hash) -> self-join per bucket. Bucket
+    sizes are data-dependent; hot buckets (boilerplate docs) are the classic
+    skew source — AQE skew-join handles moderate cases, and a bucket-size cap
+    (drop buckets over N docs as "trivially duplicate clusters") bounds the
+    worst case.
+    """
+    band_entries = ", ".join(
+        f"named_struct('band', {b}, 'h', md5(array_join(slice(sig, {b * rows + 1}, {rows}), ',')))"
+        for b in range(bands)
+    )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.expr(f"array({band_entries})")).alias("bd")
+    ).select(id_col, F.col("bd.band").alias("band"), F.col("bd.h").alias("h"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "h"], how="inner")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs, verified by exact shingle Jaccard.
+
+    Returns (id_a, id_b, jaccard) for verified candidates. The verify join
+    only touches candidate pairs (LSH-bounded), not all pairs.
+    """
+    sigs = minhash_signatures(df, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    grams = df.select(
+        F.col(id_col), F.expr(word_ngrams_spark(text_col, SHINGLE_N)).alias("grams")
+    )
+    out = (
+        cands.join(grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "ga"), "id_a")
+        .join(grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "gb"), "id_b")
+        .withColumn("inter", F.expr("size(array_intersect(ga, gb))"))
+        # |A ∪ B| arithmetically (shingle arrays are distinct) — bit-identical
+        # to the oracle's len(a)+len(b)-inter
+        .withColumn("uni", F.expr("size(ga) + size(gb) - size(array_intersect(ga, gb))"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash_expr(text_col: str) -> str:
+    """SimHash fingerprint (SIMHASH_BITS bits) over whitespace tokens.
+
+    bit_i = sign of sum over tokens of (+1 if md5int(token) has bit i else -1).
+    """
+    toks = tokens_spark(text_col)
+    bit_sums = ", ".join(
+        f"aggregate({toks}, 0, (acc, t) -> acc + CASE WHEN ({md5int_spark('t')} >> {i}) % 2 = 1 THEN 1 ELSE -1 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return (
+        f"aggregate(zip_with(array({bit_sums}), sequence(0, {SIMHASH_BITS - 1}), "
+        f"(s, i) -> CASE WHEN s > 0 THEN shiftleft(1L, i) ELSE 0L END), 0L, (acc, x) -> acc + x)"
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation: band the fingerprint into (max_hamming+1) segments —
+    any pair within distance d shares at least one exact segment (pigeonhole),
+    so the join is equi on (segment_id, segment_value), never O(n^2).
+    """
+    nseg = max_hamming + 1
+    seg_bits = SIMHASH_BITS // nseg
+    fp = df.select(F.col(id_col), F.expr(simhash_expr(text_col)).alias("fp"))
+    segs = ", ".join(
+        f"named_struct('seg', {s}, 'v', (fp >> {s * seg_bits}) % {1 << seg_bits})"
+        for s in range(nseg)
+    )
+    banded = fp.select(
+        id_col, "fp", F.explode(F.expr(f"array({segs})")).alias("sg")
+    ).select(id_col, "fp", F.col("sg.seg").alias("seg"), F.col("sg.v").alias("v"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["seg", "v"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = SHINGLE_N, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via shingle-inverted-index join.
+
+    explode shingles -> equi-join on shingle -> count shared -> Jaccard.
+    Shuffle key is the shingle (high cardinality, well distributed); document
+    frequency cap on shingles (stopword-gram removal) bounds hot keys at scale.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(F.expr(word_ngrams_spark(text_col, n))).alias("g")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, on="g")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sza"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "szb"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force with block-broadcast).
+
+    Correct baseline at small N; the scale path reuses the hyperplane-LSH
+    bucketing from llm.similarity (same bucketing, pair join inside buckets).
+    """
+    from lakehouse_plumber_spark.llm.similarity import cosine_expr
+
+    norm = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    a, b = norm.alias("a"), norm.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(F.expr(cosine_expr("a.v", "b.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

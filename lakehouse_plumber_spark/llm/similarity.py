@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns: brute-force cosine top-k baseline
+plus a hyperplane-LSH bucketed variant as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_plumber_spark.llm.hashing import md5int_spark
+
+NUM_HYPERPLANES = 8
+
+
+def cosine_expr(a: str, b: str) -> str:
+    """Sequential-fold cosine of two array<double> columns — deterministic
+    (left-to-right) so the DuckDB oracle computes the identical double."""
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    na = f"sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x))"
+    nb = f"sqrt(aggregate({b}, 0D, (acc, x) -> acc + x * x))"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def knn_bruteforce(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the given query ids.
+
+    Plan: broadcast the (tiny) query side against the full collection, window
+    top-k per query. O(|Q| x N) — with Q small this is one scan, and the
+    broadcast avoids shuffling the big side entirely; at 100 TB this is the
+    right plan whenever Q fits in memory.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    q = base.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", F.round(F.expr(cosine_expr("qv", "v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+def hyperplane_bucket_expr(vec_col: str, planes: int = NUM_HYPERPLANES) -> str:
+    """Deterministic random-hyperplane LSH bucket id.
+
+    Plane p's weight for dimension i is +1/-1 from the md5-derived hash of
+    "p:i" — reproducible in any engine, no stored model. bit_p = sign(dot).
+    """
+    bits = []
+    for p in range(planes):
+        seed = md5int_spark("concat('%d:', cast(i as string))" % p)
+        dot = (
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+            f"(x, i) -> x * (CASE WHEN ({seed}) % 2 = 0 THEN 1.0D ELSE -1.0D END)), "
+            f"0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"CASE WHEN ({dot}) > 0 THEN shiftleft(1L, {p}) ELSE 0L END")
+    return " + ".join(bits)
+
+
+def knn_lsh(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = NUM_HYPERPLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Scale path: bucket id is a grouping key — candidate generation is an
+    equi-join on bucket, shuffling each side once by bucket instead of
+    broadcasting/scanning all pairs. Recall grows with multi-probe (adjacent
+    buckets) or more tables; this single-table variant is the skeleton.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    base = base.withColumn("bucket", F.expr(hyperplane_bucket_expr("v", planes)))
+    q = base.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    scored = (
+        base.join(q, on="bucket")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", F.round(F.expr(cosine_expr("qv", "v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+def ivf_build_and_search(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer, probe the n_probe nearest lists.
+
+    Centroids are trained with a few Lloyd iterations (deterministic init:
+    lowest ids). Centroid set is tiny -> broadcast joins everywhere; the
+    big side shuffles once on assigned list id at build time, exactly how a
+    production IVF index partitions a 100 TB corpus.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    cents = (
+        base.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+    )
+    dist = "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+    for _ in range(max_iter):
+        w = Window.partitionBy(id_col).orderBy(F.col("d"), F.col("cid"))
+        assigned = (
+            base.crossJoin(F.broadcast(cents))
+            .withColumn("d", F.expr(dist))
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+        )
+        dim = len(base.first()["v"])
+        cents = (
+            assigned.groupBy("cid")
+            .agg(
+                F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
+            )
+        )
+    w = Window.partitionBy(id_col).orderBy(F.col("d"), F.col("cid"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("d", F.expr(dist))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(id_col, "v", F.col("cid").alias("list_id"))
+    )
+    q = assigned.where(F.col(id_col).isin(query_ids))
+    wq = Window.partitionBy("query_id").orderBy(F.col("d"), F.col("cid"))
+    probes = (
+        q.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d", F.expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", F.col("cid").alias("list_id"))
+    )
+    scored = (
+        assigned.join(probes, on="list_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", F.round(F.expr(cosine_expr("qv", "v")), 6))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
+    )

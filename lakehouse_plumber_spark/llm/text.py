@@ -1,0 +1,104 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All JVM-side expressions (no UDFs) — at 100 TB these
+run inside whole-stage codegen directly over the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_plumber_spark.llm.hashing import tokens_spark
+
+# marker stopwords per language for the n-gram/stopword heuristic language ID
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "that", "it", "for"),
+    "es": ("el", "la", "de", "y", "que", "los", "las", "un", "una", "es"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un", "une", "que", "pour"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ("was", "on", "are", "as", "with", "at", "by")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (empty-safe)."""
+    return df.withColumn(out, F.expr(f"size({tokens_spark(text_col)})"))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercased, whitespace-collapsed text."""
+    return df.withColumn(
+        out, F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    )
+
+
+def quality_score_expr(text_col: str = "text") -> str:
+    """Deterministic [0,1] quality score from cheap surface statistics.
+
+    Components (each in [0,1]):
+    - length_score: min(n_chars / 500, 1)
+    - alpha_ratio: alphanumeric+space chars / total chars
+    - stopword_score: min(stopword_ratio * 5, 1) — natural text has ~40%+
+    """
+    toks = tokens_spark(text_col)
+    stop_list = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    return (
+        f"round(("
+        f"  least(length({text_col}) / 500.0, 1.0)"
+        f"  + (length(regexp_replace({text_col}, '[^a-zA-Z0-9 ]', '')) / greatest(length({text_col}), 1))"
+        f"  + least(size(filter({toks}, t -> t IN ({stop_list}))) * 5.0 / greatest(size({toks}), 1), 1.0)"
+        f") / 3.0, 6)"
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "quality_score") -> DataFrame:
+    return df.withColumn(out, F.expr(quality_score_expr(text_col)))
+
+
+def lang_id_expr(text_col: str = "text") -> str:
+    """Stopword-marker language classifier; deterministic tie-break by language code.
+
+    Scores = count of language-marker tokens; winner = max score (ties resolve
+    to the lexicographically smallest language code); 'und' when all zero.
+    """
+    toks = tokens_spark(text_col)
+    struct_entries = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        struct_entries.append(
+            f"named_struct('score', size(filter({toks}, t -> t IN ({markers}))), 'lang', '{lang}')"
+        )
+    arr = ", ".join(struct_entries)
+    # array_max on (score, lang) structs orders by score then lang — we want
+    # max score, tie -> smallest lang, so compare on (score, negated lang) is
+    # not expressible; instead reduce explicitly
+    return (
+        f"CASE WHEN aggregate(array({arr}), named_struct('score', -1, 'lang', 'und'), "
+        f"(acc, x) -> CASE WHEN x.score > acc.score THEN x ELSE acc END).score <= 0 "
+        f"THEN 'und' ELSE "
+        f"aggregate(array({arr}), named_struct('score', -1, 'lang', 'und'), "
+        f"(acc, x) -> CASE WHEN x.score > acc.score THEN x ELSE acc END).lang END"
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    return df.withColumn(out, F.expr(lang_id_expr(text_col)))
+
+
+def with_rolling_hash_fingerprint(
+    df: DataFrame, text_col: str = "text", window: int = 8, out: str = "winnow_fp"
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min token-ngram hash per document.
+
+    The classic robust fingerprint for near-exact matching; here the global
+    minimum of 8-token shingle hashes (cheap, order-invariant to edits far
+    from the minimum).
+    """
+    from lakehouse_plumber_spark.llm.hashing import md5int_spark, word_ngrams_spark
+
+    grams = word_ngrams_spark(text_col, window)
+    return df.withColumn(
+        out, F.expr(f"array_min(transform({grams}, g -> {md5int_spark('g')}))")
+    )

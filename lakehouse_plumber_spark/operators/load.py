@@ -93,6 +93,12 @@ def load_cloudfiles(ctx: BuildContext, action: Action) -> DataFrame:
     if fmt == "csv":
         reader_opts.setdefault("header", "true")
 
+    import os as _os
+
+    if stream and _os.path.isfile(path):
+        # file-stream source requires a directory; narrow with a glob filter
+        reader_opts.setdefault("pathGlobFilter", _os.path.basename(path))
+        path = _os.path.dirname(path)
     if stream:
         reader = ctx.spark.readStream.format(fmt)
         if schema is None:
