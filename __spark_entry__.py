@@ -306,6 +306,146 @@ _sql_query(
     """,
 )
 
+# TPC-H-flavored subquery/semijoin/antijoin coverage (the rest of the
+# relational algebra Catalyst must handle: EXISTS, NOT EXISTS, IN, correlated
+# scalar subqueries, disjunctive predicates)
+
+_sql_query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+
+_sql_query(
+    "q7_nation_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {_dsum('volume', 'revenue')}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+          OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+
+_sql_query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+
+_sql_query(
+    "q17_small_quantity_revenue",
+    f"""
+    SELECT {_dsum('l.l_extendedprice', 'total_revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+
+_sql_query(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT {_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+)
+
+_sql_query(
+    "q22_global_balance",
+    f"""
+    SELECT cntry, CAST(COUNT(*) AS BIGINT) AS numcust, {_dsum('c_acctbal', 'totacctbal')}
+    FROM (
+      SELECT CAST(c.c_nationkey % 10 AS INT) AS cntry, c.c_acctbal
+      FROM customer c
+      WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ) t
+    GROUP BY cntry
+    """,
+)
+
+_sql_query(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+
+_sql_query(
+    "q2_min_balance_supplier",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal = (
+      SELECT MIN(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey
+    )
+    """,
+)
+
+_sql_query(
+    "q20_part_supply_chain",
+    """
+    SELECT s.s_suppkey, s.s_name FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'part_1%')
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+      HAVING SUM(l.l_quantity) > 100
+    )
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # 2. Events: sessionization, windowed aggregation, JSON extraction
 # ---------------------------------------------------------------------------
@@ -971,6 +1111,685 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = documents_as_assets(spark.table("documents"))
     feats = extract_features(assets)
     return feats.select("asset_id", "n_bytes", "content_sha")
+
+
+# ---------------------------------------------------------------------------
+# 5. More operator coverage: simhash/winnow/ANN variants, temp tables, python
+#    transforms, kafka simulation, custom datasources, sinks, streaming
+#    window aggregation, and the remaining DQ test operators
+# ---------------------------------------------------------------------------
+
+
+def _simhash_duck() -> str:
+    from lakehouse_plumber_spark.llm.dedup import SIMHASH_BITS
+
+    toks = tokens_duck("text")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (hv >> {i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+    h AS (SELECT doc_id, {md5int_duck('t')} AS hv FROM toks),
+    bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+    fp_t AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM bits)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM fp_t a JOIN fp_t b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """
+
+
+@_register("dedup_simhash", _simhash_duck())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs; Spark side uses pigeonhole segment banding (no
+    O(n^2) join), oracle brute-forces — identical result sets by construction."""
+    _prep(spark, sf_dir)
+    return D.simhash_near_dup_pairs(spark.table("documents")).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+def _winnow_duck() -> str:
+    grams = word_ngrams_duck("text", 8)
+    return f"""
+    SELECT doc_id, list_min(list_transform({grams}, g -> {md5int_duck('g')})) AS winnow_fp
+    FROM documents
+    """
+
+
+@_register("text_winnow_fingerprint", _winnow_duck())
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return TX.with_rolling_hash_fingerprint(spark.table("documents")).select("doc_id", "winnow_fp")
+
+
+def _hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
+    """Python twin of llm.similarity.hyperplane_bucket_expr's md5 weights."""
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        out.append(row)
+    return out
+
+
+def _knn_lsh_duck() -> str:
+    ids = ", ".join(str(i) for i in _KNN_IDS)
+    weights = _hyperplane_weights(S.NUM_HYPERPLANES, 64)
+    bucket_terms = []
+    for p, row in enumerate(weights):
+        arr = "[" + ", ".join(str(w) for w in row) + "]::DOUBLE[]"
+        bucket_terms.append(
+            f"CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << p} ELSE 0 END"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM base),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id IN ({ids})),
+    scored AS (
+      SELECT q.query_id, b.vec_id,
+             round(list_dot_product(q.qv, b.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM bucketed b JOIN q ON b.bucket = q.bucket
+      WHERE b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 3
+    """
+
+
+@_register("knn_lsh", _knn_lsh_duck())
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the scale path for similarity search)."""
+    _prep(spark, sf_dir)
+    return S.knn_lsh(spark.table("embeddings"), _KNN_IDS, k=3).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def _embdup_duck() -> str:
+    return """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.99
+    """
+
+
+@_register("dedup_embedding_cosine", _embdup_duck())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return D.embedding_near_dup_pairs(spark.table("embeddings"), threshold=0.99)
+
+
+@_register(
+    "pipe_quarantine_dlq",
+    """
+    SELECT c_custkey, 'positive_balance' AS failed_rule FROM customer WHERE NOT coalesce(c_acctbal > 0, false)
+    """,
+)
+def pipe_quarantine_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ side of quarantine: failed rows keyed by xxhash64 surrogate, rule
+    names recorded (reference data_quality_quarantine.py.j2:122-131)."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "silver", "flowgroup": "cust_q2",
+            "actions": [
+                {"name": "load", "type": "load",
+                 "source": {"type": "delta", "table": "customer"}, "target": "v_cust"},
+                {"name": "dq", "type": "transform", "transform_type": "data_quality",
+                 "source": "v_cust", "target": "v_clean", "mode": "quarantine",
+                 "quarantine": {"dlq_table": "main.dlq.cust_dlq2", "source_table": "customer"},
+                 "expectations_inline": [
+                     {"name": "positive_balance", "constraint": "c_acctbal > 0", "action": "drop"},
+                 ]},
+                {"name": "mv", "type": "write", "source": "v_clean",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "silver", "table": "cust_ok2"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    dlq = runner.store.read("main.dlq.cust_dlq2")
+    return dlq.select(
+        F.get_json_object("_row_data", "$.c_custkey").cast("long").alias("c_custkey"),
+        F.get_json_object("_dlq_failed_rules", "$[0].name").alias("failed_rule"),
+    )
+
+
+_TEMP_TABLE_SQL = f"""
+    SELECT l_orderkey, {_dsum('l_quantity', 'order_qty')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+"""
+
+
+@_register("pipe_temp_table", _TEMP_TABLE_SQL)
+def pipe_temp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temp_table transform: materialized intermediate in the _tmp schema."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "silver", "flowgroup": "ttab",
+            "actions": [
+                {"name": "tmp", "type": "transform", "transform_type": "temp_table",
+                 "sql": _TEMP_TABLE_SQL, "target": "order_qty_tmp"},
+                {"name": "mv", "type": "write", "source": "order_qty_tmp",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "silver", "table": "order_qty"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.silver.order_qty")
+
+
+@_register(
+    "pipe_python_transform",
+    f"""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           {_dsum('c_acctbal', 'total_balance')}
+    FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment
+    """,
+)
+def pipe_python_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """python transform: user function f(df, spark, params) -> DataFrame."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+
+    def summarize(df, spark_, params):
+        return (
+            df.where(F.col("c_acctbal") > params["min_balance"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)").alias("total_balance"),
+            )
+        )
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "silver", "flowgroup": "pytf",
+            "actions": [
+                {"name": "load", "type": "load",
+                 "source": {"type": "delta", "table": "customer"}, "target": "v_cust"},
+                {"name": "tf", "type": "transform", "transform_type": "python",
+                 "source": "v_cust", "target": "v_sum",
+                 "parameters": {"min_balance": 0}},
+                {"name": "mv", "type": "write", "source": "v_sum",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "silver", "table": "seg_summary"}},
+            ],
+        }
+    )
+    fg.actions[1].callable_fn = summarize
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.silver.seg_summary")
+
+
+@_register(
+    "pipe_kafka_roundtrip",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, {_dsum('value', 'total_value')}
+    FROM events GROUP BY event_type
+    """,
+)
+def pipe_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka source semantics without brokers: events serialized into
+    kafka-shaped records (key/value binary, topic/partition/offset), read via
+    the kafka load operator's simulation mode, value parsed with from_json."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    sim_dir = os.path.join(tempfile.mkdtemp(prefix="lhp_kafka_"), "records")
+    spark.table("events").select(
+        F.encode(F.col("user_id").cast("string"), "UTF-8").alias("key"),
+        F.encode(F.to_json(F.struct("event_id", "event_type", "value")), "UTF-8").alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("event_id") % 8).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    ).write.mode("overwrite").parquet(sim_dir)
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "kafka_sim",
+            "actions": [
+                {"name": "k", "type": "load", "readMode": "batch",
+                 "source": {"type": "kafka", "bootstrap_servers": "sim",
+                            "subscribe": "events", "simulate_from": sim_dir},
+                 "target": "v_kafka"},
+                {"name": "parse", "type": "transform", "transform_type": "sql",
+                 "source": "v_kafka", "target": "v_parsed",
+                 "sql": """
+                   SELECT j.event_type, j.value FROM (
+                     SELECT from_json(CAST(value AS STRING),
+                                      'event_id BIGINT, event_type STRING, value DOUBLE') AS j
+                     FROM v_kafka) t
+                 """},
+                {"name": "mv", "type": "write", "source": "v_parsed",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "bronze", "table": "kafka_agg",
+                                  "sql": """
+                                    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                                           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+                                    FROM v_parsed GROUP BY event_type
+                                  """}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.bronze.kafka_agg")
+
+
+@_register(
+    "pipe_custom_datasource",
+    """
+    SELECT CAST(SUM(i) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n
+    FROM range(200) t(i)
+    """,
+)
+def pipe_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source API (Spark 4): register a custom batch source and
+    read it through the custom_datasource load operator."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    class RangeSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "lhp_range"
+
+        def schema(self):
+            return "i bigint"
+
+        def reader(self, schema):
+            n = int(self.options.get("n", 100))
+            parts = int(self.options.get("partitions", 4))
+
+            class R(DataSourceReader):
+                def partitions(self):
+                    from pyspark.sql.datasource import InputPartition
+
+                    step = n // parts
+                    return [InputPartition((p * step, n if p == parts - 1 else (p + 1) * step))
+                            for p in range(parts)]
+
+                def read(self, partition):
+                    lo, hi = partition.value
+                    for i in range(lo, hi):
+                        yield (i,)
+
+            return R()
+
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "cds",
+            "actions": [
+                {"name": "load", "type": "load", "readMode": "batch",
+                 "source": {"type": "custom_datasource", "format": "lhp_range",
+                            "datasource_class_obj": None, "options": {"n": 200, "partitions": 4}},
+                 "target": "v_range"},
+                {"name": "mv", "type": "write", "source": "v_range",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "bronze", "table": "range_agg",
+                                  "sql": "SELECT CAST(SUM(i) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM v_range"}},
+            ],
+        }
+    )
+    fg.actions[0].source["datasource_class_obj"] = RangeSource
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.bronze.range_agg")
+
+
+@_register(
+    "pipe_sink_foreachbatch",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+    WHERE value > 50 GROUP BY event_type
+    """,
+)
+def pipe_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: user handler receives (df, batch_id); here it lands
+    rows in a side table which we then aggregate."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    store = runner.store
+
+    def handler(batch_df, batch_id):
+        store.append("side.events_copy", batch_df)
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "fb_sink",
+            "actions": [
+                {"name": "load", "type": "load",
+                 "source": {"type": "delta", "table": "events"}, "target": "v_ev"},
+                {"name": "filt", "type": "transform", "transform_type": "sql",
+                 "source": "v_ev", "target": "v_big",
+                 "sql": "SELECT * FROM v_ev WHERE value > 50"},
+                {"name": "sink", "type": "write", "source": "v_big",
+                 "write_target": {"type": "sink", "sink_type": "foreachbatch"}},
+            ],
+        }
+    )
+    fg.actions[2].write_target.batch_handler_callable = handler
+    runner.run(fg)
+    return (
+        store.read("side.events_copy")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_WINDOW_AGG_ORACLE = """
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    w AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+             CAST(epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS BIGINT) AS window_end_us,
+             event_type, value, ts
+      FROM events
+    )
+    SELECT window_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w, m
+    WHERE window_end_us <= epoch_us(mx) - 600000000
+    GROUP BY window_start_us, event_type
+"""
+
+
+@_register("pipe_stream_window_agg", _WINDOW_AGG_ORACLE)
+def pipe_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming hourly tumbling-window aggregation with a
+    10-minute watermark, run availableNow through the engine (python transform
+    on a stream + append-mode foreachBatch write). Only watermark-finalized
+    windows are emitted — the oracle replicates the cutoff."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema_ddl = ("event_id bigint, ts bigint, user_id bigint, event_type string, "
+                  "value double, props string")
+
+    def window_agg(df, spark_, params):
+        return (
+            df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(
+                F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+                "event_type", "n",
+            )
+        )
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "winagg",
+            "actions": [
+                {"name": "ingest", "type": "load", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": events_path, "format": "parquet",
+                            "schema": schema_ddl},
+                 "target": "v_raw"},
+                {"name": "agg", "type": "transform", "transform_type": "python",
+                 "source": "v_raw", "target": "v_agg"},
+                {"name": "st", "type": "write", "source": "v_agg",
+                 "write_target": {"type": "streaming_table", "catalog": "main",
+                                  "schema": "bronze", "table": "hourly_counts"}},
+            ],
+        }
+    )
+    fg.actions[1].callable_fn = window_agg
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.bronze.hourly_counts")
+
+
+# --- remaining DQ test operators (SURVEY §2.4) ---
+
+
+@_register(
+    "pipe_test_row_count",
+    """
+    SELECT * FROM (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS source_count,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS target_count,
+             100 AS tolerance
+    ) t WHERE abs(source_count - target_count) > tolerance
+    """,
+)
+def pipe_test_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "tests", "flowgroup": "rc",
+            "actions": [
+                {"name": "t", "type": "test", "test_type": "row_count", "on_violation": "warn",
+                 "source": {"source": "orders", "target": "customer", "tolerance": 100},
+                 "target": "v_rc"},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("v_rc").select(
+        F.col("source_count").cast("long").alias("source_count"),
+        F.col("target_count").cast("long").alias("target_count"),
+        F.col("tolerance").cast("int").alias("tolerance"),
+    )
+
+
+@_register(
+    "pipe_test_completeness",
+    """
+    SELECT event_id, user_id_n FROM (
+      SELECT event_id, CASE WHEN event_id % 100 = 0 THEN NULL ELSE user_id END AS user_id_n
+      FROM events
+    ) t WHERE user_id_n IS NULL
+    """,
+)
+def pipe_test_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    spark.sql(
+        "SELECT event_id, CASE WHEN event_id % 100 = 0 THEN NULL ELSE user_id END AS user_id_n FROM events"
+    ).createOrReplaceTempView("events_holes")
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "tests", "flowgroup": "comp",
+            "actions": [
+                {"name": "t", "type": "test", "test_type": "completeness", "on_violation": "warn",
+                 "source": {"source": "events_holes", "required_columns": ["event_id", "user_id_n"]},
+                 "target": "v_comp"},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("v_comp").select("event_id", "user_id_n")
+
+
+@_register(
+    "pipe_test_range",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice < 1000.0 OR o_totalprice > 300000.0 OR o_totalprice IS NULL
+    """,
+)
+def pipe_test_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "tests", "flowgroup": "rng",
+            "actions": [
+                {"name": "t", "type": "test", "test_type": "range", "on_violation": "warn",
+                 "source": {"source": "orders", "column": "o_totalprice",
+                            "min_value": 1000.0, "max_value": 300000.0},
+                 "target": "v_rng"},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("v_rng").select("o_orderkey", "o_totalprice")
+
+
+@_register(
+    "pipe_test_all_lookups",
+    """
+    SELECT event_id, event_type FROM events WHERE event_type NOT IN ('click','view','purchase','signup')
+    """,
+)
+def pipe_test_all_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    spark.createDataFrame(
+        [("click",), ("view",), ("purchase",), ("signup",)], "event_type_lk string"
+    ).createOrReplaceTempView("event_type_lookup")
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "tests", "flowgroup": "lk",
+            "actions": [
+                {"name": "t", "type": "test", "test_type": "all_lookups_found", "on_violation": "warn",
+                 "source": {"source": "events", "lookup_table": "event_type_lookup",
+                            "lookup_columns": ["event_type"],
+                            "lookup_result_columns": ["event_type_lk"]},
+                 "target": "v_lk"},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("v_lk").select("event_id", "event_type")
+
+
+@_register(
+    "pipe_test_custom_sql",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT 3 * AVG(o_totalprice) FROM orders)
+    """,
+)
+def pipe_test_custom_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "tests", "flowgroup": "csql",
+            "actions": [
+                {"name": "t", "type": "test", "test_type": "custom_sql", "on_violation": "warn",
+                 "sql": """SELECT o_orderkey, o_totalprice FROM orders
+                           WHERE o_totalprice > (SELECT 3 * AVG(o_totalprice) FROM orders)""",
+                 "target": "v_csql"},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("v_csql")
+
+
+@_register(
+    "pipe_test_custom_expectations",
+    """
+    SELECT event_id, value FROM events
+    WHERE NOT coalesce(value >= 50, false) OR NOT coalesce(event_type <> '', false)
+    """,
+)
+def pipe_test_custom_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "tests", "flowgroup": "cexp",
+            "actions": [
+                {"name": "t", "type": "test", "test_type": "custom_expectations",
+                 "on_violation": "warn",
+                 "source": {"source": "events"},
+                 "expectations_inline": [
+                     {"name": "value_floor", "constraint": "value >= 50"},
+                     {"name": "typed", "constraint": "event_type <> ''"},
+                 ],
+                 "target": "v_cexp"},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("v_cexp").select("event_id", "value")
+
+
+@_register(
+    "pipe_test_schema_match",
+    """
+    SELECT * FROM (VALUES
+      ('p_retailprice', 'double', CAST(NULL AS VARCHAR), 'missing_in_reference'),
+      ('p_size', 'int', CAST(NULL AS VARCHAR), 'missing_in_reference'),
+      ('p_type', 'string', CAST(NULL AS VARCHAR), 'missing_in_reference')
+    ) t(column_name, source_type, reference_type, status)
+    """,
+)
+def pipe_test_schema_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    spark.sql("SELECT p_partkey, p_name, p_brand FROM part").createOrReplaceTempView("part_slim")
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "tests", "flowgroup": "schm",
+            "actions": [
+                {"name": "t", "type": "test", "test_type": "schema_match", "on_violation": "warn",
+                 "source": {"source": "part", "reference": "part_slim"},
+                 "target": "v_schm"},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("v_schm")
+
+
+@_register("pipe_snapshot_cdc_scd2", None)  # non-SQL-expressible: rows-only check
+def pipe_snapshot_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC stored as SCD2: history across three part snapshots."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    part = spark.table("part")
+
+    def snap(version):
+        v = 0 if version is None else version + 1
+        if v > 2:
+            return None
+        preds = ["p_partkey % 10 < 8", "p_partkey % 10 < 10", "p_partkey % 10 < 9"]
+        price = ["CAST(p_retailprice AS DOUBLE)",
+                 "CAST(p_retailprice + CASE WHEN p_partkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)",
+                 "CAST(p_retailprice + CASE WHEN p_partkey % 3 = 0 THEN 2.0 ELSE 0.0 END AS DOUBLE)"]
+        return (part.where(preds[v]).selectExpr("p_partkey", f"{price[v]} AS price"), v)
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "silver", "flowgroup": "part_snap2",
+            "actions": [
+                {"name": "apply", "type": "write",
+                 "write_target": {"type": "streaming_table", "catalog": "main",
+                                  "schema": "silver", "table": "part_hist",
+                                  "mode": "snapshot_cdc",
+                                  "snapshot_cdc_config": {"keys": ["p_partkey"],
+                                                          "stored_as_scd_type": 2,
+                                                          "source": "unused"}}},
+            ],
+        }
+    )
+    fg.actions[0].write_target.snapshot_cdc_config.source_callable = snap
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.silver.part_hist")
 
 
 # ---------------------------------------------------------------------------

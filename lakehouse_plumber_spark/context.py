@@ -68,5 +68,8 @@ class BuildContext:
         and are kept.
         """
         keep = {"__start_at", "__end_at"}
+        if "__tombstone" in df.columns:
+            # CDC tombstones are state, not data — hidden from readers
+            df = df.filter(~df["__tombstone"])
         internal = [c for c in df.columns if c.startswith("__") and c not in keep]
         return df.drop(*internal) if internal else df

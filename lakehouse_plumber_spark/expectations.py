@@ -40,37 +40,59 @@ class ExpectationFailedError(RuntimeError):
         super().__init__(f"fail-expectations violated: {failures}")
 
 
+_TYPE_TO_ACTION = {"expect": "warn", "expect_or_drop": "drop", "expect_or_fail": "fail"}
+
+
+def _item_action(item: dict) -> str:
+    """Reference precedence (dqe.py:20-31): failureAction overrides type."""
+    fa = str(item.get("failureAction", "")).lower()
+    if fa in ("warn", "drop", "fail"):
+        return fa
+    if "action" in item:
+        return str(item["action"]).lower()
+    return _TYPE_TO_ACTION.get(str(item.get("type", "expect")).lower(), "warn")
+
+
 def parse_expectations(spec: Any) -> list[Expectation]:
-    """Parse list/dict expectation formats (reference dqe.py:11-75)."""
+    """Parse list/dict expectation formats (reference dqe.py:11-75).
+
+    Accepts the reference's aliases: `constraint` | `expression` for the SQL
+    text; `name` | `message` for the label; `failureAction` | `type`
+    (expect/expect_or_drop/expect_or_fail) | engine-native `action` for the
+    policy.
+    """
     out: list[Expectation] = []
     if isinstance(spec, dict) and "expectations" in spec:
         spec = spec["expectations"]
     if isinstance(spec, list):
         for item in spec:
             if isinstance(item, dict):
+                constraint = item.get("constraint") or item.get("expression")
+                if not constraint:
+                    raise ValueError(f"expectation missing constraint/expression: {item!r}")
                 out.append(
                     Expectation(
-                        name=item.get("name") or item["constraint"][:40],
-                        constraint=item["constraint"],
-                        action=str(item.get("action", "warn")).lower(),
+                        name=item.get("name") or item.get("message") or constraint[:40],
+                        constraint=constraint,
+                        action=_item_action(item),
                     )
                 )
             else:
                 raise TypeError(f"bad expectation entry: {item!r}")
     elif isinstance(spec, dict):
-        for name, val in spec.items():
+        for key, val in spec.items():
             if isinstance(val, str):
-                out.append(Expectation(name=name, constraint=val))
+                out.append(Expectation(name=key, constraint=val))
             elif isinstance(val, dict):
+                # two dict shapes: {name: {constraint,...}} (engine-native) or
+                # {constraint: {name, action}} (reference dqe.py:88-91)
+                constraint = val.get("constraint") or val.get("expression") or key
+                name = key if constraint is not key else val.get("name") or val.get("message") or key[:40]
                 out.append(
-                    Expectation(
-                        name=name,
-                        constraint=val["constraint"],
-                        action=str(val.get("action", "warn")).lower(),
-                    )
+                    Expectation(name=name, constraint=constraint, action=_item_action(val))
                 )
             else:
-                raise TypeError(f"bad expectation value for {name!r}: {val!r}")
+                raise TypeError(f"bad expectation value for {key!r}: {val!r}")
     else:
         raise TypeError(f"bad expectations spec: {type(spec)}")
     return out

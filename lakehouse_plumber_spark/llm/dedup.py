@@ -120,19 +120,28 @@ def minhash_lsh_dedup(
     return out
 
 
-def simhash_expr(text_col: str) -> str:
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """SimHash fingerprint (SIMHASH_BITS bits) over whitespace tokens.
 
     bit_i = sign of sum over tokens of (+1 if md5int(token) has bit i else -1).
+    Tokens are hashed once (__th) then folded per bit — all inside whole-stage
+    codegen, no shuffle.
     """
     toks = tokens_spark(text_col)
     bit_sums = ", ".join(
-        f"aggregate({toks}, 0, (acc, t) -> acc + CASE WHEN ({md5int_spark('t')} >> {i}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f"aggregate(__th, 0, (acc, h) -> acc + CASE WHEN shiftright(h, {i}) % 2 = 1 THEN 1 ELSE -1 END)"
         for i in range(SIMHASH_BITS)
     )
-    return (
+    fp_expr = (
         f"aggregate(zip_with(array({bit_sums}), sequence(0, {SIMHASH_BITS - 1}), "
         f"(s, i) -> CASE WHEN s > 0 THEN shiftleft(1L, i) ELSE 0L END), 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        df.withColumn("__th", F.expr(f"transform({toks}, t -> {md5int_spark('t')})"))
+        .withColumn("fp", F.expr(fp_expr))
+        .select(id_col, "fp")
     )
 
 
@@ -147,9 +156,9 @@ def simhash_near_dup_pairs(
     """
     nseg = max_hamming + 1
     seg_bits = SIMHASH_BITS // nseg
-    fp = df.select(F.col(id_col), F.expr(simhash_expr(text_col)).alias("fp"))
+    fp = simhash_fingerprints(df, text_col, id_col)
     segs = ", ".join(
-        f"named_struct('seg', {s}, 'v', (fp >> {s * seg_bits}) % {1 << seg_bits})"
+        f"named_struct('seg', {s}, 'v', shiftright(fp, {s * seg_bits}) % {1 << seg_bits})"
         for s in range(nseg)
     )
     banded = fp.select(

@@ -16,13 +16,19 @@ Core idea: everything is an *event stream rebuild over affected keys only*.
       -> SCD2 intervals via run aggregation + lead(start)
       -> SCD1 = keep only the last run per key
 
-Incrementality: a batch touches only its own keys. Current target rows for
-those keys are decomposed back into events (each SCD2 version is an event at
-its __start_at; a closed final version implies a delete event at its
-__end_at), unioned with the new batch, and rebuilt. Untouched keys are
-passed through via anti-join. With Delta this maps to MERGE; the compute is
-bounded by (batch keys x their history), which shuffles only on the CDC keys —
-the partitioning any cluster-scale merge needs anyway.
+Incrementality: a batch touches only its own keys. For SCD2 the stored table
+carries a hidden, lossless per-key event log (rows flagged __tombstone=true
+with __event_del marking deletes) alongside the visible collapsed version
+rows; a merge unions the new batch with the affected keys' log, dedups
+(key, seq) preferring the newest batch, and rebuilds both the log and the
+visible intervals. Untouched keys pass through via anti-join. The log is what
+makes arbitrary out-of-order arrival exact: collapsed intervals alone are
+lossy (interior same-value events vanish), so rebuilding from them would
+splice late events into wrong intervals. State size = change history — the
+same order as the CDC feed itself; compact by age if that matters. With Delta
+this maps to MERGE; compute is bounded by (batch keys x their history), which
+shuffles only on the CDC keys — the partitioning any cluster-scale merge
+needs anyway.
 
 Out-of-order tolerance is merge-on-max-sequence, not watermark (reference
 streaming_table.py.j2:50-55): late events slot into history deterministically
@@ -45,6 +51,8 @@ END_COL = "__end_at"
 _DEL = "__is_delete"
 _TRUNC = "__is_truncate"
 _PRIO = "__batch_priority"
+TOMBSTONE = "__tombstone"
+EVENT_DEL = "__event_del"  # on hidden SCD2 event-log rows: the event's delete flag
 
 
 def _seq_cols(cfg: CDCConfig) -> list[str]:
@@ -131,10 +139,26 @@ def _forward_fill_nulls(events: DataFrame, cfg: CDCConfig, data_cols: list[str])
 
 
 def _rebuild_scd2(events: DataFrame, cfg: CDCConfig, data_cols: list[str]) -> DataFrame:
-    """Rebuild full SCD2 history for the keys present in `events`."""
+    """Rebuild SCD2 state for the keys present in `events`.
+
+    Output = hidden event-log rows (every deduped raw event, __tombstone=true,
+    __event_del = its delete flag) UNION visible collapsed version rows
+    (__tombstone=false). `events` must be raw (pre forward-fill) so the log
+    stays lossless; fills are recomputed here on every rebuild.
+    """
     seqs = _seq_cols(cfg)
     tracked = _tracked_columns(data_cols, cfg)
     seq_expr = F.struct(*[F.col(c) for c in seqs]) if len(seqs) > 1 else F.col(seqs[0])
+
+    log = events.select(
+        *data_cols,
+        seq_expr.alias(START_COL),
+        F.when(F.lit(False), seq_expr).alias(END_COL),  # typed NULL matching START
+        F.lit(True).alias(TOMBSTONE),
+        F.col(_DEL).alias(EVENT_DEL),
+    )
+
+    filled = _forward_fill_nulls(events.withColumn(_PRIO, F.lit(0)), cfg, data_cols).drop(_PRIO)
 
     w = Window.partitionBy(*cfg.keys).orderBy(*[F.col(c) for c in seqs])
     tracked_struct = F.struct(*[F.col(c) for c in tracked]) if tracked else F.lit(0)
@@ -144,17 +168,17 @@ def _rebuild_scd2(events: DataFrame, cfg: CDCConfig, data_cols: list[str]) -> Da
         | F.col(_DEL)
         | F.coalesce(F.lag(F.col(_DEL)).over(w), F.lit(False))
     )
-    events = events.withColumn("__chg", change.cast("int"))
-    events = events.withColumn(
+    filled = filled.withColumn("__chg", change.cast("int"))
+    filled = filled.withColumn(
         "__run",
         F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
-    events = events.withColumn("__seq_val", seq_expr)
+    filled = filled.withColumn("__seq_val", seq_expr)
 
     # per run: values from the latest event in the run (non-tracked cols update
     # in place), interval start = first seq of the run
     agg = (
-        events.groupBy(*cfg.keys, "__run")
+        filled.groupBy(*cfg.keys, "__run")
         .agg(
             F.min("__seq_val").alias(START_COL),
             F.max_by(
@@ -172,9 +196,15 @@ def _rebuild_scd2(events: DataFrame, cfg: CDCConfig, data_cols: list[str]) -> Da
     )
     w2 = Window.partitionBy(*cfg.keys).orderBy(START_COL)
     agg = agg.withColumn(END_COL, F.lead(START_COL).over(w2))
-    # delete runs close the predecessor (already via lead) and are not emitted
-    out = agg.filter(~F.col(_DEL)).drop(_DEL, "__run")
-    return out.select(*data_cols, START_COL, END_COL)
+    # delete runs close their predecessor (via lead) then drop out of the
+    # visible table; the delete events themselves live on in the hidden log
+    versions = (
+        agg.filter(~F.col(_DEL))
+        .withColumn(TOMBSTONE, F.lit(False))
+        .withColumn(EVENT_DEL, F.lit(None).cast("boolean"))
+        .select(*data_cols, START_COL, END_COL, TOMBSTONE, EVENT_DEL)
+    )
+    return versions.unionByName(log)
 
 
 def _rebuild_scd1(events: DataFrame, cfg: CDCConfig, data_cols: list[str]) -> DataFrame:
@@ -189,9 +219,14 @@ def _rebuild_scd1(events: DataFrame, cfg: CDCConfig, data_cols: list[str]) -> Da
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    out = latest.filter(~F.col(_DEL))
     seq_expr = F.struct(*[F.col(c) for c in seqs]) if len(seqs) > 1 else F.col(seqs[0])
-    return out.withColumn("__seq", seq_expr).select(*data_cols, "__seq")
+    # deleted keys stay as hidden tombstones so a late (stale) upsert with a
+    # lower sequence cannot resurrect them; readers filter tombstones out
+    return (
+        latest.withColumn("__seq", seq_expr)
+        .withColumn(TOMBSTONE, F.col(_DEL))
+        .select(*data_cols, "__seq", TOMBSTONE)
+    )
 
 
 def _target_to_events(current: DataFrame, cfg: CDCConfig, data_cols: list[str], scd_type: int) -> DataFrame:
@@ -200,30 +235,16 @@ def _target_to_events(current: DataFrame, cfg: CDCConfig, data_cols: list[str], 
     if scd_type == 1:
         ev = current
         if len(seqs) > 1:
-            for i, c in enumerate(seqs):
+            for c in seqs:
                 ev = ev.withColumn(c, F.col("__seq").getField(c))
         else:
             ev = ev.withColumn(seqs[0], F.col("__seq"))
-        return ev.drop("__seq").withColumn(_DEL, F.lit(False))
-    # SCD2: every version is an event at its __start_at; if the key's final
-    # (max-start) version is closed, that close was a delete event.
-    ev = current
-    if len(seqs) > 1:
-        for c in seqs:
-            ev = ev.withColumn(c, F.col(START_COL).getField(c))
-    else:
-        ev = ev.withColumn(seqs[0], F.col(START_COL))
-    w = Window.partitionBy(*cfg.keys).orderBy(F.col(START_COL).desc())
-    ev = ev.withColumn("__rn", F.row_number().over(w))
-    upserts = ev.select(*data_cols, F.lit(False).alias(_DEL))
-    closers = ev.filter((F.col("__rn") == 1) & F.col(END_COL).isNotNull())
-    if len(seqs) > 1:
-        for c in seqs:
-            closers = closers.withColumn(c, F.col(END_COL).getField(c))
-    else:
-        closers = closers.withColumn(seqs[0], F.col(END_COL))
-    deletes = closers.select(*data_cols, F.lit(True).alias(_DEL))
-    return upserts.unionByName(deletes)
+        return ev.drop("__seq").withColumn(_DEL, F.col(TOMBSTONE)).drop(TOMBSTONE)
+    # SCD2: the hidden event-log rows ARE the raw events — lossless, so
+    # arbitrary out-of-order rebuilds are exact; visible version rows are a
+    # derived view and are ignored here
+    ev = current.filter(F.col(TOMBSTONE) & F.col(EVENT_DEL).isNotNull())
+    return ev.select(*data_cols, F.col(EVENT_DEL).alias(_DEL))
 
 
 def apply_changes(
@@ -240,9 +261,30 @@ def apply_changes(
     events = _apply_truncates(events, cfg) if cfg.scd_type == 1 else events.drop(_TRUNC)
     events = events.select(*data_cols, _DEL, _PRIO)
 
+    # apply_as_truncates clears ALL state older than the newest truncate event,
+    # including keys absent from this batch (DLT truncate semantics)
+    trunc_seq = None
+    if cfg.scd_type == 1 and cfg.apply_as_truncates:
+        seqs = _seq_cols(cfg)
+        trow = (
+            _normalize_events(batch, cfg)
+            .filter(F.col(_TRUNC))
+            .agg(F.max(F.struct(*[F.col(c) for c in seqs])).alias("t"))
+            .collect()[0]["t"]
+        )
+        trunc_seq = trow
+
     exists = store.exists(target)
     if exists:
         current = store.read(target)
+        if trunc_seq is not None:
+            seqs = _seq_cols(cfg)
+            tlit = F.struct(*[F.lit(v).alias(c) for c, v in zip(seqs, tuple(trunc_seq))])
+            cur_seq = (
+                F.col("__seq") if len(seqs) > 1
+                else F.struct(F.col("__seq").alias(seqs[0]))
+            )
+            current = current.filter(cur_seq >= tlit)
         keys_df = events.select(*cfg.keys).distinct()
         affected = current.join(keys_df, on=cfg.keys, how="left_semi")
         untouched = current.join(keys_df, on=cfg.keys, how="left_anti")
@@ -253,11 +295,11 @@ def apply_changes(
         untouched = None
 
     events = _dedup_key_seq(events, cfg)
-    events = _forward_fill_nulls(events, cfg, data_cols)
     if cfg.scd_type == 2:
-        rebuilt = _rebuild_scd2(events, cfg, data_cols)
+        # forward-fill happens inside the rebuild, over the raw log
+        rebuilt = _rebuild_scd2(events.drop(_PRIO), cfg, data_cols)
     else:
-        rebuilt = _rebuild_scd1(events, cfg, data_cols)
+        rebuilt = _rebuild_scd1(_forward_fill_nulls(events, cfg, data_cols), cfg, data_cols)
 
     if untouched is not None:
         rebuilt = untouched.select(*rebuilt.columns).unionByName(rebuilt)
@@ -294,6 +336,8 @@ def apply_snapshot(
     events = snap.withColumn("__deleted", F.lit(False))
     if store.exists(target):
         current = store.read(target)
+        if TOMBSTONE in current.columns:
+            current = current.filter(~F.col(TOMBSTONE))
         if cfg.stored_as_scd_type == 2:
             current = current.filter(F.col(END_COL).isNull())
         missing = current.join(snapshot.select(*cfg.keys).distinct(), on=cfg.keys, how="left_anti")
