@@ -1294,23 +1294,9 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.with_rolling_hash_fingerprint(spark.table("documents")).select("doc_id", "winnow_fp")
 
 
-def _hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
-    """Python twin of llm.similarity.hyperplane_bucket_expr's md5 weights."""
-    import hashlib
-
-    out = []
-    for p in range(planes):
-        row = []
-        for i in range(dim):
-            h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
-            row.append(1.0 if h % 2 == 0 else -1.0)
-        out.append(row)
-    return out
-
-
 def _knn_lsh_duck() -> str:
     ids = ", ".join(str(i) for i in _KNN_IDS)
-    weights = _hyperplane_weights(S.NUM_HYPERPLANES, 64)
+    weights = S.hyperplane_weights(S.NUM_HYPERPLANES, 64)
     bucket_terms = []
     for p, row in enumerate(weights):
         arr = "[" + ", ".join(str(w) for w in row) + "]::DOUBLE[]"

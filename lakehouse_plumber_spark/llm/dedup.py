@@ -15,6 +15,23 @@ from pyspark.sql import functions as F
 
 from lakehouse_plumber_spark.llm.hashing import md5int_spark, tokens_spark, word_ngrams_spark
 
+
+def spread_for_compute(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Ensure a CPU-heavy narrow stage has >= defaultParallelism partitions.
+
+    A small input (single parquet row group) arrives as ONE partition and
+    serializes per-row hashing onto one core; a round-robin shuffle of just
+    the needed columns is microseconds of I/O for a full-cluster fan-out.
+    No-op when the input is already split (the 100 TB case), so no extra
+    shuffle at scale.
+    """
+    if cols:
+        df = df.select(*cols)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # MinHash parameters: k independent hashes = k seeded md5s; b bands x r rows.
 MINHASH_K = 16
 LSH_BANDS = 4
@@ -42,23 +59,22 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = MINHASH_K, shingle_n: int = SHINGLE_N,
 ) -> DataFrame:
-    """Per-doc MinHash signature: sig[i] = min over shingles of md5int(i||':'||shingle).
+    """Per-doc MinHash signature: sig[i] = min over shingles of mix_i(md5int(shingle)).
 
     One narrow projection — no explode/shuffle; the k mins fold inside a
-    single higher-order `transform` per row.
+    single higher-order `transform` per row. The shingle-hash array is
+    let-bound so tokenization + md5 run once per row, not once per hash fn.
     """
-    from lakehouse_plumber_spark.llm.hashing import minhash_coeffs, minhash_mix
+    from lakehouse_plumber_spark.llm.hashing import let_spark, minhash_coeffs, minhash_mix
 
     grams = word_ngrams_spark(text_col, shingle_n)
+    hg = f"transform({grams}, g -> {md5int_spark('g')})"
     sig_entries = ", ".join(
-        f"array_min(transform(__hg, h -> {minhash_mix(a, b, c, 'h', 'spark')}))"
+        f"array_min(transform(hg, h -> {minhash_mix(a, b, c, 'h', 'spark')}))"
         for a, b, c in minhash_coeffs(k)
     )
-    return (
-        df.withColumn("__grams", F.expr(grams))
-        .withColumn("__hg", F.expr(f"transform(__grams, g -> {md5int_spark('g')})"))
-        .withColumn("sig", F.expr(f"array({sig_entries})"))
-        .select(id_col, "sig")
+    return spread_for_compute(df, [id_col, text_col]).select(
+        F.col(id_col), F.expr(let_spark(hg, "hg", f"array({sig_entries})")).alias("sig")
     )
 
 
@@ -103,7 +119,7 @@ def minhash_lsh_dedup(
     """
     sigs = minhash_signatures(df, text_col, id_col)
     cands = lsh_candidate_pairs(sigs, id_col)
-    grams = df.select(
+    grams = spread_for_compute(df, [id_col, text_col]).select(
         F.col(id_col), F.expr(word_ngrams_spark(text_col, SHINGLE_N)).alias("grams")
     )
     out = (
@@ -126,22 +142,23 @@ def simhash_fingerprints(
     """SimHash fingerprint (SIMHASH_BITS bits) over whitespace tokens.
 
     bit_i = sign of sum over tokens of (+1 if md5int(token) has bit i else -1).
-    Tokens are hashed once (__th) then folded per bit — all inside whole-stage
-    codegen, no shuffle.
+    Tokens are hashed once (let-bound `th`) then folded per bit — all inside
+    whole-stage codegen, no shuffle.
     """
+    from lakehouse_plumber_spark.llm.hashing import let_spark
+
     toks = tokens_spark(text_col)
     bit_sums = ", ".join(
-        f"aggregate(__th, 0, (acc, h) -> acc + CASE WHEN shiftright(h, {i}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f"aggregate(th, 0, (acc, h) -> acc + CASE WHEN shiftright(h, {i}) % 2 = 1 THEN 1 ELSE -1 END)"
         for i in range(SIMHASH_BITS)
     )
     fp_expr = (
         f"aggregate(zip_with(array({bit_sums}), sequence(0, {SIMHASH_BITS - 1}), "
         f"(s, i) -> CASE WHEN s > 0 THEN shiftleft(1L, i) ELSE 0L END), 0L, (acc, x) -> acc + x)"
     )
-    return (
-        df.withColumn("__th", F.expr(f"transform({toks}, t -> {md5int_spark('t')})"))
-        .withColumn("fp", F.expr(fp_expr))
-        .select(id_col, "fp")
+    th = f"transform({toks}, t -> {md5int_spark('t')})"
+    return spread_for_compute(df, [id_col, text_col]).select(
+        F.col(id_col), F.expr(let_spark(th, "th", fp_expr)).alias("fp")
     )
 
 
@@ -188,7 +205,7 @@ def ngram_jaccard_pairs(
     Shuffle key is the shingle (high cardinality, well distributed); document
     frequency cap on shingles (stopword-gram removal) bounds hot keys at scale.
     """
-    grams = df.select(
+    grams = spread_for_compute(df, [id_col, text_col]).select(
         F.col(id_col), F.explode(F.expr(word_ngrams_spark(text_col, n))).alias("g")
     )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -217,16 +234,21 @@ def embedding_near_dup_pairs(
     Correct baseline at small N; the scale path reuses the hyperplane-LSH
     bucketing from llm.similarity (same bucketing, pair join inside buckets).
     """
-    from lakehouse_plumber_spark.llm.similarity import cosine_expr
-
-    norm = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    # per-vector norms are hoisted out of the O(n^2) pair loop: each pair then
+    # costs one dot product, not a dot product plus two norm re-aggregations
+    norm = spread_for_compute(df, [id_col, vec_col]).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.expr(f"sqrt(aggregate(cast({vec_col} as array<double>), 0D, (acc, x) -> acc + x * x))").alias("nrm"),
+    )
     a, b = norm.alias("a"), norm.alias("b")
+    dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(F.expr(cosine_expr("a.v", "b.v")), 6).alias("cosine"),
+            F.round(F.expr(f"({dot}) / (a.nrm * b.nrm)"), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -37,6 +37,17 @@ def minhash_mix(a: int, b: int, c: int, h: str, dialect: str) -> str:
     return f"(({a} * ({h} % 1073741824) + {b} * ({h} {div} 1073741824) + {c}) % {MERSENNE61})"
 
 
+def let_spark(bound: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate `bound` once per row, reference it as `var`.
+
+    `transform` over a one-element array binds a lambda variable, so the bound
+    computation cannot be duplicated by projection collapse — without this,
+    Catalyst's CollapseProject inlines a withColumn expression into every
+    consumer and a k-way fold re-evaluates tokenization/hashing k times.
+    """
+    return f"element_at(transform(array({bound}), {var} -> {body}), 1)"
+
+
 def md5int_spark(expr: str) -> str:
     return f"cast(conv(substring(md5({expr}),1,15),16,10) as bigint)"
 
@@ -55,11 +66,15 @@ def tokens_duck(col: str) -> str:
 
 
 def word_ngrams_spark(col: str, n: int) -> str:
-    """Distinct word n-gram shingles as strings (space-joined)."""
-    toks = tokens_spark(col)
-    return (
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
-        f"i -> array_join(slice({toks}, i, {n}), ' ')))"
+    """Distinct word n-gram shingles as strings (space-joined).
+
+    Tokenization is let-bound: evaluated once per row, not once per shingle.
+    """
+    return let_spark(
+        tokens_spark(col),
+        "t",
+        f"array_distinct(transform(sequence(1, greatest(size(t) - {n - 1}, 1)), "
+        f"i -> array_join(slice(t, i, {n}), ' ')))",
     )
 
 

@@ -35,7 +35,11 @@ def knn_bruteforce(
     broadcast avoids shuffling the big side entirely; at 100 TB this is the
     right plan whenever Q fits in memory.
     """
-    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
+
+    base = spread_for_compute(df, [id_col, vec_col]).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
     q = base.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")
     )
@@ -51,20 +55,32 @@ def knn_bruteforce(
     )
 
 
-def hyperplane_bucket_expr(vec_col: str, planes: int = NUM_HYPERPLANES) -> str:
-    """Deterministic random-hyperplane LSH bucket id.
+def hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
+    """Plane p's weight for dimension i: +1/-1 from md5("p:i") — reproducible
+    in any engine (the DuckDB oracle derives the identical weights), no stored
+    model."""
+    import hashlib
 
-    Plane p's weight for dimension i is +1/-1 from the md5-derived hash of
-    "p:i" — reproducible in any engine, no stored model. bit_p = sign(dot).
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def hyperplane_bucket_expr(vec_col: str, planes: int = NUM_HYPERPLANES, dim: int = 64) -> str:
+    """Deterministic random-hyperplane LSH bucket id; bit_p = sign(dot).
+
+    Weights are row-independent, so they are precomputed in Python and
+    emitted as literal arrays — the per-row work is `dim` multiply-adds per
+    plane, with no per-row hashing.
     """
     bits = []
-    for p in range(planes):
-        seed = md5int_spark("concat('%d:', cast(i as string))" % p)
-        dot = (
-            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-            f"(x, i) -> x * (CASE WHEN ({seed}) % 2 = 0 THEN 1.0D ELSE -1.0D END)), "
-            f"0D, (acc, x) -> acc + x)"
-        )
+    for p, w in enumerate(hyperplane_weights(planes, dim)):
+        arr = "array(" + ", ".join(f"{x:.1f}D" for x in w) + ")"
+        dot = f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
         bits.append(f"CASE WHEN ({dot}) > 0 THEN shiftleft(1L, {p}) ELSE 0L END")
     return " + ".join(bits)
 
@@ -84,8 +100,13 @@ def knn_lsh(
     broadcasting/scanning all pairs. Recall grows with multi-probe (adjacent
     buckets) or more tables; this single-table variant is the skeleton.
     """
-    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    base = base.withColumn("bucket", F.expr(hyperplane_bucket_expr("v", planes)))
+    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
+
+    base = spread_for_compute(df, [id_col, vec_col]).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    dim = len(df.select(vec_col).first()[0])
+    base = base.withColumn("bucket", F.expr(hyperplane_bucket_expr("v", planes, dim)))
     q = base.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
     )

@@ -42,13 +42,19 @@ def quality_score_expr(text_col: str = "text") -> str:
     - alpha_ratio: alphanumeric+space chars / total chars
     - stopword_score: min(stopword_ratio * 5, 1) — natural text has ~40%+
     """
-    toks = tokens_spark(text_col)
+    from lakehouse_plumber_spark.llm.hashing import let_spark
+
     stop_list = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    stop_score = let_spark(
+        tokens_spark(text_col),
+        "tk",
+        f"least(size(filter(tk, t -> t IN ({stop_list}))) * 5.0 / greatest(size(tk), 1), 1.0)",
+    )
     return (
         f"round(("
         f"  least(length({text_col}) / 500.0, 1.0)"
         f"  + (length(regexp_replace({text_col}, '[^a-zA-Z0-9 ]', '')) / greatest(length({text_col}), 1))"
-        f"  + least(size(filter({toks}, t -> t IN ({stop_list}))) * 5.0 / greatest(size({toks}), 1), 1.0)"
+        f"  + {stop_score}"
         f") / 3.0, 6)"
     )
 
@@ -63,23 +69,27 @@ def lang_id_expr(text_col: str = "text") -> str:
     Scores = count of language-marker tokens; winner = max score (ties resolve
     to the lexicographically smallest language code); 'und' when all zero.
     """
-    toks = tokens_spark(text_col)
+    from lakehouse_plumber_spark.llm.hashing import let_spark
+
     struct_entries = []
     for lang in sorted(LANG_MARKERS):
         markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
         struct_entries.append(
-            f"named_struct('score', size(filter({toks}, t -> t IN ({markers}))), 'lang', '{lang}')"
+            f"named_struct('score', size(filter(tk, t -> t IN ({markers}))), 'lang', '{lang}')"
         )
     arr = ", ".join(struct_entries)
     # array_max on (score, lang) structs orders by score then lang — we want
     # max score, tie -> smallest lang, so compare on (score, negated lang) is
-    # not expressible; instead reduce explicitly
-    return (
-        f"CASE WHEN aggregate(array({arr}), named_struct('score', -1, 'lang', 'und'), "
-        f"(acc, x) -> CASE WHEN x.score > acc.score THEN x ELSE acc END).score <= 0 "
-        f"THEN 'und' ELSE "
+    # not expressible; instead reduce explicitly. Tokenization (tk) and the
+    # winning struct (best) are let-bound: one evaluation per row each.
+    best = (
         f"aggregate(array({arr}), named_struct('score', -1, 'lang', 'und'), "
-        f"(acc, x) -> CASE WHEN x.score > acc.score THEN x ELSE acc END).lang END"
+        f"(acc, x) -> CASE WHEN x.score > acc.score THEN x ELSE acc END)"
+    )
+    return let_spark(
+        tokens_spark(text_col),
+        "tk",
+        let_spark(best, "best", "CASE WHEN best.score <= 0 THEN 'und' ELSE best.lang END"),
     )
 
 
