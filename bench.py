@@ -44,8 +44,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
 
-    # warm the JVM + file listing with one tiny action
+    # warm the JVM, the catalog registration, and the page cache with one
+    # tiny action per table — setup cost, not query cost
     spark.range(1).count()
+    from lakehouse_plumber_spark import register_testdata
+
+    for df in register_testdata(spark, sf_dir).values():
+        df.limit(1).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -53,6 +53,12 @@ _TRUNC = "__is_truncate"
 _PRIO = "__batch_priority"
 TOMBSTONE = "__tombstone"
 EVENT_DEL = "__event_del"  # on hidden SCD2 event-log rows: the event's delete flag
+BUCKET_COL = "__kb"  # hidden key-hash bucket: CDC targets are stored
+N_BUCKETS = 64  # partitioned by it so merges touch only affected partitions
+
+
+def _bucket_expr(cfg: CDCConfig):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in cfg.keys]), F.lit(N_BUCKETS)).cast("int")
 
 
 def _seq_cols(cfg: CDCConfig) -> list[str]:
@@ -274,9 +280,27 @@ def apply_changes(
         )
         trunc_seq = trow
 
+    # CDC state is partitioned by a hidden key-hash bucket (__kb): a merge
+    # reads and rewrites ONLY the buckets its batch keys fall into — the
+    # parquet analogue of a Delta MERGE, work ∝ affected buckets. Truncates
+    # clear state for keys absent from the batch too, so they take (and
+    # rewrite via) the full-table path.
     exists = store.exists(target)
+    full_rewrite = trunc_seq is not None
+    buckets: Optional[list[int]] = None
     if exists:
         current = store.read(target)
+        if BUCKET_COL not in current.columns:
+            full_rewrite = True  # pre-bucketing table: migrate on this merge
+        if not full_rewrite:
+            buckets = [
+                r[0]
+                for r in events.select(_bucket_expr(cfg).alias(BUCKET_COL)).distinct().collect()
+            ]
+            if len(buckets) >= N_BUCKETS:
+                buckets = None
+            else:
+                current = current.filter(F.col(BUCKET_COL).isin(buckets))
         if trunc_seq is not None:
             seqs = _seq_cols(cfg)
             tlit = F.struct(*[F.lit(v).alias(c) for c, v in zip(seqs, tuple(trunc_seq))])
@@ -303,7 +327,14 @@ def apply_changes(
 
     if untouched is not None:
         rebuilt = untouched.select(*rebuilt.columns).unionByName(rebuilt)
-    store.overwrite(target, rebuilt, partition_columns=partition_columns)
+    rebuilt = rebuilt.withColumn(BUCKET_COL, _bucket_expr(cfg))
+    part_cols = list(partition_columns or []) + [BUCKET_COL]
+    if exists and not full_rewrite:
+        # untouched buckets are not in `rebuilt`; dynamic overwrite leaves
+        # their partitions on disk untouched
+        store.overwrite_partitions(target, rebuilt, part_cols)
+    else:
+        store.overwrite(target, rebuilt, partition_columns=part_cols)
 
 
 def apply_snapshot(

@@ -60,6 +60,9 @@ def get_spark(app_name: str = "lakehouse_plumber_spark", **extra_conf: str) -> S
     return builder.getOrCreate()
 
 
+_REGISTERED: dict[int, tuple[str, dict[str, DataFrame]]] = {}
+
+
 def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register the driver's parquet tables as temp views named after the table.
 
@@ -70,6 +73,14 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     import pyarrow.parquet as pq
     import pyarrow as pa
     from pyspark.sql import functions as F
+
+    # registration is called by every queries() entry; the file listing +
+    # schema reads cost ~0.5s per call, so keep the current registration per
+    # session and short-circuit repeats (re-register only on a dir change)
+    key = id(spark)
+    cached = _REGISTERED.get(key)
+    if cached is not None and cached[0] == os.path.abspath(sf_dir):
+        return cached[1]
 
     out: dict[str, DataFrame] = {}
     for name in TESTDATA_TABLES:
@@ -87,4 +98,5 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                     df = df.withColumn(fld.name, F.expr(f"timestamp_micros({fld.name} DIV 1000)"))
             df.createOrReplaceTempView(name)
             out[name] = df
+    _REGISTERED[key] = (os.path.abspath(sf_dir), out)
     return out

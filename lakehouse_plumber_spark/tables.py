@@ -111,6 +111,23 @@ class ParquetTableStore:
         # invalidate any cached file listings for this path
         self.spark.catalog.clearCache()
 
+    def overwrite_partitions(
+        self, name: str, df: DataFrame, partition_columns: list[str]
+    ) -> None:
+        """Rewrite only the partitions present in `df` (dynamic partition
+        overwrite) — the parquet equivalent of a partition-scoped MERGE.
+
+        Partitions of the table not represented in `df` are untouched on
+        disk: work scales with the affected partitions, not the table size.
+        """
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_columns)
+            .parquet(self.path(name))
+        )
+        self.spark.catalog.clearCache()
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
 
