@@ -978,6 +978,94 @@ def pipe_streaming_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUTOLOADER_ORACLE = """
+    SELECT doc_id, length(text) AS text_len, false AS rescued FROM documents
+    UNION ALL
+    SELECT NULL, NULL, true
+"""
+
+
+@_register("pipe_autoloader_rescue", _AUTOLOADER_ORACLE)
+def pipe_autoloader_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSS Auto-Loader equivalent: incremental JSON file ingestion with an
+    explicit schema and rescue-column emulation (PERMISSIVE +
+    columnNameOfCorruptRecord), one corrupt file landing in _rescued_data.
+    Reference: load/cloudfiles generator (cloudfiles.py:60-198)."""
+    import json
+
+    _prep(spark, sf_dir)
+    stage = os.path.join(
+        tempfile.gettempdir(), f"lhp_autoloader_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not os.path.isdir(stage):
+        tmp = stage + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        rows = spark.table("documents").select("doc_id", "text").collect()
+        with open(os.path.join(tmp, "docs-0.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        with open(os.path.join(tmp, "docs-corrupt.json"), "w") as f:
+            f.write("{this is not json\n")
+        os.rename(tmp, stage)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "doc_ingest",
+            "actions": [
+                {"name": "ingest", "type": "load", "target": "v_docs",
+                 "source": {"type": "cloudfiles", "path": stage, "format": "json",
+                            "schema": "doc_id bigint, text string",
+                            "format_options": {"pathGlobFilter": "*.json"}},
+                 "readMode": "stream"},
+                {"name": "shape", "type": "transform", "transform_type": "sql",
+                 "source": "v_docs", "target": "v_shaped",
+                 "sql": "SELECT doc_id, length(text) AS text_len, "
+                        "_rescued_data IS NOT NULL AS rescued FROM v_docs"},
+                {"name": "st", "type": "write", "source": "v_shaped",
+                 "write_target": {"type": "streaming_table", "catalog": "main",
+                                  "schema": "bronze", "table": "docs_raw"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.bronze.docs_raw").select("doc_id", "text_len", "rescued")
+
+
+@_register(
+    "pipe_sink_delta",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE value > 50 GROUP BY event_type
+    """,
+)
+def pipe_sink_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta sink: terminal streaming append to a path outside the pipeline
+    (parquet transport on this image; Delta when delta-spark is present).
+    Reference: generators/write/sinks/delta_sink.py:1-43."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    sink_path = os.path.join(runner.store.root, "_ext", "events_sink")
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "events_to_sink",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_ev",
+                 "source": {"type": "sql",
+                            "sql": "SELECT event_id, event_type, value FROM events WHERE value > 50"}},
+                {"name": "snk", "type": "write", "source": "v_ev",
+                 "write_target": {"type": "sink", "sink_type": "delta",
+                                  "options": {"path": sink_path}}},
+            ],
+        }
+    )
+    runner.run(fg)
+    return (
+        spark.read.parquet(sink_path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 @_register(
     "pipe_test_uniqueness",
     """
