@@ -1959,7 +1959,36 @@ def pipe_test_schema_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.resolve_view("v_schm")
 
 
-@_register("pipe_snapshot_cdc_scd2", None)  # non-SQL-expressible: rows-only check
+_SNAP2_ORACLE = """
+    WITH s0 AS (SELECT p_partkey AS k, CAST(p_retailprice AS DOUBLE) AS price,
+                       0 AS v, false AS del FROM part WHERE p_partkey % 10 < 8),
+    s1 AS (SELECT p_partkey AS k,
+                  CAST(p_retailprice + CASE WHEN p_partkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS price,
+                  1 AS v, false AS del FROM part WHERE p_partkey % 10 < 10),
+    s2 AS (SELECT p_partkey AS k,
+                  CAST(p_retailprice + CASE WHEN p_partkey % 3 = 0 THEN 2.0 ELSE 0.0 END AS DOUBLE) AS price,
+                  2 AS v, false AS del FROM part WHERE p_partkey % 10 < 9),
+    dels AS (SELECT k, CAST(NULL AS DOUBLE) AS price, 2 AS v, true AS del FROM s1
+             WHERE k NOT IN (SELECT k FROM s2)),
+    ev AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+           UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM dels),
+    ord AS (SELECT *, ROW_NUMBER() OVER w AS rn, LAG(price) OVER w AS pprice,
+                   LAG(del) OVER w AS pdel
+            FROM ev WINDOW w AS (PARTITION BY k ORDER BY v)),
+    chg AS (SELECT *, CASE WHEN rn = 1 OR del OR COALESCE(pdel, false)
+                                OR price IS DISTINCT FROM pprice
+                           THEN 1 ELSE 0 END AS c FROM ord),
+    runs AS (SELECT *, SUM(c) OVER (PARTITION BY k ORDER BY v) AS run FROM chg),
+    agg AS (SELECT k, run, CAST(MIN(v) AS INT) AS start_v,
+                   arg_max(price, v) AS price, bool_or(del) AS isdel
+            FROM runs GROUP BY k, run),
+    hist AS (SELECT *, LEAD(start_v) OVER (PARTITION BY k ORDER BY start_v) AS end_v
+             FROM agg)
+    SELECT k AS p_partkey, price, start_v, end_v FROM hist WHERE NOT isdel
+"""
+
+
+@_register("pipe_snapshot_cdc_scd2", _SNAP2_ORACLE)
 def pipe_snapshot_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot CDC stored as SCD2: history across three part snapshots."""
     _prep(spark, sf_dir)
@@ -1992,7 +2021,11 @@ def pipe_snapshot_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fg.actions[0].write_target.snapshot_cdc_config.source_callable = snap
     ctx = runner.run(fg)
-    return ctx.resolve_view("main.silver.part_hist")
+    return ctx.resolve_view("main.silver.part_hist").select(
+        "p_partkey", "price",
+        F.col("__start_at").cast("int").alias("start_v"),
+        F.col("__end_at").cast("int").alias("end_v"),
+    )
 
 
 # ---------------------------------------------------------------------------
