@@ -1330,6 +1330,54 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "n_bytes", "content_sha")
 
 
+@_register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS asset_id,
+           list_transform(range(1, 9),
+                          i -> round(('0x' || substr(md5(text), (i-1)*2+1, 2))::INT / 255.0, 3)
+                          ) AS feature
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode -> fixed-width feature vector through the same Arrow
+    batch path a real image model would use; the md5-derived fake embedding is
+    reproduced by the oracle byte-for-byte (rounded to 3dp across the
+    float32/double gap)."""
+    from lakehouse_plumber_spark.llm.multimodal import documents_as_assets, extract_features
+
+    _prep(spark, sf_dir)
+    feats = extract_features(documents_as_assets(spark.table("documents")))
+    return feats.select(
+        "asset_id",
+        F.expr("transform(feature, x -> round(cast(x as double), 3))").alias("feature"),
+    )
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS asset_id, CAST(unnest(range(0, n_chars + 1, 500)) AS BIGINT) AS frame_ts_ms
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling work list: one row per (asset, frame timestamp) —
+    the JVM-side explode that distributes decode work (decode itself stubbed;
+    documents' n_chars stands in for duration_ms)."""
+    from lakehouse_plumber_spark.llm.multimodal import frame_sample_plan
+
+    _prep(spark, sf_dir)
+    assets = spark.table("documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.col("n_chars").cast("long").alias("duration_ms"),
+    )
+    return frame_sample_plan(assets, every_ms=500).select("asset_id", "frame_ts_ms")
+
+
 # ---------------------------------------------------------------------------
 # 5. More operator coverage: simhash/winnow/ANN variants, temp tables, python
 #    transforms, kafka simulation, custom datasources, sinks, streaming
