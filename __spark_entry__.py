@@ -1330,6 +1330,18 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "n_bytes", "content_sha")
 
 
+@_register("knn_ivf", None)  # iterative k-means quantizer: rows-only check
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (k-means coarse quantizer + n_probe nearest lists) —
+    the production-scale index layout for a 100 TB corpus. Iterative Lloyd
+    training is not single-statement SQL, so the driver records the weaker
+    rows-only check; llm/similarity.py documents the plan shape."""
+    _prep(spark, sf_dir)
+    return S.ivf_build_and_search(spark.table("embeddings"), _KNN_IDS, k=3).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 @_register(
     "multimodal_features",
     """

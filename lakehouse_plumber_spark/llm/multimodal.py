@@ -85,6 +85,38 @@ def extract_features(assets: DataFrame, batch_size: int = 256) -> DataFrame:
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize over binary content via the same Arrow-batched iterator.
+
+    The pixel transform is stubbed (no image libs in this container): the
+    output carries the *target* dimensions and a deterministic content hash so
+    the plumbing is testable; a real deployment swaps the body for
+    PIL `Image.open(...).resize((width, height))` — schema, batching, and
+    partitioning are already what that needs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "content": pdf["content"].map(
+                        # stub: real decode+resize+re-encode goes here
+                        lambda b: None if b is None else hashlib.sha256(b).digest()
+                    ),
+                    "mime_type": pdf["mime_type"],
+                    "width": width,
+                    "height": height,
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    return assets.mapInPandas(run, ASSET_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (asset, frame timestamp).
 
