@@ -1330,6 +1330,77 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "n_bytes", "content_sha")
 
 
+_STATEFUL_SESSION_ORACLE = """
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS eus, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+    ),
+    s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY eus
+                                  ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+    sess AS (
+      SELECT user_id, sid, MIN(eus) AS start_us, MAX(eus) AS end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, start_us, end_us, n_events, total_value FROM sess
+    WHERE sid < (SELECT MAX(sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+"""
+
+
+@_register("pipe_stateful_sessionize", _STATEFUL_SESSION_ORACLE)
+def pipe_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: session windows with per-session
+    aggregates via applyInPandasWithState (state partitioned by key in the
+    state store — the horizontal-scale path SQL windows can't express in a
+    stream). Bounded availableNow run emits every session except each key's
+    still-open last one; the batch oracle reproduces that contract."""
+    from lakehouse_plumber_spark.streaming import sessionize_stateful
+
+    _prep(spark, sf_dir)
+    stage = os.path.join(
+        tempfile.gettempdir(), f"lhp_sessfeed_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not os.path.isdir(stage):
+        tmp = stage + ".tmp"
+        (
+            spark.table("events")
+            .select(
+                "user_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("eus"),
+                "event_id",
+                "value",
+            )
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+        os.rename(tmp, stage)
+    work = tempfile.mkdtemp(prefix="lhp_sess_")
+    stream = spark.readStream.schema(
+        "user_id long, eus long, event_id long, value double"
+    ).parquet(stage)
+    q = (
+        sessionize_stateful(stream, gap_us=1_800_000_000)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(work, "out"))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.schema(
+            "user_id long, start_us long, end_us long, n_events long, total_value double"
+        )
+        .parquet(os.path.join(work, "out"))
+        .withColumn("total_value", F.round("total_value", 4))
+    )
+
+
 @_register("knn_ivf", None)  # iterative k-means quantizer: rows-only check
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (k-means coarse quantizer + n_probe nearest lists) —
