@@ -1330,6 +1330,54 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "n_bytes", "content_sha")
 
 
+@_register(
+    "pipe_jdbc_roundtrip",
+    """
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def pipe_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC load (reference load/jdbc.py:1-71) against a real RDBMS: the
+    nation dim is published to an in-memory Derby database, then read back
+    through the jdbc load action and joined to supplier. At scale the jdbc
+    read parallelizes with partitionColumn/numPartitions options."""
+    _prep(spark, sf_dir)
+    url = f"jdbc:derby:memory:lhp_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    (
+        spark.table("nation").write.format("jdbc")
+        .option("url", url).option("dbtable", "nation_ext")
+        .option("driver", driver).mode("overwrite").save()
+    )
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "jdbc_dim",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_nation_ext",
+                 "source": {"type": "jdbc", "url": url, "driver": driver,
+                            # Derby uppercases unquoted identifiers; Spark's
+                            # JDBC writer created quoted lowercase columns
+                            "query": 'SELECT "n_nationkey" AS n_nationkey, "n_name" AS n_name FROM nation_ext'}},
+                {"name": "agg", "type": "transform", "transform_type": "sql",
+                 "source": "v_nation_ext", "target": "v_agg",
+                 "sql": """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                                  CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+                           FROM supplier s JOIN v_nation_ext n ON n.n_nationkey = s.s_nationkey
+                           GROUP BY n.n_name"""},
+                {"name": "wr", "type": "write", "source": "v_agg",
+                 "write_target": {"type": "materialized_view", "database": "main.out",
+                                  "table": "supp_by_nation"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.out.supp_by_nation")
+
+
 _STATEFUL_SESSION_ORACLE = """
     WITH g AS (
       SELECT user_id, epoch_us(ts) AS eus, value,

@@ -26,6 +26,7 @@ HEADLINE = [
     "events_hourly_rollup",
     "pipe_cdc_scd2",
     "pipe_streaming_fanin",
+    "pipe_stateful_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_bruteforce",
