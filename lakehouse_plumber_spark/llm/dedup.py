@@ -48,7 +48,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
     return (
-        df.withColumn("__fp", fp)
+        spread_for_compute(df, [id_col, text_col]).withColumn("__fp", fp)
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .drop("__fp")
