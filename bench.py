@@ -52,6 +52,7 @@ def main() -> None:
 
     for df in register_testdata(spark, sf_dir).values():
         df.limit(1).count()
+    entry.warm(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -54,30 +54,75 @@ def sessionize_stateful(
     def fn(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (uid,) = key
-        if state.exists:
-            start, last, n, tot = state.get
-        else:
-            start = last = None
-            n, tot = 0, 0.0
+        df = pd.concat(list(pdfs), ignore_index=True).sort_values([ts_us_col, order_col])
+        if not len(df):
+            yield pd.DataFrame(
+                columns=["user_id", "start_us", "end_us", "n_events", "total_value"]
+            )
+            return
+        eus = df[ts_us_col].to_numpy(dtype="int64")
+        vals = df[value_col].to_numpy(dtype="float64")
+        vals = np.nan_to_num(vals, nan=0.0)
+
+        prev = (state.get if state.exists else None)
+        # vectorized session split: new session where the gap to the previous
+        # event exceeds gap_us (first event compares against stored state)
+        new_sess = np.empty(len(eus), dtype=bool)
+        new_sess[1:] = (eus[1:] - eus[:-1]) > gap_us
+        new_sess[0] = prev is None or (eus[0] - prev[1]) > gap_us
+        sid = np.cumsum(new_sess)  # 0 => continues the stored open session
+
+        agg = (
+            df.assign(__sid=sid)
+            .groupby("__sid", sort=True)
+            .agg(
+                start_us=(ts_us_col, "min"),
+                end_us=(ts_us_col, "max"),
+                n_events=(ts_us_col, "size"),
+                total_value=(value_col, "sum"),
+            )
+            .reset_index()
+        )
         closed = []
-        df = pd.concat(list(pdfs), ignore_index=True)
-        df = df.sort_values([ts_us_col, order_col])
-        for eus, val in zip(df[ts_us_col], df[value_col]):
-            eus = int(eus)
-            val = 0.0 if val is None or pd.isna(val) else float(val)
-            if last is not None and eus - last > gap_us:
-                closed.append((uid, start, last, n, tot))
-                start, n, tot = None, 0, 0.0
-            if start is None:
-                start = eus
-            last = eus
-            n += 1
-            tot += val
-        state.update((start, last, n, tot))
-        yield pd.DataFrame(
+        if prev is not None:
+            p_start, p_last, p_n, p_tot = prev
+            if len(agg) and agg.loc[0, "__sid"] == 0:
+                # first chunk continues the open session
+                agg.loc[0, "start_us"] = p_start
+                agg.loc[0, "n_events"] += p_n
+                agg.loc[0, "total_value"] += p_tot
+            else:
+                closed.append((uid, p_start, p_last, p_n, p_tot))
+        # last session stays open in state; the rest close now
+        open_row = agg.iloc[-1]
+        state.update(
+            (int(open_row["start_us"]), int(open_row["end_us"]),
+             int(open_row["n_events"]), float(open_row["total_value"]))
+        )
+        done = agg.iloc[:-1]
+        out = pd.DataFrame(
             closed, columns=["user_id", "start_us", "end_us", "n_events", "total_value"]
         )
+        if len(done):
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "user_id": uid,
+                            "start_us": done["start_us"].astype("int64"),
+                            "end_us": done["end_us"].astype("int64"),
+                            "n_events": done["n_events"].astype("int64"),
+                            "total_value": done["total_value"].astype("float64"),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        yield out
 
     return events.groupBy(key_col).applyInPandasWithState(
         fn, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout

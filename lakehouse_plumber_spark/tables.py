@@ -98,6 +98,10 @@ class ParquetTableStore:
         """
         target = self.path(name)
         shadow = f"{target}__swap_{uuid.uuid4().hex[:8]}"
+        if partition_columns:
+            from pyspark.sql import functions as F
+
+            df = df.repartition(*[F.col(c) for c in partition_columns])
         w = df.write.mode("overwrite")
         if partition_columns:
             w = w.partitionBy(*partition_columns)
@@ -120,6 +124,12 @@ class ParquetTableStore:
         Partitions of the table not represented in `df` are untouched on
         disk: work scales with the affected partitions, not the table size.
         """
+        from pyspark.sql import functions as F
+
+        # co-locate each partition's rows before the write: without this every
+        # task writes a file per partition value it holds (tasks x partitions
+        # small files); with it, one-or-few files per partition
+        df = df.repartition(*[F.col(c) for c in partition_columns])
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
