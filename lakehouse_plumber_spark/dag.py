@@ -17,6 +17,32 @@ class CycleError(ValueError):
     pass
 
 
+def sql_table_refs(sql: str) -> set[str]:
+    """Table/view identifiers read by a SQL string.
+
+    Reference extracts reads with sqlglot + byte-exact token masking
+    (src/lhp/core/dependencies/sql_extraction.py:1-59); sqlglot is not on
+    this image, so this is a masked-token scan: strip comments and string
+    literals, then take identifiers after FROM/JOIN (skipping subqueries)
+    plus `stream(ident)` refs. CTE names are excluded.
+    """
+    import re
+
+    masked = re.sub(r"--[^\n]*", " ", sql)
+    masked = re.sub(r"/\*.*?\*/", " ", masked, flags=re.S)
+    masked = re.sub(r"'(?:[^'\\]|\\.)*'", "''", masked)
+    ctes = {m.group(1).lower() for m in re.finditer(r"(?:WITH|,)\s*([A-Za-z_][\w]*)\s+AS\s*\(", masked, re.I)}
+    refs: set[str] = set()
+    # `(?!\s*\()` skips table functions like stream(...) — handled below
+    for m in re.finditer(r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)\b(?!\s*\()", masked, re.I):
+        name = m.group(1)
+        if name.lower() not in ctes and name.lower() not in ("lateral", "unnest", "values"):
+            refs.add(name)
+    for m in re.finditer(r"\bstream\s*\(\s*([A-Za-z_][\w.]*)\s*\)", masked, re.I):
+        refs.add(m.group(1))
+    return refs
+
+
 class ValidationError(ValueError):
     pass
 

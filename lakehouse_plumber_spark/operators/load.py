@@ -164,7 +164,9 @@ def load_sql(ctx: BuildContext, action: Action) -> DataFrame:
             query = f.read()
     if not query:
         raise ValueError(f"load sql action {action.name!r} missing sql/sql_path")
-    return _meta(ctx, action, ctx.spark.sql(_rewrite_stream_refs(query)), file_source=False)
+    from lakehouse_plumber_spark.operators.transform import resolve_sql_tables
+
+    return _meta(ctx, action, ctx.spark.sql(resolve_sql_tables(ctx, query)), file_source=False)
 
 
 def _import_module(path: str, name_hint: str = "lhp_user_module"):

@@ -14,8 +14,31 @@ from lakehouse_plumber_spark.expectations import (
     parse_expectations,
 )
 from lakehouse_plumber_spark.models import Action
-from lakehouse_plumber_spark.operators.load import _import_module, _rewrite_stream_refs
+from lakehouse_plumber_spark.operators.load import _import_module
 from lakehouse_plumber_spark.schema_parser import coerce_schema
+
+
+def resolve_sql_tables(ctx: BuildContext, query: str) -> str:
+    """Make dotted table refs in SQL resolvable.
+
+    Temp views fold dots (main.x.t -> main__x__t), so SQL referencing a
+    3-part table written by an earlier flowgroup (same store) would miss it.
+    For each referenced dotted name that exists in the store but not in the
+    catalog, register a read (internals stripped) and rewrite the reference.
+    """
+    import re
+
+    from lakehouse_plumber_spark.dag import sql_table_refs
+    from lakehouse_plumber_spark.operators.load import _rewrite_stream_refs  # noqa: local to avoid cycle
+
+    q = _rewrite_stream_refs(query)
+    for name in sql_table_refs(q):
+        if "." in name and ctx.store.exists(name):
+            ctx.register(name, ctx.strip_internal(ctx.store.read(name)))
+            q = re.sub(
+                rf"(?<![\w.]){re.escape(name)}(?![\w.])", name.replace(".", "__"), q
+            )
+    return q
 
 
 def transform_sql(ctx: BuildContext, action: Action) -> DataFrame:
@@ -31,7 +54,7 @@ def transform_sql(ctx: BuildContext, action: Action) -> DataFrame:
     if not query:
         raise ValueError(f"sql transform {action.name!r} missing sql/sql_path")
     # make sure upstream views are registered (runner does this on produce)
-    return ctx.spark.sql(_rewrite_stream_refs(query))
+    return ctx.spark.sql(resolve_sql_tables(ctx, query))
 
 
 def transform_python(ctx: BuildContext, action: Action) -> DataFrame:
@@ -108,7 +131,7 @@ def transform_temp_table(ctx: BuildContext, action: Action) -> DataFrame:
     (reference transform/temp_table.py.j2). Materializes to the store's `_tmp`
     schema — a real barrier (cuts lineage / enables reuse across flows)."""
     if action.sql:
-        df = ctx.spark.sql(_rewrite_stream_refs(action.sql))
+        df = ctx.spark.sql(resolve_sql_tables(ctx, action.sql))
     else:
         df = ctx.resolve_view(str(action.source))
     name = f"_tmp.{ctx.flowgroup.flowgroup}.{action.target or action.name}"

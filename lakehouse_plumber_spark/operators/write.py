@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from lakehouse_plumber_spark.context import BuildContext
 from lakehouse_plumber_spark.models import Action, WriteTarget
 from lakehouse_plumber_spark.operators.cdc import apply_changes, apply_snapshot
-from lakehouse_plumber_spark.operators.load import _import_module, _rewrite_stream_refs
+from lakehouse_plumber_spark.operators.load import _import_module
 from lakehouse_plumber_spark.schema_parser import coerce_schema
 
 
@@ -152,7 +152,9 @@ def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
         with open(ctx.resolve_path(wt.sql_path or action.sql_path)) as f:
             query = f.read()
     if query:
-        df = ctx.spark.sql(_rewrite_stream_refs(query))
+        from lakehouse_plumber_spark.operators.transform import resolve_sql_tables
+
+        df = ctx.spark.sql(resolve_sql_tables(ctx, query))
     else:
         df = ctx.resolve_view(str(action.source))
     if wt.row_filter:

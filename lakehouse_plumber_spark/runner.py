@@ -81,10 +81,20 @@ class PipelineRunner:
                     if a.write_target.table:
                         writes[a.write_target.table] = i
 
+        from lakehouse_plumber_spark.dag import sql_table_refs
+
         deps: dict[int, set[int]] = {i: set() for i in range(len(flowgroups))}
         for i, fg in enumerate(flowgroups):
             for a in fg.actions:
-                for view in a.source_views():
+                refs = list(a.source_views())
+                # table reads hidden inside SQL text (reference extracts
+                # these with sqlglot; see dag.sql_table_refs)
+                sql = a.sql or (a.source.get("sql") if isinstance(a.source, dict) else None)
+                if sql:
+                    refs.extend(sql_table_refs(sql))
+                if a.write_target is not None and a.write_target.sql:
+                    refs.extend(sql_table_refs(a.write_target.sql))
+                for view in refs:
                     j = writes.get(view)
                     if j is not None and j != i:
                         deps[i].add(j)

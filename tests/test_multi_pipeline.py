@@ -1,0 +1,86 @@
+"""Cross-pipeline execution order: run_many must stage flowgroups by
+table-read -> table-write dependencies, including reads that appear only
+inside SQL text (reference: DependencyAnalysisService + sqlglot extraction).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakehouse_plumber_spark.dag import sql_table_refs
+from lakehouse_plumber_spark.parsers import load_flowgroup
+
+
+class TestSqlTableRefs:
+    def test_from_join_and_stream(self):
+        sql = """
+        -- comment FROM fake_table
+        WITH cte AS (SELECT * FROM main.bronze.a)
+        SELECT * FROM cte
+        JOIN main.bronze.b ON 1=1
+        JOIN stream(main.bronze.c) s ON 1=1
+        WHERE x = 'FROM not_a_table'
+        """
+        assert sql_table_refs(sql) == {"main.bronze.a", "main.bronze.b", "main.bronze.c"}
+
+    def test_subquery_not_captured_as_name(self):
+        refs = sql_table_refs("SELECT * FROM (SELECT 1) t JOIN real_tbl r ON 1=1")
+        assert refs == {"real_tbl"}
+
+
+def test_run_many_orders_by_sql_reads(spark, runner, testdata):
+    """Flowgroup B's MV reads a table A writes — only via SQL text. Submitted
+    out of order, run_many must execute A first."""
+    fg_a = load_flowgroup(
+        {
+            "pipeline": "p1", "flowgroup": "make_base",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_n",
+                 "source": {"type": "sql", "sql": "SELECT n_nationkey, n_name FROM nation"}},
+                {"name": "wr", "type": "write", "source": "v_n",
+                 "write_target": {"type": "materialized_view", "database": "main.x",
+                                  "table": "base_nation"}},
+            ],
+        }
+    )
+    fg_b = load_flowgroup(
+        {
+            "pipeline": "p2", "flowgroup": "consume_base",
+            "actions": [
+                {"name": "wr", "type": "write",
+                 "write_target": {"type": "materialized_view", "database": "main.x",
+                                  "table": "nation_count",
+                                  "sql": "SELECT CAST(COUNT(*) AS BIGINT) AS n "
+                                         "FROM main.x.base_nation"}},
+            ],
+        }
+    )
+    # B submitted first; without SQL-read extraction this fails (table missing)
+    ctxs = runner.run_many([fg_b, fg_a])
+    out = ctxs[0].resolve_view("main.x.nation_count")
+    assert out.collect()[0]["n"] == 25
+
+
+def test_run_many_detects_cycle(spark, runner):
+    a = load_flowgroup(
+        {
+            "pipeline": "p1", "flowgroup": "a",
+            "actions": [
+                {"name": "wr", "type": "write",
+                 "write_target": {"type": "materialized_view", "database": "m.x",
+                                  "table": "t1", "sql": "SELECT * FROM m.x.t2"}},
+            ],
+        }
+    )
+    b = load_flowgroup(
+        {
+            "pipeline": "p2", "flowgroup": "b",
+            "actions": [
+                {"name": "wr", "type": "write",
+                 "write_target": {"type": "materialized_view", "database": "m.x",
+                                  "table": "t2", "sql": "SELECT * FROM m.x.t1"}},
+            ],
+        }
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        runner.run_many([a, b])
