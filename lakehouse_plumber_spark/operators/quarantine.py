@@ -90,12 +90,12 @@ def run_quarantine(
         )
         w = Window.partitionBy("_dlq_sk").orderBy(F.col("_commit_version").desc())
         fixed = fixed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-        # re-type each field from the JSON row back to the clean schema
-        typed_cols = [
-            F.get_json_object(F.col("_row_data"), f"$.{f.name}").cast(f.dataType).alias(f.name)
-            for f in df.schema.fields
-        ]
-        recycled = fixed.select(*typed_cols)
+        # re-type the JSON row back to the clean schema in ONE parse per row
+        # (reference uses per-field try_variant_get; from_json is the
+        # Spark-idiomatic equivalent and parses the document once)
+        recycled = fixed.select(
+            F.from_json("_row_data", df.schema).alias("__row")
+        ).select(*[F.col(f"__row.{f.name}").alias(f.name) for f in df.schema.fields])
         recycled = recycled.filter(F.expr(combined_predicate(exps)))
 
     out = clean if recycled is None else clean.unionByName(recycled)

@@ -103,26 +103,34 @@ def sessionize_stateful(
              int(open_row["n_events"]), float(open_row["total_value"]))
         )
         done = agg.iloc[:-1]
-        out = pd.DataFrame(
-            closed, columns=["user_id", "start_us", "end_us", "n_events", "total_value"]
-        )
-        if len(done):
-            out = pd.concat(
-                [
-                    out,
-                    pd.DataFrame(
-                        {
-                            "user_id": uid,
-                            "start_us": done["start_us"].astype("int64"),
-                            "end_us": done["end_us"].astype("int64"),
-                            "n_events": done["n_events"].astype("int64"),
-                            "total_value": done["total_value"].astype("float64"),
-                        }
-                    ),
-                ],
-                ignore_index=True,
+        frames = []
+        if closed:
+            frames.append(
+                pd.DataFrame(
+                    closed,
+                    columns=["user_id", "start_us", "end_us", "n_events", "total_value"],
+                )
             )
-        yield out
+        if len(done):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": uid,
+                        "start_us": done["start_us"].astype("int64"),
+                        "end_us": done["end_us"].astype("int64"),
+                        "n_events": done["n_events"].astype("int64"),
+                        "total_value": done["total_value"].astype("float64"),
+                    }
+                )
+            )
+        if not frames:
+            yield pd.DataFrame(
+                columns=["user_id", "start_us", "end_us", "n_events", "total_value"]
+            )
+        elif len(frames) == 1:
+            yield frames[0]
+        else:
+            yield pd.concat(frames, ignore_index=True)
 
     return events.groupBy(key_col).applyInPandasWithState(
         fn, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
