@@ -1149,6 +1149,21 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
+@_register(
+    "text_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex sub-word count (llm/text.py:with_bpe_token_count)."""
+    _prep(spark, sf_dir)
+    return TX.with_bpe_token_count(spark.table("documents")).select("doc_id", "n_bpe_tokens")
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     return TX.with_fingerprint(spark.table("documents")).select("doc_id", "fingerprint")

@@ -79,15 +79,18 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS, rows: int = LSH_ROWS
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Docs sharing any LSH band -> candidate pairs (id_a < id_b).
 
     Scale: explode to (band_id, band_hash) -> self-join per bucket. Bucket
     sizes are data-dependent; hot buckets (boilerplate docs) are the classic
-    skew source — AQE skew-join handles moderate cases, and a bucket-size cap
-    (drop buckets over N docs as "trivially duplicate clusters") bounds the
-    worst case.
+    skew source — AQE skew-join handles moderate cases, and `max_bucket_size`
+    bounds the worst case by dropping over-full buckets (their members are
+    trivially-duplicate clusters better handled by exact dedup; a bucket of
+    size m contributes m^2 join rows, so one boilerplate cluster of 10^6 docs
+    would otherwise dominate the whole job).
     """
     band_entries = ", ".join(
         f"named_struct('band', {b}, 'h', md5(array_join(slice(sig, {b * rows + 1}, {rows}), ',')))"
@@ -96,6 +99,12 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(F.expr(f"array({band_entries})")).alias("bd")
     ).select(id_col, F.col("bd.band").alias("band"), F.col("bd.h").alias("h"))
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "h").agg(F.count(F.lit(1)).alias("__bn"))
+        banded = (
+            banded.join(sizes.where(F.col("__bn") <= max_bucket_size), on=["band", "h"])
+            .drop("__bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
