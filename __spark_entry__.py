@@ -1149,6 +1149,11 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return TX.with_fingerprint(spark.table("documents")).select("doc_id", "fingerprint")
+
+
 @_register(
     "text_bpe_token_count",
     r"""
@@ -1162,11 +1167,6 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex sub-word count (llm/text.py:with_bpe_token_count)."""
     _prep(spark, sf_dir)
     return TX.with_bpe_token_count(spark.table("documents")).select("doc_id", "n_bpe_tokens")
-
-
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _prep(spark, sf_dir)
-    return TX.with_fingerprint(spark.table("documents")).select("doc_id", "fingerprint")
 
 
 def _quality_duck() -> str:
