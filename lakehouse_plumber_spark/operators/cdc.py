@@ -54,11 +54,16 @@ _PRIO = "__batch_priority"
 TOMBSTONE = "__tombstone"
 EVENT_DEL = "__event_del"  # on hidden SCD2 event-log rows: the event's delete flag
 BUCKET_COL = "__kb"  # hidden key-hash bucket: CDC targets are stored
-N_BUCKETS = 64  # partitioned by it so merges touch only affected partitions
+# partitioned by it so merges touch only affected partitions. Tunable via env
+# (hundreds-to-thousands on a real cluster); the count used at table creation
+# is persisted per table — pruning is only sound against the stored layout.
+import os as _os
+
+N_BUCKETS = int(_os.environ.get("LHP_CDC_BUCKETS", "64"))
 
 
-def _bucket_expr(cfg: CDCConfig):
-    return F.pmod(F.xxhash64(*[F.col(k) for k in cfg.keys]), F.lit(N_BUCKETS)).cast("int")
+def _bucket_expr(cfg: CDCConfig, n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in cfg.keys]), F.lit(n_buckets)).cast("int")
 
 
 def _seq_cols(cfg: CDCConfig) -> list[str]:
@@ -287,6 +292,7 @@ def apply_changes(
     # rewrite via) the full-table path.
     exists = store.exists(target)
     full_rewrite = trunc_seq is not None
+    n_buckets = int(store.get_meta(target, "cdc_buckets", N_BUCKETS)) if exists else N_BUCKETS
     buckets: Optional[list[int]] = None
     if exists:
         current = store.read(target)
@@ -295,9 +301,9 @@ def apply_changes(
         if not full_rewrite:
             buckets = [
                 r[0]
-                for r in events.select(_bucket_expr(cfg).alias(BUCKET_COL)).distinct().collect()
+                for r in events.select(_bucket_expr(cfg, n_buckets).alias(BUCKET_COL)).distinct().collect()
             ]
-            if len(buckets) >= N_BUCKETS:
+            if len(buckets) >= n_buckets:
                 buckets = None
             else:
                 current = current.filter(F.col(BUCKET_COL).isin(buckets))
@@ -327,7 +333,7 @@ def apply_changes(
 
     if untouched is not None:
         rebuilt = untouched.select(*rebuilt.columns).unionByName(rebuilt)
-    rebuilt = rebuilt.withColumn(BUCKET_COL, _bucket_expr(cfg))
+    rebuilt = rebuilt.withColumn(BUCKET_COL, _bucket_expr(cfg, n_buckets))
     part_cols = list(partition_columns or []) + [BUCKET_COL]
     if exists and not full_rewrite:
         # untouched buckets are not in `rebuilt`; dynamic overwrite leaves
@@ -335,6 +341,7 @@ def apply_changes(
         store.overwrite_partitions(target, rebuilt, part_cols)
     else:
         store.overwrite(target, rebuilt, partition_columns=part_cols)
+        store.set_meta(target, "cdc_buckets", n_buckets)
 
 
 def apply_snapshot(

@@ -197,6 +197,31 @@ class ParquetTableStore:
     def has_changes(self, name: str) -> bool:
         return os.path.isdir(os.path.join(self._cdf_dir(name), "data"))
 
+    def set_meta(self, name: str, key: str, value) -> None:
+        """Tiny per-table metadata sidecar (e.g. the CDC bucket count, which
+        must stay fixed for the table's lifetime for pruning to be sound)."""
+        import json
+
+        d = self._cdf_dir(name)
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "_meta.json")
+        meta = {}
+        if os.path.exists(p):
+            with open(p) as f:
+                meta = json.load(f)
+        meta[key] = value
+        with open(p, "w") as f:
+            json.dump(meta, f)
+
+    def get_meta(self, name: str, key: str, default=None):
+        import json
+
+        p = os.path.join(self._cdf_dir(name), "_meta.json")
+        if not os.path.exists(p):
+            return default
+        with open(p) as f:
+            return json.load(f).get(key, default)
+
     def checkpoint_dir(self, *parts: str) -> str:
         p = os.path.join(self.root, "_checkpoints", *[_safe_name(x) for x in parts])
         os.makedirs(p, exist_ok=True)
