@@ -5,6 +5,7 @@ views, and the four sink sub-types. Reference inventory: SURVEY §2.3.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame
@@ -17,8 +18,43 @@ from lakehouse_plumber_spark.operators.load import _import_module
 from lakehouse_plumber_spark.schema_parser import coerce_schema
 
 
+def _apply_cluster_layout(df: DataFrame, wt: WriteTarget) -> DataFrame:
+    """`cluster_columns` / `cluster_by_auto` (reference _action.py:33-34 ->
+    Delta liquid clustering / OPTIMIZE ZORDER). Parquet-store analogue:
+    sort rows within write tasks on the cluster keys so parquet min/max
+    footer stats give readers the same data-skipping z-order approximates."""
+    cols = wt.cluster_columns or []
+    if cols and not df.isStreaming:
+        df = df.sortWithinPartitions(*cols)
+    return df
+
+
 def _cdf_enabled(wt: WriteTarget) -> bool:
     return str((wt.table_properties or {}).get("delta.enableChangeDataFeed", "false")).lower() == "true"
+
+
+@contextmanager
+def _with_spark_conf(spark, conf: Optional[dict]):
+    """Per-table `spark_conf` (reference _action.py:35 -> "apply on the
+    writing query"): set for the duration of this write, then restore."""
+    if not conf:
+        yield
+        return
+    old: dict[str, Optional[str]] = {}
+    for k, v in conf.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, str(v))
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _table_name(ctx: BuildContext, wt: WriteTarget) -> str:
@@ -47,6 +83,13 @@ def write_streaming_table(ctx: BuildContext, action: Action) -> Optional[DataFra
     target = _table_name(ctx, wt)
     cdf = _cdf_enabled(wt)
 
+    with _with_spark_conf(ctx.spark, wt.spark_conf):
+        return _write_streaming_table_inner(ctx, action, wt, target, cdf)
+
+
+def _write_streaming_table_inner(
+    ctx: BuildContext, action: Action, wt: WriteTarget, target: str, cdf: bool
+) -> Optional[DataFrame]:
     if wt.create_table and wt.mode == "standard":
         schema = coerce_schema(wt.table_schema) if wt.table_schema else None
         if wt.schema_file:
@@ -111,7 +154,7 @@ def write_streaming_table(ctx: BuildContext, action: Action) -> Optional[DataFra
                 return _register_read(ctx, action, target)
         if df.isStreaming:
             def _append(batch_df: DataFrame, _epoch: int) -> None:
-                ctx.store.append(target, batch_df, wt.partition_columns)
+                ctx.store.append(target, _apply_cluster_layout(batch_df, wt), wt.partition_columns)
                 if cdf:
                     ctx.store.log_changes(target, batch_df, "insert")
 
@@ -123,7 +166,7 @@ def write_streaming_table(ctx: BuildContext, action: Action) -> Optional[DataFra
             )
             q.awaitTermination()
         else:
-            ctx.store.append(target, df, wt.partition_columns)
+            ctx.store.append(target, _apply_cluster_layout(df, wt), wt.partition_columns)
             if cdf:
                 ctx.store.log_changes(target, df, "insert")
         if action.once:
@@ -159,7 +202,8 @@ def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
         df = ctx.resolve_view(str(action.source))
     if wt.row_filter:
         df = df.where(wt.row_filter)
-    ctx.store.overwrite(target, df, partition_columns=wt.partition_columns)
+    with _with_spark_conf(ctx.spark, wt.spark_conf):
+        ctx.store.overwrite(target, _apply_cluster_layout(df, wt), partition_columns=wt.partition_columns)
     if _cdf_enabled(wt):
         ctx.store.log_changes(target, df, "insert")
     ctx.log(action.name, "mv_refreshed", target=target)
