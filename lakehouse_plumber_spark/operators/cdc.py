@@ -325,9 +325,13 @@ def apply_changes(
         untouched = None
 
     events = _dedup_key_seq(events, cfg)
+    cached = None
     if cfg.scd_type == 2:
-        # forward-fill happens inside the rebuild, over the raw log
-        rebuilt = _rebuild_scd2(events.drop(_PRIO), cfg, data_cols)
+        # the rebuild unions the event log with the collapsed versions — both
+        # derive from `events`, so cache it for the write (bounded by batch
+        # size + affected keys' history, not table size)
+        cached = events.drop(_PRIO).persist()
+        rebuilt = _rebuild_scd2(cached, cfg, data_cols)
     else:
         rebuilt = _rebuild_scd1(_forward_fill_nulls(events, cfg, data_cols), cfg, data_cols)
 
@@ -335,13 +339,17 @@ def apply_changes(
         rebuilt = untouched.select(*rebuilt.columns).unionByName(rebuilt)
     rebuilt = rebuilt.withColumn(BUCKET_COL, _bucket_expr(cfg, n_buckets))
     part_cols = list(partition_columns or []) + [BUCKET_COL]
-    if exists and not full_rewrite:
-        # untouched buckets are not in `rebuilt`; dynamic overwrite leaves
-        # their partitions on disk untouched
-        store.overwrite_partitions(target, rebuilt, part_cols)
-    else:
-        store.overwrite(target, rebuilt, partition_columns=part_cols)
-        store.set_meta(target, "cdc_buckets", n_buckets)
+    try:
+        if exists and not full_rewrite:
+            # untouched buckets are not in `rebuilt`; dynamic overwrite leaves
+            # their partitions on disk untouched
+            store.overwrite_partitions(target, rebuilt, part_cols)
+        else:
+            store.overwrite(target, rebuilt, partition_columns=part_cols)
+            store.set_meta(target, "cdc_buckets", n_buckets)
+    finally:
+        if cached is not None:
+            cached.unpersist()
 
 
 def apply_snapshot(
