@@ -82,6 +82,19 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if cached is not None and cached[0] == os.path.abspath(sf_dir):
         return cached[1]
 
+    # the caller may hand us a session built elsewhere (the driver does):
+    # these two confs are required for correct reads of the testdata —
+    # TIMESTAMP(NANOS) parquet and UTC-stable timestamp literals — and both
+    # are runtime-settable SQL confs
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
     out: dict[str, DataFrame] = {}
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
