@@ -616,6 +616,49 @@ _sql_query(
     ),
 )
 
+# funnel: users progressing view -> click -> purchase in timestamp order
+# (min-ts-per-stage monotonicity — the standard windowless funnel formulation,
+# shuffles once on user_id)
+_FUNNEL_TMPL = """
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN {eus} END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN {eus} END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN {eus} END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM stages
+"""
+_sql_query(
+    "events_funnel",
+    _FUNNEL_TMPL.format(eus="unix_micros(CAST(ts AS TIMESTAMP))"),
+    duck_sql=_FUNNEL_TMPL.format(eus="epoch_us(ts)"),
+)
+
+# retention cohort: users grouped by first-seen day; how many return k days later
+_RETENTION_TMPL = """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST({day} AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    activity AS (SELECT DISTINCT user_id, CAST({day} AS DATE) AS d FROM events)
+    SELECT CAST(f.cohort_day AS STRING) AS cohort_day,
+           CAST({datediff} AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM firsts f JOIN activity a ON a.user_id = f.user_id
+    WHERE {datediff} BETWEEN 0 AND 7
+    GROUP BY f.cohort_day, {datediff}
+"""
+_sql_query(
+    "events_retention_cohort",
+    _RETENTION_TMPL.format(day="date_trunc('day', ts)", datediff="datediff(a.d, f.cohort_day)"),
+    duck_sql=_RETENTION_TMPL.format(day="date_trunc('day', ts)", datediff="datediff('day', f.cohort_day, a.d)"),
+)
+
 _JSON_TMPL = """
     SELECT k_bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
       SELECT CAST({extract} AS BIGINT) % 10 AS k_bucket FROM events
