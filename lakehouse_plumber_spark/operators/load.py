@@ -138,6 +138,21 @@ def load_delta(ctx: BuildContext, action: Action) -> DataFrame:
         )
         if str(opts.get("skipChangeCommits", "false")).lower() == "true":
             df = df.filter(F.col("_change_type") == "insert")
+    elif "versionAsOf" in opts or "timestampAsOf" in opts:
+        # time travel, reconstructed from the change log: valid for the
+        # engine's CDF-enabled append-only tables (with a Delta store this is
+        # a native .option("versionAsOf", v) — reference delta.py:100-180)
+        if not ctx.store.has_changes(name):
+            raise ValueError(
+                f"time travel on {name!r} needs delta.enableChangeDataFeed "
+                f"(append history); not available for this table"
+            )
+        df = ctx.store.read_changes(name).filter(F.col("_change_type") == "insert")
+        if "versionAsOf" in opts:
+            df = df.filter(F.col("_commit_version") <= int(opts["versionAsOf"]))
+        else:
+            df = df.filter(F.col("_commit_timestamp") <= F.lit(str(opts["timestampAsOf"])).cast("timestamp"))
+        df = df.drop("_change_type", "_commit_version", "_commit_timestamp")
     elif ctx.store.exists(name):
         df = ctx.store.read_stream(name) if stream else ctx.store.read(name)
         df = ctx.strip_internal(df) if not src.get("include_internal") else df
