@@ -70,6 +70,26 @@ def _expand_template(
     return merged
 
 
+def _expand_variable_definitions(variables: dict) -> dict:
+    """Variables may reference other variables; expand definitions to a fixed
+    point (reference local_variables.py:35-58, 10-iteration circularity cap)."""
+    out = dict(variables)
+    for _ in range(10):
+        changed = False
+        for name, value in out.items():
+            if isinstance(value, str) and "%{" in value:
+                new = substitute(value, variables=out, strict=False)
+                if new != value:
+                    out[name] = new
+                    changed = True
+        if not changed:
+            return out
+    raise ValueError(
+        "variable expansion did not converge in 10 iterations "
+        f"(likely circular reference among {sorted(out)})"
+    )
+
+
 def load_flowgroup(
     spec: dict,
     tokens: Optional[Mapping[str, Any]] = None,
@@ -80,7 +100,7 @@ def load_flowgroup(
 ) -> FlowGroup:
     """Resolve a raw YAML dict into a validated FlowGroup model."""
     spec = copy.deepcopy(spec)
-    variables = spec.get("variables", {}) or {}
+    variables = _expand_variable_definitions(spec.get("variables", {}) or {})
     spec = _expand_template(spec, templates_dir, spec.get("template_parameters", {}) or {})
     preset_defaults = _load_presets(spec.get("presets", []) or [], presets_dir)
     if preset_defaults:
@@ -118,19 +138,65 @@ def discover_flowgroups(
     include: Optional[list[str]] = None,
 ) -> list[FlowGroup]:
     """Scan `pipelines/**/*.yaml` honoring include globs
-    (reference: src/lhp/core/discovery/flowgroup_discoverer.py)."""
+    (reference: src/lhp/core/discovery/flowgroup_discoverer.py).
+
+    Files under the scan may be regular flowgroups, blueprint definitions, or
+    blueprint instances; blueprints may also live in a sibling `blueprints/`
+    directory. Instances expand to synthetic flowgroups before resolution
+    (reference: src/lhp/core/processing/blueprint_expander.py).
+    """
+    from lakehouse_plumber_spark.blueprints import (
+        Blueprint,
+        BlueprintInstance,
+        expand_blueprints,
+        looks_like_blueprint,
+        looks_like_instance,
+    )
+
     patterns = include or ["pipelines/**/*.yaml", "pipelines/**/*.yml"]
     paths: list[str] = []
     for pat in patterns:
         paths.extend(glob.glob(os.path.join(project_root, pat), recursive=True))
-    out = []
+    bp_dir = _find_dir(project_root, "blueprints")
+    bp_paths = sorted(glob.glob(os.path.join(bp_dir, "*.yaml"))) if bp_dir else []
+
+    presets_dir = _find_dir(project_root, "presets")
+    templates_dir = _find_dir(project_root, "templates")
+    blueprints: dict[str, Blueprint] = {}
+    instances: list[BlueprintInstance] = []
+    out: list[FlowGroup] = []
+
+    def _classify(path: str, spec: dict) -> Optional[FlowGroup]:
+        if looks_like_blueprint(spec):
+            bp = Blueprint.model_validate(spec)
+            blueprints[bp.name] = bp
+            return None
+        if looks_like_instance(spec):
+            inst = BlueprintInstance.model_validate({**spec, "source": path})
+            instances.append(inst)
+            return None
+        return load_flowgroup(
+            spec, tokens=tokens, presets_dir=presets_dir, templates_dir=templates_dir
+        )
+
+    for p in bp_paths:
+        with open(p) as f:
+            blueprints_spec = yaml.safe_load(f) or {}
+        bp = Blueprint.model_validate(blueprints_spec)
+        blueprints[bp.name] = bp
     for p in sorted(set(paths)):
+        with open(p) as f:
+            spec = yaml.safe_load(f) or {}
+        fg = _classify(p, spec)
+        if fg is not None:
+            out.append(fg)
+    for synthetic in expand_blueprints(blueprints, instances):
         out.append(
-            load_flowgroup_file(
-                p,
+            load_flowgroup(
+                synthetic,
                 tokens=tokens,
-                presets_dir=_find_dir(project_root, "presets"),
-                templates_dir=_find_dir(project_root, "templates"),
+                presets_dir=presets_dir,
+                templates_dir=templates_dir,
             )
         )
     return out
