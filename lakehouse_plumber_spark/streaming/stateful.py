@@ -57,80 +57,64 @@ def sessionize_stateful(
         import numpy as np
 
         (uid,) = key
-        df = pd.concat(list(pdfs), ignore_index=True).sort_values([ts_us_col, order_col])
-        if not len(df):
-            yield pd.DataFrame(
-                columns=["user_id", "start_us", "end_us", "n_events", "total_value"]
-            )
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
             return
-        eus = df[ts_us_col].to_numpy(dtype="int64")
-        vals = df[value_col].to_numpy(dtype="float64")
-        vals = np.nan_to_num(vals, nan=0.0)
+        df = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        order = np.lexsort(
+            (df[order_col].to_numpy(dtype="int64"), df[ts_us_col].to_numpy(dtype="int64"))
+        )
+        eus = df[ts_us_col].to_numpy(dtype="int64")[order]
+        vals = np.nan_to_num(df[value_col].to_numpy(dtype="float64")[order], nan=0.0)
 
         prev = (state.get if state.exists else None)
         # vectorized session split: new session where the gap to the previous
         # event exceeds gap_us (first event compares against stored state)
-        new_sess = np.empty(len(eus), dtype=bool)
-        new_sess[1:] = (eus[1:] - eus[:-1]) > gap_us
-        new_sess[0] = prev is None or (eus[0] - prev[1]) > gap_us
-        sid = np.cumsum(new_sess)  # 0 => continues the stored open session
+        starts = np.empty(len(eus), dtype=bool)
+        starts[1:] = (eus[1:] - eus[:-1]) > gap_us
+        starts[0] = prev is None or (eus[0] - prev[1]) > gap_us
+        # per-session aggregates via reduceat over boundary indices — no pandas
+        # groupby machinery in the per-key hot path
+        bounds = np.flatnonzero(starts)
+        if len(bounds) == 0 or bounds[0] != 0:
+            bounds = np.concatenate(([0], bounds))
+        start_us = eus[bounds]
+        end_us = eus[np.concatenate((bounds[1:] - 1, [len(eus) - 1]))]
+        n_events = np.diff(np.concatenate((bounds, [len(eus)])))
+        total = np.add.reduceat(vals, bounds)
 
-        agg = (
-            df.assign(__sid=sid)
-            .groupby("__sid", sort=True)
-            .agg(
-                start_us=(ts_us_col, "min"),
-                end_us=(ts_us_col, "max"),
-                n_events=(ts_us_col, "size"),
-                total_value=(value_col, "sum"),
-            )
-            .reset_index()
-        )
-        closed = []
+        closed_prev = None
         if prev is not None:
             p_start, p_last, p_n, p_tot = prev
-            if len(agg) and agg.loc[0, "__sid"] == 0:
-                # first chunk continues the open session
-                agg.loc[0, "start_us"] = p_start
-                agg.loc[0, "n_events"] += p_n
-                agg.loc[0, "total_value"] += p_tot
+            if not starts[0]:
+                # first chunk continues the stored open session
+                start_us[0] = p_start
+                n_events[0] += p_n
+                total[0] += p_tot
             else:
-                closed.append((uid, p_start, p_last, p_n, p_tot))
+                closed_prev = (uid, p_start, p_last, p_n, p_tot)
         # last session stays open in state; the rest close now
-        open_row = agg.iloc[-1]
         state.update(
-            (int(open_row["start_us"]), int(open_row["end_us"]),
-             int(open_row["n_events"]), float(open_row["total_value"]))
+            (int(start_us[-1]), int(end_us[-1]), int(n_events[-1]), float(total[-1]))
         )
-        done = agg.iloc[:-1]
-        frames = []
-        if closed:
-            frames.append(
-                pd.DataFrame(
-                    closed,
-                    columns=["user_id", "start_us", "end_us", "n_events", "total_value"],
-                )
+        k = len(bounds) - 1
+        if closed_prev is None and k == 0:
+            return
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(k, uid, dtype="int64"),
+                "start_us": start_us[:k],
+                "end_us": end_us[:k],
+                "n_events": n_events[:k].astype("int64"),
+                "total_value": total[:k],
+            }
+        )
+        if closed_prev is not None:
+            out = pd.concat(
+                [pd.DataFrame([closed_prev], columns=out.columns.tolist()), out],
+                ignore_index=True,
             )
-        if len(done):
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "user_id": uid,
-                        "start_us": done["start_us"].astype("int64"),
-                        "end_us": done["end_us"].astype("int64"),
-                        "n_events": done["n_events"].astype("int64"),
-                        "total_value": done["total_value"].astype("float64"),
-                    }
-                )
-            )
-        if not frames:
-            yield pd.DataFrame(
-                columns=["user_id", "start_us", "end_us", "n_events", "total_value"]
-            )
-        elif len(frames) == 1:
-            yield frames[0]
-        else:
-            yield pd.concat(frames, ignore_index=True)
+        yield out
 
     return events.groupBy(key_col).applyInPandasWithState(
         fn, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
