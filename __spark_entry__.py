@@ -2279,6 +2279,114 @@ def pipe_snapshot_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 8. Time-series joins Spark lacks as built-ins (functions/): as-of + range.
+#    Naive inequality joins plan as nested-loop; these are equi-join + window.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+    WITH t AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS vts
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), w AS (
+      -- ts strictly increases per user, so the running MAX of view-ts IS the
+      -- latest view at-or-before each row
+      SELECT *, MAX(vts) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS viewed_us
+      FROM t
+    )
+    SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us,
+           round(CAST(value AS DECIMAL(18,6)), 2) AS purchase_value,
+           viewed_us, epoch_us(ts) - viewed_us AS gap_us
+    FROM w WHERE event_type = 'purchase'
+"""
+
+
+@_register("asof_purchase_attribution", _ASOF_ORACLE)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (functions/asof.py): attribute each purchase to the user's
+    latest preceding view. Union-tag + per-key window — one shuffle; the
+    equivalent `ON v.ts <= p.ts` theta-join would plan as nested-loop."""
+    from lakehouse_plumber_spark.functions import asof_join
+
+    _prep(spark, sf_dir)
+    ev = spark.table("events").withColumn("eus", F.unix_micros(F.col("ts").cast("timestamp")))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("eus").alias("pus"), "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("eus").alias("vus")
+    )
+    out = asof_join(
+        purchases, views, keys=["user_id"], left_ts="pus", right_ts="vus",
+        payload_cols=[], prefix="m_",
+    )
+    return out.select(
+        "user_id", "purchase_id",
+        F.col("pus").alias("purchase_us"),
+        F.round(F.col("value").cast("decimal(18,6)"), 2).alias("purchase_value"),
+        F.col("m_vus").alias("viewed_us"),
+        (F.col("pus") - F.col("m_vus")).alias("gap_us"),
+    )
+
+
+_RANGE_ORACLE = """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS eus, event_type, value
+               FROM events)
+    SELECT a.user_id, a.event_id AS error_id, a.eus,
+           CAST(COUNT(b.event_id) AS BIGINT) AS n_follow,
+           COALESCE(CAST(SUM(CAST(b.value AS DECIMAL(18,6))) AS DOUBLE), 0.0)
+             AS follow_value
+    FROM (SELECT * FROM e WHERE event_type = 'error') a
+    LEFT JOIN e b
+      ON a.user_id = b.user_id AND b.eus > a.eus AND b.eus <= a.eus + 300000000
+    GROUP BY a.user_id, a.event_id, a.eus
+"""
+
+
+@_register("range_join_error_burst", _RANGE_ORACLE)
+def range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (functions/ranges.py): activity within 5 min after each
+    error, per user. Time-bucketed equi-join on (user, bucket) — hash-join
+    asymptotics, O(pairs) work; the oracle states the same predicate as a
+    plain inequality join."""
+    from lakehouse_plumber_spark.functions import interval_self_join
+
+    _prep(spark, sf_dir)
+    ev = (
+        spark.table("events")
+        .select(
+            "user_id", "event_id", "event_type", "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("eus"),
+        )
+    )
+    pairs = interval_self_join(
+        ev,
+        keys=["user_id"],
+        ts_col="eus",
+        window=300_000_000,
+        left_filter=F.col("event_type") == "error",
+        left_cols=["event_id"],
+        right_cols=["event_id", "value"],
+    )
+    agg = pairs.groupBy("user_id", F.col("event_id").alias("error_id"), "eus").agg(
+        F.count("event_id_r").alias("n_follow"),
+        F.sum(F.col("value_r").cast("decimal(18,6)")).cast("double").alias("follow_value"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "eus"
+    )
+    return (
+        errors.join(agg, on=["user_id", "error_id", "eus"], how="left")
+        .select(
+            "user_id", "error_id", "eus",
+            F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+            F.coalesce("follow_value", F.lit(0.0)).alias("follow_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

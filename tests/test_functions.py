@@ -1,0 +1,93 @@
+"""Unit tests for functions/: as-of join and bucketed interval join.
+
+Beyond value correctness (the oracle-parity gate covers the registered
+queries), these check the contracts the compositions exist for: null handling
+on no-match, tolerance cutoffs, tie inclusivity, and — critically — that the
+physical plans contain NO nested-loop/cartesian join, since avoiding that is
+the whole point versus writing the inequality join directly.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_plumber_spark.functions import asof_join, interval_self_join
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 101.0), (1, 40, 99.0), (2, 15, 7.0)],
+        "sym long, qts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, 5, 10), (1, 10, 11), (1, 25, 12), (1, 41, 13), (2, 14, 20), (3, 50, 30)],
+        "sym long, tts long, qty long",
+    )
+    return quotes, trades
+
+
+def test_asof_backward_inclusive_and_no_match(quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, keys=["sym"], left_ts="tts", right_ts="qts", prefix="q_"
+    )
+    got = {(r.sym, r.tts): (r.q_qts, r.q_px) for r in out.collect()}
+    assert got[(1, 5)] == (None, None)  # before any quote
+    assert got[(1, 10)] == (10, 100.0)  # tie: quote at same ts matches
+    assert got[(1, 25)] == (20, 101.0)
+    assert got[(1, 41)] == (40, 99.0)
+    assert got[(2, 14)] == (None, None)
+    assert got[(3, 50)] == (None, None)  # key absent from right side
+    assert out.count() == trades.count()  # left-join semantics
+
+
+def test_asof_tolerance(quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, keys=["sym"], left_ts="tts", right_ts="qts",
+        tolerance=5, prefix="q_",
+    )
+    got = {(r.sym, r.tts): r.q_qts for r in out.collect()}
+    assert got[(1, 25)] == 20  # gap 5 <= tolerance
+    assert got[(1, 41)] == 40  # gap 1
+    assert got[(1, 10)] == 10  # gap 0
+    # without tolerance this matched qts=40; gap 41-40=1 ok but (1,5) none
+    assert got[(1, 5)] is None
+
+
+def test_asof_plan_has_no_nested_loop(quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, keys=["sym"], left_ts="tts", right_ts="qts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_self_join_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, 100, "a"), (1, 150, "b"), (1, 260, "c"), (1, 1000, "d"), (2, 120, "e")],
+        "k long, t long, tag string",
+    )
+    out = interval_self_join(
+        df, keys=["k"], ts_col="t", window=200,
+        left_cols=["tag"], right_cols=["tag"],
+    )
+    pairs = {(r.tag, r.tag_r, r.delta) for r in out.collect()}
+    # window straddles bucket boundaries: (100,260) delta=160 crosses buckets
+    assert pairs == {("a", "b", 50), ("a", "c", 160), ("b", "c", 110)}
+
+
+def test_interval_join_excludes_self_and_out_of_window(spark):
+    df = spark.createDataFrame([(1, 0, "x"), (1, 200, "y"), (1, 401, "z")],
+                               "k long, t long, tag string")
+    out = interval_self_join(df, keys=["k"], ts_col="t", window=200,
+                             left_cols=["tag"], right_cols=["tag"])
+    pairs = {(r.tag, r.tag_r) for r in out.collect()}
+    # x->y delta 200 (inclusive); y->z delta 201 excluded; no self pairs
+    assert pairs == {("x", "y")}
+
+
+def test_interval_join_plan_is_hash_join(spark):
+    df = spark.createDataFrame([(1, 0, 1.0)], "k long, t long, v double")
+    out = interval_self_join(df, keys=["k"], ts_col="t", window=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
