@@ -2387,6 +2387,88 @@ def range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 9. Incremental materialized view (continuous aggregate): refresh work ∝ new
+#    data via mergeable partials in bucketed state (operators/incremental.py)
+# ---------------------------------------------------------------------------
+
+_IMV_ORACLE = """
+    WITH g AS (
+      SELECT o_orderstatus, month(o_orderdate) AS o_month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+             MAX(o_totalprice) AS max_price
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT *, round(total_price / n_orders, 4) AS avg_price FROM g
+"""
+
+
+def _stage_orders_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Orders staged as 4 parquet files so maxFilesPerTrigger=1 yields four
+    micro-batches — the incremental path must merge across batches, not see
+    one big batch (idempotent per sf_dir)."""
+    stage = os.path.join(
+        tempfile.gettempdir(), f"lhp_ordfeed_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not os.path.isdir(stage):
+        tmp = stage + ".tmp"
+        spark.table("orders").repartition(4).write.parquet(tmp)
+        os.rename(tmp, stage)
+    return stage
+
+
+@_register("pipe_mv_incremental", _IMV_ORACLE)
+def pipe_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`refresh_policy: incremental` MV over a streaming orders feed: four
+    micro-batches of partial aggregates merged into hash-bucketed state, then
+    finalized. The oracle is the equivalent full GROUP BY — incremental
+    maintenance must be indistinguishable from recompute."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    stage = _stage_orders_feed(spark, sf_dir)
+    schema_ddl = ("o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+                  "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    fg = load_flowgroup(
+        {
+            "pipeline": "gold", "flowgroup": "orders_imv",
+            "actions": [
+                {"name": "feed", "type": "load", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": stage, "format": "parquet",
+                            "schema": schema_ddl,
+                            "options": {"cloudFiles.maxFilesPerTrigger": 1}},
+                 "target": "v_orders_feed"},
+                {"name": "shape", "type": "transform", "transform_type": "sql",
+                 "source": "v_orders_feed", "target": "v_shaped",
+                 "sql": ("SELECT o_orderstatus, month(o_orderdate) AS o_month, "
+                         "o_totalprice FROM v_orders_feed")},
+                {"name": "mv", "type": "write", "source": "v_shaped",
+                 "write_target": {
+                     "type": "materialized_view", "catalog": "main",
+                     "schema": "gold", "table": "orders_by_status_month",
+                     "refresh_policy": "incremental",
+                     "incremental_config": {
+                         "group_by": ["o_orderstatus", "o_month"],
+                         "aggs": {
+                             "n_orders": "count(*)",
+                             "total_price": "sum(CAST(o_totalprice AS DECIMAL(18,6)))",
+                             "max_price": "max(o_totalprice)",
+                         },
+                     }}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    mv = ctx.resolve_view("main.gold.orders_by_status_month")
+    return mv.select(
+        "o_orderstatus", "o_month",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total_price").cast("double").alias("total_price"),
+        "max_price",
+        F.round(F.col("total_price").cast("double") / F.col("n_orders"), 4).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

@@ -151,6 +151,29 @@ class QuarantineConfig(BaseModel):
     source_table: Optional[str] = None
 
 
+class IncrementalConfig(BaseModel):
+    """Engine extension: `refresh_policy: incremental` materialized views.
+
+    The reference declares `refresh_policy` but delegates it
+    (src/lhp/models/_action.py); this engine maintains the MV natively from a
+    streaming source via mergeable partial aggregates (operators/incremental.py).
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    group_by: list[str]
+    aggs: dict[str, str]  # alias -> "sum(expr)"|"count(*)"|"min(e)"|"max(e)"|"avg(e)"
+
+    @model_validator(mode="after")
+    def _check(self) -> "IncrementalConfig":
+        from lakehouse_plumber_spark.operators.incremental import parse_aggs
+
+        if not self.group_by:
+            raise ValueError("incremental_config.group_by must be non-empty")
+        parse_aggs(self.aggs)  # raises on non-mergeable aggregates
+        return self
+
+
 class WriteTarget(BaseModel):
     """Write-action target (reference: src/lhp/models/_action.py:16-62)."""
 
@@ -180,6 +203,7 @@ class WriteTarget(BaseModel):
     sql_path: Optional[str] = None
     refresh_schedule: Optional[str] = None
     refresh_policy: Optional[str] = None
+    incremental_config: Optional[IncrementalConfig] = None
     # sink
     sink_type: Optional[SinkType] = None
     bootstrap_servers: Optional[str] = None

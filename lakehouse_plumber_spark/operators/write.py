@@ -186,10 +186,47 @@ def _register_read(ctx: BuildContext, action: Action, target: str) -> DataFrame:
 def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
     """Batch-recomputed table from SQL or a source view
     (reference write/materialized_view.py.j2:1-61): full overwrite refresh.
+    `refresh_policy: incremental` instead maintains the MV from a streaming
+    source via mergeable partial aggregates (operators/incremental.py) —
+    work per refresh ∝ new data, not table size.
     """
     wt = action.write_target
     assert wt is not None
     target = _table_name(ctx, wt)
+
+    if wt.refresh_policy == "incremental":
+        from lakehouse_plumber_spark.operators.incremental import (
+            finalize_incremental,
+            incremental_update,
+        )
+
+        cfg = wt.incremental_config
+        if cfg is None:
+            raise ValueError("refresh_policy: incremental requires incremental_config")
+        df = ctx.resolve_view(str(action.source))
+        if not df.isStreaming:
+            raise ValueError(
+                "incremental materialized view needs a streaming source "
+                "(checkpointed incremental discovery is what bounds refresh work)"
+            )
+        state = f"{target}__state"
+
+        def _update(batch_df: DataFrame, _epoch: int) -> None:
+            incremental_update(ctx.store, state, batch_df, cfg.group_by, cfg.aggs)
+
+        with _with_spark_conf(ctx.spark, wt.spark_conf):
+            q = (
+                df.writeStream.foreachBatch(_update)
+                .option("checkpointLocation", ctx.checkpoint("imv", action.name))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            finalize_incremental(
+                ctx.store, target, state, cfg.group_by, cfg.aggs, wt.partition_columns
+            )
+        ctx.log(action.name, "mv_incremental_refreshed", target=target)
+        return _register_read(ctx, action, target)
     query = wt.sql or action.sql
     if not query and (wt.sql_path or action.sql_path):
         with open(ctx.resolve_path(wt.sql_path or action.sql_path)) as f:
