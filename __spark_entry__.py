@@ -21,7 +21,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_plumber_spark import load_flowgroup, register_testdata
@@ -2465,6 +2465,68 @@ def pipe_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_price").cast("double").alias("total_price"),
         "max_price",
         F.round(F.col("total_price").cast("double") / F.col("n_orders"), 4).alias("avg_price"),
+    )
+
+
+_GAPFILL_ORACLE = """
+    WITH ev AS (SELECT date_trunc('hour', ts) AS hb, event_type, value FROM events),
+    agg AS (
+      SELECT hb, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+               AS avg_v
+      FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(hb) AS lo, max(hb) AS hi FROM ev),
+    hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb FROM bounds),
+    grid AS (SELECT hb, event_type
+             FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM ev)),
+    j AS (SELECT g.hb, g.event_type, COALESCE(a.n, 0) AS n, a.avg_v
+          FROM grid g LEFT JOIN agg a ON g.hb = a.hb AND g.event_type = a.event_type)
+    SELECT epoch_us(hb) AS hb_us, event_type, n,
+           last_value(avg_v IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY hb
+                   ROWS UNBOUNDED PRECEDING) AS avg_v_locf
+    FROM j
+"""
+
+
+@_register("events_hourly_gap_fill", _GAPFILL_ORACLE)
+def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup with gap filling: every (hour,
+    event_type) cell over the data's span, zero-filled counts, last-
+    observation-carried-forward averages. The dense grid is generated with
+    `sequence()` from the global bounds (one row -> explode; grid size is
+    span x types — trivial next to the data) and the fill is a left join +
+    running last-non-null, all JVM-side."""
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hb"),
+        "event_type", "value",
+    )
+    agg = ev.groupBy("hb", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_v"),
+    )
+    bounds = ev.agg(F.min("hb").alias("lo"), F.max("hb").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hb")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    j = grid.join(agg, on=["hb", "event_type"], how="left").select(
+        "hb", "event_type", F.coalesce("n", F.lit(0)).alias("n"), "avg_v"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.unix_micros(F.col("hb").cast("timestamp")).alias("hb_us"),
+        "event_type", "n",
+        F.last("avg_v", ignorenulls=True).over(w).alias("avg_v_locf"),
     )
 
 
