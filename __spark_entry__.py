@@ -2531,6 +2531,202 @@ def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data curation: cluster resolution, repetition quality, sampling,
+# split assignment, PII redaction
+# ---------------------------------------------------------------------------
+
+
+def _clusters_duck() -> str:
+    """Transitive closure of the minhash near-dup pairs via recursive CTE.
+
+    The pruned walk only propagates a label to node b when lbl < b: the
+    component-minimum label m always satisfies m < b for every other member,
+    so the MIN per node is preserved while the state stays near-linear.
+    """
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT * FROM ({_minhash_duck()}) mh),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    walk(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id WHERE w.lbl < e.b
+    ),
+    lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id)
+    SELECT l.doc_id, l.cluster_id, CAST(s.n AS BIGINT) AS cluster_size
+    FROM lab l
+    JOIN (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY cluster_id) s
+      USING (cluster_id)
+    """
+
+
+@_register("dedup_clusters", _clusters_duck())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> transitive duplicate groups (the retire-list step):
+    distributed hash-min label propagation (llm/dedup.py), verified against a
+    recursive-CTE connected components oracle."""
+    _prep(spark, sf_dir)
+    pairs = D.minhash_lsh_dedup(spark.table("documents"))
+    return D.dedup_connected_components(pairs)
+
+
+def _repetition_duck() -> str:
+    from lakehouse_plumber_spark.llm.hashing import word_ngrams_all_duck
+
+    g2 = word_ngrams_all_duck("text", TX.REP_TOP_N)
+    g5 = word_ngrams_all_duck("text", TX.REP_DUP_N)
+    return f"""
+    WITH g2 AS (SELECT doc_id, unnest({g2}) AS g FROM documents),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    t2 AS (SELECT doc_id, round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top2_frac
+           FROM c2 GROUP BY doc_id),
+    d5 AS (SELECT doc_id,
+                  round(1.0 - len(list_distinct({g5})) / CAST(len({g5}) AS DOUBLE), 6)
+                    AS dup5_frac
+           FROM documents)
+    SELECT t2.doc_id, t2.top2_frac, d5.dup5_frac FROM t2 JOIN d5 USING (doc_id)
+    """
+
+
+@_register("text_repetition", _repetition_duck())
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: most-common-bigram fraction and
+    duplicated-5-gram fraction per document."""
+    _prep(spark, sf_dir)
+    return TX.repetition_metrics(spark.table("documents"))
+
+
+_STRATA_RATES = {"en": 0.5, "zh": 0.1}
+_STRATA_DEFAULT = 0.25
+
+
+def _stratified_duck() -> str:
+    h = md5int_duck("'sample:' || CAST(doc_id AS VARCHAR)")
+    branches = " ".join(
+        f"WHEN '{k}' THEN {int(v * 1_000_000)}" for k, v in sorted(_STRATA_RATES.items())
+    )
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {h} % 1000000 <
+          CASE lang {branches} ELSE {int(_STRATA_DEFAULT * 1_000_000)} END
+    """
+
+
+@_register("sample_stratified", _stratified_duck())
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (data-mix reweighting): keep iff
+    salted md5 of the id falls under the stratum's cutoff — reproducible
+    across runs/engines/partitionings, no shuffle."""
+    from lakehouse_plumber_spark.llm import sampling as SP
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang")
+    return SP.stratified_sample(docs, "lang", _STRATA_RATES, _STRATA_DEFAULT)
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _hash_split_duck() -> str:
+    h = md5int_duck("'sample:' || CAST(doc_id AS VARCHAR)")
+    # mirror hash_split: strata sorted by name, last one is the ELSE branch
+    total = sum(_SPLIT_WEIGHTS.values())
+    items = sorted(_SPLIT_WEIGHTS.items())
+    acc, branches = 0.0, []
+    for name, wgt in items[:-1]:
+        acc += wgt / total
+        branches.append(f"WHEN b < {int(acc * 1_000_000)} THEN '{name}'")
+    case = f"CASE {' '.join(branches)} ELSE '{items[-1][0]}' END"
+    return f"""
+    WITH b_t AS (SELECT source, {h} % 1000000 AS b FROM documents)
+    SELECT source, {case} AS split, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b_t GROUP BY source, split
+    """
+
+
+@_register("sample_hash_split", _hash_split_duck())
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test assignment by hash range: a pure function of the
+    id, so re-runs and incremental appends never move existing documents."""
+    from lakehouse_plumber_spark.llm import sampling as SP
+
+    _prep(spark, sf_dir)
+    return (
+        SP.hash_split(spark.table("documents"), _SPLIT_WEIGHTS)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_TOPK_PER_SOURCE = 5
+
+
+def _topk_sample_duck() -> str:
+    h = md5int_duck("'sample:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH rk_t AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY {h} % 1000000, doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM rk_t WHERE rk <= {_TOPK_PER_SOURCE}
+    """
+
+
+@_register("sample_per_source_topk", _topk_sample_duck())
+def sample_per_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum sample (stable reservoir equivalent):
+    k smallest-hashed documents per source."""
+    from lakehouse_plumber_spark.llm import sampling as SP
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "source")
+    return SP.per_stratum_smallest_hash(docs, "source", _TOPK_PER_SOURCE)
+
+
+def _pii_seed_sql(dialect: str) -> str:
+    """Deterministically plant PII in the synthetic corpus (same bytes in both
+    engines) so the redaction pass has real work to verify."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return (
+        "text"
+        f" || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS {s})"
+        "            || '@example.com' ELSE '' END"
+        f" || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-'"
+        f"            || lpad(CAST(doc_id % 10000 AS {s}), 4, '0') ELSE '' END"
+    )
+
+
+def _pii_duck() -> str:
+    em, ph = TX.EMAIL_PATTERN, TX.PHONE_PATTERN
+    return f"""
+    WITH seeded AS (SELECT doc_id, {_pii_seed_sql('duck')} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{em}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{ph}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{em}', '[EMAIL]', 'g'),
+                              '{ph}', '[PHONE]', 'g')) AS red_md5
+    FROM seeded
+    """
+
+
+@_register("pii_redact", _pii_duck())
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and mask emails/phones (seeded deterministically
+    into the corpus), verified by the md5 of the redacted text."""
+    _prep(spark, sf_dir)
+    seeded = spark.table("documents").select(
+        "doc_id", F.expr(_pii_seed_sql("spark")).alias("text")
+    )
+    return TX.with_pii_redaction(seeded).select(
+        "doc_id", "n_emails", "n_phones", F.md5("redacted").alias("red_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

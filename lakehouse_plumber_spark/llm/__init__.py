@@ -17,4 +17,4 @@ Design rules applied throughout:
   exactly reproducible by the DuckDB oracle in __spark_entry__.py.
 """
 
-from lakehouse_plumber_spark.llm import dedup, similarity, text, multimodal  # noqa: F401
+from lakehouse_plumber_spark.llm import dedup, sampling, similarity, text, multimodal  # noqa: F401

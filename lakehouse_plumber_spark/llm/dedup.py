@@ -261,3 +261,63 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def dedup_connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: each member gets
+    `cluster_id` = min doc id in its connected component, plus `cluster_size`.
+
+    This is the step every dedup pipeline needs after pair generation —
+    keeping one survivor per *transitive* duplicate group, not per pair
+    (A~B, B~C must retire both B and C even when A~C was never emitted).
+
+    Hash-min label propagation: every node starts labeled with itself; each
+    round every node takes the min label over itself and its neighbors;
+    converged when no label changes. Rounds = component diameter, and near-dup
+    components are quasi-cliques (diameter 2-3) regardless of corpus size, so
+    the round count does not grow with data. Each round is one shuffle of the
+    symmetrized edge list joined to the label table — no driver-side graph
+    state; only the scalar changed-count crosses to the driver. Labels are
+    localCheckpoint()ed per round so the plan does not grow with rounds.
+    (For adversarial long-chain graphs, alternating large-star/small-star
+    [Kiveris et al., "Connected Components in MapReduce"] gives O(log n)
+    rounds; near-dup clustering never needs it.)
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neigh = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("lbl", "olbl")
+            .join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("olbl"), F.coalesce("nlbl", F.col("olbl"))).alias("lbl"),
+                "olbl",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where(F.col("lbl") != F.col("olbl")).count()
+        labels = new_labels.select("id", "lbl")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )

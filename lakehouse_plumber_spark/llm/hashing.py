@@ -84,3 +84,22 @@ def word_ngrams_duck(col: str, n: int) -> str:
         f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
         f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
     )
+
+
+def word_ngrams_all_spark(col: str, n: int) -> str:
+    """All word n-grams WITH multiplicity (for repetition counting — the
+    distinct variant above is for set-similarity signatures)."""
+    return let_spark(
+        tokens_spark(col),
+        "t",
+        f"transform(sequence(1, greatest(size(t) - {n - 1}, 1)), "
+        f"i -> array_join(slice(t, i, {n}), ' '))",
+    )
+
+
+def word_ngrams_all_duck(col: str, n: int) -> str:
+    toks = tokens_duck(col)
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )

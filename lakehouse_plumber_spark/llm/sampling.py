@@ -1,0 +1,97 @@
+"""Deterministic sampling / split-assignment operators for training-data
+pipelines.
+
+Everything keys off the cross-engine content hash `md5int` (llm/hashing.py),
+never `rand()`: the sample is a pure function of the row, so it is (a)
+reproducible across runs, engines, and cluster sizes, (b) stable under
+re-partitioning and retries, and (c) verifiable bit-for-bit by the DuckDB
+oracle. This is how production corpus pipelines do it — a re-run must not
+silently move documents between train and validation.
+
+All three operators are per-row filters/projections: no shuffle, full
+whole-stage codegen, trivially 100 TB-safe. Only `per_stratum_smallest_hash`
+shuffles (one hash-partitioned top-k per stratum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_plumber_spark.llm.hashing import md5int_spark
+
+SAMPLE_MOD = 1_000_000
+
+
+def _bucket_expr(id_col: str) -> str:
+    # hash the id with a salt so sampling buckets are independent of any
+    # other md5int-keyed structure (LSH bands, split assignment, ...)
+    salted = f"concat('sample:', cast({id_col} as string))"
+    return f"{md5int_spark(salted)} % {SAMPLE_MOD}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    A row survives iff hash(id) mod 1e6 < rate(stratum) * 1e6 — exact
+    per-stratum rates in expectation, zero coordination, no shuffle.
+    Up/down-weighting data sources ("2x Wikipedia, 0.1x CommonCrawl") is
+    exactly this operator with a rates table.
+    """
+    branches = " ".join(
+        f"WHEN '{k}' THEN {int(v * SAMPLE_MOD)}" for k, v in sorted(rates.items())
+    )
+    cutoff = f"CASE {strata_col} {branches} ELSE {int(default_rate * SAMPLE_MOD)} END"
+    return df.where(F.expr(f"{_bucket_expr(id_col)} < {cutoff}"))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    out: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test, ...) by hash range.
+
+    Weights are normalized; assignment is a pure function of the id, so the
+    split survives re-runs and incremental appends (a new document never
+    moves existing ones).
+    """
+    total = sum(weights.values())
+    acc = 0.0
+    branches = []
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        branches.append(f"WHEN b < {int(acc * SAMPLE_MOD)} THEN '{name}'")
+    case = f"CASE {' '.join(branches)} ELSE '{items[-1][0]}' END"
+    return df.withColumn(
+        out,
+        F.expr(
+            f"element_at(transform(array({_bucket_expr(id_col)}), b -> {case}), 1)"
+        ),
+    )
+
+
+def per_stratum_smallest_hash(
+    df: DataFrame, strata_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic k-row sample per stratum: the k smallest-hashed rows.
+
+    The distributed equivalent of a per-group reservoir sample, but stable:
+    rank by hash(id) within each stratum, keep rank <= k. One shuffle on the
+    stratum key; with AQE skew handling a giant stratum splits fine because
+    the window only needs per-stratum locality.
+    """
+    w = Window.partitionBy(strata_col).orderBy(F.expr(_bucket_expr(id_col)), F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -128,3 +128,85 @@ def with_rolling_hash_fingerprint(
     return df.withColumn(
         out, F.expr(f"array_min(transform({grams}, g -> {md5int_spark('g')}))")
     )
+
+
+# --- repetition quality metrics (Gopher-style, Rae et al. 2021 §A1.1) -------
+
+REP_TOP_N = 2   # "fraction of tokens in the most common 2-gram"
+REP_DUP_N = 5   # "fraction of duplicated 5-grams"
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition scores used by training-data quality filters:
+
+    - `top2_frac`: occurrences of the most frequent word 2-gram / total
+      2-grams (boilerplate detector);
+    - `dup5_frac`: fraction of word 5-grams that are repeats of an earlier
+      5-gram, i.e. 1 - distinct/total (copy-paste detector).
+
+    dup5 is a per-row array expression (no shuffle, whole-stage codegen over
+    the scan). top2 needs a per-(doc, gram) count, done relationally —
+    explode → two-level aggregate with map-side partial — because a per-row
+    O(grams²) mode computation would blow up on long documents.
+    """
+    from lakehouse_plumber_spark.llm.hashing import word_ngrams_all_spark
+
+    g2 = word_ngrams_all_spark(text_col, REP_TOP_N)
+    g5 = word_ngrams_all_spark(text_col, REP_DUP_N)
+    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
+
+    base = spread_for_compute(df, [id_col, text_col])
+    dup5 = base.select(
+        F.col(id_col),
+        F.expr(
+            f"round(1.0 - size(array_distinct({g5})) / cast(size({g5}) as double), 6)"
+        ).alias("dup5_frac"),
+    )
+    top2 = (
+        base.select(F.col(id_col), F.explode(F.expr(g2)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top2_frac")
+        )
+    )
+    return top2.join(dup5, id_col)
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# Patterns valid and identical under Java regex (Spark) and RE2 (DuckDB):
+# no backreferences, no lookaround.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_PATTERN = "\\+[0-9]{1,3} [0-9]{3}-[0-9]{4}"
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and mask email addresses and international-format phone numbers.
+
+    Adds `n_emails`, `n_phones`, and `redacted` (emails → [EMAIL],
+    phones → [PHONE]). Pure JVM regex over the scan — the shape of a
+    real PII scrub pass (swap in stricter patterns / an NER UDF stage for
+    production); at 100 TB this is the embarrassingly-parallel no-shuffle
+    pass it should be.
+    """
+    c = F.col(text_col)
+    return (
+        df.withColumn(
+            "n_emails",
+            F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), F.lit(0))).cast("long"),
+        )
+        .withColumn(
+            "n_phones",
+            F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), F.lit(0))).cast("long"),
+        )
+        .withColumn(
+            "redacted",
+            F.regexp_replace(
+                F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]"),
+                PHONE_PATTERN,
+                "[PHONE]",
+            ),
+        )
+    )

@@ -1,0 +1,92 @@
+"""Unit tests for the curation operators added on top of pair generation:
+connected-components cluster resolution, deterministic sampling/splits,
+repetition metrics, PII redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_plumber_spark.llm import sampling as SP
+from lakehouse_plumber_spark.llm.dedup import dedup_connected_components
+from lakehouse_plumber_spark.llm.text import repetition_metrics, with_pii_redaction
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3-4-5 plus isolated pair (10, 11): transitive closure must
+    # label the whole chain with its min even though (1,5) was never a pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup_connected_components(pairs).collect()
+    }
+    assert out == {
+        1: (1, 5), 2: (1, 5), 3: (1, 5), 4: (1, 5), 5: (1, 5),
+        10: (10, 2), 11: (10, 2),
+    }
+
+
+def test_connected_components_merging_components(spark):
+    # two components that merge through a late edge ordering: (1,9),(9,3),(3,2)
+    pairs = spark.createDataFrame([(9, 3), (1, 9), (3, 2)], ["id_a", "id_b"])
+    out = {r.doc_id: r.cluster_id for r in dedup_connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1}
+
+
+def test_hash_split_stable_under_append(spark):
+    base = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    more = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in SP.hash_split(base, w).collect()}
+    b = {r.doc_id: r.split for r in SP.hash_split(more, w).collect()}
+    # appending new documents never moves existing ones
+    assert all(b[k] == v for k, v in a.items())
+    counts = {k: sum(1 for v in b.values() if v == k) for k in w}
+    assert 0.7 < counts["train"] / 1000 < 0.9
+    assert counts["train"] + counts["val"] + counts["test"] == 1000
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"),
+    )
+    out = SP.stratified_sample(df, "src", {"a": 1.0, "b": 0.0}, id_col="doc_id")
+    rows = out.collect()
+    assert len(rows) == 1000 and all(r.src == "a" for r in rows)
+
+
+def test_per_stratum_smallest_hash_is_deterministic(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("grp")
+    )
+    a = sorted((r.grp, r.doc_id) for r in SP.per_stratum_smallest_hash(df, "grp", 7).collect())
+    b = sorted(
+        (r.grp, r.doc_id)
+        for r in SP.per_stratum_smallest_hash(df.repartition(13), "grp", 7).collect()
+    )
+    assert a == b and len(a) == 21
+
+
+def test_repetition_metrics_extremes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        ["doc_id", "text"],
+    )
+    m = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert m[1].top2_frac == 1.0 and m[1].dup5_frac > 0.8
+    assert m[2].top2_frac < 0.2 and m[2].dup5_frac == 0.0
+
+
+def test_pii_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "reach me at jo.doe+x@mail.example.org or +44 123-4567 thanks")],
+        ["doc_id", "text"],
+    )
+    r = with_pii_redaction(df).collect()[0]
+    assert r.n_emails == 1 and r.n_phones == 1
+    assert r.redacted == "reach me at [EMAIL] or [PHONE] thanks"
