@@ -2011,6 +2011,65 @@ def pipe_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.resolve_view("main.bronze.hourly_counts")
 
 
+_STREAM_DEDUP_ORACLE = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    FROM events GROUP BY event_type
+"""
+
+
+@_register("pipe_stream_dedup", _STREAM_DEDUP_ORACLE)
+def pipe_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup (at-least-once feed -> exactly-once table):
+    the feed is doubled (union with itself) to simulate redelivery, then
+    `dropDuplicatesWithinWatermark` on the event key collapses replays inside
+    the watermark horizon. State is keyed+evicted by watermark, so memory is
+    bounded by the horizon's key cardinality, not the stream's history —
+    the standard Kafka-redelivery answer at any scale."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema_ddl = ("event_id bigint, ts bigint, user_id bigint, event_type string, "
+                  "value double, props string")
+
+    def dedup_stream(df, spark_, params):
+        redelivered = df.union(df)
+        return (
+            redelivered.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "dedup_stream",
+            "actions": [
+                {"name": "ingest", "type": "load", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": events_path, "format": "parquet",
+                            "schema": schema_ddl},
+                 "target": "v_raw"},
+                {"name": "dedup", "type": "transform", "transform_type": "python",
+                 "source": "v_raw", "target": "v_dedup"},
+                {"name": "st", "type": "write", "source": "v_dedup",
+                 "write_target": {"type": "streaming_table", "catalog": "main",
+                                  "schema": "bronze", "table": "events_exactly_once"}},
+            ],
+        }
+    )
+    fg.actions[1].callable_fn = dedup_stream
+    ctx = runner.run(fg)
+    return (
+        ctx.resolve_view("main.bronze.events_exactly_once")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
+
+
 # --- remaining DQ test operators (SURVEY §2.4) ---
 
 

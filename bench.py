@@ -29,8 +29,12 @@ HEADLINE = [
     "pipe_stateful_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "knn_bruteforce",
     "text_quality_score",
+    "text_repetition",
+    "pii_redact",
+    "sample_hash_split",
 ]
 
 
