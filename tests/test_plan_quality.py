@@ -72,3 +72,39 @@ def test_minhash_lsh_no_cartesian(spark, q):
     df = q["dedup_minhash_lsh"](spark, SF)
     plan = _spark_plan(df)
     assert "CartesianProduct" not in plan  # candidate join is equi on (band, h)
+
+
+def test_sample_stratified_narrow_and_pruned(spark, q):
+    df = q["sample_stratified"](spark, SF)
+    plan = _spark_plan(df)
+    # pure per-row filter: no shuffle at all, and the scan reads only the
+    # two projected columns of documents' five
+    assert "Exchange" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1) and "n_chars" not in m.group(1)
+
+
+def test_pii_redact_no_shuffle(spark, q):
+    df = q["pii_redact"](spark, SF)
+    plan = _spark_plan(df)
+    assert "Exchange" not in plan  # embarrassingly parallel scrub pass
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_hash_split_single_aggregation_exchange(spark, q):
+    df = q["sample_hash_split"](spark, SF)
+    plan = _spark_plan(df)
+    # split assignment is per-row; only the count aggregation shuffles
+    # (formatted mode double-lists nodes: tree + details)
+    assert plan.count("Exchange") <= 2
+    assert plan.count("HashAggregate") >= 4  # partial + final
+
+
+def test_repetition_bounded_shuffles(spark, q):
+    df = q["text_repetition"](spark, SF)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    # explode -> (doc, gram) count -> per-doc aggregate -> join with the
+    # per-row dup5 side: every aggregate must have a map-side partial
+    assert plan.count("HashAggregate") >= 8
