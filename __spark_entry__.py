@@ -2458,7 +2458,7 @@ _IMV_ORACLE = """
              MAX(o_totalprice) AS max_price
       FROM orders GROUP BY 1, 2
     )
-    SELECT *, round(total_price / n_orders, 4) AS avg_price FROM g
+    SELECT *, floor(total_price / n_orders * 10000 + 0.5) / 10000 AS avg_price FROM g
 """
 
 
@@ -2523,7 +2523,11 @@ def pipe_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("total_price").cast("double").alias("total_price"),
         "max_price",
-        F.round(F.col("total_price").cast("double") / F.col("n_orders"), 4).alias("avg_price"),
+        # floor(x*1e4+0.5)/1e4, not round(): Spark's round() on doubles goes
+        # through the shortest decimal string (BigDecimal.valueOf) while DuckDB
+        # rounds the binary value — they disagree near .xxxx5; floor on pure
+        # double math is bit-identical in both engines
+        F.expr("floor(cast(total_price as double) / n_orders * 10000 + 0.5) / 10000").alias("avg_price"),
     )
 
 
@@ -2531,8 +2535,8 @@ _GAPFILL_ORACLE = """
     WITH ev AS (SELECT date_trunc('hour', ts) AS hb, event_type, value FROM events),
     agg AS (
       SELECT hb, event_type, CAST(COUNT(*) AS BIGINT) AS n,
-             round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
-               AS avg_v
+             floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   * 10000 + 0.5) / 10000 AS avg_v
       FROM ev GROUP BY 1, 2
     ),
     bounds AS (SELECT min(hb) AS lo, max(hb) AS hi FROM ev),
@@ -2564,8 +2568,9 @@ def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = ev.groupBy("hb", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+        F.expr(
+            "floor(cast(sum(cast(value as decimal(18,6))) as double) / count(1)"
+            " * 10000 + 0.5) / 10000"
         ).alias("avg_v"),
     )
     bounds = ev.agg(F.min("hb").alias("lo"), F.max("hb").alias("hi"))

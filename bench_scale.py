@@ -1,0 +1,152 @@
+"""Scale-up smoke bench: the same headline operators at 1x and 10x sf0.1.
+
+The correctness gate runs at small SF; this script is the evidence that the
+plans survive a scale-up — each operator is timed on the sf0.1 tables and on
+a synthesized 10x copy (facts unioned with shifted keys, dimensions fixed —
+the realistic growth shape), and the ratio is reported. A healthy
+shuffle-bounded operator lands near (or below, amortizing fixed costs) 10x;
+a quadratic or driver-bound one blows past it.
+
+Prints ONE JSON line:
+  {"metric": "scaleup_10x_ratio", "value": <median ratio>,
+   "queries": {name: {"t1": s, "t10": s, "ratio": r}}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FACTOR = 10
+
+# join/agg, heavy-group agg, multi-join profit, sessionization windows,
+# hash dedup, LSH near-dup, repetition metrics, split assignment
+NAMES = [
+    "q3_shipping_priority",
+    "q18_large_volume_customer",
+    "q9_product_profit",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_repetition",
+    "sample_hash_split",
+]
+
+
+def _scaled_views(spark, sf_dir: str, factor: int):
+    """Register temp views where the fact tables are `factor` shifted copies.
+
+    Keys are shifted by i*span so every copy joins/groups like the original
+    (no artificial key collisions); document text gets a per-copy suffix so
+    the near-dup structure is replicated, not turned into one giant clique.
+    """
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.session import register_testdata
+    import lakehouse_plumber_spark.session as SES
+
+    base = dict(register_testdata(spark, sf_dir))
+
+    def union_all(dfs):
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionAll(d)
+        return out
+
+    okey_span = base["orders"].agg(F.max("o_orderkey")).collect()[0][0] + 1
+    ekey_span = base["events"].agg(F.max("event_id")).collect()[0][0] + 1
+    user_span = base["events"].agg(F.max("user_id")).collect()[0][0] + 1
+    doc_span = base["documents"].agg(F.max("doc_id")).collect()[0][0] + 1
+
+    scaled = dict(base)
+    scaled["orders"] = union_all([
+        base["orders"].withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * okey_span))
+        for i in range(factor)
+    ])
+    scaled["lineitem"] = union_all([
+        base["lineitem"].withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * okey_span))
+        for i in range(factor)
+    ])
+    scaled["events"] = union_all([
+        base["events"]
+        .withColumn("event_id", F.col("event_id") + F.lit(i * ekey_span))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * user_span))
+        for i in range(factor)
+    ])
+    scaled["documents"] = union_all([
+        base["documents"]
+        .withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_span))
+        .withColumn("text", F.concat(F.col("text"), F.lit(f" copytag{i}")) if i else F.col("text"))
+        for i in range(factor)
+    ])
+    for name, df in scaled.items():
+        df.createOrReplaceTempView(name)
+    # prime the registration memo so the queries' _prep() is a no-op and the
+    # scaled views survive
+    SES._REGISTERED[id(spark)] = (os.path.abspath(sf_dir), scaled)
+    return scaled
+
+
+def _time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in NAMES:
+        fn = qs[name]
+        fn(spark, sf_dir).count()  # shape warm-up
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0) if best else time.time() - t0
+        out[name] = round(best, 3)
+        print(f"# {name}: {out[name]}s", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import __spark_entry__ as entry
+    import lakehouse_plumber_spark.session as SES
+    from lakehouse_plumber_spark import get_spark, register_testdata
+
+    spark = get_spark("bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    register_testdata(spark, sf_dir)
+    entry.warm(spark, sf_dir)
+    print("# --- 1x ---", file=sys.stderr)
+    t1 = _time_queries(spark, qs, sf_dir)
+
+    print("# --- 10x ---", file=sys.stderr)
+    _scaled_views(spark, sf_dir, FACTOR)
+    t10 = _time_queries(spark, qs, sf_dir)
+    # restore the real registration for anything running after us
+    SES._REGISTERED.pop(id(spark), None)
+    register_testdata(spark, sf_dir)
+
+    detail = {
+        n: {"t1": t1[n], "t10": t10[n], "ratio": round(t10[n] / max(t1[n], 1e-9), 2)}
+        for n in NAMES
+    }
+    ratios = [d["ratio"] for d in detail.values()]
+    print(
+        json.dumps(
+            {
+                "metric": "scaleup_10x_ratio",
+                "value": round(statistics.median(ratios), 2),
+                "unit": "x (10x data => ideal <= 10)",
+                "queries": detail,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
