@@ -1,0 +1,180 @@
+"""CLI for the engine — the OSS counterpart of the reference's `lhp` tool
+(reference: src/lhp/cli/main.py lazy-registers generate/validate/deps/...).
+
+Because this engine executes pipelines instead of emitting Databricks code,
+`lhp generate` maps to two commands here:
+
+  python -m lakehouse_plumber_spark validate <project_root> [--env dev]
+  python -m lakehouse_plumber_spark run      <project_root> [--env dev]
+  python -m lakehouse_plumber_spark compile  <project_root> [-o OUT] [--env dev]
+  python -m lakehouse_plumber_spark deps     <project_root> [--env dev]
+
+Project layout mirrors the reference: `pipelines/**/*.yaml` flowgroups (plus
+`presets/`, `templates/`, `blueprints/`), and token files under
+`substitutions/{env}.yaml` (reference: src/lhp/core/processing/substitution.py;
+secrets come from LHP_SECRET_<SCOPE>_<KEY> env vars in this engine).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load_tokens(project_root: str, env: str | None) -> dict:
+    if not env:
+        return {}
+    import yaml
+
+    path = os.path.join(project_root, "substitutions", f"{env}.yaml")
+    if not os.path.exists(path):
+        raise SystemExit(f"no substitution file for env {env!r}: {path}")
+    with open(path) as f:
+        spec = yaml.safe_load(f) or {}
+    # reference env files may nest under the env name or be flat
+    return spec.get(env, spec)
+
+
+def _discover(args) -> list:
+    from lakehouse_plumber_spark.parsers import discover_flowgroups
+
+    fgs = discover_flowgroups(args.project_root, tokens=_load_tokens(args.project_root, args.env))
+    if not fgs:
+        raise SystemExit(f"no flowgroups under {args.project_root}/pipelines/")
+    return fgs
+
+
+def cmd_validate(args) -> int:
+    from lakehouse_plumber_spark.dag import CycleError, ValidationError, validate_flowgroup_graph
+
+    try:
+        fgs = _discover(args)
+    except (CycleError, ValidationError) as e:
+        print(f"FAIL  {e}")
+        return 1
+    rc = 0
+    for fg in fgs:
+        label = f"{fg.pipeline}/{fg.flowgroup}"
+        try:
+            warnings = validate_flowgroup_graph(fg.actions)
+        except ValidationError as e:
+            print(f"FAIL  {label}: {e}")
+            rc = 1
+            continue
+        print(f"ok    {label} ({len(fg.actions)} actions)")
+        for w in warnings:
+            print(f"  warn: {w}")
+    return rc
+
+
+def cmd_run(args) -> int:
+    from lakehouse_plumber_spark import get_spark
+    from lakehouse_plumber_spark.runner import PipelineRunner
+
+    fgs = _discover(args)
+    spark = get_spark("lhp_cli")
+    spark.sparkContext.setLogLevel("WARN")
+    runner = PipelineRunner(spark, base_dir=args.project_root)
+    from lakehouse_plumber_spark.models import ActionType
+
+    contexts = runner.run_many(fgs)
+    for fg, ctx in zip(fgs, contexts):
+        for a in fg.actions:
+            if (
+                a.type == ActionType.WRITE
+                and a.write_target is not None
+                and a.write_target.type.value in ("streaming_table", "materialized_view")
+            ):
+                name = a.write_target.full_name
+                n = ctx.resolve_view(name).count()
+                print(f"{fg.pipeline}/{fg.flowgroup}: {name} rows={n}")
+    log = runner.event_log_df()
+    summary = {
+        r["event"]: r["n"]
+        for r in log.groupBy("event").count().withColumnRenamed("count", "n").collect()
+    }
+    print(f"event log: {json.dumps(summary, sort_keys=True)}")
+    return 0
+
+
+def cmd_compile(args) -> int:
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+
+    os.makedirs(args.out, exist_ok=True)
+    rc = 0
+    for fg in _discover(args):
+        dest = os.path.join(args.out, f"{fg.pipeline}__{fg.flowgroup}.py")
+        try:
+            src = compile_flowgroup(fg)
+        except NotImplementedError as e:
+            print(f"skip  {fg.pipeline}/{fg.flowgroup}: {e}")
+            rc = 2
+            continue
+        with open(dest, "w") as f:
+            f.write(src)
+        print(f"wrote {dest}")
+    return rc
+
+
+def cmd_deps(args) -> int:
+    """Print the cross-flowgroup execution stages (reference: `lhp deps` +
+    job stage synthesis, src/lhp/core/jobs/job_generator.py)."""
+    from lakehouse_plumber_spark.models import ActionType
+    from lakehouse_plumber_spark.dag import sql_table_refs
+
+    fgs = _discover(args)
+    writes: dict[str, int] = {}
+    for i, fg in enumerate(fgs):
+        for a in fg.actions:
+            if a.type == ActionType.WRITE and a.write_target is not None:
+                writes[a.write_target.full_name] = i
+                if a.write_target.table:
+                    writes[a.write_target.table] = i
+    deps: dict[int, set[int]] = {i: set() for i in range(len(fgs))}
+    for i, fg in enumerate(fgs):
+        for a in fg.actions:
+            refs = list(a.source_views())
+            sql = a.sql or (a.source.get("sql") if isinstance(a.source, dict) else None)
+            if sql:
+                refs.extend(sql_table_refs(sql))
+            if a.write_target is not None and a.write_target.sql:
+                refs.extend(sql_table_refs(a.write_target.sql))
+            for v in refs:
+                j = writes.get(v)
+                if j is not None and j != i:
+                    deps[i].add(j)
+    done: set[int] = set()
+    stage_no = 0
+    while len(done) < len(fgs):
+        stage = [i for i in range(len(fgs)) if i not in done and deps[i] <= done]
+        if not stage:
+            print("ERROR: dependency cycle among: "
+                  + ", ".join(f"{fgs[i].pipeline}/{fgs[i].flowgroup}" for i in range(len(fgs)) if i not in done))
+            return 1
+        stage_no += 1
+        for i in stage:
+            up = ", ".join(f"{fgs[j].pipeline}/{fgs[j].flowgroup}" for j in sorted(deps[i])) or "-"
+            print(f"stage {stage_no}: {fgs[i].pipeline}/{fgs[i].flowgroup}  (after: {up})")
+            done.add(i)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m lakehouse_plumber_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("validate", cmd_validate), ("run", cmd_run),
+                     ("compile", cmd_compile), ("deps", cmd_deps)):
+        sp = sub.add_parser(name)
+        sp.add_argument("project_root")
+        sp.add_argument("--env", default=None, help="substitutions/{env}.yaml tokens")
+        if name == "compile":
+            sp.add_argument("-o", "--out", default="generated")
+        sp.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""E2E tests for the CLI (python -m lakehouse_plumber_spark), mirroring the
+reference's CLI e2e layer (reference: tests/e2e/ against a self-contained
+fixture project)."""
+
+from __future__ import annotations
+
+import os
+
+from lakehouse_plumber_spark.__main__ import main
+
+PROJECT = os.path.join(os.path.dirname(__file__), "fixtures", "cli_project")
+
+
+def test_cli_validate(capsys):
+    rc = main(["validate", PROJECT, "--env", "dev"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ok    bronze/customers" in out
+    assert "ok    gold/summary" in out
+
+
+def test_cli_deps_orders_stages(capsys):
+    rc = main(["deps", PROJECT, "--env", "dev"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "stage 1: bronze/customers" in out
+    assert "stage 2: gold/summary" in out
+    assert "after: bronze/customers" in out
+
+
+def test_cli_run_end_to_end(spark, testdata, capsys):
+    rc = main(["run", PROJECT, "--env", "dev"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "main.bronze.customers rows=" in out
+    assert "main.gold.customer_summary rows=" in out
+    # gold summary counts segments over the full customer table
+    n_customers = int(next(
+        line.split("rows=")[1] for line in out.splitlines()
+        if "main.bronze.customers rows=" in line
+    ))
+    assert n_customers == spark.table("customer").where("c_acctbal >= 0").count()
+    assert "event log:" in out
+
+
+def test_cli_compile_emits_standalone_source(tmp_path, capsys):
+    rc = main(["compile", PROJECT, "--env", "dev", "-o", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["bronze__customers.py", "gold__summary.py"]
+    src = (tmp_path / "bronze__customers.py").read_text()
+    assert "import lakehouse_plumber_spark" not in src  # standalone, no engine import
+    compile(src, "generated.py", "exec")  # parses as valid python
+
+
+def test_cli_validate_catches_cycle(tmp_path, capsys):
+    proj = tmp_path / "proj"
+    (proj / "pipelines").mkdir(parents=True)
+    (proj / "pipelines" / "bad.yaml").write_text(
+        """
+pipeline: p
+flowgroup: bad
+actions:
+  - {name: a, type: transform, transform_type: sql, source: v_b, sql: "SELECT * FROM v_b", target: v_a}
+  - {name: b, type: transform, transform_type: sql, source: v_a, sql: "SELECT * FROM v_a", target: v_b}
+  - name: w
+    type: write
+    source: v_a
+    write_target: {type: materialized_view, catalog: c, schema: s, table: t}
+"""
+    )
+    rc = main(["validate", str(proj)])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL" in out and "cycle" in out
