@@ -2011,6 +2011,84 @@ def pipe_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.resolve_view("main.bronze.hourly_counts")
 
 
+_SESSION_WINDOW_ORACLE = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS eus, value FROM events),
+    m AS (SELECT max(eus) AS mx FROM e),
+    g AS (
+      SELECT user_id, eus, value,
+             CASE WHEN eus - LAG(eus) OVER (PARTITION BY user_id ORDER BY eus)
+                       > 1800000000
+                  OR LAG(eus) OVER (PARTITION BY user_id ORDER BY eus) IS NULL
+                  THEN 1 ELSE 0 END AS ns
+      FROM e
+    ),
+    s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY eus
+                                  ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+    sess AS (
+      SELECT user_id, MIN(eus) AS start_us, MAX(eus) + 1800000000 AS end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, start_us, end_us, n_events, total_value FROM sess, m
+    WHERE end_us <= mx - 600000000
+"""
+
+
+@_register("pipe_stream_session_window", _SESSION_WINDOW_ORACLE)
+def pipe_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native streaming session windows (`session_window`, 30-min gap,
+    10-min watermark): the built-in counterpart of the custom
+    applyInPandasWithState sessionizer — state merges adjacent windows and
+    evicts on watermark, so memory is bounded by OPEN sessions only. Only
+    watermark-finalized sessions are emitted; the oracle replicates the
+    cutoff (session end = last event + gap, closed when <= max ts - delay)."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema_ddl = ("event_id bigint, ts bigint, user_id bigint, event_type string, "
+                  "value double, props string")
+
+    def sessionize(df, spark_, params):
+        return (
+            df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+                ).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.unix_micros(F.col("sw.start").cast("timestamp")).alias("start_us"),
+                F.unix_micros(F.col("sw.end").cast("timestamp")).alias("end_us"),
+                "n_events", "total_value",
+            )
+        )
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "session_windows",
+            "actions": [
+                {"name": "ingest", "type": "load", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": events_path, "format": "parquet",
+                            "schema": schema_ddl},
+                 "target": "v_raw"},
+                {"name": "sess", "type": "transform", "transform_type": "python",
+                 "source": "v_raw", "target": "v_sess"},
+                {"name": "st", "type": "write", "source": "v_sess",
+                 "write_target": {"type": "streaming_table", "catalog": "main",
+                                  "schema": "bronze", "table": "user_sessions"}},
+            ],
+        }
+    )
+    fg.actions[1].callable_fn = sessionize
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.bronze.user_sessions")
+
+
 _STREAM_DEDUP_ORACLE = """
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
            round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
