@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis): the distributed implementations must
+agree with trivially-correct in-memory reference implementations on random
+inputs. Complements the fixed-fixture oracle gate with adversarial shapes
+(ties, empty groups, singletons, dense collisions)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakehouse_plumber_spark.functions.asof import asof_join
+from lakehouse_plumber_spark.functions.ranges import interval_self_join
+from lakehouse_plumber_spark.llm.dedup import dedup_connected_components
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=edges_st)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    # in-memory union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r.doc_id: r.cluster_id for r in dedup_connected_components(df).collect()}
+    assert got == expected
+
+
+events_st = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(left=events_st, right=events_st, tol=st.one_of(st.none(), st.integers(1, 20)))
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right, tol):
+    ldf = spark.createDataFrame(left, ["k", "ts", "lv"])
+    rdf = spark.createDataFrame(right, ["k", "ts", "rv"])
+    out = asof_join(ldf, rdf, keys=["k"], left_ts="ts", right_ts="ts", tolerance=tol)
+    got = {
+        (r.k, r.ts, r.lv): r.asof_ts
+        for r in out.collect()
+    }
+    # brute-force: latest right ts <= left ts (within tolerance) per key;
+    # dict keyed like the join output (duplicate (k, ts, lv) rows collapse
+    # identically on both sides)
+    for (k, ts, lv), asof_ts in got.items():
+        cand = [rts for (rk, rts, _) in right if rk == k and rts <= ts
+                and (tol is None or rts >= ts - tol)]
+        assert asof_ts == (max(cand) if cand else None)
+    assert len(got) == len({(k, ts, lv) for (k, ts, lv) in left})
+
+
+@given(rows=events_st, window=st.integers(1, 25))
+@settings(**_SETTINGS)
+def test_interval_self_join_matches_bruteforce(spark, rows, window):
+    # unique (k, ts) rows: the pair semantics are per timestamp-pair
+    uniq = {(k, ts): v for k, ts, v in rows}
+    data = [(k, ts, v) for (k, ts), v in uniq.items()]
+    df = spark.createDataFrame(data, ["k", "ts", "v"])
+    out = interval_self_join(df, keys=["k"], ts_col="ts", window=window)
+    got = {(r.k, r["ts"], r["ts_r"]) for r in out.collect()}
+    expected = {
+        (ka, ta, tb)
+        for (ka, ta) in uniq
+        for (kb, tb) in uniq
+        if ka == kb and 0 < tb - ta <= window
+    }
+    assert got == expected
