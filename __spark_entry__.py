@@ -1369,6 +1369,48 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_int8_duck() -> str:
+    from lakehouse_plumber_spark.llm.similarity import INT8_LEVELS
+
+    ids = ", ".join(str(i) for i in _KNN_IDS)
+    return f"""
+    WITH v_t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s_t AS (SELECT vec_id, v,
+                   greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+                     / {INT8_LEVELS} AS s
+            FROM v_t),
+    q_t AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT)) AS q
+            FROM s_t),
+    qry AS (SELECT vec_id AS query_id, q AS qq FROM q_t WHERE vec_id IN ({ids})),
+    scored AS (
+      SELECT qry.query_id, b.vec_id,
+             round(
+               list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * b.q[i]))
+               / (sqrt(CAST(list_sum(list_transform(qq, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(b.q, x -> x * x)) AS DOUBLE))), 6)
+               AS cosine_q
+      FROM qry JOIN q_t b ON b.vec_id <> qry.query_id
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_q DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, cosine_q
+    FROM rk WHERE rank <= 3
+    """
+
+
+@_register("knn_int8", _knn_int8_duck())
+def knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN compression rung 1: int8 scalar quantization (scales cancel in
+    cosine -> integer scoring, cross-engine exact)."""
+    _prep(spark, sf_dir)
+    return S.knn_int8(spark.table("embeddings"), _KNN_IDS, k=3).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 @_register(
     "multimodal_bytes",
     """
@@ -2865,6 +2907,86 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return TX.with_pii_redaction(seeded).select(
         "doc_id", "n_emails", "n_phones", F.md5("redacted").alias("red_md5")
+    )
+
+
+def _curation_duck() -> str:
+    return rf"""
+    WITH q AS (SELECT * FROM ({_quality_duck()}) x),
+    l AS (SELECT * FROM ({_langid_sql('duck')}) x),
+    rep AS (SELECT * FROM ({_repetition_duck()}) x),
+    fp_t AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             FROM documents),
+    surv AS (SELECT doc_id,
+                    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+                         THEN 1 ELSE 0 END AS is_survivor
+             FROM fp_t)
+    SELECT q.doc_id, l.lang_pred, q.quality_score, rep.dup5_frac,
+           CAST(surv.is_survivor AS INT) AS is_survivor,
+           CAST(CASE WHEN q.quality_score >= 0.35 AND rep.dup5_frac < 0.2
+                      AND surv.is_survivor = 1 AND l.lang_pred <> 'und'
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM q
+    JOIN l ON l.doc_id = q.doc_id
+    JOIN rep ON rep.doc_id = q.doc_id
+    JOIN surv ON surv.doc_id = q.doc_id
+    """
+
+
+@_register("pipe_curation", _curation_duck())
+def pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the whole curation decision as ONE declarative engine
+    pipeline — load -> python transform composing quality scoring, language
+    ID, repetition metrics, and exact-dedup survivor selection -> curated
+    materialized view with a keep/drop verdict per document. Every component
+    is the same scale-safe operator verified individually; composition adds
+    one fingerprint window and broadcast-joinable metric joins."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+
+    def curate(df, spark_, params):
+        d = TX.with_lang_id(TX.with_quality_score(df))
+        rep = TX.repetition_metrics(df.select("doc_id", "text"))
+        fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+        w = Window.partitionBy("__fp")
+        d = (
+            d.join(rep, "doc_id")
+            .withColumn("__fp", fp)
+            .withColumn(
+                "is_survivor",
+                (F.col("doc_id") == F.min("doc_id").over(w)).cast("int"),
+            )
+        )
+        keep = (
+            (F.col("quality_score") >= 0.35)
+            & (F.col("dup5_frac") < 0.2)
+            & (F.col("is_survivor") == 1)
+            & (F.col("lang_pred") != "und")
+        )
+        return d.select(
+            "doc_id", "lang_pred", "quality_score", "dup5_frac", "is_survivor",
+            keep.cast("int").alias("keep"),
+        )
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "curation", "flowgroup": "decide",
+            "actions": [
+                {"name": "docs", "type": "load",
+                 "source": {"type": "sql", "sql": "SELECT doc_id, text FROM documents"},
+                 "target": "v_docs"},
+                {"name": "curate", "type": "transform", "transform_type": "python",
+                 "source": "v_docs", "target": "v_decisions"},
+                {"name": "mv", "type": "write", "source": "v_decisions",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "curated", "table": "doc_decisions"}},
+            ],
+        }
+    )
+    fg.actions[1].callable_fn = curate
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.curated.doc_decisions").select(
+        "doc_id", "lang_pred", "quality_score", "dup5_frac", "is_survivor", "keep"
     )
 
 

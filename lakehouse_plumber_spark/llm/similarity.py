@@ -190,3 +190,63 @@ def ivf_build_and_search(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
     )
+
+
+INT8_LEVELS = 127
+
+
+def int8_codes_spark(vec_col: str) -> str:
+    """Symmetric per-vector int8 scalar quantization: code_i = rhu(x_i / s),
+    s = max|x| / 127 (rhu = round-half-up via floor(x+0.5), which evaluates
+    bit-identically in Spark and DuckDB — their round() builtins do not).
+
+    4x memory/bandwidth vs float32 (16x vs the double pipeline) with ~1e-2
+    cosine error at dim 64 — the standard first rung of ANN compression; at
+    100 TB the collection scan becomes byte-sized and cache-resident.
+    """
+    from lakehouse_plumber_spark.llm.hashing import let_spark
+
+    v = f"cast({vec_col} as array<double>)"
+    mx = f"aggregate({v}, 0D, (acc, x) -> greatest(acc, abs(x)))"
+    return let_spark(
+        f"greatest({mx}, 1e-30) / {INT8_LEVELS}",
+        "s",
+        f"transform({v}, x -> cast(floor(x / s + 0.5) as bigint))",
+    )
+
+
+def knn_int8(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by cosine over int8 codes.
+
+    The per-vector scales cancel in cosine(a, b) = dot(qa, qb) /
+    (|qa| * |qb|), so scoring is INTEGER dot products and square-sums —
+    exact under any evaluation order (no float-fold nondeterminism) and
+    cross-engine reproducible; floats appear only in the final division.
+    Same broadcast + window-top-k plan as the float brute force.
+    """
+    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
+
+    base = spread_for_compute(df, [id_col, vec_col]).select(
+        F.col(id_col), F.expr(int8_codes_spark(vec_col)).alias("q")
+    )
+    qs = base.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qq")
+    )
+    dot = "aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    nrm = lambda c: f"sqrt(cast(aggregate({c}, 0L, (acc, x) -> acc + x * x) as double))"  # noqa: E731
+    scored = base.join(F.broadcast(qs), F.col(id_col) != F.col("query_id")).withColumn(
+        "cosine_q",
+        F.round(F.expr(f"({dot}) / ({nrm('qq')} * {nrm('q')})"), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_q").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine_q")
+    )
