@@ -125,8 +125,13 @@ def _effective_params(bp: Blueprint, inst: BlueprintInstance) -> dict[str, Any]:
     for name, p in declared.items():
         if name in inst.parameters:
             out[name] = inst.parameters[name]
-        elif p.default is not None or not p.required:
+        elif p.default is not None:
             out[name] = p.default
+        elif not p.required:
+            # omit undefaulted optional params entirely (reference
+            # _effective_params does the same) so a %{var} using one fails
+            # loudly as unresolved instead of rendering the string 'None'
+            continue
         else:
             raise BlueprintError(
                 f"instance of blueprint {bp.name!r} missing required parameter {name!r}"

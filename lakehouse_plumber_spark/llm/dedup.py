@@ -295,6 +295,7 @@ def dedup_connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_rounds):
         neigh = (
             sym.join(labels, sym["src"] == labels["id"])
@@ -315,6 +316,12 @@ def dedup_connected_components(
         labels = new_labels.select("id", "lbl")
         if changed == 0:
             break
+    if changed > 0:
+        raise RuntimeError(
+            f"connected components did not converge within {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds — returning "
+            "partially-propagated clusters would silently merge/split groups"
+        )
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         F.col("id").alias("doc_id"),

@@ -44,11 +44,16 @@ def stratified_sample(
     Up/down-weighting data sources ("2x Wikipedia, 0.1x CommonCrawl") is
     exactly this operator with a rates table.
     """
-    branches = " ".join(
-        f"WHEN '{k}' THEN {int(v * SAMPLE_MOD)}" for k, v in sorted(rates.items())
-    )
-    cutoff = f"CASE {strata_col} {branches} ELSE {int(default_rate * SAMPLE_MOD)} END"
-    return df.where(F.expr(f"{_bucket_expr(id_col)} < {cutoff}"))
+    # F.when chain, not string-formatted SQL: stratum names are data, and a
+    # quote inside one must not be able to rewrite the expression
+    cutoff = None
+    for k, v in sorted(rates.items()):
+        cond = F.col(strata_col) == F.lit(k)
+        thr = F.lit(int(v * SAMPLE_MOD))
+        cutoff = F.when(cond, thr) if cutoff is None else cutoff.when(cond, thr)
+    default_thr = F.lit(int(default_rate * SAMPLE_MOD))
+    cutoff = default_thr if cutoff is None else cutoff.otherwise(default_thr)
+    return df.where(F.expr(_bucket_expr(id_col)) < cutoff)
 
 
 def hash_split(
@@ -64,19 +69,17 @@ def hash_split(
     moves existing ones).
     """
     total = sum(weights.values())
-    acc = 0.0
-    branches = []
     items = sorted(weights.items())
+    if len(items) == 1:
+        return df.withColumn(out, F.lit(items[0][0]))
+    b = F.expr(_bucket_expr(id_col))
+    acc = 0.0
+    expr = None
     for name, w in items[:-1]:
         acc += w / total
-        branches.append(f"WHEN b < {int(acc * SAMPLE_MOD)} THEN '{name}'")
-    case = f"CASE {' '.join(branches)} ELSE '{items[-1][0]}' END"
-    return df.withColumn(
-        out,
-        F.expr(
-            f"element_at(transform(array({_bucket_expr(id_col)}), b -> {case}), 1)"
-        ),
-    )
+        cond = b < F.lit(int(acc * SAMPLE_MOD))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out, expr.otherwise(F.lit(items[-1][0])))
 
 
 def per_stratum_smallest_hash(

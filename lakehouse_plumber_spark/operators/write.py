@@ -211,8 +211,19 @@ def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
             )
         state = f"{target}__state"
 
-        def _update(batch_df: DataFrame, _epoch: int) -> None:
+        def _update(batch_df: DataFrame, epoch: int) -> None:
+            # foreachBatch is at-least-once: after a failure/restart the same
+            # epoch id is replayed. The merge is NOT idempotent (it adds
+            # partials), so skip epochs already applied — persisted per state
+            # table, keyed by the checkpoint so a fresh checkpoint resets it.
+            ckpt = ctx.checkpoint("imv", action.name)
+            key = f"last_epoch:{ckpt}"
+            last = ctx.store.get_meta(state, key)
+            if last is not None and epoch <= int(last):
+                ctx.log(action.name, "imv_epoch_skipped", epoch=epoch)
+                return
             incremental_update(ctx.store, state, batch_df, cfg.group_by, cfg.aggs)
+            ctx.store.set_meta(state, key, int(epoch))
 
         with _with_spark_conf(ctx.spark, wt.spark_conf):
             q = (
