@@ -1993,6 +1993,165 @@ def pipe_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pipe_python_load",
+    """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def pipe_python_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """python load: a user module file is imported and its
+    f(spark, parameters) -> DataFrame produces the view. Exercises the
+    module_path/function_name import path (operators/load.py:197; reference
+    src/lhp/generators/load/python.py:1-108)."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    mod_path = os.path.join(tempfile.mkdtemp(prefix="lhp_pyload_"), "custom_source.py")
+    with open(mod_path, "w") as f:
+        f.write(
+            "from pyspark.sql import functions as F\n"
+            "\n"
+            "def suppliers_by_nation(spark, parameters):\n"
+            "    s = spark.table(parameters['supplier_table'])\n"
+            "    n = spark.table('nation')\n"
+            "    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)\n"
+            "             .groupBy('n_name')\n"
+            "             .agg(F.count(F.lit(1)).cast('long').alias('suppliers')))\n"
+        )
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "pyload",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_sup_nation",
+                 "source": {"type": "python", "module_path": mod_path,
+                            "function_name": "suppliers_by_nation",
+                            "parameters": {"supplier_table": "supplier"}}},
+                {"name": "mv", "type": "write", "source": "v_sup_nation",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "bronze", "table": "sup_by_nation"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.bronze.sup_by_nation")
+
+
+@_register(
+    "pipe_sink_kafka",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE value > 50 GROUP BY event_type
+    """,
+)
+def pipe_sink_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka sink without brokers: rows shaped to (key, value) binary are
+    written through the kafka sink's simulate mode (operators/write.py kafka
+    branch; reference sinks/kafka_sink.py.j2:4-32), then read back and the
+    value payload parsed to verify the round-trip."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    sim = os.path.join(runner.store.root, "_ext", "kafka_out")
+    fg = load_flowgroup(
+        {
+            "pipeline": "gold", "flowgroup": "kafka_sink",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_ev",
+                 "source": {"type": "sql", "sql":
+                     "SELECT encode(CAST(user_id AS STRING), 'UTF-8') AS key, "
+                     "encode(to_json(struct(event_id, event_type, value)), 'UTF-8') AS value "
+                     "FROM events WHERE value > 50"}},
+                {"name": "snk", "type": "write", "source": "v_ev",
+                 "write_target": {"type": "sink", "sink_type": "kafka",
+                                  "topic": "events_out",
+                                  "options": {"simulate_path": sim}}},
+            ],
+        }
+    )
+    runner.run(fg)
+    j = F.from_json(
+        F.col("value").cast("string"),
+        "event_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    return (
+        spark.read.parquet(sim)
+        .where(F.col("topic") == "events_out")
+        .select(j.alias("j"))
+        .groupBy(F.col("j.event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@_register(
+    "pipe_sink_custom",
+    """
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def pipe_sink_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sink via the Python Data Source API writer path
+    (operators/write.py custom branch; reference sinks/custom_sink.py:1-182):
+    each write task serializes its partition to a JSONL file, then the files
+    are read back and aggregated to verify transport."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class JsonDirSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "lhp_jsondir"
+
+        def writer(self, schema, overwrite):
+            path = self.options["path"]
+
+            class W(DataSourceWriter):
+                def write(self, iterator):
+                    import json as _json
+                    import os as _os
+                    import uuid as _uuid
+
+                    _os.makedirs(path, exist_ok=True)
+                    rows = [_json.dumps(r.asDict(), default=str) for r in iterator]
+                    if rows:
+                        fn = _os.path.join(path, f"part-{_uuid.uuid4().hex}.jsonl")
+                        with open(fn, "w") as f:
+                            f.write("\n".join(rows) + "\n")
+                    return WriterCommitMessage()
+
+            return W()
+
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    out_dir = os.path.join(runner.store.root, "_ext", "custom_sink_rows")
+    fg = load_flowgroup(
+        {
+            "pipeline": "gold", "flowgroup": "custom_sink",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_nr",
+                 "source": {"type": "sql", "sql":
+                     "SELECT n_nationkey, r_name FROM nation "
+                     "JOIN region ON n_regionkey = r_regionkey"}},
+                {"name": "snk", "type": "write", "source": "v_nr",
+                 "write_target": {"type": "sink", "sink_type": "custom",
+                                  "options": {"path": out_dir}}},
+            ],
+        }
+    )
+    fg.actions[1].write_target.options["sink_class_obj"] = JsonDirSink
+    runner.run(fg)
+    return (
+        spark.read.json(out_dir)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("nations"))
+    )
+
+
 _WINDOW_AGG_ORACLE = """
     WITH m AS (SELECT max(ts) AS mx FROM events),
     w AS (
