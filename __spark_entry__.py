@@ -1766,6 +1766,61 @@ def pipe_quarantine_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pipe_quarantine_recycle",
+    """
+    SELECT c_custkey, c_name,
+           CAST(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE -c_acctbal END AS DOUBLE) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal > 0 OR -c_acctbal > 0
+    """,
+)
+def pipe_quarantine_recycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DLQ recycle loop (reference data_quality_quarantine.py.j2:135-215):
+    run 1 quarantines negative-balance rows; an operator fixes them (abs) and
+    marks the DLQ rows 'fixed' via the change feed; run 2 emits
+    clean ∪ recycled-that-now-pass. The DLQ merge prunes to affected
+    _dlq_sk-hash buckets (quarantine.py)."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    store = runner.store
+    dlq_name = "main.dlq.cust_dlq3"
+    fg_spec = {
+        "pipeline": "silver", "flowgroup": "cust_recycle",
+        "actions": [
+            {"name": "load", "type": "load",
+             "source": {"type": "sql",
+                        "sql": "SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer"},
+             "target": "v_cust"},
+            {"name": "dq", "type": "transform", "transform_type": "data_quality",
+             "source": "v_cust", "target": "v_clean", "mode": "quarantine",
+             "quarantine": {"dlq_table": dlq_name, "source_table": "customer"},
+             "expectations_inline": [
+                 {"name": "positive_balance", "constraint": "c_acctbal > 0", "action": "drop"},
+             ]},
+            {"name": "mv", "type": "write", "source": "v_clean",
+             "write_target": {"type": "materialized_view", "catalog": "main",
+                              "schema": "silver", "table": "cust_recycled"}},
+        ],
+    }
+    runner.run(load_flowgroup(fg_spec))
+
+    # operator intervention: correct the payload, flag the rows fixed
+    sch = "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE"
+    dlq = store.read(dlq_name)
+    fixed = (
+        dlq.withColumn("__row", F.from_json("_row_data", sch))
+        .withColumn("__row", F.col("__row").withField("c_acctbal", F.abs(F.col("__row.c_acctbal"))))
+        .withColumn("_row_data", F.to_json("__row"))
+        .withColumn("_dlq_status", F.lit("fixed"))
+        .drop("__row", "_dlq_bucket")
+    )
+    store.log_changes(dlq_name, fixed, "update_postimage")
+
+    ctx = runner.run(load_flowgroup(fg_spec))
+    return ctx.resolve_view("main.silver.cust_recycled")
+
+
 _TEMP_TABLE_SQL = f"""
     SELECT l_orderkey, {_dsum('l_quantity', 'order_qty')},
            CAST(COUNT(*) AS BIGINT) AS n_lines

@@ -12,15 +12,22 @@ engine's store:
    `parse_json` — Spark 4 has it, we keep the JSON string form which
    `try_variant_get` / `get_json_object` both read);
 3. DLQ merge   — idempotent insert-only by `_dlq_sk`
-   (whenNotMatchedInsertAll semantics);
+   (whenNotMatchedInsertAll semantics). The DLQ is stored hash-partitioned on
+   `_dlq_bucket = pmod(xxhash64(_dlq_sk), N)` so the anti-join reads only the
+   buckets this batch's rows fall into — merge work ∝ batch, not DLQ size
+   (same layout as operators/cdc.py CDC targets);
 4. recycle     — read the DLQ change feed for rows an operator marked
    'fixed' (`_change_type IN ('insert','update_postimage')`), dedup by
    `_dlq_sk` on max `_commit_version`, re-type via the clean schema
-   (per-field `get_json_object` + cast ≙ try_variant_get), re-validate;
+   (one `from_json` per row ≙ per-field try_variant_get), patch rescued
+   columns back in (reference data_quality_quarantine.py.j2:65-95:
+   `map_zip_with`/`map_filter` over `_rescued_data`), re-validate;
 5. output      — clean ∪ recycled-that-now-pass.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,6 +36,10 @@ from pyspark.sql.window import Window
 from lakehouse_plumber_spark.context import BuildContext
 from lakehouse_plumber_spark.expectations import Expectation, combined_predicate, inverse_predicate
 from lakehouse_plumber_spark.models import Action
+
+DLQ_BUCKET_COL = "_dlq_bucket"
+N_DLQ_BUCKETS = int(os.environ.get("LHP_DLQ_BUCKETS", "64"))
+RESCUE_COL = "_rescued_data"
 
 
 def _failed_rules_col(exps: list[Expectation]):
@@ -40,6 +51,36 @@ def _failed_rules_col(exps: list[Expectation]):
         for e in exps
     ]
     return F.array_compact(F.array(*entries))
+
+
+def patch_rescued(recycled: DataFrame, schema, rescue_col: str = RESCUE_COL) -> DataFrame:
+    """Merge rescued-column values back into the typed row before
+    re-validation (reference data_quality_quarantine.py.j2:65-95).
+
+    `_rescued_data` holds a JSON object of columns that failed schema typing;
+    a key matching a schema column wins over the (null) typed value, cast to
+    the column type; consumed keys are removed from the surviving rescue map
+    (`map_filter`) so only genuinely-unplaceable data remains there.
+    Pure narrow expressions — no shuffle, whole-stage codegen.
+    """
+    names = [f.name for f in schema.fields]
+    if rescue_col not in names:
+        return recycled
+    m = F.from_json(F.col(rescue_col), "map<string,string>")
+    data_names = [n for n in names if n != rescue_col]
+    cols = []
+    for f in schema.fields:
+        if f.name == rescue_col:
+            consumed = F.array(*[F.lit(n) for n in data_names])
+            remainder = F.map_filter(m, lambda k, _v: ~F.array_contains(consumed, k))
+            cols.append(
+                F.when(F.size(F.map_keys(remainder)) > 0, F.to_json(remainder)).alias(rescue_col)
+            )
+        else:
+            cols.append(
+                F.coalesce(F.element_at(m, f.name).cast(f.dataType), F.col(f.name)).alias(f.name)
+            )
+    return recycled.select(*cols)
 
 
 def run_quarantine(
@@ -70,14 +111,34 @@ def run_quarantine(
         F.to_json("_dlq_failed_rules").alias("_dlq_failed_rules"),
     )
 
-    # idempotent insert-only merge on _dlq_sk (whenNotMatchedInsertAll)
+    # idempotent insert-only merge on _dlq_sk (whenNotMatchedInsertAll),
+    # pruned to the _dlq_sk-hash buckets this batch touches
+    n_buckets = N_DLQ_BUCKETS
     if ctx.store.exists(dlq_table):
-        existing = ctx.store.read(dlq_table).select("_dlq_sk")
-        new_rows = dlq_row.join(existing, on="_dlq_sk", how="left_anti")
+        stored = ctx.store.get_meta(dlq_table, "dlq_buckets")
+        if stored is None:
+            # legacy unbucketed DLQ: fall back to the full anti-join
+            existing = ctx.store.read(dlq_table).select("_dlq_sk")
+            new_rows = dlq_row.join(existing, on="_dlq_sk", how="left_anti")
+            ctx.store.append(dlq_table, new_rows)
+        else:
+            n_buckets = int(stored)
+            bucket = F.pmod(F.xxhash64(F.col("_dlq_sk")), F.lit(n_buckets)).cast("int")
+            dlq_row = dlq_row.withColumn(DLQ_BUCKET_COL, bucket)
+            touched = [r[0] for r in dlq_row.select(DLQ_BUCKET_COL).distinct().collect()]
+            existing = (
+                ctx.store.read(dlq_table)
+                .filter(F.col(DLQ_BUCKET_COL).isin(touched))
+                .select("_dlq_sk")
+            )
+            new_rows = dlq_row.join(existing, on="_dlq_sk", how="left_anti")
+            ctx.store.append(dlq_table, new_rows, [DLQ_BUCKET_COL])
     else:
-        new_rows = dlq_row
-    ctx.store.append(dlq_table, new_rows)
-    ctx.store.log_changes(dlq_table, new_rows, "insert")
+        bucket = F.pmod(F.xxhash64(F.col("_dlq_sk")), F.lit(n_buckets)).cast("int")
+        new_rows = dlq_row.withColumn(DLQ_BUCKET_COL, bucket)
+        ctx.store.append(dlq_table, new_rows, [DLQ_BUCKET_COL])
+        ctx.store.set_meta(dlq_table, "dlq_buckets", n_buckets)
+    ctx.store.log_changes(dlq_table, new_rows.drop(DLQ_BUCKET_COL), "insert")
     ctx.log(action.name, "quarantined", dlq_table=dlq_table)
 
     # recycle: rows marked fixed in the DLQ change feed
@@ -96,6 +157,7 @@ def run_quarantine(
         recycled = fixed.select(
             F.from_json("_row_data", df.schema).alias("__row")
         ).select(*[F.col(f"__row.{f.name}").alias(f.name) for f in df.schema.fields])
+        recycled = patch_rescued(recycled, df.schema)
         recycled = recycled.filter(F.expr(combined_predicate(exps)))
 
     out = clean if recycled is None else clean.unionByName(recycled)

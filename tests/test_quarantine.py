@@ -1,0 +1,111 @@
+"""Quarantine DLQ: rescued-data patching, bucketed merge pruning, recycle.
+
+Reference semantics: src/lhp/templates/transform/data_quality_quarantine.py.j2
+(rescued patch 65-95, DLQ merge 122-131, CDF recycle 135-215).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lakehouse_plumber_spark import load_flowgroup
+from lakehouse_plumber_spark.operators.quarantine import (
+    DLQ_BUCKET_COL,
+    patch_rescued,
+)
+
+
+def test_patch_rescued_merges_and_filters(spark):
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("_rescued_data", T.StringType()),
+    ])
+    df = spark.createDataFrame(
+        [
+            # amount failed typing -> null, raw value parked in _rescued_data
+            (1, None, '{"amount": "12.5", "_file_path": "/x/a.json"}'),
+            # nothing rescued
+            (2, 3.0, None),
+            # rescued key not matching any column survives in the remainder
+            (3, 7.0, '{"extra_col": "zzz"}'),
+        ],
+        schema,
+    )
+    out = {r["id"]: r for r in patch_rescued(df, schema).collect()}
+    assert out[1]["amount"] == 12.5
+    # consumed key removed; non-column key kept
+    assert "_file_path" in out[1]["_rescued_data"] and "amount" not in out[1]["_rescued_data"]
+    assert out[2]["amount"] == 3.0 and out[2]["_rescued_data"] is None
+    assert out[3]["amount"] == 7.0 and '"extra_col"' in out[3]["_rescued_data"]
+
+
+def _quarantine_fg(dlq):
+    return load_flowgroup({
+        "pipeline": "t", "flowgroup": "q",
+        "actions": [
+            {"name": "ld", "type": "load",
+             "source": {"type": "sql",
+                        "sql": "SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer"},
+             "target": "v_c"},
+            {"name": "dq", "type": "transform", "transform_type": "data_quality",
+             "source": "v_c", "target": "v_clean", "mode": "quarantine",
+             "quarantine": {"dlq_table": dlq, "source_table": "customer"},
+             "expectations_inline": [
+                 {"name": "pos", "constraint": "c_acctbal > 0", "action": "drop"},
+             ]},
+            {"name": "mv", "type": "write", "source": "v_clean",
+             "write_target": {"type": "materialized_view", "database": "m.s", "table": "out"}},
+        ],
+    })
+
+
+def test_dlq_bucketed_layout_and_idempotent_merge(spark, testdata, runner):
+    dlq = "m.dlq.c"
+    runner.run(_quarantine_fg(dlq))
+    store = runner.store
+    n_bad = store.read(dlq).count()
+    assert n_bad > 0
+    # stored partitioned by the sk-hash bucket
+    subdirs = [d for d in os.listdir(store.path(dlq)) if d.startswith(f"{DLQ_BUCKET_COL}=")]
+    assert subdirs, "DLQ must be hash-partitioned on _dlq_bucket"
+    assert store.get_meta(dlq, "dlq_buckets") is not None
+
+    # re-run: same bad rows arrive again -> anti-join drops all, count stable
+    runner.run(_quarantine_fg(dlq))
+    assert store.read(dlq).count() == n_bad
+    assert store.read(dlq).select("_dlq_sk").distinct().count() == n_bad
+
+    # the pruned read plan filters on the partition column
+    touched = [0, 1]
+    plan = (
+        store.read(dlq)
+        .filter(F.col(DLQ_BUCKET_COL).isin(touched))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and DLQ_BUCKET_COL in plan.split("PartitionFilters")[1][:200]
+
+
+def test_recycle_roundtrip(spark, testdata, runner):
+    dlq = "m.dlq.r"
+    runner.run(_quarantine_fg(dlq))
+    store = runner.store
+    clean_1 = store.read("m.s.out").count()
+
+    fixed = (
+        store.read(dlq)
+        .withColumn("__row", F.from_json("_row_data", "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE"))
+        .withColumn("__row", F.col("__row").withField("c_acctbal", F.abs(F.col("__row.c_acctbal"))))
+        .withColumn("_row_data", F.to_json("__row"))
+        .withColumn("_dlq_status", F.lit("fixed"))
+        .drop("__row", DLQ_BUCKET_COL)
+    )
+    n_fixable = fixed.filter(F.get_json_object("_row_data", "$.c_acctbal").cast("double") > 0).count()
+    store.log_changes(dlq, fixed, "update_postimage")
+
+    ctx = runner.run(_quarantine_fg(dlq))
+    out = ctx.resolve_view("m.s.out")
+    assert out.count() == clean_1 + n_fixable
+    assert out.filter("c_acctbal <= 0").count() == 0
