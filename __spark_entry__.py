@@ -3208,6 +3208,105 @@ def pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver contract
 # ---------------------------------------------------------------------------
 
+# Explicit ordering for `queries()`: the correctness driver checks a prefix of
+# the registry, so the first 50 entries must cover every SURVEY §2 operator
+# class and every LLM-data operator exactly once.  Redundant TPC-H variants
+# (which all prove the same `transform: sql` path) come after.  The full
+# registry is still exercised by the local oracle-parity sweep
+# (tests/test_oracle_parity.py).
+_PRIORITY: list[str] = [
+    # loads: cloudfiles, delta, sql, python, jdbc, kafka, custom_datasource
+    "pipe_autoloader_rescue",
+    "pipe_schema_enforce",
+    "pipe_sink_delta",
+    "pipe_python_load",
+    "pipe_jdbc_roundtrip",
+    "pipe_kafka_roundtrip",
+    "pipe_custom_datasource",
+    # transforms: sql, python, dqe, quarantine (DLQ + recycle), temp_table
+    "q1_pricing_summary",
+    "pipe_python_transform",
+    "pipe_dq_drop",
+    "pipe_quarantine_clean",
+    "pipe_quarantine_recycle",
+    "pipe_temp_table",
+    # writes: streaming_table standard/cdc/snapshot_cdc, MV, sinks
+    "pipe_streaming_fanin",
+    "pipe_cdc_scd1",
+    "pipe_cdc_scd2",
+    "pipe_snapshot_cdc_scd1",
+    "pipe_snapshot_cdc_scd2",
+    "pipe_mv_revenue_by_region",
+    "pipe_mv_incremental",
+    "pipe_sink_kafka",
+    "pipe_sink_foreachbatch",
+    "pipe_sink_custom",
+    # the nine data-quality test operators
+    "pipe_test_row_count",
+    "pipe_test_uniqueness",
+    "pipe_test_referential",
+    "pipe_test_completeness",
+    "pipe_test_range",
+    "pipe_test_schema_match",
+    "pipe_test_all_lookups",
+    "pipe_test_custom_sql",
+    "pipe_test_custom_expectations",
+    # LLM-data: dedup family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    # LLM-data: similarity search ladder
+    "knn_bruteforce",
+    "knn_int8",
+    "knn_lsh",
+    "knn_ivf",
+    # LLM-data: multimodal plumbing
+    "multimodal_bytes",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    # LLM-data: sampling
+    "sample_stratified",
+    "sample_hash_split",
+    "sample_per_source_topk",
+    # custom stateful streaming
+    "pipe_stateful_sessionize",
+    "pipe_stream_dedup",
+    # --- 50 entries above this line ---
+    "pipe_stream_window_agg",
+    "pipe_stream_session_window",
+    "text_lang_id",
+    "pii_redact",
+    "text_repetition",
+    "text_winnow_fingerprint",
+    "pipe_curation",
+    "asof_purchase_attribution",
+    "range_join_error_burst",
+    "events_hourly_gap_fill",
+    "pipe_quarantine_dlq",
+    "text_token_count",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    "text_quality_score",
+    "events_sessionize",
+    "events_hourly_rollup",
+    "events_funnel",
+    "events_retention_cohort",
+    "events_json_extract",
+]
+
+
+def _ordered_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    out: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+    for name in _PRIORITY:
+        out[name] = _REGISTRY[name]
+    for name, v in _REGISTRY.items():
+        if name not in out:
+            out[name] = v
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -3215,8 +3314,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {name: sql for name, (_, sql) in _ordered_registry().items() if sql is not None}

@@ -38,3 +38,72 @@ def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_driver_prefix_covers_every_operator_class():
+    """The correctness driver checks a 50-key prefix of queries(); that prefix
+    must cover every SURVEY §2 operator class and every LLM-data operator
+    family exactly once (VERDICT r2 item #1)."""
+    import __spark_entry__ as entry
+
+    prefix = list(entry.queries())[:50]
+    assert len(set(prefix)) == 50
+
+    required = {
+        # one representative per operator class / family
+        "load:cloudfiles": {"pipe_autoloader_rescue"},
+        "load:delta+schema": {"pipe_schema_enforce"},
+        "load:sql+sink:delta": {"pipe_sink_delta"},
+        "load:python": {"pipe_python_load"},
+        "load:jdbc": {"pipe_jdbc_roundtrip"},
+        "load:kafka": {"pipe_kafka_roundtrip"},
+        "load:custom_datasource": {"pipe_custom_datasource"},
+        "transform:sql": {"q1_pricing_summary"},
+        "transform:python": {"pipe_python_transform"},
+        "transform:dqe": {"pipe_dq_drop"},
+        "transform:quarantine": {"pipe_quarantine_clean", "pipe_quarantine_recycle"},
+        "transform:temp_table": {"pipe_temp_table"},
+        "write:streaming_table": {"pipe_streaming_fanin"},
+        "write:cdc": {"pipe_cdc_scd1", "pipe_cdc_scd2"},
+        "write:snapshot_cdc": {"pipe_snapshot_cdc_scd1", "pipe_snapshot_cdc_scd2"},
+        "write:mv": {"pipe_mv_revenue_by_region", "pipe_mv_incremental"},
+        "sink:kafka": {"pipe_sink_kafka"},
+        "sink:foreachbatch": {"pipe_sink_foreachbatch"},
+        "sink:custom": {"pipe_sink_custom"},
+        "tests": {
+            "pipe_test_row_count", "pipe_test_uniqueness", "pipe_test_referential",
+            "pipe_test_completeness", "pipe_test_range", "pipe_test_schema_match",
+            "pipe_test_all_lookups", "pipe_test_custom_sql",
+            "pipe_test_custom_expectations",
+        },
+        "llm:dedup": {
+            "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+            "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters",
+        },
+        "llm:knn": {"knn_bruteforce", "knn_int8", "knn_lsh", "knn_ivf"},
+        "llm:multimodal": {
+            "multimodal_bytes", "multimodal_features", "multimodal_frame_sample",
+        },
+        "llm:sampling": {
+            "sample_stratified", "sample_hash_split", "sample_per_source_topk",
+        },
+        "streaming:stateful": {"pipe_stateful_sessionize", "pipe_stream_dedup"},
+    }
+    prefix_set = set(prefix)
+    missing = {
+        cls: names - prefix_set
+        for cls, names in required.items()
+        if names - prefix_set
+    }
+    assert not missing, f"driver prefix missing operator classes: {missing}"
+
+
+def test_priority_list_names_are_registered():
+    import __spark_entry__ as entry
+
+    registered = set(entry._REGISTRY)
+    unknown = [n for n in entry._PRIORITY if n not in registered]
+    assert not unknown, f"_PRIORITY names not in registry: {unknown}"
+    assert len(set(entry._PRIORITY)) == len(entry._PRIORITY)
+    # reordering must not lose or duplicate any registry entry
+    assert set(entry.queries()) == registered
