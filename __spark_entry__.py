@@ -57,6 +57,21 @@ def _runner(spark: SparkSession) -> PipelineRunner:
     return PipelineRunner(spark, store=ParquetTableStore(spark=spark, root=root))
 
 
+def _events_stream_schema(sf_dir: str) -> tuple[str, str]:
+    """Stream-read schema for events.parquet + SQL expression converting `ts`
+    to a proper timestamp. The driver has generated the column as both
+    TIMESTAMP(NANOS) (which Spark reads as long under the nanosAsLong conf)
+    and TIMESTAMP(MICROS) (read natively) across rounds — inspect the file
+    footer and adapt instead of hardcoding one encoding."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    base = "event_id bigint, ts {ts}, user_id bigint, event_type string, value double, props string"
+    if getattr(t, "unit", None) == "ns":
+        return base.format(ts="bigint"), "timestamp_micros(ts DIV 1000)"
+    return base.format(ts="timestamp"), "ts"
+
+
 # ----------------------------------------------------------------------------
 # registry: name -> (spark_fn, duckdb_sql | None)
 # ----------------------------------------------------------------------------
@@ -988,8 +1003,7 @@ def pipe_streaming_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     runner = _runner(spark)
     events_path = os.path.join(sf_dir, "events.parquet")
-    schema_ddl = ("event_id bigint, ts bigint, user_id bigint, event_type string, "
-                  "value double, props string")
+    schema_ddl, _ = _events_stream_schema(sf_dir)
     fg = load_flowgroup(
         {
             "pipeline": "bronze", "flowgroup": "events_ingest",
@@ -2231,12 +2245,11 @@ def pipe_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     runner = _runner(spark)
     events_path = os.path.join(sf_dir, "events.parquet")
-    schema_ddl = ("event_id bigint, ts bigint, user_id bigint, event_type string, "
-                  "value double, props string")
+    schema_ddl, ts_expr = _events_stream_schema(sf_dir)
 
     def window_agg(df, spark_, params):
         return (
-            df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            df.withColumn("ts", F.expr(ts_expr))
             .withWatermark("ts", "10 minutes")
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -2302,12 +2315,11 @@ def pipe_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     runner = _runner(spark)
     events_path = os.path.join(sf_dir, "events.parquet")
-    schema_ddl = ("event_id bigint, ts bigint, user_id bigint, event_type string, "
-                  "value double, props string")
+    schema_ddl, ts_expr = _events_stream_schema(sf_dir)
 
     def sessionize(df, spark_, params):
         return (
-            df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            df.withColumn("ts", F.expr(ts_expr))
             .withWatermark("ts", "10 minutes")
             .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
             .agg(
@@ -2363,13 +2375,12 @@ def pipe_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     runner = _runner(spark)
     events_path = os.path.join(sf_dir, "events.parquet")
-    schema_ddl = ("event_id bigint, ts bigint, user_id bigint, event_type string, "
-                  "value double, props string")
+    schema_ddl, ts_expr = _events_stream_schema(sf_dir)
 
     def dedup_stream(df, spark_, params):
         redelivered = df.union(df)
         return (
-            redelivered.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            redelivered.withColumn("ts", F.expr(ts_expr))
             .withWatermark("ts", "10 minutes")
             .dropDuplicatesWithinWatermark(["event_id"])
         )

@@ -24,6 +24,9 @@ class BuildContext:
     event_log: list[dict] = field(default_factory=list)
     # (action_name, Observation, fail_expectations) to assert after execution
     pending_checks: list[tuple] = field(default_factory=list)
+    # structured DQ test outcomes, published post-run by the test-reporting
+    # hook (reference templates/test_reporting/hook.py.j2:1-115)
+    test_results: list[dict] = field(default_factory=list)
     conf: dict[str, Any] = field(default_factory=dict)
 
     def resolve_path(self, p: str) -> str:

@@ -94,6 +94,12 @@ class CDCConfig(BaseModel):
     except_column_list: Optional[list[str]] = None
     track_history_column_list: Optional[list[str]] = None
     track_history_except_column_list: Optional[list[str]] = None
+    # SCD2-only: SQL expression over `__max_seq` (the newest sequence seen by
+    # the merge) giving the compaction horizon, e.g. "__max_seq - 1000" or
+    # "__max_seq - INTERVAL 90 DAYS". Hidden event-log rows older than it are
+    # collapsed into version-boundary events, so merge input stays ∝ recent
+    # history. Contract: late events must never arrive older than the horizon.
+    log_compaction_horizon: Optional[str] = None
 
     @model_validator(mode="after")
     def _check(self) -> "CDCConfig":
@@ -105,6 +111,8 @@ class CDCConfig(BaseModel):
             raise ValueError("track_history_* lists are mutually exclusive")
         if not self.keys:
             raise ValueError("cdc_config.keys must be non-empty")
+        if self.log_compaction_horizon and self.scd_type != 2:
+            raise ValueError("log_compaction_horizon applies to scd_type 2 only")
         return self
 
     @property
@@ -320,4 +328,8 @@ class FlowGroup(BaseModel):
     template_parameters: dict[str, Any] = Field(default_factory=dict)
     variables: dict[str, Any] = Field(default_factory=dict)
     operational_metadata: Optional[Union[bool, list[str]]] = None
+    # post-run DQ test reporting hook config (reference lhp.yaml
+    # `test_reporting:` -> templates/test_reporting/hook.py.j2): keys
+    # module_path/function_name (or callable_fn in-process) + config dict
+    test_reporting: Optional[dict[str, Any]] = None
     actions: list[Action] = Field(default_factory=list)

@@ -25,10 +25,11 @@ visible intervals. Untouched keys pass through via anti-join. The log is what
 makes arbitrary out-of-order arrival exact: collapsed intervals alone are
 lossy (interior same-value events vanish), so rebuilding from them would
 splice late events into wrong intervals. State size = change history — the
-same order as the CDC feed itself; compact by age if that matters. With Delta
-this maps to MERGE; compute is bounded by (batch keys x their history), which
-shuffles only on the CDC keys — the partitioning any cluster-scale merge
-needs anyway.
+same order as the CDC feed itself; `log_compaction_horizon` collapses log
+rows older than a declared late-data horizon so merge input stays ∝ recent
+history (see _compact_scd2_log). With Delta this maps to MERGE; compute is
+bounded by (batch keys x their history), which shuffles only on the CDC
+keys — the partitioning any cluster-scale merge needs anyway.
 
 Out-of-order tolerance is merge-on-max-sequence, not watermark (reference
 streaming_table.py.j2:50-55): late events slot into history deterministically
@@ -54,12 +55,22 @@ _PRIO = "__batch_priority"
 TOMBSTONE = "__tombstone"
 EVENT_DEL = "__event_del"  # on hidden SCD2 event-log rows: the event's delete flag
 BUCKET_COL = "__kb"  # hidden key-hash bucket: CDC targets are stored
-# partitioned by it so merges touch only affected partitions. Tunable via env
-# (hundreds-to-thousands on a real cluster); the count used at table creation
-# is persisted per table — pruning is only sound against the stored layout.
+# partitioned by it so merges touch only affected partitions. The count is
+# picked ADAPTIVELY from the first batch's size at table creation
+# (tables.adaptive_bucket_count) and persisted per table — pruning is only
+# sound against the stored layout. LHP_CDC_BUCKETS forces a fixed count.
 import os as _os
 
-N_BUCKETS = int(_os.environ.get("LHP_CDC_BUCKETS", "64"))
+N_BUCKETS_ENV = _os.environ.get("LHP_CDC_BUCKETS")
+ROWS_PER_BUCKET = int(_os.environ.get("LHP_CDC_ROWS_PER_BUCKET", "2000000"))
+
+
+def _creation_buckets(first_batch_rows: int) -> int:
+    from lakehouse_plumber_spark.tables import adaptive_bucket_count
+
+    if N_BUCKETS_ENV:
+        return int(N_BUCKETS_ENV)
+    return adaptive_bucket_count(first_batch_rows, rows_per_bucket=ROWS_PER_BUCKET)
 
 
 def _bucket_expr(cfg: CDCConfig, n_buckets: int):
@@ -218,6 +229,41 @@ def _rebuild_scd2(events: DataFrame, cfg: CDCConfig, data_cols: list[str]) -> Da
     return versions.unionByName(log)
 
 
+def _compact_scd2_log(
+    state: DataFrame, cfg: CDCConfig, horizon, data_cols: list[str]
+) -> DataFrame:
+    """Age-based compaction of the hidden SCD2 event log.
+
+    Log rows with seq < `horizon` are dropped. Versions that closed at or
+    before the horizon thereby become FROZEN: immutable rows with no log
+    backing, passed through later merges untouched (see apply_changes) — no
+    event with seq >= horizon can splice into an interval that ended before
+    it. The one version STRADDLING the horizon (start < horizon, end > it
+    or open) gets a single synthetic anchor event at its start, carrying the
+    version's values, so rebuilds re-derive it and late events >= horizon
+    splice into it exactly. Net log size per key = events newer than the
+    horizon + at most one anchor — ∝ recent history, independent of version
+    count and table lifetime. Interior same-value events older than the
+    horizon vanish; that is the lossy part, and exactly why the horizon is a
+    contract: late data older than it would splice into wrong intervals (the
+    standard watermark trade).
+    """
+    log = state.filter(F.col(TOMBSTONE))
+    versions = state.filter(~F.col(TOMBSTONE))
+    keep_log = log.filter(F.col(START_COL) >= horizon)
+    anchor = versions.filter(
+        (F.col(START_COL) < horizon)
+        & (F.col(END_COL).isNull() | (F.col(END_COL) > horizon))
+    ).select(
+        *data_cols,
+        F.col(START_COL),
+        F.when(F.lit(False), F.col(START_COL)).alias(END_COL),  # typed NULL
+        F.lit(True).alias(TOMBSTONE),
+        F.lit(False).alias(EVENT_DEL),
+    )
+    return versions.unionByName(keep_log.select(*versions.columns)).unionByName(anchor)
+
+
 def _rebuild_scd1(events: DataFrame, cfg: CDCConfig, data_cols: list[str]) -> DataFrame:
     """Final state per key = event with max sequence; deletes drop the key.
 
@@ -292,7 +338,12 @@ def apply_changes(
     # rewrite via) the full-table path.
     exists = store.exists(target)
     full_rewrite = trunc_seq is not None
-    n_buckets = int(store.get_meta(target, "cdc_buckets", N_BUCKETS)) if exists else N_BUCKETS
+    if exists:
+        n_buckets = int(store.get_meta(target, "cdc_buckets", 64))
+    else:
+        # one count at table creation sizes the bucket layout for the
+        # table's lifetime (first batch ≈ initial load for CDC feeds)
+        n_buckets = _creation_buckets(events.count())
     buckets: Optional[list[int]] = None
     if exists:
         current = store.read(target)
@@ -318,11 +369,31 @@ def apply_changes(
         keys_df = events.select(*cfg.keys).distinct()
         affected = current.join(keys_df, on=cfg.keys, how="left_semi")
         untouched = current.join(keys_df, on=cfg.keys, how="left_anti")
+        if cfg.scd_type == 2 and cfg.log_compaction_horizon:
+            # FROZEN versions: closed at or before every surviving log event
+            # for their key (i.e. before a past compaction horizon). Their
+            # events are gone from the log, so a rebuild cannot re-derive
+            # them — and need not: no in-contract late event can splice into
+            # an interval that ended before the horizon. Pass them through.
+            vis = affected.filter(~F.col(TOMBSTONE))
+            lg = affected.filter(F.col(TOMBSTONE))
+            min_log = lg.groupBy(*cfg.keys).agg(F.min(START_COL).alias("__mls"))
+            frozen = (
+                vis.join(min_log, on=list(cfg.keys), how="left")
+                .filter(
+                    F.col(END_COL).isNotNull()
+                    & (F.col("__mls").isNull() | (F.col(END_COL) <= F.col("__mls")))
+                )
+                .drop("__mls")
+            )
+        else:
+            frozen = None
         cur_events = _target_to_events(affected, cfg, data_cols, cfg.scd_type)
         cur_events = cur_events.withColumn(_PRIO, F.lit(0)).select(*data_cols, _DEL, _PRIO)
         events = events.unionByName(cur_events)
     else:
         untouched = None
+        frozen = None
 
     events = _dedup_key_seq(events, cfg)
     cached = None
@@ -332,9 +403,29 @@ def apply_changes(
         # size + affected keys' history, not table size)
         cached = events.drop(_PRIO).persist()
         rebuilt = _rebuild_scd2(cached, cfg, data_cols)
+        if cfg.log_compaction_horizon:
+            # compact the affected keys' logs as part of this merge (no extra
+            # rewrite); hot keys therefore plateau instead of growing forever.
+            # Scalar sequence only: a struct seq has no single horizon value.
+            seqs = _seq_cols(cfg)
+            if len(seqs) != 1:
+                raise ValueError("log_compaction_horizon requires a scalar sequence_by")
+            mx = cached.agg(F.max(F.col(seqs[0])).alias("m")).collect()[0]["m"]
+            if mx is not None:
+                # evaluate the horizon expression once on the driver
+                hval = (
+                    cached.limit(1)
+                    .withColumn("__max_seq", F.lit(mx))
+                    .select(F.expr(cfg.log_compaction_horizon).alias("h"))
+                    .collect()[0]["h"]
+                )
+                if hval is not None:
+                    rebuilt = _compact_scd2_log(rebuilt, cfg, F.lit(hval), data_cols)
     else:
         rebuilt = _rebuild_scd1(_forward_fill_nulls(events, cfg, data_cols), cfg, data_cols)
 
+    if frozen is not None:
+        rebuilt = rebuilt.unionByName(frozen.select(*rebuilt.columns))
     if untouched is not None:
         rebuilt = untouched.select(*rebuilt.columns).unionByName(rebuilt)
     rebuilt = rebuilt.withColumn(BUCKET_COL, _bucket_expr(cfg, n_buckets))

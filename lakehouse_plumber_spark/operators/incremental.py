@@ -33,7 +33,20 @@ from lakehouse_plumber_spark.tables import ParquetTableStore
 
 _AGG = re.compile(r"^\s*(sum|count|min|max|avg)\s*\((.+)\)\s*$", re.IGNORECASE | re.DOTALL)
 BUCKET_COL = "__gb"
-N_BUCKETS = 64
+
+import os as _os
+
+AGG_BUCKETS_ENV = _os.environ.get("LHP_AGG_BUCKETS")  # forces a fixed count
+AGG_GROUPS_PER_BUCKET = int(_os.environ.get("LHP_AGG_GROUPS_PER_BUCKET", "1000000"))
+
+
+def _creation_buckets(first_batch_groups: int) -> int:
+    from lakehouse_plumber_spark.tables import adaptive_bucket_count
+
+    if AGG_BUCKETS_ENV:
+        return int(AGG_BUCKETS_ENV)
+    # state rows = distinct groups, so groups (not input rows) drive sizing
+    return adaptive_bucket_count(first_batch_groups, rows_per_bucket=AGG_GROUPS_PER_BUCKET)
 
 
 def parse_aggs(aggs: dict[str, str]) -> list[tuple[str, str, str]]:
@@ -65,6 +78,26 @@ def _partial_cols(parsed: list[tuple[str, str, str]]) -> list[str]:
     return cols
 
 
+def _stabilize_partials(partials: DataFrame) -> DataFrame:
+    """Pin decimal partial columns to max precision (38, same scale).
+
+    Spark widens decimal sums by +10 precision per aggregation
+    (sum(decimal(18,6)) -> decimal(28,6) -> decimal(38,6) on merge): without
+    pinning, each state merge rewrites touched buckets with a WIDER type than
+    untouched buckets still on disk, and the mixed-precision parquet files
+    fail to read (FIXED_LEN_BYTE_ARRAY length depends on precision). Pinning
+    at creation makes the state schema a fixed point of the merge."""
+    from pyspark.sql import types as T
+
+    cols = []
+    for f in partials.schema.fields:
+        if f.name.startswith("__p_") and isinstance(f.dataType, T.DecimalType):
+            cols.append(F.col(f.name).cast(T.DecimalType(38, f.dataType.scale)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return partials.select(*cols)
+
+
 def batch_partials(df: DataFrame, group_by: Sequence[str], parsed) -> DataFrame:
     """One shuffle: partial aggregates of a micro-batch per group."""
     aggs = []
@@ -81,7 +114,7 @@ def batch_partials(df: DataFrame, group_by: Sequence[str], parsed) -> DataFrame:
             aggs.append(F.min(e).alias(f"__p_{alias}_min"))
         if fn == "max":
             aggs.append(F.max(e).alias(f"__p_{alias}_max"))
-    return df.groupBy(*group_by).agg(*aggs)
+    return _stabilize_partials(df.groupBy(*group_by).agg(*aggs))
 
 
 def _merge_partials(state: DataFrame, group_by: Sequence[str], parsed) -> DataFrame:
@@ -95,7 +128,9 @@ def _merge_partials(state: DataFrame, group_by: Sequence[str], parsed) -> DataFr
             aggs.append(F.min(f"__p_{alias}_min").alias(f"__p_{alias}_min"))
         if fn == "max":
             aggs.append(F.max(f"__p_{alias}_max").alias(f"__p_{alias}_max"))
-    return state.groupBy(*group_by).agg(*aggs)
+    # decimal(38,s) is a fixed point of sum() (p+10 caps at 38), but pin
+    # again so the state schema can never drift from the on-disk layout
+    return _stabilize_partials(state.groupBy(*group_by).agg(*aggs))
 
 
 def incremental_update(
@@ -104,19 +139,20 @@ def incremental_update(
     batch_df: DataFrame,
     group_by: Sequence[str],
     aggs: dict[str, str],
-    n_buckets: int = N_BUCKETS,
+    n_buckets: Optional[int] = None,
 ) -> None:
     """Merge one micro-batch into the partial-aggregate state table.
 
     Reads/rewrites only the state buckets containing this batch's groups —
     work ∝ batch groups + their bucket residents, independent of state size.
+    The bucket count is sized from the first batch's group count at creation
+    and persisted (pruning is only sound against the stored layout).
     """
     parsed = parse_aggs(aggs)
     partials = batch_partials(batch_df, group_by, parsed)
-    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in group_by]), F.lit(n_buckets)).cast("int")
 
     if store.exists(state_table):
-        n_buckets = int(store.get_meta(state_table, "agg_buckets", n_buckets))
+        n_buckets = int(store.get_meta(state_table, "agg_buckets", n_buckets or 64))
         bucket = F.pmod(F.xxhash64(*[F.col(c) for c in group_by]), F.lit(n_buckets)).cast("int")
         touched = [r[0] for r in partials.select(bucket.alias("b")).distinct().collect()]
         current = store.read(state_table).filter(F.col(BUCKET_COL).isin(touched)).drop(BUCKET_COL)
@@ -125,6 +161,9 @@ def incremental_update(
             state_table, merged.withColumn(BUCKET_COL, bucket), [BUCKET_COL]
         )
     else:
+        if n_buckets is None:
+            n_buckets = _creation_buckets(partials.count())
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in group_by]), F.lit(n_buckets)).cast("int")
         store.overwrite(
             state_table, partials.withColumn(BUCKET_COL, bucket), partition_columns=[BUCKET_COL]
         )

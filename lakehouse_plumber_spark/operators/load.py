@@ -29,7 +29,51 @@ _CLOUDFILES_RENAME = {
     "cloudFiles.format": None,
     "cloudFiles.schemaLocation": None,
     "cloudFiles.rescuedDataColumn": "__rescue_col__",
+    "cloudFiles.rescueDataColumn": "__rescue_col__",  # reference's spelling (cloudfiles.py:37)
 }
+
+# Full option vocabulary the reference validates against
+# (src/lhp/generators/load/cloudfiles.py:30-55, tests/test_cloudfiles_options.py):
+# an unknown `cloudFiles.*` key is a spec error, not something to drop silently.
+_CLOUDFILES_KNOWN = {
+    "format", "schemaLocation", "inferColumnTypes", "maxFilesPerTrigger",
+    "maxBytesPerTrigger", "schemaEvolutionMode", "rescueDataColumn",
+    "rescuedDataColumn", "includeExistingFiles", "partitionColumns",
+    "schemaHints", "allowOverwrites", "backfillInterval", "cleanSource",
+    "cleanSource.retentionDuration", "cleanSource.moveDestination",
+    "maxFileAge", "useIncrementalListing", "fetchParallelism", "pathRewrites",
+    "resourceTag", "useManagedFileEvents", "useNotifications",
+    "validateOptions", "useStrictGlobber",
+}
+
+
+def validate_cloudfiles_options(options: dict[str, Any], action_name: str) -> list[str]:
+    """Reject unknown `cloudFiles.*` keys; return the known-but-unhonored ones.
+
+    Mirrors the reference's generator-time validation (cloudfiles.py:30-55):
+    a typo like `cloudFiles.maxFilesPerTriger` must fail the spec, because
+    silently dropping it changes ingestion behavior. Keys the OSS engine
+    cannot honor (notification mode etc.) are legal spec — they are returned
+    so the caller can log them as ignored. `cloudFiles.validateOptions: false`
+    disables the check (same escape hatch as Auto Loader itself).
+    """
+    if str(options.get("cloudFiles.validateOptions", "true")).lower() == "false":
+        return []
+    unknown = sorted(
+        k for k in options
+        if k.startswith("cloudFiles.") and k.split(".", 1)[1] not in _CLOUDFILES_KNOWN
+    )
+    if unknown:
+        raise ValueError(
+            f"load_cloudfiles action {action_name!r}: unknown cloudFiles option(s) "
+            f"{unknown}; known: {sorted('cloudFiles.' + k for k in _CLOUDFILES_KNOWN)}"
+        )
+    return sorted(
+        k for k in options
+        if k.startswith("cloudFiles.")
+        and k not in _CLOUDFILES_RENAME
+        and k != "cloudFiles.validateOptions"
+    )
 
 
 def _meta(ctx: BuildContext, action: Action, df: DataFrame, file_source: bool) -> DataFrame:
@@ -66,6 +110,9 @@ def load_cloudfiles(ctx: BuildContext, action: Action) -> DataFrame:
     path = ctx.resolve_path(src["path"])
     reader_opts: dict[str, str] = {}
     rescue_col = "_rescued_data"
+    ignored = validate_cloudfiles_options(src.get("options") or {}, action.name)
+    if ignored:
+        ctx.log(action.name, "cloudfiles_options_ignored", options=ignored)
     for k, v in (src.get("options") or {}).items():
         mapped = _CLOUDFILES_RENAME.get(k, k if not k.startswith("cloudFiles.") else None)
         if mapped == "__rescue_col__":

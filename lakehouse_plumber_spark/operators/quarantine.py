@@ -38,8 +38,17 @@ from lakehouse_plumber_spark.expectations import Expectation, combined_predicate
 from lakehouse_plumber_spark.models import Action
 
 DLQ_BUCKET_COL = "_dlq_bucket"
-N_DLQ_BUCKETS = int(os.environ.get("LHP_DLQ_BUCKETS", "64"))
+DLQ_BUCKETS_ENV = os.environ.get("LHP_DLQ_BUCKETS")  # forces a fixed count
+DLQ_ROWS_PER_BUCKET = int(os.environ.get("LHP_DLQ_ROWS_PER_BUCKET", "2000000"))
 RESCUE_COL = "_rescued_data"
+
+
+def _dlq_creation_buckets(first_batch_rows: int) -> int:
+    from lakehouse_plumber_spark.tables import adaptive_bucket_count
+
+    if DLQ_BUCKETS_ENV:
+        return int(DLQ_BUCKETS_ENV)
+    return adaptive_bucket_count(first_batch_rows, rows_per_bucket=DLQ_ROWS_PER_BUCKET)
 
 
 def _failed_rules_col(exps: list[Expectation]):
@@ -53,34 +62,45 @@ def _failed_rules_col(exps: list[Expectation]):
     return F.array_compact(F.array(*entries))
 
 
-def patch_rescued(recycled: DataFrame, schema, rescue_col: str = RESCUE_COL) -> DataFrame:
-    """Merge rescued-column values back into the typed row before
-    re-validation (reference data_quality_quarantine.py.j2:65-95).
+def patch_rescued(rows: DataFrame, schema, rescue_col: str = RESCUE_COL) -> DataFrame:
+    """Merge rescued-column values back into the typed row
+    (reference data_quality_quarantine.py.j2:65-95).
 
     `_rescued_data` holds a JSON object of columns that failed schema typing;
-    a key matching a schema column wins over the (null) typed value, cast to
-    the column type; consumed keys are removed from the surviving rescue map
-    (`map_filter`) so only genuinely-unplaceable data remains there.
+    a key matching a schema column wins over the (null) typed value when it
+    `try_cast`s to the column type (null-on-failure — the reference's
+    try_variant_get semantics; a plain cast would throw under ANSI mode, and a
+    still-malformed value is the defining property of rescued data).
+    Only successfully-consumed keys are removed from the surviving rescue map
+    (`map_filter`); unparseable values stay parked there so no data is lost.
     Pure narrow expressions — no shuffle, whole-stage codegen.
     """
     names = [f.name for f in schema.fields]
     if rescue_col not in names:
-        return recycled
+        return rows
     m = F.from_json(F.col(rescue_col), "map<string,string>")
-    data_names = [n for n in names if n != rescue_col]
+    data_fields = [f for f in schema.fields if f.name != rescue_col]
+
+    def _consumed(k, v):
+        cond = F.lit(False)
+        for f in data_fields:
+            cond = cond | ((k == F.lit(f.name)) & v.try_cast(f.dataType).isNotNull())
+        return cond
+
     cols = []
     for f in schema.fields:
         if f.name == rescue_col:
-            consumed = F.array(*[F.lit(n) for n in data_names])
-            remainder = F.map_filter(m, lambda k, _v: ~F.array_contains(consumed, k))
+            remainder = F.map_filter(m, lambda k, v: ~_consumed(k, v))
             cols.append(
                 F.when(F.size(F.map_keys(remainder)) > 0, F.to_json(remainder)).alias(rescue_col)
             )
         else:
             cols.append(
-                F.coalesce(F.element_at(m, f.name).cast(f.dataType), F.col(f.name)).alias(f.name)
+                F.coalesce(
+                    F.element_at(m, f.name).try_cast(f.dataType), F.col(f.name)
+                ).alias(f.name)
             )
-    return recycled.select(*cols)
+    return rows.select(*cols)
 
 
 def run_quarantine(
@@ -95,6 +115,12 @@ def run_quarantine(
     clean = df.filter(F.expr(combined_predicate(exps)))
 
     bad = df.filter(F.expr(inverse_predicate(exps)))
+    # fold rescued data into the stored payload AT QUARANTINE TIME (reference
+    # data_quality_quarantine.py.j2:65-95 patches in the DLQ sink): an
+    # operator's later fix to `_row_data` is then authoritative — a stale
+    # rescue entry can never override it at recycle time.
+    if RESCUE_COL in data_cols:
+        bad = patch_rescued(bad, df.schema)
     bad = (
         bad.withColumn("_dlq_failed_rules", _failed_rules_col(exps))
         .withColumn("_dlq_source", F.lit(source_table))
@@ -113,7 +139,7 @@ def run_quarantine(
 
     # idempotent insert-only merge on _dlq_sk (whenNotMatchedInsertAll),
     # pruned to the _dlq_sk-hash buckets this batch touches
-    n_buckets = N_DLQ_BUCKETS
+    n_buckets = 64
     if ctx.store.exists(dlq_table):
         stored = ctx.store.get_meta(dlq_table, "dlq_buckets")
         if stored is None:
@@ -134,6 +160,8 @@ def run_quarantine(
             new_rows = dlq_row.join(existing, on="_dlq_sk", how="left_anti")
             ctx.store.append(dlq_table, new_rows, [DLQ_BUCKET_COL])
     else:
+        # size the bucket layout once, from the first quarantined batch
+        n_buckets = _dlq_creation_buckets(dlq_row.count())
         bucket = F.pmod(F.xxhash64(F.col("_dlq_sk")), F.lit(n_buckets)).cast("int")
         new_rows = dlq_row.withColumn(DLQ_BUCKET_COL, bucket)
         ctx.store.append(dlq_table, new_rows, [DLQ_BUCKET_COL])
@@ -141,23 +169,69 @@ def run_quarantine(
     ctx.store.log_changes(dlq_table, new_rows.drop(DLQ_BUCKET_COL), "insert")
     ctx.log(action.name, "quarantined", dlq_table=dlq_table)
 
-    # recycle: rows marked fixed in the DLQ change feed
+    # recycle: rows marked fixed in the DLQ change feed, consumed
+    # INCREMENTALLY (reference data_quality_quarantine.py.j2:135-177 streams
+    # the CDF via checkpoint). `last_recycled_version` in the table meta is
+    # the checkpoint: each run reads only commits newer than it — a
+    # partition-pruned scan of the version-partitioned feed, O(new commits)
+    # not O(table lifetime) — and folds newly-fixed rows into a persistent,
+    # bucket-partitioned outbox table. The recycled view reads the outbox.
     recycled = None
+    outbox = f"{dlq_table}__outbox"
     if ctx.store.has_changes(dlq_table):
-        changes = ctx.store.read_changes(dlq_table)
-        fixed = changes.filter(
-            (F.col("_dlq_status") == "fixed")
-            & F.col("_change_type").isin("insert", "update_postimage")
-        )
-        w = Window.partitionBy("_dlq_sk").orderBy(F.col("_commit_version").desc())
-        fixed = fixed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+        last = int(ctx.store.get_meta(dlq_table, "last_recycled_version", -1))
+        hi = ctx.store.current_version(dlq_table)
+        if hi > last:
+            changes = ctx.store.read_changes(
+                dlq_table, starting_version=last + 1, ending_version=hi
+            )
+            fixed = changes.filter(
+                (F.col("_dlq_status") == "fixed")
+                & F.col("_change_type").isin("insert", "update_postimage")
+            )
+            w = Window.partitionBy("_dlq_sk").orderBy(F.col("_commit_version").desc())
+            new_fixed = (
+                fixed.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(
+                    "_dlq_sk",
+                    "_row_data",
+                    "_commit_version",
+                    F.pmod(F.xxhash64(F.col("_dlq_sk")), F.lit(n_buckets))
+                    .cast("int")
+                    .alias(DLQ_BUCKET_COL),
+                )
+            )
+            touched = [r[0] for r in new_fixed.select(DLQ_BUCKET_COL).distinct().collect()]
+            if touched:
+                if ctx.store.exists(outbox):
+                    # pruned upsert: only the touched buckets are read and
+                    # rewritten; latest fixed version per _dlq_sk wins
+                    existing = ctx.store.read(outbox).filter(
+                        F.col(DLQ_BUCKET_COL).isin(touched)
+                    )
+                    merged = existing.unionByName(new_fixed)
+                    wo = Window.partitionBy("_dlq_sk").orderBy(
+                        F.col("_commit_version").desc()
+                    )
+                    merged = (
+                        merged.withColumn("__rn", F.row_number().over(wo))
+                        .filter(F.col("__rn") == 1)
+                        .drop("__rn")
+                    )
+                    ctx.store.overwrite_partitions(outbox, merged, [DLQ_BUCKET_COL])
+                else:
+                    ctx.store.append(outbox, new_fixed, [DLQ_BUCKET_COL])
+            ctx.store.set_meta(dlq_table, "last_recycled_version", hi)
+    if ctx.store.exists(outbox):
         # re-type the JSON row back to the clean schema in ONE parse per row
         # (reference uses per-field try_variant_get; from_json is the
-        # Spark-idiomatic equivalent and parses the document once)
-        recycled = fixed.select(
+        # Spark-idiomatic equivalent and parses the document once). No
+        # rescued patch here: the stored payload was patched at quarantine
+        # time, so an operator's fix to _row_data is final.
+        recycled = ctx.store.read(outbox).select(
             F.from_json("_row_data", df.schema).alias("__row")
         ).select(*[F.col(f"__row.{f.name}").alias(f.name) for f in df.schema.fields])
-        recycled = patch_rescued(recycled, df.schema)
         recycled = recycled.filter(F.expr(combined_predicate(exps)))
 
     out = clean if recycled is None else clean.unionByName(recycled)

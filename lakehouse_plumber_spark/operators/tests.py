@@ -23,8 +23,27 @@ class DataQualityTestFailed(AssertionError):
 
 
 def _enforce(ctx: BuildContext, action: Action, violations: DataFrame) -> DataFrame:
-    n = violations.limit(1).count()
+    reporting = getattr(ctx.flowgroup, "test_reporting", None)
+    # a full count is only paid when a reporter consumes it; the gate itself
+    # needs just existence (limit(1))
+    n = violations.count() if reporting else violations.limit(1).count()
     ctx.log(action.name, "test_evaluated", violations_found=bool(n))
+    if reporting:
+        from datetime import datetime, timezone
+
+        # one row per test action, shaped like the reference hook's
+        # flow_progress extraction (hook.py.j2:46-84)
+        ctx.test_results.append(
+            {
+                "test_id": action.name,
+                "flow_name": ctx.flowgroup.flowgroup,
+                "expectation_name": action.sub_type or "test",
+                "passed_records": None,  # violation-frame tests have no pass count
+                "failed_records": int(n),
+                "status": "PASS" if n == 0 else "FAIL",
+                "collected_at": datetime.now(timezone.utc).isoformat(),
+            }
+        )
     if n and action.on_violation == ViolationAction.FAIL:
         sample = [r.asDict(recursive=True) for r in violations.limit(5).collect()]
         raise DataQualityTestFailed(f"test {action.name!r} failed; sample violations: {sample}")

@@ -33,6 +33,21 @@ def _cdf_enabled(wt: WriteTarget) -> bool:
     return str((wt.table_properties or {}).get("delta.enableChangeDataFeed", "false")).lower() == "true"
 
 
+def _checkpoint_incarnation(ckpt: str) -> str:
+    """Stable uuid for one lifetime of a checkpoint directory. Deleting the
+    directory (the standard 'reprocess from scratch' move) mints a new id,
+    so epoch-dedup markers keyed by it can never suppress the replay."""
+    import uuid
+
+    marker = os.path.join(ckpt, ".lhp_incarnation")
+    if not os.path.exists(marker):
+        os.makedirs(ckpt, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(uuid.uuid4().hex)
+    with open(marker) as f:
+        return f.read().strip()
+
+
 @contextmanager
 def _with_spark_conf(spark, conf: Optional[dict]):
     """Per-table `spark_conf` (reference _action.py:35 -> "apply on the
@@ -214,15 +229,22 @@ def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
         def _update(batch_df: DataFrame, epoch: int) -> None:
             # foreachBatch is at-least-once: after a failure/restart the same
             # epoch id is replayed. The merge is NOT idempotent (it adds
-            # partials), so skip epochs already applied — persisted per state
-            # table, keyed by the checkpoint so a fresh checkpoint resets it.
+            # partials), so skip epochs already applied. The dedup marker is
+            # keyed by the checkpoint INCARNATION (a uuid minted inside the
+            # checkpoint dir on first use), not the checkpoint path: deleting
+            # the checkpoint dir to reprocess restarts epoch ids at 0, and a
+            # path-keyed marker would then skip every batch forever.
             ckpt = ctx.checkpoint("imv", action.name)
-            key = f"last_epoch:{ckpt}"
+            key = f"last_epoch:{_checkpoint_incarnation(ckpt)}"
             last = ctx.store.get_meta(state, key)
             if last is not None and epoch <= int(last):
                 ctx.log(action.name, "imv_epoch_skipped", epoch=epoch)
                 return
             incremental_update(ctx.store, state, batch_df, cfg.group_by, cfg.aggs)
+            # NOTE: the state merge and the epoch marker are two writes, not
+            # one commit — a crash between them still double-applies that one
+            # epoch on replay (window narrowed, not eliminated; a Delta store
+            # would fold the marker into the merge transaction).
             ctx.store.set_meta(state, key, int(epoch))
 
         with _with_spark_conf(ctx.spark, wt.spark_conf):

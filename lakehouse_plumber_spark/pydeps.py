@@ -1,0 +1,261 @@
+"""Python-source dependency extraction: table reads hidden in python actions.
+
+Reference: ``lhp deps`` parses python load/transform bodies with a
+scope-aware AST visitor (src/lhp/core/dependencies/python_parser.py:1-427,
+_extraction_visitor.py:1-459) so tables read via ``spark.table(...)`` /
+``spark.read.table(...)`` / ``spark.sql(...)`` become cross-pipeline DAG
+edges. Without it, a python transform that reads another flowgroup's output
+is an invisible edge and stages can run in the wrong order.
+
+This module is the engine's equivalent at the scope the engine needs:
+
+- read-API allowlist: ``spark.table``, ``spark.read.table``, ``spark.read
+  .load`` / ``.table`` after ``.format(fmt)`` with fmt in the internal set
+  (delta/iceberg/hive — reference python_parser.py:27-34; ``cloudFiles`` and
+  custom datasource short names are external roots, NOT internal tables),
+  ``spark.readStream`` the same, and ``spark.sql(<literal>)`` routed through
+  :func:`dag.sql_table_refs`;
+- static string resolution: module/function-level constant bindings and
+  f-strings/.format()/% with fully-constant parts resolve to their value
+  (reference _static_resolution.py); anything runtime-only is reported as an
+  *opaque read* warning (≙ LHP-DEP-002 advisories) instead of silently
+  dropped.
+
+Driver-side only — parses source text, never touches data.
+"""
+
+from __future__ import annotations
+
+import ast
+from dataclasses import dataclass, field
+from typing import Optional
+
+from lakehouse_plumber_spark.dag import sql_table_refs
+
+_INTERNAL_TABLE_FORMATS = {"delta", "iceberg", "hive", "unity_catalog", "parquet"}
+_READER_ROOTS = {"read", "readStream"}
+
+
+@dataclass
+class PyDepsResult:
+    tables: set[str] = field(default_factory=set)
+    # human-readable advisories for reads whose target is runtime-only
+    warnings: list[str] = field(default_factory=list)
+
+
+def _const_str(node: ast.expr, bindings: dict[str, str]) -> Optional[str]:
+    """Resolve a node to a static string if possible (constants, bound names,
+    f-strings / ``+`` / ``.format`` / ``%`` over static parts)."""
+    if isinstance(node, ast.Constant) and isinstance(node.value, str):
+        return node.value
+    if isinstance(node, ast.Name):
+        return bindings.get(node.id)
+    if isinstance(node, ast.JoinedStr):
+        parts = []
+        for v in node.values:
+            if isinstance(v, ast.Constant):
+                parts.append(str(v.value))
+            elif isinstance(v, ast.FormattedValue):
+                s = _const_str(v.value, bindings)
+                if s is None:
+                    return None
+                parts.append(s)
+            else:
+                return None
+        return "".join(parts)
+    if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
+        a, b = _const_str(node.left, bindings), _const_str(node.right, bindings)
+        return a + b if a is not None and b is not None else None
+    if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Mod):
+        a = _const_str(node.left, bindings)
+        if a is None:
+            return None
+        args: list[str] = []
+        elts = node.right.elts if isinstance(node.right, ast.Tuple) else [node.right]
+        for e in elts:
+            s = _const_str(e, bindings)
+            if s is None:
+                return None
+            args.append(s)
+        try:
+            return a % tuple(args)
+        except (TypeError, ValueError):
+            return None
+    if (
+        isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Attribute)
+        and node.func.attr == "format"
+    ):
+        base = _const_str(node.func.value, bindings)
+        if base is None:
+            return None
+        args, kwargs = [], {}
+        for a in node.args:
+            s = _const_str(a, bindings)
+            if s is None:
+                return None
+            args.append(s)
+        for kw in node.keywords:
+            s = _const_str(kw.value, bindings) if kw.arg else None
+            if s is None:
+                return None
+            kwargs[kw.arg] = s
+        try:
+            return base.format(*args, **kwargs)
+        except (IndexError, KeyError, ValueError):
+            return None
+    return None
+
+
+def _attr_chain(node: ast.expr) -> list[str]:
+    """``spark.read.format("x").table`` -> ["spark","read","format()","table"]."""
+    chain: list[str] = []
+    while True:
+        if isinstance(node, ast.Attribute):
+            chain.append(node.attr)
+            node = node.value
+        elif isinstance(node, ast.Call):
+            chain.append("()")
+            node = node.func
+        elif isinstance(node, ast.Name):
+            chain.append(node.id)
+            return list(reversed(chain))
+        else:
+            chain.append("?")
+            return list(reversed(chain))
+
+
+def _reader_format(node: ast.expr, bindings: dict[str, str]) -> Optional[str]:
+    """Walk down a reader chain collecting the innermost .format("...") arg."""
+    while True:
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute):
+            if node.func.attr == "format" and node.args:
+                return _const_str(node.args[0], bindings)
+            node = node.func.value
+        elif isinstance(node, ast.Attribute):
+            node = node.value
+        else:
+            return None
+
+
+class _Extractor(ast.NodeVisitor):
+    def __init__(self) -> None:
+        self.result = PyDepsResult()
+        self.bindings: dict[str, str] = {}
+
+    # --- constant bindings (one scope-wide dict: good enough for the
+    # helper-module shapes python actions take; reassignment overwrites) ---
+    def visit_Assign(self, node: ast.Assign) -> None:
+        if len(node.targets) == 1 and isinstance(node.targets[0], ast.Name):
+            val = _const_str(node.value, self.bindings)
+            if val is not None:
+                self.bindings[node.targets[0].id] = val
+        self.generic_visit(node)
+
+    def visit_AnnAssign(self, node: ast.AnnAssign) -> None:
+        if node.value is not None and isinstance(node.target, ast.Name):
+            val = _const_str(node.value, self.bindings)
+            if val is not None:
+                self.bindings[node.target.id] = val
+        self.generic_visit(node)
+
+    def visit_Call(self, node: ast.Call) -> None:
+        func = node.func
+        if isinstance(func, ast.Attribute):
+            chain = _attr_chain(func)
+            # spark.sql("...") — any receiver named spark/spark_/session
+            if func.attr == "sql" and node.args:
+                sql = _const_str(node.args[0], self.bindings)
+                if sql is not None:
+                    self.result.tables |= sql_table_refs(sql)
+                else:
+                    self.result.warnings.append(
+                        f"line {node.lineno}: spark.sql(...) with runtime-only "
+                        f"query string — reads not statically resolvable (LHP-DEP-002)"
+                    )
+            elif func.attr in ("table", "load") and node.args:
+                is_direct_table = func.attr == "table" and (
+                    # spark.table(...) / spark.read.table / spark.readStream.table
+                    (len(chain) >= 2 and chain[-2] in _READER_ROOTS)
+                    or (len(chain) == 2)  # spark.table
+                )
+                fmt = _reader_format(func.value, self.bindings)
+                reader_chain = any(c in _READER_ROOTS for c in chain)
+                internal = is_direct_table or (
+                    func.attr == "load"
+                    and reader_chain
+                    and fmt is not None
+                    and fmt.lower() in _INTERNAL_TABLE_FORMATS
+                )
+                if func.attr == "table" and reader_chain and fmt is not None:
+                    # .format("cloudFiles").table(...) etc: external root
+                    internal = fmt.lower() in _INTERNAL_TABLE_FORMATS
+                if internal:
+                    name = _const_str(node.args[0], self.bindings)
+                    if name is not None:
+                        if func.attr == "load":
+                            # a path, not a table name — only count dotted
+                            # identifiers (paths have / in them)
+                            if "/" not in name and "." in name:
+                                self.result.tables.add(name)
+                        else:
+                            self.result.tables.add(name)
+                    else:
+                        self.result.warnings.append(
+                            f"line {node.lineno}: table read with runtime-only "
+                            f"name — not statically resolvable (LHP-DEP-002)"
+                        )
+        self.generic_visit(node)
+
+
+def extract_python_table_refs(code: str) -> PyDepsResult:
+    """Internal-table reads (+ opaque-read advisories) from one python body."""
+    try:
+        tree = ast.parse(code)
+    except SyntaxError:
+        return PyDepsResult(warnings=["unparseable python source"])
+    ex = _Extractor()
+    ex.visit(tree)
+    return ex.result
+
+
+def action_python_refs(action, base_dir: str = ".") -> PyDepsResult:
+    """Refs for one action's python body: module_path file or in-process
+    callable (source recovered via inspect, the reference's source_extractor
+    seam)."""
+    import inspect
+    import os
+    import textwrap
+
+    code = None
+    if getattr(action, "module_path", None):
+        p = action.module_path
+        if not os.path.isabs(p):
+            p = os.path.join(base_dir, p)
+        try:
+            with open(p) as f:
+                code = f.read()
+        except OSError:
+            return PyDepsResult(warnings=[f"cannot read module {p!r}"])
+    elif getattr(action, "callable_fn", None) is not None:
+        try:
+            code = textwrap.dedent(inspect.getsource(action.callable_fn))
+        except (OSError, TypeError):
+            return PyDepsResult()
+    if code is None and isinstance(getattr(action, "source", None), dict):
+        mp = action.source.get("module_path")
+        if mp:
+            p = mp if os.path.isabs(mp) else os.path.join(base_dir, mp)
+            try:
+                with open(p) as f:
+                    code = f.read()
+            except OSError:
+                return PyDepsResult(warnings=[f"cannot read module {p!r}"])
+        elif action.source.get("callable_fn") is not None:
+            try:
+                code = textwrap.dedent(inspect.getsource(action.source["callable_fn"]))
+            except (OSError, TypeError):
+                return PyDepsResult()
+    if code is None:
+        return PyDepsResult()
+    return extract_python_table_refs(code)

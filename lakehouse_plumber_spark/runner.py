@@ -47,22 +47,33 @@ class PipelineRunner:
             base_dir=self.base_dir,
             conf=conf or {},
         )
-        for action in topo_sort(fg.actions):
-            t0 = time.time()
-            key = (action.type.value, action.sub_type)
-            executor = REGISTRY.get(key)
-            if executor is None:
-                raise ValueError(f"no operator registered for {key}")
-            df = executor(ctx, action)
-            if df is not None and action.target:
-                ctx.register(action.target, df)
-            ctx.log(action.name, "action_completed", seconds=round(time.time() - t0, 3))
+        from lakehouse_plumber_spark.reporting import publish_test_results
 
-        # batch fail-expectation enforcement: force pending observed plans
-        for name, obs, fail_exps in ctx.pending_checks:
-            # observation requires the plan to have executed; writes usually did.
-            metrics = check_failures(obs, fail_exps)
-            ctx.log(name, "expectations_checked", **{k: v for k, v in metrics.items()})
+        try:
+            for action in topo_sort(fg.actions):
+                t0 = time.time()
+                key = (action.type.value, action.sub_type)
+                executor = REGISTRY.get(key)
+                if executor is None:
+                    raise ValueError(f"no operator registered for {key}")
+                df = executor(ctx, action)
+                if df is not None and action.target:
+                    ctx.register(action.target, df)
+                ctx.log(action.name, "action_completed", seconds=round(time.time() - t0, 3))
+
+            # batch fail-expectation enforcement: force pending observed plans
+            for name, obs, fail_exps in ctx.pending_checks:
+                # observation requires the plan to have executed; writes usually did.
+                metrics = check_failures(obs, fail_exps)
+                ctx.log(name, "expectations_checked", **{k: v for k, v in metrics.items()})
+        except BaseException:
+            # the reference hook publishes at EVERY terminal state incl.
+            # FAILED (hook.py.j2:36-44) — collected results must survive a
+            # failing test action
+            publish_test_results(ctx, "FAILED")
+            self.event_log.extend(ctx.event_log)
+            raise
+        publish_test_results(ctx, "COMPLETED")
         self.event_log.extend(ctx.event_log)
         return ctx
 
@@ -82,6 +93,7 @@ class PipelineRunner:
                         writes[a.write_target.table] = i
 
         from lakehouse_plumber_spark.dag import sql_table_refs
+        from lakehouse_plumber_spark.pydeps import action_python_refs
 
         deps: dict[int, set[int]] = {i: set() for i in range(len(flowgroups))}
         for i, fg in enumerate(flowgroups):
@@ -94,8 +106,17 @@ class PipelineRunner:
                     refs.extend(sql_table_refs(sql))
                 if a.write_target is not None and a.write_target.sql:
                     refs.extend(sql_table_refs(a.write_target.sql))
+                # table reads hidden inside python bodies (reference AST
+                # visitors, python_parser.py:1-427; see pydeps)
+                pyres = action_python_refs(a, self.base_dir)
+                refs.extend(pyres.tables)
                 for view in refs:
+                    # temp views fold dots (main.x.t -> main__x__t); a python
+                    # body reads the folded name, the writer declared the
+                    # dotted one — match both spellings
                     j = writes.get(view)
+                    if j is None and "__" in view:
+                        j = writes.get(view.replace("__", "."))
                     if j is not None and j != i:
                         deps[i].add(j)
 

@@ -39,6 +39,25 @@ def _safe_name(name: str) -> str:
     return name.replace(".", "/")
 
 
+def adaptive_bucket_count(
+    approx_rows: int,
+    rows_per_bucket: int = 2_000_000,
+    lo: int = 8,
+    hi: int = 4096,
+) -> int:
+    """Pick a hash-bucket count for a keyed table from its initial size.
+
+    Power of two in [lo, hi], sized so a bucket holds ~rows_per_bucket rows:
+    big enough that a typical batch touches a strict subset of buckets (pruned
+    merges stay pruned at 100 TB), small enough that tiny tables don't shatter
+    into thousands of near-empty files. The chosen count is persisted in the
+    table meta at creation and MUST stay fixed for the table's lifetime —
+    pruning is only sound against the stored layout.
+    """
+    need = max(1, -(-max(0, approx_rows) // rows_per_bucket))
+    return max(lo, min(hi, 1 << (need - 1).bit_length()))
+
+
 @dataclass
 class ParquetTableStore:
     """Parquet-backed managed tables rooted at ``root``.
@@ -153,20 +172,30 @@ class ParquetTableStore:
     def _cdf_dir(self, name: str) -> str:
         return os.path.join(self.root, "_cdf", _safe_name(name))
 
-    def next_version(self, name: str) -> int:
+    def current_version(self, name: str) -> int:
+        """Latest committed change version, or -1 when no changes were logged."""
         vf = os.path.join(self._cdf_dir(name), "_version")
+        if not os.path.exists(vf):
+            return -1
+        with open(vf) as f:
+            return int(f.read().strip() or -1)
+
+    def next_version(self, name: str) -> int:
         os.makedirs(self._cdf_dir(name), exist_ok=True)
-        cur = -1
-        if os.path.exists(vf):
-            with open(vf) as f:
-                cur = int(f.read().strip() or -1)
-        nxt = cur + 1
-        with open(vf, "w") as f:
+        nxt = self.current_version(name) + 1
+        with open(os.path.join(self._cdf_dir(name), "_version"), "w") as f:
             f.write(str(nxt))
         return nxt
 
     def log_changes(self, name: str, df: DataFrame, change_type: str, version: Optional[int] = None) -> int:
-        """Append change rows of one type for one commit."""
+        """Append change rows of one type for one commit.
+
+        The feed is laid out partitioned by `_commit_version` so that
+        version-bounded reads (`read_changes(starting_version=N)`) are
+        partition-pruned scans — consumers pay for the commits they read, not
+        for the table's full change history (Delta CDF gives the same property
+        via its commit log).
+        """
         from pyspark.sql import functions as F
 
         if version is None:
@@ -176,7 +205,9 @@ class ParquetTableStore:
             .withColumn("_commit_version", F.lit(version).cast("long"))
             .withColumn("_commit_timestamp", F.current_timestamp())
         )
-        out.write.mode("append").parquet(os.path.join(self._cdf_dir(name), "data"))
+        out.write.mode("append").partitionBy("_commit_version").parquet(
+            os.path.join(self._cdf_dir(name), "data")
+        )
         return version
 
     def read_changes(
@@ -189,13 +220,41 @@ class ParquetTableStore:
 
         p = os.path.join(self._cdf_dir(name), "data")
         df = self.spark.read.parquet(p)
+        # partition column: normalize to long, filters below prune partitions
+        df = df.withColumn("_commit_version", F.col("_commit_version").cast("long"))
         df = df.filter(F.col("_commit_version") >= starting_version)
         if ending_version is not None:
             df = df.filter(F.col("_commit_version") <= ending_version)
         return df
 
+    def prune_changes(self, name: str, up_to_version: int) -> int:
+        """Drop change-feed partitions with `_commit_version <= up_to_version`
+        (CDF retention / log compaction). Returns the number of commits
+        removed. Only safe once every consumer has checkpointed past
+        `up_to_version`."""
+        p = os.path.join(self._cdf_dir(name), "data")
+        removed = 0
+        if not os.path.isdir(p):
+            return removed
+        for d in os.listdir(p):
+            if d.startswith("_commit_version="):
+                try:
+                    v = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if v <= up_to_version:
+                    shutil.rmtree(os.path.join(p, d), ignore_errors=True)
+                    removed += 1
+        self.spark.catalog.clearCache()
+        return removed
+
     def has_changes(self, name: str) -> bool:
-        return os.path.isdir(os.path.join(self._cdf_dir(name), "data"))
+        """True when the feed holds at least one non-empty commit (an empty
+        change set bumps the version but writes no partition directory)."""
+        p = os.path.join(self._cdf_dir(name), "data")
+        return os.path.isdir(p) and any(
+            d.startswith("_commit_version=") for d in os.listdir(p)
+        )
 
     def set_meta(self, name: str, key: str, value) -> None:
         """Tiny per-table metadata sidecar (e.g. the CDC bucket count, which

@@ -175,3 +175,87 @@ class TestHypothesisStyle:
         for i, chunk in enumerate([shuffled[:third], shuffled[third:2 * third], shuffled[2 * third:]]):
             apply_changes(runner.store, f"p.shuf{seed}", _mk(spark, chunk), CFG2)
         assert _rows(runner.store, f"p.base{seed}") == _rows(runner.store, f"p.shuf{seed}")
+
+
+class TestScaleLayout:
+    def test_adaptive_bucket_count_sizing(self):
+        from lakehouse_plumber_spark.tables import adaptive_bucket_count
+
+        assert adaptive_bucket_count(0) == 8
+        assert adaptive_bucket_count(1_000) == 8
+        # 100 TB-ish: 1e12 rows / 2M rows-per-bucket -> capped at 4096
+        assert adaptive_bucket_count(10**12) == 4096
+        # mid-size: 100M rows / 2M = 50 -> next pow2 = 64
+        assert adaptive_bucket_count(100_000_000) == 64
+        # always a power of two within bounds
+        for n in (1, 10**6, 10**9, 10**13):
+            b = adaptive_bucket_count(n)
+            assert 8 <= b <= 4096 and (b & (b - 1)) == 0
+
+    def test_bucket_count_persisted_from_first_batch(self, spark, runner, monkeypatch):
+        import lakehouse_plumber_spark.operators.cdc as cdc_mod
+
+        monkeypatch.setattr(cdc_mod, "N_BUCKETS_ENV", None)
+        monkeypatch.setattr(cdc_mod, "ROWS_PER_BUCKET", 2)  # tiny for the test
+        rows = [(i, f"v{i}", 1, None) for i in range(64)]
+        apply_changes(runner.store, "t.adapt", _mk(spark, rows), CFG1)
+        # 64 rows / 2 per bucket = 32 buckets
+        assert int(runner.store.get_meta("t.adapt", "cdc_buckets")) == 32
+        # a later one-key batch prunes: merge touches < all buckets
+        import os
+
+        path = runner.store.path("t.adapt")
+        parts = sorted(d for d in os.listdir(path) if d.startswith("__kb="))
+        mtimes = {d: os.path.getmtime(os.path.join(path, d)) for d in parts}
+        apply_changes(runner.store, "t.adapt", _mk(spark, [(1, "upd", 2, None)]), CFG1)
+        changed = [d for d in parts if os.path.getmtime(os.path.join(path, d)) != mtimes[d]]
+        assert len(changed) < len(parts)
+        assert {r["v"] for r in _visible(runner.store, "t.adapt")
+                .filter("id = 1").collect()} == {"upd"}
+
+
+class TestLogCompaction:
+    CFGC = CDCConfig(keys=["id"], sequence_by="seq", scd_type=2,
+                     apply_as_deletes="op = 'D'", except_column_list=["op"],
+                     log_compaction_horizon="__max_seq - 3")
+
+    def test_log_plateaus_and_history_preserved(self, spark, runner):
+        """Hot key updated every batch: without compaction the hidden log grows
+        one row per batch forever; with a horizon it plateaus, while the
+        visible SCD2 intervals stay exact."""
+        store = runner.store
+        log_sizes = []
+        for seq in range(1, 13):
+            apply_changes(store, "t.comp", _mk(spark, [(1, f"v{seq}", seq, None)]), self.CFGC)
+            log = store.read("t.comp").filter("__tombstone")
+            log_sizes.append(log.count())
+        # log bounded by horizon width (+1 boundary event), not by batch count
+        assert max(log_sizes[6:]) <= 5, log_sizes
+        versions = _visible(store, "t.comp").orderBy("__start_at").collect()
+        assert [r["v"] for r in versions] == [f"v{s}" for s in range(1, 13)]
+        # intervals chain: each version closed by the next one's start
+        for a, b in zip(versions, versions[1:]):
+            assert a["__end_at"] == b["__start_at"]
+        assert versions[-1]["__end_at"] is None
+
+    def test_late_event_within_horizon_splices_exactly(self, spark, runner):
+        """A late event newer than the horizon must land in the right interval
+        after compaction — compare against an uncompacted replay."""
+        cfg_plain = CDCConfig(keys=["id"], sequence_by="seq", scd_type=2,
+                              apply_as_deletes="op = 'D'", except_column_list=["op"])
+        store = runner.store
+        batches = [[(1, "a", 1, None)], [(1, "b", 5, None)], [(1, "c", 6, None)],
+                   [(1, "late", 4, None)]]  # late, but >= max(6) - 3
+        for name, cfg in [("t.lc", self.CFGC), ("t.lp", cfg_plain)]:
+            for b in batches:
+                apply_changes(store, name, _mk(spark, b), cfg)
+        want = sorted([(r["v"], r["__start_at"], r["__end_at"])
+                       for r in _visible(store, "t.lp").collect()])
+        got = sorted([(r["v"], r["__start_at"], r["__end_at"])
+                      for r in _visible(store, "t.lc").collect()])
+        assert got == want
+
+    def test_horizon_requires_scalar_sequence(self):
+        with pytest.raises(ValueError, match="scd_type 2"):
+            CDCConfig(keys=["id"], sequence_by="seq", scd_type=1,
+                      log_compaction_horizon="__max_seq - 1")

@@ -85,3 +85,49 @@ def test_non_mergeable_aggregates_rejected():
     # and via the spec layer
     with pytest.raises(ValueError):
         IncrementalConfig(group_by=[], aggs={"n": "count(*)"})
+
+
+def test_checkpoint_incarnation_resets_epoch_dedup(spark, tmp_path, runner):
+    """Deleting the checkpoint dir (reprocess-from-scratch) restarts stream
+    epoch ids at 0; the epoch-dedup marker must not survive into the new
+    incarnation, or every replayed batch is silently skipped and the MV
+    permanently stops updating (ADVICE r2, medium)."""
+    import shutil
+
+    from lakehouse_plumber_spark import load_flowgroup
+
+    feed = tmp_path / "feed"
+    spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("a", 3.0), ("c", 4.0)], "k string, v double"
+    ).repartition(2).write.parquet(str(feed))
+
+    spec = {
+        "pipeline": "gold", "flowgroup": "imv_inc",
+        "actions": [
+            {"name": "feed", "type": "load", "readMode": "stream",
+             "source": {"type": "cloudfiles", "path": str(feed), "format": "parquet",
+                        "schema": "k string, v double",
+                        "options": {"cloudFiles.maxFilesPerTrigger": 1}},
+             "target": "v_feed"},
+            {"name": "mv", "type": "write", "source": "v_feed",
+             "write_target": {
+                 "type": "materialized_view", "catalog": "m", "schema": "g",
+                 "table": "kv", "refresh_policy": "incremental",
+                 "incremental_config": {
+                     "group_by": ["k"],
+                     "aggs": {"n": "count(*)", "total": "sum(CAST(v AS DECIMAL(18,6)))"},
+                 }}},
+        ],
+    }
+    runner.run(load_flowgroup(spec))
+    want = {r.k: (r.n, float(r.total)) for r in runner.store.read("m.g.kv").collect()}
+    assert want == {"a": (2, 4.0), "b": (1, 2.0), "c": (1, 4.0)}
+
+    # operator reprocesses from scratch: drop checkpoint + state + MV.
+    # store.drop() leaves the meta sidecar behind — exactly the trap.
+    shutil.rmtree(runner.store.checkpoint_dir("gold", "imv_inc", "imv", "mv"))
+    runner.store.drop("m.g.kv__state")
+    runner.store.drop("m.g.kv")
+    runner.run(load_flowgroup(spec))
+    got = {r.k: (r.n, float(r.total)) for r in runner.store.read("m.g.kv").collect()}
+    assert got == want, "replayed epochs were skipped by a stale epoch marker"

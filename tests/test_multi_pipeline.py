@@ -84,3 +84,78 @@ def test_run_many_detects_cycle(spark, runner):
     )
     with pytest.raises(ValueError, match="cycle"):
         runner.run_many([a, b])
+
+
+class TestPythonDependencyExtraction:
+    """Reference AST visitors (python_parser.py:1-427, _extraction_visitor.py):
+    table reads inside python bodies become DAG edges."""
+
+    def test_extracts_read_api_allowlist(self):
+        from lakehouse_plumber_spark.pydeps import extract_python_table_refs
+
+        code = '''
+TBL = "main.bronze.orders"
+def f(spark, params):
+    a = spark.table(TBL)
+    b = spark.read.table("main.bronze." + "customer")
+    c = spark.readStream.format("delta").table(f"main.{'bronze'}.lineitem")
+    d = spark.read.format("cloudFiles").load("main.landing.raw")  # external root
+    e = spark.sql("SELECT * FROM main.silver.enriched JOIN main.silver.dims ON 1=1")
+    return a
+'''
+        res = extract_python_table_refs(code)
+        assert res.tables == {
+            "main.bronze.orders", "main.bronze.customer", "main.bronze.lineitem",
+            "main.silver.enriched", "main.silver.dims",
+        }
+        assert res.warnings == []
+
+    def test_runtime_only_name_yields_advisory_not_silence(self):
+        from lakehouse_plumber_spark.pydeps import extract_python_table_refs
+
+        code = '''
+def f(spark, params):
+    return spark.table(params["tbl"])
+'''
+        res = extract_python_table_refs(code)
+        assert res.tables == set()
+        assert any("LHP-DEP-002" in w for w in res.warnings)
+
+    def test_run_many_orders_by_python_read(self, spark, runner, testdata):
+        """Flowgroup B's ONLY dependency on A is a spark.table() call inside a
+        python load body — submitted out of order, run_many must run A first."""
+        from lakehouse_plumber_spark.parsers import load_flowgroup
+
+        fg_a = load_flowgroup(
+            {
+                "pipeline": "p1", "flowgroup": "py_base",
+                "actions": [
+                    {"name": "ld", "type": "load", "target": "v_n",
+                     "source": {"type": "sql",
+                                "sql": "SELECT n_nationkey, n_name FROM nation"}},
+                    {"name": "wr", "type": "write", "source": "v_n",
+                     "write_target": {"type": "materialized_view", "database": "main.y",
+                                      "table": "pybase_nation"}},
+                ],
+            }
+        )
+
+        def py_load(spark_, params):
+            # the folded temp-view spelling a python body actually uses
+            return spark_.table("main__y__pybase_nation")
+
+        fg_b = load_flowgroup(
+            {
+                "pipeline": "p2", "flowgroup": "py_consume",
+                "actions": [
+                    {"name": "ld", "type": "load", "target": "v_base",
+                     "source": {"type": "python"}, "callable_fn": py_load},
+                    {"name": "wr", "type": "write", "source": "v_base",
+                     "write_target": {"type": "materialized_view", "database": "main.y",
+                                      "table": "pycount",
+                                      "sql": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v_base"}},
+                ],
+            }
+        )
+        ctxs = runner.run_many([fg_b, fg_a])
+        assert ctxs[0].resolve_view("main.y.pycount").collect()[0]["n"] == 25

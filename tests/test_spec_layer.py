@@ -142,3 +142,97 @@ class TestExpectationFormats:
         refstyle = parse_expectations({"id > 0": {"name": "positive", "failureAction": "drop"}})
         assert refstyle[0].constraint == "id > 0"
         assert refstyle[0].name == "positive" and refstyle[0].action == "drop"
+
+
+class TestCdcCompatibilityValidators:
+    """Reference compatibility/cdc_fanin.py + cdc_schema.py: invalid CDC
+    fan-in specs must fail validation, not run."""
+
+    @staticmethod
+    def _cdc_write(name, tbl="s.t", create=True, scd=1, keys=("id",), seq="seq", **wt_extra):
+        return {
+            "name": name, "type": "write", "source": f"v_{name}",
+            "write_target": {
+                "type": "streaming_table", "database": tbl.rsplit(".", 1)[0],
+                "table": tbl.rsplit(".", 1)[1], "create_table": create, "mode": "cdc",
+                "cdc_config": {"keys": list(keys), "sequence_by": seq, "scd_type": scd},
+                **wt_extra,
+            },
+        }
+
+    @staticmethod
+    def _load(view):
+        return {"name": f"ld_{view}", "type": "load", "target": view,
+                "source": {"type": "sql", "sql": "SELECT 1 AS id, 1 AS seq"}}
+
+    def _fg(self, actions):
+        loads = [self._load(a["source"]) for a in actions if a["type"] == "write"]
+        return load_flowgroup({"pipeline": "p", "flowgroup": "f", "actions": loads + actions})
+
+    def test_mode_mix_rejected(self):
+        std = {"name": "w_std", "type": "write", "source": "v_w_std",
+               "write_target": {"type": "streaming_table", "database": "s",
+                                "table": "t", "create_table": False, "mode": "standard"}}
+        with pytest.raises(ValueError, match="mixes cdc"):
+            self._fg([self._cdc_write("w_cdc", "s.t"), std])
+
+    def test_shared_cdc_field_mismatch_rejected(self):
+        with pytest.raises(ValueError, match="sequence_by"):
+            self._fg([
+                self._cdc_write("w1", "s.t"),
+                self._cdc_write("w2", "s.t", create=False, seq="other_seq"),
+            ])
+
+    def test_shared_target_field_mismatch_rejected(self):
+        with pytest.raises(ValueError, match="partition_columns"):
+            self._fg([
+                self._cdc_write("w1", "s.t", partition_columns=["id"]),
+                self._cdc_write("w2", "s.t", create=False),
+            ])
+
+    def test_compatible_fanin_accepted(self):
+        fg = self._fg([
+            self._cdc_write("w1", "s.t"),
+            self._cdc_write("w2", "s.t", create=False),
+        ])
+        assert len(fg.actions) == 4
+
+    def test_scd2_schema_missing_interval_columns_rejected(self):
+        with pytest.raises(ValueError, match="__start_at"):
+            self._fg([self._cdc_write(
+                "w1", "s.t", scd=2,
+                table_schema="id BIGINT, seq BIGINT, v STRING",
+            )])
+
+    def test_scd2_schema_with_interval_columns_accepted(self):
+        fg = self._fg([self._cdc_write(
+            "w1", "s.t", scd=2,
+            table_schema="id BIGINT, seq BIGINT, v STRING, __start_at BIGINT, __end_at BIGINT",
+        )])
+        assert len(fg.actions) == 2
+
+
+class TestCloudFilesOptionValidation:
+    """Reference cloudfiles.py:30-55: unknown cloudFiles.* keys are spec
+    errors; known-but-unhonored keys are surfaced, not silently dropped."""
+
+    def test_unknown_option_rejected(self):
+        from lakehouse_plumber_spark.operators.load import validate_cloudfiles_options
+
+        with pytest.raises(ValueError, match="maxFilesPerTriger"):
+            validate_cloudfiles_options({"cloudFiles.maxFilesPerTriger": "10"}, "a")
+
+    def test_known_unhonored_reported_not_dropped(self):
+        from lakehouse_plumber_spark.operators.load import validate_cloudfiles_options
+
+        ignored = validate_cloudfiles_options(
+            {"cloudFiles.maxFilesPerTrigger": "10", "cloudFiles.useNotifications": "true"}, "a"
+        )
+        assert ignored == ["cloudFiles.useNotifications"]
+
+    def test_validate_options_escape_hatch(self):
+        from lakehouse_plumber_spark.operators.load import validate_cloudfiles_options
+
+        assert validate_cloudfiles_options(
+            {"cloudFiles.validateOptions": "false", "cloudFiles.bogus": "1"}, "a"
+        ) == []
