@@ -47,7 +47,9 @@ def test_compiled_source_matches_engine(spark, runner, testdata, tmp_path):
     assert engine_rows == gen_rows and len(gen_rows) == 3
 
 
-def test_streaming_actions_refuse_compilation(spark):
+def test_runtime_only_actions_refuse_compilation(spark):
+    """snapshot_cdc / incremental MV need the engine runtime; the compiler
+    must raise, never emit silently-wrong code."""
     fg = load_flowgroup(
         {
             "pipeline": "p", "flowgroup": "f",
@@ -55,12 +57,150 @@ def test_streaming_actions_refuse_compilation(spark):
                 {"name": "ld", "type": "load", "target": "v",
                  "source": {"type": "sql", "sql": "SELECT 1 AS k, 1 AS s"}},
                 {"name": "wr", "type": "write", "source": "v",
-                 "write_target": {"type": "streaming_table", "database": "m.s",
-                                  "table": "t", "mode": "cdc",
-                                  "cdc_config": {"keys": ["k"], "sequence_by": "s",
-                                                 "scd_type": 1}}},
+                 "write_target": {"type": "materialized_view", "database": "m.s",
+                                  "table": "t", "refresh_policy": "incremental",
+                                  "incremental_config": {"group_by": ["k"],
+                                                         "aggs": {"n": "count(*)"}}}},
             ],
         }
     )
     with pytest.raises(NotImplementedError, match="PipelineRunner"):
         compile_flowgroup(fg)
+
+
+class TestCodegenStreamingAndCdc:
+    """Round 3 surface: streaming_table flows, CDC merge bodies, python
+    transforms, sinks — compiled source must match PipelineRunner results
+    (reference golden baselines tests/baselines/write_streaming_table.py)."""
+
+    def _exec(self, spark, fg, out_dir):
+        src = compile_flowgroup(fg)
+        assert "import lakehouse_plumber_spark" not in src
+        ns: dict = {}
+        exec(compile(src, "<generated>", "exec"), ns)
+        return ns["build"](spark, str(out_dir))
+
+    def test_streaming_table_from_file_stream(self, spark, runner, tmp_path, testdata):
+        import os
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        spark.sql(
+            "SELECT n_nationkey AS id, n_name AS name FROM nation"
+        ).coalesce(1).write.mode("overwrite").json(str(land))
+        spec = {
+            "pipeline": "p", "flowgroup": "st",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_raw", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": str(land), "format": "json",
+                            "options": {"cloudFiles.maxFilesPerTrigger": "10"}}},
+                {"name": "wr", "type": "write", "source": "v_raw", "readMode": "stream",
+                 "write_target": {"type": "streaming_table", "database": "m.s",
+                                  "table": "st_nation", "mode": "standard"}},
+            ],
+        }
+        fg = load_flowgroup(spec)
+        ctx = runner.run(fg)
+        engine = sorted(
+            (r["id"], r["name"])
+            for r in ctx.resolve_view("m.s.st_nation").select("id", "name").collect()
+        )
+        written = self._exec(spark, load_flowgroup(spec), tmp_path / "gen")
+        gen = sorted(
+            (r["id"], r["name"])
+            for r in written["m.s.st_nation"].select("id", "name").collect()
+        )
+        assert engine == gen and len(gen) == 25
+
+    def _cdc_spec(self, scd, batch_sql):
+        return {
+            "pipeline": "p", "flowgroup": f"cdc{scd}",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_ev",
+                 "source": {"type": "sql", "sql": batch_sql}},
+                {"name": "wr", "type": "write", "source": "v_ev",
+                 "write_target": {"type": "streaming_table", "database": "m.c",
+                                  "table": f"scd{scd}", "mode": "cdc",
+                                  "cdc_config": {"keys": ["id"], "sequence_by": "seq",
+                                                 "scd_type": scd,
+                                                 "apply_as_deletes": "op = 'D'",
+                                                 "except_column_list": ["op"]}}},
+            ],
+        }
+
+    BATCH1 = ("SELECT * FROM (VALUES (1, 'a', 1, 'U'), (2, 'x', 1, 'U'), (1, 'b', 2, 'U')) "
+              "AS t(id, v, seq, op)")
+    BATCH2 = ("SELECT * FROM (VALUES (2, NULL, 2, 'D'), (1, 'c', 3, 'U'), (3, 'n', 1, 'U')) "
+              "AS t(id, v, seq, op)")
+
+    def test_cdc_scd1_two_batches_matches_engine(self, spark, runner, tmp_path):
+        for b in (self.BATCH1, self.BATCH2):
+            runner.run(load_flowgroup(self._cdc_spec(1, b)))
+        engine = sorted(
+            (r["id"], r["v"], r["seq"])
+            for r in runner.store.read("m.c.scd1").filter("NOT __tombstone")
+            .select("id", "v", "seq").collect()
+        )
+        out = tmp_path / "gen1"
+        for b in (self.BATCH1, self.BATCH2):
+            written = self._exec(spark, load_flowgroup(self._cdc_spec(1, b)), out)
+        gen = sorted(
+            (r["id"], r["v"], r["seq"])
+            for r in written["m.c.scd1"].select("id", "v", "seq").collect()
+        )
+        assert engine == gen == [(1, "c", 3), (3, "n", 1)]
+
+    def test_cdc_scd2_two_batches_matches_engine(self, spark, runner, tmp_path):
+        for b in (self.BATCH1, self.BATCH2):
+            runner.run(load_flowgroup(self._cdc_spec(2, b)))
+        cols = ["id", "v", "seq", "__start_at", "__end_at"]
+        engine = sorted(
+            tuple(r) for r in runner.store.read("m.c.scd2")
+            .filter("NOT __tombstone").select(*cols).collect()
+        )
+        out = tmp_path / "gen2"
+        for b in (self.BATCH1, self.BATCH2):
+            written = self._exec(spark, load_flowgroup(self._cdc_spec(2, b)), out)
+        gen = sorted(tuple(r) for r in written["m.c.scd2"].select(*cols).collect())
+        assert engine == gen
+        # key 1 has full history a->b->c; key 2's history stays but its
+        # delete closed the last version (no open interval); key 3 open
+        assert [t[1] for t in gen if t[0] == 1] == ["a", "b", "c"]
+        assert not [t for t in gen if t[0] == 2 and t[4] is None]
+        assert [t for t in gen if t[0] == 3 and t[4] is None]
+
+    def test_python_transform_and_foreachbatch_sink(self, spark, runner, tmp_path, testdata):
+        captured = {}
+
+        def double_rows(df, spark_, params):
+            from pyspark.sql import functions as SF
+            return df.withColumn("n2", SF.col("n_nationkey") * params["factor"])
+
+        def handle_batch(batch_df, epoch):
+            import os
+            batch_df.write.mode("append").parquet(
+                os.path.join(os.environ["GEN_SINK_DIR"], "out"))
+
+        spec = {
+            "pipeline": "p", "flowgroup": "pyfb",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_n",
+                 "source": {"type": "sql",
+                            "sql": "SELECT n_nationkey FROM nation WHERE n_nationkey < 5"}},
+                {"name": "tx", "type": "transform", "transform_type": "python",
+                 "source": "v_n", "target": "v_doubled",
+                 "callable_fn": double_rows, "parameters": {"factor": 2}},
+                {"name": "snk", "type": "write", "source": "v_doubled",
+                 "write_target": {"type": "sink", "sink_type": "foreachbatch",
+                                  "batch_handler_callable": handle_batch}},
+            ],
+        }
+        import os
+
+        os.environ["GEN_SINK_DIR"] = str(tmp_path)
+        self._exec(spark, load_flowgroup(spec), tmp_path / "gen")
+        got = sorted(
+            (r["n_nationkey"], r["n2"])
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        )
+        assert got == [(i, 2 * i) for i in range(5)]
