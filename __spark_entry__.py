@@ -3219,6 +3219,55 @@ def pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver contract
 # ---------------------------------------------------------------------------
 
+_CODEGEN_ORACLE = """
+    SELECT n_nationkey AS id, n_name AS v, CAST(1 AS INT) AS seq,
+           CAST(1 AS INT) AS start_at
+    FROM nation
+"""
+
+
+@_register("pipe_codegen_cdc_roundtrip", _CODEGEN_ORACLE)
+def pipe_codegen_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compile-to-source round trip: compile a CDC flowgroup to a standalone
+    script (no engine import — the reference's core invariant, README.md:9-11),
+    exec the generated `build`, and return the visible SCD2 table it wrote.
+    Exercises codegen's streaming-table/CDC merge-body emission end-to-end
+    (codegen.py:_emit_cdc_merge)."""
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+
+    _prep(spark, sf_dir)
+    fg = load_flowgroup(
+        {
+            "pipeline": "gen", "flowgroup": "cdc_rt",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_ev",
+                 "source": {"type": "sql",
+                            "sql": "SELECT n_nationkey AS id, n_name AS v, "
+                                   "CAST(1 AS INT) AS seq, 'U' AS op FROM nation"}},
+                {"name": "wr", "type": "write", "source": "v_ev",
+                 "write_target": {"type": "streaming_table", "database": "m.gen",
+                                  "table": "cdc_rt", "mode": "cdc",
+                                  "cdc_config": {"keys": ["id"], "sequence_by": "seq",
+                                                 "scd_type": 2,
+                                                 "apply_as_deletes": "op = 'D'",
+                                                 "except_column_list": ["op"]}}},
+            ],
+        }
+    )
+    src = compile_flowgroup(fg)
+    assert "import lakehouse_plumber_spark" not in src
+    ns: dict = {}
+    exec(compile(src, "<lhp-generated>", "exec"), ns)
+    out_dir = tempfile.mkdtemp(prefix="lhp_gen_")
+    written = ns["build"](spark, out_dir)
+    return written["m.gen.cdc_rt"].select(
+        F.col("id").cast("int").alias("id"),
+        F.col("v").alias("v"),
+        F.col("seq").cast("int").alias("seq"),
+        F.col("__start_at").cast("int").alias("start_at"),
+    )
+
+
 # Explicit ordering for `queries()`: the correctness driver checks a prefix of
 # the registry, so the first 50 entries must cover every SURVEY §2 operator
 # class and every LLM-data operator exactly once.  Redundant TPC-H variants

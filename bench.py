@@ -60,21 +60,27 @@ def main() -> None:
 
     # Each query shape is executed once untimed (Janino codegen + JVM JIT of
     # the generated classes is per-shape setup cost, not throughput), then
-    # timed twice with the min reported — this box shows heavy run-to-run
-    # noise and the driver grades steady-state throughput.
+    # timed LHP_BENCH_RUNS times (default 3) with the min reported — r2
+    # showed min-of-2 under-samples on this box (q3 wobbled ±24% with
+    # untouched code), min-of-3 makes round-over-round deltas attributable.
+    # Spread across the timed runs is reported per query on stderr.
+    runs = int(os.environ.get("LHP_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).count()
-        best, n = None, 0
-        for _ in range(2):
+        samples, n = [], 0
+        for _ in range(runs):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        spread = (max(samples) - min(samples)) / min(samples) if min(samples) else 0.0
+        print(
+            f"# {name}: {timings[name]}s rows={n} spread={spread:.0%}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -22,7 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-FACTOR = 10
+FACTOR = int(os.environ.get("LHP_SCALE_FACTOR", "10"))
 
 # join/agg, heavy-group agg, multi-join profit, sessionization windows,
 # hash dedup, LSH near-dup, repetition metrics, split assignment
