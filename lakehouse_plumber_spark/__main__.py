@@ -123,8 +123,10 @@ def cmd_deps(args) -> int:
     job stage synthesis, src/lhp/core/jobs/job_generator.py)."""
     from lakehouse_plumber_spark.models import ActionType
     from lakehouse_plumber_spark.dag import sql_table_refs
+    from lakehouse_plumber_spark.pydeps import action_python_refs
 
     fgs = _discover(args)
+    base_dir = getattr(args, "project_root", ".") or "."
     writes: dict[str, int] = {}
     for i, fg in enumerate(fgs):
         for a in fg.actions:
@@ -141,8 +143,18 @@ def cmd_deps(args) -> int:
                 refs.extend(sql_table_refs(sql))
             if a.write_target is not None and a.write_target.sql:
                 refs.extend(sql_table_refs(a.write_target.sql))
+            # reads hidden inside python bodies (reference AST extraction,
+            # python_parser.py; see pydeps) — advisories surface on stderr
+            pyres = action_python_refs(a, base_dir)
+            refs.extend(pyres.tables)
+            for w in pyres.warnings:
+                print(f"WARNING {fg.pipeline}/{fg.flowgroup}/{a.name}: {w}",
+                      file=__import__("sys").stderr)
             for v in refs:
+                # python bodies read the folded temp-view spelling
                 j = writes.get(v)
+                if j is None and "__" in v:
+                    j = writes.get(v.replace("__", "."))
                 if j is not None and j != i:
                     deps[i].add(j)
     done: set[int] = set()

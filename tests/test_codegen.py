@@ -204,3 +204,50 @@ class TestCodegenStreamingAndCdc:
             for r in spark.read.parquet(str(tmp_path / "out")).collect()
         )
         assert got == [(i, 2 * i) for i in range(5)]
+
+
+def test_dqe_transform_compiles_and_enforces(spark, runner, testdata, tmp_path):
+    """data_quality dqe codegen: drop filters rows; fail raises after
+    materialization; warn only counts (reference dqe.py:11-52)."""
+    def spec(fail_mode):
+        exp = ([{"name": "pk_nonneg", "constraint": "n_nationkey >= 0",
+                 "type": "expect_or_fail"}] if fail_mode else [])
+        return {
+            "pipeline": "p", "flowgroup": "dq",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_n",
+                 "source": {"type": "sql",
+                            "sql": "SELECT n_nationkey, n_regionkey FROM nation"}},
+                {"name": "dq", "type": "transform", "transform_type": "data_quality",
+                 "source": "v_n", "target": "v_clean",
+                 "expectations_inline": exp + [
+                     {"name": "small_region", "constraint": "n_regionkey < 3",
+                      "type": "expect_or_drop"}]},
+                {"name": "wr", "type": "write", "source": "v_clean",
+                 "write_target": {"type": "materialized_view", "database": "m.dq",
+                                  "table": "clean"}},
+            ],
+        }
+
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+
+    # engine run for parity
+    ctx = runner.run(load_flowgroup(spec(False)))
+    engine = sorted(r["n_nationkey"] for r in ctx.resolve_view("m.dq.clean").collect())
+
+    src = compile_flowgroup(load_flowgroup(spec(False)))
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    written = ns["build"](spark, str(tmp_path / "g1"))
+    gen = sorted(r["n_nationkey"] for r in written["m.dq.clean"].collect())
+    assert engine == gen and len(gen) == 15  # 3 of 5 regions
+
+    # fail path: violate pk_nonneg via a doctored load
+    bad = spec(True)
+    bad["actions"][0]["source"]["sql"] = (
+        "SELECT n_nationkey - 100 AS n_nationkey, n_regionkey FROM nation")
+    src2 = compile_flowgroup(load_flowgroup(bad))
+    ns2: dict = {}
+    exec(compile(src2, "<generated>", "exec"), ns2)
+    with pytest.raises(RuntimeError, match="pk_nonneg"):
+        ns2["build"](spark, str(tmp_path / "g2"))
