@@ -157,19 +157,57 @@ def cmd_deps(args) -> int:
                     j = writes.get(v.replace("__", "."))
                 if j is not None and j != i:
                     deps[i].add(j)
+    def _label(i: int) -> str:
+        return f"{fgs[i].pipeline}/{fgs[i].flowgroup}"
+
+    # stage assignment (shared by all formats)
     done: set[int] = set()
-    stage_no = 0
+    stages: list[list[int]] = []
     while len(done) < len(fgs):
         stage = [i for i in range(len(fgs)) if i not in done and deps[i] <= done]
         if not stage:
             print("ERROR: dependency cycle among: "
-                  + ", ".join(f"{fgs[i].pipeline}/{fgs[i].flowgroup}" for i in range(len(fgs)) if i not in done))
+                  + ", ".join(_label(i) for i in range(len(fgs)) if i not in done))
             return 1
-        stage_no += 1
+        stages.append(stage)
+        done.update(stage)
+
+    fmt = getattr(args, "format", "text") or "text"
+    if fmt == "dot":
+        # reference export_to_dot (core/dependencies/output.py:29-60)
+        def esc(s: str) -> str:
+            return s.replace("\\", "\\\\").replace('"', '\\"')
+
+        print("digraph flowgroup_dependencies {")
+        print("  rankdir=LR;")
+        print("  node [shape=box];")
+        for i in range(len(fgs)):
+            print(f'  "{esc(_label(i))}";')
+        for i in range(len(fgs)):
+            for j in sorted(deps[i]):
+                print(f'  "{esc(_label(j))}" -> "{esc(_label(i))}";')
+        print("}")
+        return 0
+    if fmt == "json":
+        # reference export_to_json (core/dependencies/output.py:63-120)
+        out = {
+            "flowgroups": [
+                {
+                    "pipeline": fgs[i].pipeline,
+                    "flowgroup": fgs[i].flowgroup,
+                    "depends_on": sorted(_label(j) for j in deps[i]),
+                    "stage": next(n for n, s in enumerate(stages, 1) if i in s),
+                }
+                for i in range(len(fgs))
+            ],
+            "stages": [[_label(i) for i in s] for s in stages],
+        }
+        print(json.dumps(out, indent=2, sort_keys=True))
+        return 0
+    for stage_no, stage in enumerate(stages, 1):
         for i in stage:
-            up = ", ".join(f"{fgs[j].pipeline}/{fgs[j].flowgroup}" for j in sorted(deps[i])) or "-"
-            print(f"stage {stage_no}: {fgs[i].pipeline}/{fgs[i].flowgroup}  (after: {up})")
-            done.add(i)
+            up = ", ".join(_label(j) for j in sorted(deps[i])) or "-"
+            print(f"stage {stage_no}: {_label(i)}  (after: {up})")
     return 0
 
 
@@ -183,6 +221,9 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--env", default=None, help="substitutions/{env}.yaml tokens")
         if name == "compile":
             sp.add_argument("-o", "--out", default="generated")
+        if name == "deps":
+            sp.add_argument("--format", choices=("text", "dot", "json"), default="text",
+                            help="output format (reference output.py serializers)")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     return args.fn(args)

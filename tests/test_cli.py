@@ -74,3 +74,21 @@ actions:
     out = capsys.readouterr().out
     assert rc == 1
     assert "FAIL" in out and "cycle" in out
+
+
+def test_cli_deps_dot_and_json_formats(capsys):
+    """Reference serializers (core/dependencies/output.py): dot + json."""
+    import json as _json
+
+    rc = main(["deps", PROJECT, "--env", "dev", "--format", "dot"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.startswith("digraph flowgroup_dependencies {")
+    assert "->" in out and out.rstrip().endswith("}")
+
+    rc = main(["deps", PROJECT, "--env", "dev", "--format", "json"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    doc = _json.loads(out)
+    assert {f["stage"] for f in doc["flowgroups"]} >= {1, 2}
+    assert len(doc["stages"]) >= 2
