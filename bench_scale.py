@@ -81,7 +81,17 @@ def _scaled_views(spark, sf_dir: str, factor: int):
     scaled["documents"] = union_all([
         base["documents"]
         .withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_span))
-        .withColumn("text", F.concat(F.col("text"), F.lit(f" copytag{i}")) if i else F.col("text"))
+        # suffix EVERY token with the copy id: cross-copy shingle Jaccard
+        # drops to 0, so each copy replicates the original's near-dup
+        # structure instead of forming 10-way cross-copy cliques. (A trailing
+        # doc-level tag is NOT enough: it leaves copies ~99% shingle-identical,
+        # all LSH bands collide across copies, and candidate pairs grow
+        # quadratically in the copy count — measured 44x time at 10x data.)
+        .withColumn(
+            "text",
+            F.expr(f"array_join(transform(split(text, ' '), w -> concat(w, '·{i}')), ' ')")
+            if i else F.col("text"),
+        )
         for i in range(factor)
     ])
     for name, df in scaled.items():

@@ -119,15 +119,22 @@ def lsh_candidate_pairs(
 
 def minhash_lsh_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    jaccard_threshold: float = 0.5,
+    jaccard_threshold: float = 0.5, max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash LSH near-dup pairs, verified by exact shingle Jaccard.
 
     Returns (id_a, id_b, jaccard) for verified candidates. The verify join
     only touches candidate pairs (LSH-bounded), not all pairs.
+
+    At corpus scale, set `max_bucket_size`: a boilerplate clique of m docs
+    puts ~m into one band bucket and contributes ~m^2/2 candidate pairs —
+    quadratic in clique size, the one way this job goes superlinear
+    (measured: a synthetic 10-way clique corpus cost 44x at 10x data).
+    Capped buckets are dropped whole; their members are better handled by
+    exact/prefix dedup, which is linear.
     """
     sigs = minhash_signatures(df, text_col, id_col)
-    cands = lsh_candidate_pairs(sigs, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col, max_bucket_size=max_bucket_size)
     grams = spread_for_compute(df, [id_col, text_col]).select(
         F.col(id_col), F.expr(word_ngrams_spark(text_col, SHINGLE_N)).alias("grams")
     )

@@ -90,3 +90,27 @@ def test_pii_redaction(spark):
     r = with_pii_redaction(df).collect()[0]
     assert r.n_emails == 1 and r.n_phones == 1
     assert r.redacted == "reach me at [EMAIL] or [PHONE] thanks"
+
+
+def test_lsh_hot_bucket_cap_bounds_clique_pairs(spark):
+    """A boilerplate clique of m docs contributes ~m^2/2 candidate pairs —
+    max_bucket_size drops the over-full buckets (their members belong to
+    exact/prefix dedup) while genuine small near-dup groups survive."""
+    from lakehouse_plumber_spark.llm.dedup import lsh_candidate_pairs, minhash_signatures
+
+    boiler = [(i, "terms of service apply to all users of this site always") for i in range(40)]
+    pair = [(100, "a genuinely unique document about owls and rivers flowing"),
+            (101, "a genuinely unique document about owls and rivers flowing today")]
+    uniq = [(200 + i, f"totally distinct content number {i} with its own words {i * 7}")
+            for i in range(5)]
+    df = spark.createDataFrame(boiler + pair + uniq, "doc_id long, text string")
+    sigs = minhash_signatures(df, "text", "doc_id")
+
+    uncapped = lsh_candidate_pairs(sigs, "doc_id").count()
+    capped_pairs = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=10)
+    capped = capped_pairs.count()
+    # clique alone is 40*39/2 = 780 pairs; capped run must drop them all
+    assert uncapped >= 780
+    assert capped < 50
+    # the genuine near-dup pair survives the cap
+    assert capped_pairs.where("id_a = 100 AND id_b = 101").count() == 1
