@@ -135,8 +135,15 @@ def minhash_lsh_dedup(
     """
     sigs = minhash_signatures(df, text_col, id_col)
     cands = lsh_candidate_pairs(sigs, id_col, max_bucket_size=max_bucket_size)
+    # verify over HASHED shingles (8-byte longs), not shingle strings: the
+    # two candidate-side joins shuffle every doc's full shingle array, and
+    # longs cut those shuffle bytes ~4x. Set semantics are unchanged short
+    # of a 60-bit md5 collision inside one doc pair (~(s^2/2)/2^60 — never).
     grams = spread_for_compute(df, [id_col, text_col]).select(
-        F.col(id_col), F.expr(word_ngrams_spark(text_col, SHINGLE_N)).alias("grams")
+        F.col(id_col),
+        F.expr(
+            f"transform({word_ngrams_spark(text_col, SHINGLE_N)}, g -> {md5int_spark('g')})"
+        ).alias("grams"),
     )
     out = (
         cands.join(grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "ga"), "id_a")
