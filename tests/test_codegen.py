@@ -251,3 +251,52 @@ def test_dqe_transform_compiles_and_enforces(spark, runner, testdata, tmp_path):
     exec(compile(src2, "<generated>", "exec"), ns2)
     with pytest.raises(RuntimeError, match="pk_nonneg"):
         ns2["build"](spark, str(tmp_path / "g2"))
+
+
+def test_snapshot_cdc_compiles_and_matches_engine(spark, runner, tmp_path):
+    """snapshot_cdc codegen: source-callable polling, presence-grid delete
+    derivation (key 2 vanishes at v2, key 3 appears at v2, key 1 changes at
+    v3), SCD2 rebuild — parity with PipelineRunner's apply_snapshot."""
+    # self-contained (no closures): inlined verbatim into the generated file
+    def pull(latest):
+        from pyspark.sql import SparkSession
+        snaps = {
+            1: [(1, "a"), (2, "b")],
+            2: [(1, "a"), (3, "c")],
+            3: [(1, "a2"), (3, "c")],
+        }
+        nxt = 1 if latest is None else latest + 1
+        if nxt not in snaps:
+            return None
+        sp = SparkSession.builder.getOrCreate()
+        return sp.createDataFrame(snaps[nxt], "id int, v string"), nxt
+
+    def spec():
+        return {
+            "pipeline": "p", "flowgroup": "snap",
+            "actions": [
+                {"name": "wr", "type": "write",
+                 "write_target": {"type": "streaming_table", "database": "m.sn",
+                                  "table": "t", "mode": "snapshot_cdc",
+                                  "snapshot_cdc_config": {"keys": ["id"],
+                                                          "stored_as_scd_type": 2,
+                                                          "source_callable": pull}}},
+            ],
+        }
+
+    runner.run(load_flowgroup(spec()))
+    cols = ["id", "v", "__start_at", "__end_at"]
+    eng_df = runner.store.read("m.sn.t").filter("NOT __tombstone")
+    engine = sorted(tuple(r) for r in eng_df.select(*cols).collect())
+
+    src = compile_flowgroup(load_flowgroup(spec()))
+    assert "import lakehouse_plumber_spark" not in src
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    written = ns["build"](spark, str(tmp_path / "gen"))
+    gen = sorted(tuple(r) for r in written["m.sn.t"].select(*cols).collect())
+    assert engine == gen
+    # key 2: closed at v2 by the derived delete; key 1: a -> a2 at v3
+    assert (2, "b", 1, 2) in gen
+    assert (1, "a", 1, 3) in gen and (1, "a2", 3, None) in gen
+    assert (3, "c", 2, None) in gen
