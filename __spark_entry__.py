@@ -1354,6 +1354,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(spark.table("documents"))
 
 
+def _crossdoc_dup_duck() -> str:
+    from lakehouse_plumber_spark.llm.hashing import word_ngrams_duck
+
+    grams = word_ngrams_duck("text", 3)
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({grams}) AS g FROM documents
+    ),
+    freq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+           ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS dup_frac
+    FROM grams JOIN freq USING (g)
+    GROUP BY doc_id
+    """
+
+
+@_register("dedup_crossdoc_ngram_fraction", _crossdoc_dup_duck())
+def dedup_crossdoc_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-n-gram fraction per document (Lee et al. 2022 /
+    Gopher-style corpus-duplication filter; llm/dedup.py:crossdoc_dup_ngram_fraction)."""
+    _prep(spark, sf_dir)
+    return D.crossdoc_dup_ngram_fraction(spark.table("documents"))
+
+
 _KNN_IDS = [0, 1, 2, 3, 4]
 
 

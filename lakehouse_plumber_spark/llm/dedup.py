@@ -342,3 +342,39 @@ def dedup_connected_components(
         F.col("lbl").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
+
+
+def crossdoc_dup_ngram_fraction(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = SHINGLE_N, min_docs: int = 2,
+) -> DataFrame:
+    """Per-document fraction of n-grams that also appear in other documents.
+
+    The cross-document companion to the within-doc Gopher repetition
+    metrics (llm/text.py): training-data pipelines drop documents whose
+    content is mostly corpus-duplicated even when no single near-dup pair
+    crosses the pairwise threshold (boilerplate quilts; see "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022, and the
+    Gopher quality filters). Returns (doc_id, n_grams, dup_grams, dup_frac).
+
+    Plan: explode DISTINCT shingles -> doc-frequency per shingle (shuffle
+    keyed on the shingle — high cardinality, well spread) -> flag shingles
+    in >= min_docs docs -> per-doc aggregation (shuffle keyed on doc_id).
+    Two well-keyed exchanges, no joins wider than the shingle index; at
+    corpus scale both aggregations are map-side-combinable.
+    """
+    grams = spread_for_compute(df, [id_col, text_col]).select(
+        F.col(id_col), F.explode(F.expr(word_ngrams_spark(text_col, n))).alias("g")
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    flagged = grams.join(freq, on="g").withColumn(
+        "__dup", (F.col("__df") >= F.lit(min_docs)).cast("int")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("__dup").cast("long").alias("dup_grams"),
+        )
+        .withColumn("dup_frac", F.round(F.col("dup_grams") / F.col("n_grams"), 6))
+    )
