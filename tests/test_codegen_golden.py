@@ -1,0 +1,102 @@
+"""Golden-baseline tests for compile-to-source, mirroring the reference's
+tests/baselines/ strategy (20 golden files there, e.g.
+write_streaming_table.py:1-18): the emitted source for fixed specs is
+snapshotted; accidental emission drift fails loudly. Regenerate with
+LHP_REGEN_GOLDEN=1 python -m pytest tests/test_codegen_golden.py
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lakehouse_plumber_spark.codegen import compile_flowgroup
+from lakehouse_plumber_spark.parsers import load_flowgroup
+
+BASELINE_DIR = os.path.join(os.path.dirname(__file__), "baselines")
+
+SPECS = {
+    "batch_mv": {
+        "pipeline": "gold", "flowgroup": "mv",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v_n",
+             "source": {"type": "delta", "table": "nation", "where_clause": ["n_regionkey < 3"]}},
+            {"name": "wr", "type": "write", "source": "v_n",
+             "write_target": {"type": "materialized_view", "database": "m.g", "table": "t",
+                              "sql": "SELECT COUNT(*) AS n FROM v_n"}},
+        ],
+    },
+    "cdc_scd2": {
+        "pipeline": "p", "flowgroup": "cdc",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v_ev",
+             "source": {"type": "sql", "sql": "SELECT 1 AS id, 'a' AS v, 1 AS seq, 'U' AS op"}},
+            {"name": "wr", "type": "write", "source": "v_ev",
+             "write_target": {"type": "streaming_table", "database": "m.c", "table": "t",
+                              "mode": "cdc",
+                              "cdc_config": {"keys": ["id"], "sequence_by": "seq",
+                                             "scd_type": 2, "apply_as_deletes": "op = 'D'",
+                                             "except_column_list": ["op"]}}},
+        ],
+    },
+    "stream_fanin_dq": {
+        "pipeline": "p", "flowgroup": "st",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v_raw", "readMode": "stream",
+             "source": {"type": "cloudfiles", "path": "/data/landing", "format": "json",
+                        "options": {"cloudFiles.maxFilesPerTrigger": "10"}}},
+            {"name": "dq", "type": "transform", "transform_type": "data_quality",
+             "source": "v_raw", "target": "v_clean",
+             "expectations_inline": [
+                 {"name": "has_id", "constraint": "id IS NOT NULL", "type": "expect_or_drop"}]},
+            {"name": "wr", "type": "write", "source": "v_clean", "readMode": "stream",
+             "write_target": {"type": "streaming_table", "database": "m.s", "table": "t",
+                              "mode": "standard"}},
+        ],
+    },
+    "snapshot_cdc": {
+        "pipeline": "p", "flowgroup": "snap",
+        "actions": [
+            {"name": "wr", "type": "write",
+             "write_target": {"type": "streaming_table", "database": "m.sn", "table": "t",
+                              "mode": "snapshot_cdc",
+                              "snapshot_cdc_config": {"keys": ["id"], "stored_as_scd_type": 2,
+                                                      "source_function": {"file": "snap/puller.py",
+                                                                          "function": "pull"}}}},
+        ],
+    },
+    "sinks": {
+        "pipeline": "p", "flowgroup": "snk",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v",
+             "source": {"type": "sql", "sql": "SELECT 1 AS key, 'x' AS value"}},
+            {"name": "s1", "type": "write", "source": "v",
+             "write_target": {"type": "sink", "sink_type": "delta", "path": "out/delta"}},
+            {"name": "s2", "type": "write", "source": "v",
+             "write_target": {"type": "sink", "sink_type": "kafka", "topic": "t",
+                              "options": {"simulate_path": "out/kafka"}}},
+        ],
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_generated_source_matches_golden(name):
+    src = compile_flowgroup(load_flowgroup(SPECS[name]))
+    path = os.path.join(BASELINE_DIR, f"{name}.py.golden")
+    if os.environ.get("LHP_REGEN_GOLDEN") or not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(src)
+    with open(path) as f:
+        golden = f.read()
+    assert src == golden, (
+        f"generated source for {name!r} drifted from tests/baselines/{name}.py.golden; "
+        f"if intentional, regenerate with LHP_REGEN_GOLDEN=1"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_golden_sources_are_valid_python(name):
+    with open(os.path.join(BASELINE_DIR, f"{name}.py.golden")) as f:
+        compile(f.read(), f"{name}.golden", "exec")
