@@ -106,7 +106,59 @@ def patch_rescued(rows: DataFrame, schema, rescue_col: str = RESCUE_COL) -> Data
 def run_quarantine(
     ctx: BuildContext, action: Action, df: DataFrame, exps: list[Expectation]
 ) -> DataFrame:
+    """Quarantine transform, batch or streaming.
+
+    Batch: merge failures into the DLQ, recycle newly-fixed rows via the
+    change feed, return clean ∪ recycled-outbox.
+
+    Streaming (the reference template's native shape —
+    data_quality_quarantine.py.j2 runs inside a DLT streaming pipeline):
+    each micro-batch goes through the same DLQ merge via foreachBatch and
+    its clean rows append to a `<dlq>__clean` staging table (streaming-table
+    semantics: cumulative, downstream streams from it incrementally with its
+    own checkpoint). After the availableNow drain, the recycle step appends
+    FIRST-TIME-fixed rows to the staging table — exactly once per fixed row,
+    because the change-feed consume is version-bounded and first-time-ness is
+    an anti-join against the pre-merge outbox. Returns a stream read of the
+    staging table (stream in -> stream out).
+    """
     assert action.quarantine is not None, "quarantine mode requires quarantine config"
+    qcfg = action.quarantine
+    dlq_table = qcfg.dlq_table
+
+    if df.isStreaming:
+        staging = f"{dlq_table}__clean"
+
+        def _one_batch(bdf: DataFrame, _epoch: int) -> None:
+            clean_b = _quarantine_merge_batch(ctx, action, bdf, exps)
+            ctx.store.append(staging, clean_b)
+
+        q = (
+            df.writeStream.foreachBatch(_one_batch)
+            .option("checkpointLocation", ctx.checkpoint("quarantine", action.name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        new_recycled = _consume_fixed_into_outbox(
+            ctx, df.schema, exps, dlq_table, first_time_only=True
+        )
+        if new_recycled is not None:
+            ctx.store.append(staging, new_recycled)
+        ctx.store.create_if_not_exists(staging, schema=df.schema)
+        ctx.log(action.name, "quarantine_stream_drained", staging=staging)
+        return ctx.store.read_stream(staging)
+
+    clean = _quarantine_merge_batch(ctx, action, df, exps)
+    _consume_fixed_into_outbox(ctx, df.schema, exps, dlq_table, first_time_only=False)
+    recycled = _read_recycled_outbox(ctx, df.schema, exps, dlq_table)
+    return clean if recycled is None else clean.unionByName(recycled)
+
+
+def _quarantine_merge_batch(
+    ctx: BuildContext, action: Action, df: DataFrame, exps: list[Expectation]
+) -> DataFrame:
+    """One batch through the DLQ merge; returns the clean rows."""
     qcfg = action.quarantine
     dlq_table = qcfg.dlq_table
     source_table = qcfg.source_table or str(action.source)
@@ -168,15 +220,28 @@ def run_quarantine(
         ctx.store.set_meta(dlq_table, "dlq_buckets", n_buckets)
     ctx.store.log_changes(dlq_table, new_rows.drop(DLQ_BUCKET_COL), "insert")
     ctx.log(action.name, "quarantined", dlq_table=dlq_table)
+    return clean
 
-    # recycle: rows marked fixed in the DLQ change feed, consumed
-    # INCREMENTALLY (reference data_quality_quarantine.py.j2:135-177 streams
-    # the CDF via checkpoint). `last_recycled_version` in the table meta is
-    # the checkpoint: each run reads only commits newer than it — a
-    # partition-pruned scan of the version-partitioned feed, O(new commits)
-    # not O(table lifetime) — and folds newly-fixed rows into a persistent,
-    # bucket-partitioned outbox table. The recycled view reads the outbox.
-    recycled = None
+
+def _consume_fixed_into_outbox(
+    ctx: BuildContext, schema, exps: list[Expectation], dlq_table: str,
+    first_time_only: bool,
+):
+    """Consume newly-fixed DLQ rows from the change feed into the outbox.
+
+    INCREMENTAL (reference data_quality_quarantine.py.j2:135-177 streams
+    the CDF via checkpoint). `last_recycled_version` in the table meta is
+    the checkpoint: each run reads only commits newer than it — a
+    partition-pruned scan of the version-partitioned feed, O(new commits)
+    not O(table lifetime) — and folds newly-fixed rows into a persistent,
+    bucket-partitioned outbox table.
+
+    Returns the re-validated rows that were FIRST-TIME fixed this run when
+    `first_time_only` (the streaming path appends exactly these to its
+    staging table), else None.
+    """
+    n_buckets = int(ctx.store.get_meta(dlq_table, "dlq_buckets", 64) or 64)
+    out_df = None
     outbox = f"{dlq_table}__outbox"
     if ctx.store.has_changes(dlq_table):
         last = int(ctx.store.get_meta(dlq_table, "last_recycled_version", -1))
@@ -203,6 +268,17 @@ def run_quarantine(
                 )
             )
             touched = [r[0] for r in new_fixed.select(DLQ_BUCKET_COL).distinct().collect()]
+            if touched and first_time_only:
+                # rows fixed for the FIRST time (not updates to already-fixed
+                # rows): anti-join against the pre-merge outbox. Materialize
+                # eagerly — the outbox rewrite below would otherwise
+                # invalidate this plan's outbox read.
+                if ctx.store.exists(outbox):
+                    prior = ctx.store.read(outbox).select("_dlq_sk")
+                    first = new_fixed.join(prior, on="_dlq_sk", how="left_anti")
+                else:
+                    first = new_fixed
+                out_df = _parse_and_revalidate(first, schema, exps).localCheckpoint(eager=True)
             if touched:
                 if ctx.store.exists(outbox):
                     # pruned upsert: only the touched buckets are read and
@@ -223,16 +299,25 @@ def run_quarantine(
                 else:
                     ctx.store.append(outbox, new_fixed, [DLQ_BUCKET_COL])
             ctx.store.set_meta(dlq_table, "last_recycled_version", hi)
-    if ctx.store.exists(outbox):
-        # re-type the JSON row back to the clean schema in ONE parse per row
-        # (reference uses per-field try_variant_get; from_json is the
-        # Spark-idiomatic equivalent and parses the document once). No
-        # rescued patch here: the stored payload was patched at quarantine
-        # time, so an operator's fix to _row_data is final.
-        recycled = ctx.store.read(outbox).select(
-            F.from_json("_row_data", df.schema).alias("__row")
-        ).select(*[F.col(f"__row.{f.name}").alias(f.name) for f in df.schema.fields])
-        recycled = recycled.filter(F.expr(combined_predicate(exps)))
+    return out_df
 
-    out = clean if recycled is None else clean.unionByName(recycled)
-    return out
+
+def _parse_and_revalidate(rows: DataFrame, schema, exps: list[Expectation]) -> DataFrame:
+    """_row_data JSON -> typed rows in ONE parse per row (reference uses
+    per-field try_variant_get; from_json is the Spark-idiomatic equivalent
+    and parses the document once), re-validated against the expectations.
+    No rescued patch here: the stored payload was patched at quarantine
+    time, so an operator's fix to _row_data is final."""
+    parsed = rows.select(F.from_json("_row_data", schema).alias("__row")).select(
+        *[F.col(f"__row.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    return parsed.filter(F.expr(combined_predicate(exps)))
+
+
+def _read_recycled_outbox(
+    ctx: BuildContext, schema, exps: list[Expectation], dlq_table: str
+):
+    outbox = f"{dlq_table}__outbox"
+    if not ctx.store.exists(outbox):
+        return None
+    return _parse_and_revalidate(ctx.store.read(outbox), schema, exps)

@@ -196,3 +196,61 @@ def test_cdf_prune_changes(spark, testdata, runner):
     # an empty feed (every commit pruned) reads as "no changes"
     store.prune_changes(dlq, hi)
     assert not store.has_changes(dlq)
+
+
+def test_streaming_quarantine_roundtrip(spark, runner, tmp_path):
+    """Streaming source through quarantine (the reference template's native
+    shape): micro-batches merge into the DLQ via foreachBatch, clean rows
+    land in the `<dlq>__clean` staging table, downstream streams from it;
+    a later fix recycles the row into the staging table exactly once."""
+    land = tmp_path / "land"
+    land.mkdir()
+    spark.sql(
+        "SELECT id, CASE WHEN id % 3 = 0 THEN -1.0 ELSE 1.0 END AS amt FROM range(30)"
+    ).coalesce(1).write.mode("overwrite").json(str(land))
+
+    def fg():
+        return load_flowgroup({
+            "pipeline": "p", "flowgroup": "qs",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_raw", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": str(land), "format": "json",
+                            "schema": "id BIGINT, amt DOUBLE"}},
+                {"name": "dq", "type": "transform", "transform_type": "data_quality",
+                 "source": "v_raw", "target": "v_clean", "mode": "quarantine",
+                 "quarantine": {"dlq_table": "m.dlq.s"},
+                 "expectations_inline": [
+                     {"name": "pos", "constraint": "amt > 0", "type": "expect_or_drop"}]},
+                {"name": "wr", "type": "write", "source": "v_clean", "readMode": "stream",
+                 "write_target": {"type": "streaming_table", "database": "m.s",
+                                  "table": "clean", "mode": "standard"}},
+            ],
+        })
+
+    store = runner.store
+    ctx = runner.run(fg())
+    out = ctx.resolve_view("m.s.clean")
+    assert out.count() == 20            # 10 of 30 quarantined
+    assert store.read("m.dlq.s").count() == 10
+    assert out.filter("amt <= 0").count() == 0
+
+    # operator fixes every quarantined row -> next run recycles them once
+    fixed = (
+        store.read("m.dlq.s")
+        .withColumn("__row", F.from_json("_row_data", "id BIGINT, amt DOUBLE"))
+        .withColumn("__row", F.col("__row").withField("amt", F.abs(F.col("__row.amt"))))
+        .withColumn("_row_data", F.to_json("__row"))
+        .withColumn("_dlq_status", F.lit("fixed"))
+        .drop("__row", DLQ_BUCKET_COL)
+    )
+    store.log_changes("m.dlq.s", fixed, "update_postimage")
+
+    ctx = runner.run(fg())
+    out = ctx.resolve_view("m.s.clean")
+    assert out.count() == 30            # 20 clean + 10 recycled, no re-reads of source
+    assert out.filter("amt <= 0").count() == 0
+
+    # third run: nothing new anywhere — stream checkpoints + version-bounded
+    # recycle make it a no-op
+    ctx = runner.run(fg())
+    assert ctx.resolve_view("m.s.clean").count() == 30
