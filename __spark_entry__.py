@@ -1861,6 +1861,68 @@ def pipe_quarantine_recycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.resolve_view("main.silver.cust_recycled")
 
 
+@_register(
+    "pipe_quarantine_stream",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE -c_acctbal END AS DOUBLE) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal > 0 OR -c_acctbal > 0
+    """,
+)
+def pipe_quarantine_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quarantine (the reference template's native shape,
+    data_quality_quarantine.py.j2): a file stream drains through the
+    foreachBatch DLQ merge into the `<dlq>__clean` staging table; an
+    operator fixes the quarantined rows and a second run recycles them into
+    the staging table exactly once (quarantine.py:run_quarantine streaming
+    branch)."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    store = runner.store
+    dlq_name = "main.dlq.cust_stream"
+    land = os.path.join(tempfile.mkdtemp(prefix="lhp_qstream_"), "land")
+    spark.sql(
+        "SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer"
+    ).coalesce(2).write.mode("overwrite").json(land)
+    fg_spec = {
+        "pipeline": "silver", "flowgroup": "cust_stream_q",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v_raw", "readMode": "stream",
+             "source": {"type": "cloudfiles", "path": land, "format": "json",
+                        "schema": "c_custkey BIGINT, c_acctbal DOUBLE"}},
+            {"name": "dq", "type": "transform", "transform_type": "data_quality",
+             "source": "v_raw", "target": "v_clean", "mode": "quarantine",
+             "quarantine": {"dlq_table": dlq_name, "source_table": "customer_stream"},
+             "expectations_inline": [
+                 {"name": "positive_balance", "constraint": "c_acctbal > 0", "action": "drop"},
+             ]},
+            {"name": "wr", "type": "write", "source": "v_clean", "readMode": "stream",
+             "write_target": {"type": "streaming_table", "catalog": "main",
+                              "schema": "silver", "table": "cust_stream_clean",
+                              "mode": "standard"}},
+        ],
+    }
+    runner.run(load_flowgroup(fg_spec))
+
+    sch = "c_custkey BIGINT, c_acctbal DOUBLE"
+    dlq = store.read(dlq_name)
+    fixed = (
+        dlq.withColumn("__row", F.from_json("_row_data", sch))
+        .withColumn("__row", F.col("__row").withField("c_acctbal", F.abs(F.col("__row.c_acctbal"))))
+        .withColumn("_row_data", F.to_json("__row"))
+        .withColumn("_dlq_status", F.lit("fixed"))
+        .drop("__row", "_dlq_bucket")
+    )
+    store.log_changes(dlq_name, fixed, "update_postimage")
+
+    ctx = runner.run(load_flowgroup(fg_spec))
+    return ctx.resolve_view("main.silver.cust_stream_clean").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+
+
 _TEMP_TABLE_SQL = f"""
     SELECT l_orderkey, {_dsum('l_quantity', 'order_qty')},
            CAST(COUNT(*) AS BIGINT) AS n_lines
