@@ -48,7 +48,7 @@ def test_compiled_source_matches_engine(spark, runner, testdata, tmp_path):
 
 
 def test_runtime_only_actions_refuse_compilation(spark):
-    """snapshot_cdc / incremental MV need the engine runtime; the compiler
+    """data_quality quarantine needs the store's change feed; the compiler
     must raise, never emit silently-wrong code."""
     fg = load_flowgroup(
         {
@@ -56,16 +56,60 @@ def test_runtime_only_actions_refuse_compilation(spark):
             "actions": [
                 {"name": "ld", "type": "load", "target": "v",
                  "source": {"type": "sql", "sql": "SELECT 1 AS k, 1 AS s"}},
-                {"name": "wr", "type": "write", "source": "v",
-                 "write_target": {"type": "materialized_view", "database": "m.s",
-                                  "table": "t", "refresh_policy": "incremental",
-                                  "incremental_config": {"group_by": ["k"],
-                                                         "aggs": {"n": "count(*)"}}}},
+                {"name": "dq", "type": "transform", "transform_type": "data_quality",
+                 "source": "v", "target": "v_c", "mode": "quarantine",
+                 "quarantine": {"dlq_table": "m.dlq.t"},
+                 "expectations_inline": [
+                     {"name": "pos", "constraint": "k > 0", "type": "expect_or_drop"}]},
+                {"name": "wr", "type": "write", "source": "v_c",
+                 "write_target": {"type": "materialized_view", "database": "m.s", "table": "t"}},
             ],
         }
     )
     with pytest.raises(NotImplementedError, match="PipelineRunner"):
         compile_flowgroup(fg)
+
+
+def test_incremental_mv_compiles_as_recompute(spark, runner, testdata, tmp_path):
+    """IMV codegen: accumulate-then-recompute matches the engine's
+    incrementally-maintained table (the IMV contract: contents equal a full
+    recompute over all data seen)."""
+    land = tmp_path / "orders_land"
+    land.mkdir()
+    spark.sql(
+        "SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS p FROM orders LIMIT 500"
+    ).coalesce(2).write.mode("overwrite").json(str(land))
+
+    def spec():
+        return {
+            "pipeline": "p", "flowgroup": "imv",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_o", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": str(land), "format": "json",
+                            "schema": "o_custkey BIGINT, p DOUBLE"}},
+                {"name": "wr", "type": "write", "source": "v_o",
+                 "write_target": {"type": "materialized_view", "database": "m.i",
+                                  "table": "by_cust", "refresh_policy": "incremental",
+                                  "incremental_config": {
+                                      "group_by": ["o_custkey"],
+                                      "aggs": {"n": "count(*)", "total": "sum(p)"}}}},
+            ],
+        }
+
+    ctx = runner.run(load_flowgroup(spec()))
+    engine = sorted(
+        (r["o_custkey"], r["n"], round(r["total"], 4))
+        for r in ctx.resolve_view("m.i.by_cust").collect()
+    )
+    src = compile_flowgroup(load_flowgroup(spec()))
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    written = ns["build"](spark, str(tmp_path / "gen"))
+    gen = sorted(
+        (r["o_custkey"], r["n"], round(r["total"], 4))
+        for r in written["m.i.by_cust"].collect()
+    )
+    assert engine == gen and len(gen) > 0
 
 
 class TestCodegenStreamingAndCdc:
