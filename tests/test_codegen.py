@@ -344,3 +344,58 @@ def test_snapshot_cdc_compiles_and_matches_engine(spark, runner, tmp_path):
     assert (2, "b", 1, 2) in gen
     assert (1, "a", 1, 3) in gen and (1, "a2", 3, None) in gen
     assert (3, "c", 2, None) in gen
+
+
+class TestCdcCodegenFullOptionSurface:
+    """Multi-column sequence_by and ignore_null_updates compile and match
+    the engine (completing the CDC option surface in generated code)."""
+
+    def _spec(self, batch_sql, cdc_extra):
+        return {
+            "pipeline": "p", "flowgroup": "cdcx",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_ev",
+                 "source": {"type": "sql", "sql": batch_sql}},
+                {"name": "wr", "type": "write", "source": "v_ev",
+                 "write_target": {"type": "streaming_table", "database": "m.x",
+                                  "table": "t", "mode": "cdc",
+                                  "cdc_config": {"keys": ["id"], "scd_type": 1,
+                                                 **cdc_extra}}},
+            ],
+        }
+
+    def _run_both(self, spark, runner, tmp_path, spec, cols):
+        runner.run(load_flowgroup(spec))
+        engine = sorted(
+            tuple(r) for r in runner.store.read("m.x.t")
+            .filter("NOT __tombstone").select(*cols).collect()
+        )
+        src = compile_flowgroup(load_flowgroup(spec))
+        ns: dict = {}
+        exec(compile(src, "<generated>", "exec"), ns)
+        written = ns["build"](spark, str(tmp_path / "gen"))
+        gen = sorted(tuple(r) for r in written["m.x.t"].select(*cols).collect())
+        assert engine == gen
+        return gen
+
+    def test_multi_column_sequence(self, spark, runner, tmp_path):
+        # same seq_major, tie broken by seq_minor: (2) beats (1)
+        sql = ("SELECT * FROM (VALUES (1, 'old', 1, 1), (1, 'new', 1, 2), "
+               "(2, 'only', 1, 1)) AS t(id, v, seq_major, seq_minor)")
+        gen = self._run_both(
+            spark, runner, tmp_path,
+            self._spec(sql, {"sequence_by": ["seq_major", "seq_minor"]}),
+            ["id", "v"],
+        )
+        assert gen == [(1, "new"), (2, "only")]
+
+    def test_ignore_null_updates(self, spark, runner, tmp_path):
+        # second event nulls v; ignore_null_updates keeps 'a'
+        sql = ("SELECT * FROM (VALUES (1, 'a', CAST(10.0 AS DOUBLE), 1), "
+               "(1, NULL, CAST(20.0 AS DOUBLE), 2)) AS t(id, v, amt, seq)")
+        gen = self._run_both(
+            spark, runner, tmp_path,
+            self._spec(sql, {"sequence_by": "seq", "ignore_null_updates": True}),
+            ["id", "v", "amt"],
+        )
+        assert gen == [(1, "a", 20.0)]
