@@ -108,3 +108,16 @@ def test_repetition_bounded_shuffles(spark, q):
     # explode -> (doc, gram) count -> per-doc aggregate -> join with the
     # per-row dup5 side: every aggregate must have a map-side partial
     assert plan.count("HashAggregate") >= 8
+
+
+def test_crossdoc_dup_fraction_bounded_exchanges(spark, q):
+    df = q["dedup_crossdoc_ngram_fraction"](spark, SF)
+    plan = _spark_plan(df)
+    # shingle-frequency agg + shingle-keyed join + per-doc agg — shuffle keys
+    # are the shingle then the doc id; no cartesian, no nested-loop fallback
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # spread + gram-freq agg + join + doc agg (formatted mode double-lists):
+    # the exchange count must stay bounded — a regression adding per-row
+    # shuffles would blow past this
+    assert plan.count("Exchange") <= 12
