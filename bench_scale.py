@@ -108,7 +108,7 @@ def _time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
         fn = qs[name]
         fn(spark, sf_dir).count()  # shape warm-up
         best = None
-        for _ in range(2):
+        for _ in range(int(os.environ.get("LHP_SCALE_RUNS", "2"))):
             t0 = time.time()
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0) if best else time.time() - t0
