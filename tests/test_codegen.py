@@ -47,9 +47,10 @@ def test_compiled_source_matches_engine(spark, runner, testdata, tmp_path):
     assert engine_rows == gen_rows and len(gen_rows) == 3
 
 
-def test_runtime_only_actions_refuse_compilation(spark):
-    """data_quality quarantine needs the store's change feed; the compiler
-    must raise, never emit silently-wrong code."""
+def test_runtime_only_actions_refuse_compilation(spark, tmp_path):
+    """Surfaces the compiler cannot express must raise, never emit
+    silently-wrong code: expectations_file at compile time; a streaming
+    source through compiled quarantine at execution time."""
     fg = load_flowgroup(
         {
             "pipeline": "p", "flowgroup": "f",
@@ -57,17 +58,80 @@ def test_runtime_only_actions_refuse_compilation(spark):
                 {"name": "ld", "type": "load", "target": "v",
                  "source": {"type": "sql", "sql": "SELECT 1 AS k, 1 AS s"}},
                 {"name": "dq", "type": "transform", "transform_type": "data_quality",
-                 "source": "v", "target": "v_c", "mode": "quarantine",
-                 "quarantine": {"dlq_table": "m.dlq.t"},
-                 "expectations_inline": [
-                     {"name": "pos", "constraint": "k > 0", "type": "expect_or_drop"}]},
+                 "source": "v", "target": "v_c",
+                 "expectations_file": "exp.yaml"},
                 {"name": "wr", "type": "write", "source": "v_c",
                  "write_target": {"type": "materialized_view", "database": "m.s", "table": "t"}},
             ],
         }
     )
-    with pytest.raises(NotImplementedError, match="PipelineRunner"):
+    with pytest.raises(NotImplementedError, match="inline expectations"):
         compile_flowgroup(fg)
+
+
+def test_quarantine_compiles_with_fix_inbox_recycle(spark, runner, testdata, tmp_path):
+    """Quarantine codegen: no-fix run matches the engine's clean output;
+    dropping a fix file into the generated script's inbox recycles the row
+    exactly once across runs (the standalone analogue of the engine's
+    change-feed recycle — same end state through a different channel)."""
+    import os
+
+    def spec():
+        return {
+            "pipeline": "p", "flowgroup": "q",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_n",
+                 "source": {"type": "sql",
+                            "sql": "SELECT n_nationkey AS id, CAST(n_regionkey AS DOUBLE) - 2 AS score"
+                                   " FROM nation"}},
+                {"name": "dq", "type": "transform", "transform_type": "data_quality",
+                 "source": "v_n", "target": "v_clean", "mode": "quarantine",
+                 "quarantine": {"dlq_table": "m.dlq.gen", "source_table": "nation"},
+                 "expectations_inline": [
+                     {"name": "nonneg", "constraint": "score >= 0", "type": "expect_or_drop"}]},
+                {"name": "wr", "type": "write", "source": "v_clean",
+                 "write_target": {"type": "materialized_view", "database": "m.q", "table": "clean"}},
+            ],
+        }
+
+    # engine run (no fixes): clean rows only
+    ctx = runner.run(load_flowgroup(spec()))
+    engine = sorted(r["id"] for r in ctx.resolve_view("m.q.clean").collect())
+
+    out = tmp_path / "gen"
+    src = compile_flowgroup(load_flowgroup(spec()))
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    written = ns["build"](spark, str(out))
+    gen = sorted(r["id"] for r in written["m.q.clean"].collect())
+    assert engine == gen and len(gen) == 15  # regions 2-4 pass
+
+    # fix every quarantined row via the generated inbox contract
+    dlq = spark.read.parquet(str(out / "_dlq" / "m" / "dlq" / "gen"))
+    assert dlq.count() == 10
+    from pyspark.sql import functions as SF
+    fixes = dlq.select(
+        "_dlq_sk",
+        SF.to_json(SF.struct(
+            SF.get_json_object("_row_data", "$.id").cast("long").alias("id"),
+            SF.abs(SF.get_json_object("_row_data", "$.score").cast("double")).alias("score"),
+        )).alias("_row_data"),
+    )
+    fix_dir = out / "_dlq_fixes" / "m" / "dlq" / "gen"
+    fixes.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "fixstage"))
+    part = [f for f in os.listdir(tmp_path / "fixstage") if f.endswith(".parquet")][0]
+    os.rename(tmp_path / "fixstage" / part, fix_dir / "fix1.parquet")
+
+    ns2: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns2)
+    written = ns2["build"](spark, str(out))
+    got = written["m.q.clean"]
+    assert got.count() == 25 and got.filter("score < 0").count() == 0
+
+    # third run: inbox already consumed -> still exactly 25
+    ns3: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns3)
+    assert ns3["build"](spark, str(out))["m.q.clean"].count() == 25
 
 
 def test_incremental_mv_compiles_as_recompute(spark, runner, testdata, tmp_path):
