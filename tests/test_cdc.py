@@ -259,3 +259,42 @@ class TestLogCompaction:
         with pytest.raises(ValueError, match="scd_type 2"):
             CDCConfig(keys=["id"], sequence_by="seq", scd_type=1,
                       log_compaction_horizon="__max_seq - 1")
+
+
+class TestLogCompactionProperty:
+    @pytest.mark.parametrize("seed", [7, 21, 99])
+    def test_random_streams_match_uncompacted_replay(self, spark, runner, seed):
+        """Randomized in-contract event streams (every event's seq within the
+        horizon window of the running max): compacted and plain SCD2 state
+        must produce identical visible history after every merge."""
+        import random
+
+        rng = random.Random(seed)
+        W = 3
+        cfg_c = CDCConfig(keys=["id"], sequence_by="seq", scd_type=2,
+                          apply_as_deletes="op = 'D'", except_column_list=["op"],
+                          log_compaction_horizon=f"__max_seq - {W}")
+        cfg_p = CDCConfig(keys=["id"], sequence_by="seq", scd_type=2,
+                          apply_as_deletes="op = 'D'", except_column_list=["op"])
+        store = runner.store
+        global_max = 0
+        for batch_no in range(8):
+            new_max = global_max + rng.randint(1, 3)
+            rows = []
+            for _ in range(rng.randint(1, 4)):
+                key = rng.choice([1, 2])
+                # in-contract: seq >= new_max - (W - 1) > horizon(new_max - W)
+                seq = rng.randint(max(1, new_max - (W - 1)), new_max)
+                op = "D" if rng.random() < 0.15 else "U"
+                rows.append((key, f"v{batch_no}_{seq}_{key}", seq, op))
+            # ensure the intended max actually appears
+            rows.append((1, f"m{batch_no}", new_max, "U"))
+            global_max = new_max
+            batch = _mk(spark, rows)
+            apply_changes(store, f"t.pc{seed}", batch, cfg_c)
+            apply_changes(store, f"t.pp{seed}", batch, cfg_p)
+            got = sorted(map(tuple, _visible(store, f"t.pc{seed}")
+                             .select("id", "v", "__start_at", "__end_at").collect()))
+            want = sorted(map(tuple, _visible(store, f"t.pp{seed}")
+                              .select("id", "v", "__start_at", "__end_at").collect()))
+            assert got == want, f"divergence after batch {batch_no}"
