@@ -107,7 +107,7 @@ def cmd_compile(args) -> int:
     for fg in _discover(args):
         dest = os.path.join(args.out, f"{fg.pipeline}__{fg.flowgroup}.py")
         try:
-            src = compile_flowgroup(fg)
+            src = compile_flowgroup(fg, base_dir=args.project_root)
         except NotImplementedError as e:
             print(f"skip  {fg.pipeline}/{fg.flowgroup}: {e}")
             rc = 2

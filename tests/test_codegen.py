@@ -463,3 +463,28 @@ class TestCdcCodegenFullOptionSurface:
             ["id", "v", "amt"],
         )
         assert gen == [(1, "a", 20.0)]
+
+
+def test_expectations_file_resolves_at_compile_time(spark, runner, testdata, tmp_path):
+    """expectations_file loads against base_dir during compilation, so the
+    generated script is self-contained."""
+    (tmp_path / "exp.yaml").write_text(
+        "- name: small_region\n  constraint: n_regionkey < 3\n  type: expect_or_drop\n"
+    )
+    fg = load_flowgroup({
+        "pipeline": "p", "flowgroup": "dqf",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v_n",
+             "source": {"type": "sql", "sql": "SELECT n_nationkey, n_regionkey FROM nation"}},
+            {"name": "dq", "type": "transform", "transform_type": "data_quality",
+             "source": "v_n", "target": "v_clean", "expectations_file": "exp.yaml"},
+            {"name": "wr", "type": "write", "source": "v_clean",
+             "write_target": {"type": "materialized_view", "database": "m.f", "table": "t"}},
+        ],
+    })
+    src = compile_flowgroup(fg, base_dir=str(tmp_path))
+    assert "n_regionkey < 3" in src  # resolved into the generated text
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    written = ns["build"](spark, str(tmp_path / "gen"))
+    assert written["m.f.t"].count() == 15
