@@ -48,10 +48,14 @@ def test_cli_compile_emits_standalone_source(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     files = sorted(os.listdir(tmp_path))
-    assert files == ["bronze__customers.py", "gold__summary.py"]
-    src = (tmp_path / "bronze__customers.py").read_text()
-    assert "import lakehouse_plumber_spark" not in src  # standalone, no engine import
-    compile(src, "generated.py", "exec")  # parses as valid python
+    assert files == ["bronze__customers.py", "gold__summary.py",
+                     "silver__customers_dq.py", "silver__orders_cdc.py"]
+    for f in files:
+        src = (tmp_path / f).read_text()
+        assert "import lakehouse_plumber_spark" not in src  # standalone
+        compile(src, f, "exec")  # parses as valid python
+    # the quarantine flowgroup resolved its expectations_file at compile time
+    assert "c_acctbal >= 0" in (tmp_path / "silver__customers_dq.py").read_text()
 
 
 def test_cli_validate_catches_cycle(tmp_path, capsys):
