@@ -309,13 +309,18 @@ def dedup_connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     changed = 0
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         neigh = (
             sym.join(labels, sym["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # the changed-count rides the checkpoint materialization as an
+        # observation — ONE action per round, not a checkpoint + a count
+        obs = Observation(f"cc_round_{rnd}")
         new_labels = (
             labels.withColumnRenamed("lbl", "olbl")
             .join(neigh, "id", "left")
@@ -324,9 +329,10 @@ def dedup_connected_components(
                 F.least(F.col("olbl"), F.coalesce("nlbl", F.col("olbl"))).alias("lbl"),
                 "olbl",
             )
+            .observe(obs, F.sum((F.col("lbl") != F.col("olbl")).cast("long")).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.where(F.col("lbl") != F.col("olbl")).count()
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels.select("id", "lbl")
         if changed == 0:
             break
