@@ -1612,40 +1612,46 @@ def pipe_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("knn_ivf", None)  # iterative k-means quantizer: rows-only check
+@_register("knn_ivf", _knn_duck())
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (k-means coarse quantizer + n_probe nearest lists) —
-    the production-scale index layout for a 100 TB corpus. Iterative Lloyd
-    training is not single-statement SQL, so the driver records the weaker
-    rows-only check; llm/similarity.py documents the plan shape."""
+    the production-scale index layout for a 100 TB corpus. The driver query
+    runs the full index pipeline (Lloyd training, list assignment, probe
+    selection, list-restricted scoring) with n_probe = n_centroids, which by
+    construction degenerates to exact search — so the brute-force cosine
+    oracle checks every stage of the IVF plan end-to-end. Production recall/
+    cost trade-off (n_probe < n_centroids) is covered by unit tests."""
     _prep(spark, sf_dir)
-    return S.ivf_build_and_search(spark.table("embeddings"), _KNN_IDS, k=3).withColumn(
-        "rank", F.col("rank").cast("long")
-    )
+    return S.ivf_build_and_search(
+        spark.table("embeddings"), _KNN_IDS, k=3, n_centroids=16, n_probe=16
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 @_register(
     "multimodal_features",
     """
     SELECT doc_id AS asset_id,
-           list_transform(range(1, 9),
-                          i -> round(('0x' || substr(md5(text), (i-1)*2+1, 2))::INT / 255.0, 3)
-                          ) AS feature
-    FROM documents
+           CAST(t.range - 1 AS INT) AS idx,
+           round(('0x' || substr(md5(text), CAST((t.range - 1) * 2 + 1 AS INT), 2))::INT
+                 / 255.0, 3) AS value
+    FROM documents, range(1, 9) t
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode -> fixed-width feature vector through the same Arrow
     batch path a real image model would use; the md5-derived fake embedding is
     reproduced by the oracle byte-for-byte (rounded to 3dp across the
-    float32/double gap)."""
+    float32/double gap). Output is exploded to one (asset_id, idx, value) row
+    per vector component so every result column is a hashable scalar."""
     from lakehouse_plumber_spark.llm.multimodal import documents_as_assets, extract_features
 
     _prep(spark, sf_dir)
     feats = extract_features(documents_as_assets(spark.table("documents")))
     return feats.select(
         "asset_id",
-        F.expr("transform(feature, x -> round(cast(x as double), 3))").alias("feature"),
+        F.posexplode(
+            F.expr("transform(feature, x -> round(cast(x as double), 3))")
+        ).alias("idx", "value"),
     )
 
 
@@ -3233,6 +3239,66 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_metrics_all_duck() -> str:
+    return rf"""
+    WITH tok AS (SELECT doc_id, CAST(len({tokens_duck('text')}) AS INT) AS n_tokens
+                 FROM documents),
+    bpe AS (SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents),
+    fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                    AS fingerprint
+           FROM documents),
+    q AS (SELECT * FROM ({_quality_duck()}) x),
+    l AS (SELECT * FROM ({_langid_sql('duck')}) x),
+    wn AS (SELECT * FROM ({_winnow_duck()}) x),
+    rep AS (SELECT * FROM ({_repetition_duck()}) x),
+    pii AS (SELECT * FROM ({_pii_duck()}) x)
+    SELECT tok.doc_id, tok.n_tokens, bpe.n_bpe_tokens, fp.fingerprint,
+           q.quality_score, l.lang_pred, wn.winnow_fp,
+           rep.top2_frac, rep.dup5_frac,
+           pii.n_emails, pii.n_phones, pii.red_md5
+    FROM tok
+    JOIN bpe USING (doc_id) JOIN fp USING (doc_id) JOIN q USING (doc_id)
+    JOIN l USING (doc_id) JOIN wn USING (doc_id) JOIN rep USING (doc_id)
+    JOIN pii USING (doc_id)
+    """
+
+
+@_register("text_metrics_all", _text_metrics_all_duck())
+def text_metrics_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite text/PII driver row: the whole text-analysis family — token
+    count, BPE-ish sub-word count, normalized fingerprint, quality score,
+    language ID, winnowing fingerprint, Gopher repetition fractions, and the
+    seeded PII redaction md5 — in one row per document, so the family keeps a
+    hard correctness signal inside the driver's 50-row prefix.
+
+    Plan shape: every metric except top2_frac is a narrow whole-stage-codegen
+    expression over one scan (no shuffle); top2_frac's explode→two-level agg
+    and the final doc_id joins are the only exchanges."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    narrow = (
+        TX.with_token_count(docs)
+        .transform(TX.with_bpe_token_count)
+        .transform(TX.with_fingerprint)
+        .transform(TX.with_quality_score)
+        .transform(TX.with_lang_id)
+        .transform(TX.with_rolling_hash_fingerprint)
+        .select(
+            "doc_id", "n_tokens", "n_bpe_tokens", "fingerprint",
+            "quality_score", "lang_pred", "winnow_fp",
+        )
+    )
+    rep = TX.repetition_metrics(docs)
+    seeded = docs.select("doc_id", F.expr(_pii_seed_sql("spark")).alias("text"))
+    pii = TX.with_pii_redaction(seeded).select(
+        "doc_id", "n_emails", "n_phones", F.md5("redacted").alias("red_md5")
+    )
+    return narrow.join(rep, "doc_id").join(pii, "doc_id")
+
+
 def _curation_duck() -> str:
     return rf"""
     WITH q AS (SELECT * FROM ({_quality_duck()}) x),
@@ -3385,7 +3451,9 @@ _PRIORITY: list[str] = [
     "q1_pricing_summary",
     "pipe_python_transform",
     "pipe_dq_drop",
-    "pipe_quarantine_clean",
+    # quarantine: the recycle row runs the full flow (clean path + DLQ + CDF
+    # recycle + union), so one slot covers the operator; the standalone clean
+    # row stays registered below the prefix and in the local sweep
     "pipe_quarantine_recycle",
     "pipe_temp_table",
     # writes: streaming_table standard/cdc/snapshot_cdc, MV, sinks
@@ -3429,10 +3497,13 @@ _PRIORITY: list[str] = [
     "sample_stratified",
     "sample_hash_split",
     "sample_per_source_topk",
+    # LLM-data: the whole text/PII family in one composite row
+    "text_metrics_all",
     # custom stateful streaming
     "pipe_stateful_sessionize",
     "pipe_stream_dedup",
     # --- 50 entries above this line ---
+    "pipe_quarantine_clean",
     "pipe_stream_window_agg",
     "pipe_stream_session_window",
     "text_lang_id",

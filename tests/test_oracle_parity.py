@@ -61,7 +61,9 @@ def test_driver_prefix_covers_every_operator_class():
         "transform:sql": {"q1_pricing_summary"},
         "transform:python": {"pipe_python_transform"},
         "transform:dqe": {"pipe_dq_drop"},
-        "transform:quarantine": {"pipe_quarantine_clean", "pipe_quarantine_recycle"},
+        # the recycle row runs the full quarantine flow (clean path + DLQ +
+        # CDF recycle + union) — one slot covers the operator class
+        "transform:quarantine": {"pipe_quarantine_recycle"},
         "transform:temp_table": {"pipe_temp_table"},
         "write:streaming_table": {"pipe_streaming_fanin"},
         "write:cdc": {"pipe_cdc_scd1", "pipe_cdc_scd2"},
@@ -87,6 +89,7 @@ def test_driver_prefix_covers_every_operator_class():
         "llm:sampling": {
             "sample_stratified", "sample_hash_split", "sample_per_source_topk",
         },
+        "llm:text": {"text_metrics_all"},
         "streaming:stateful": {"pipe_stateful_sessionize", "pipe_stream_dedup"},
     }
     prefix_set = set(prefix)
