@@ -128,14 +128,28 @@ def run_quarantine(
 
     if df.isStreaming:
         staging = f"{dlq_table}__clean"
+        ckpt = ctx.checkpoint("quarantine", action.name)
 
-        def _one_batch(bdf: DataFrame, _epoch: int) -> None:
+        def _one_batch(bdf: DataFrame, epoch: int) -> None:
+            # foreachBatch is at-least-once and the staging append is not
+            # idempotent: skip epochs already applied, keyed by the checkpoint
+            # INCARNATION (same replay guard as the incremental-MV path in
+            # write.py — deleting the checkpoint dir mints a new incarnation,
+            # so a restart-from-scratch is never suppressed)
+            from lakehouse_plumber_spark.operators.write import _checkpoint_incarnation
+
+            key = f"last_epoch:{_checkpoint_incarnation(ckpt)}"
+            last = ctx.store.get_meta(staging, key)
+            if last is not None and epoch <= int(last):
+                ctx.log(action.name, "quarantine_epoch_skipped", epoch=epoch)
+                return
             clean_b = _quarantine_merge_batch(ctx, action, bdf, exps)
             ctx.store.append(staging, clean_b)
+            ctx.store.set_meta(staging, key, int(epoch))
 
         q = (
             df.writeStream.foreachBatch(_one_batch)
-            .option("checkpointLocation", ctx.checkpoint("quarantine", action.name))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )

@@ -35,6 +35,23 @@ from lakehouse_plumber_spark.dag import sql_table_refs
 _INTERNAL_TABLE_FORMATS = {"delta", "iceberg", "hive", "unity_catalog", "parquet"}
 _READER_ROOTS = {"read", "readStream"}
 
+# receiver names that plausibly hold a SparkSession (the reference's extractor
+# is scope-aware; this is the name-heuristic equivalent)
+_SPARK_ROOT_RE = None  # compiled lazily below
+
+
+def _spark_rooted(chain: list[str]) -> bool:
+    """True when any receiver segment before the method looks like a Spark
+    session (spark, spark_sess, session, my_session) or is a reader root."""
+    import re
+
+    global _SPARK_ROOT_RE
+    if _SPARK_ROOT_RE is None:
+        _SPARK_ROOT_RE = re.compile(r"^(spark\w*|\w*session)$", re.IGNORECASE)
+    return any(
+        seg in _READER_ROOTS or _SPARK_ROOT_RE.match(seg) for seg in chain[:-1]
+    )
+
 
 @dataclass
 class PyDepsResult:
@@ -163,8 +180,12 @@ class _Extractor(ast.NodeVisitor):
         func = node.func
         if isinstance(func, ast.Attribute):
             chain = _attr_chain(func)
-            # spark.sql("...") — any receiver named spark/spark_/session
-            if func.attr == "sql" and node.args:
+            # bare .sql()/.table() only count when the receiver chain passes
+            # through a Spark-session-looking name (spark*, *session) or a
+            # reader root — otherwise catalog.table()/self.sql() etc. would
+            # fabricate dependency edges (and with the runner's view-name
+            # folding, even cycles) out of unrelated APIs
+            if func.attr == "sql" and node.args and _spark_rooted(chain):
                 sql = _const_str(node.args[0], self.bindings)
                 if sql is not None:
                     self.result.tables |= sql_table_refs(sql)
@@ -177,7 +198,7 @@ class _Extractor(ast.NodeVisitor):
                 is_direct_table = func.attr == "table" and (
                     # spark.table(...) / spark.read.table / spark.readStream.table
                     (len(chain) >= 2 and chain[-2] in _READER_ROOTS)
-                    or (len(chain) == 2)  # spark.table
+                    or (len(chain) == 2 and _spark_rooted(chain))  # spark.table
                 )
                 fmt = _reader_format(func.value, self.bindings)
                 reader_chain = any(c in _READER_ROOTS for c in chain)

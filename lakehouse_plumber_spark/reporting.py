@@ -95,16 +95,19 @@ def publish_test_results(ctx, terminal_state: str, reporting_cfg: Optional[dict[
         return None
     if not isinstance(cfg, dict):
         cfg = dict(cfg)
-    provider = _resolve_provider(cfg, ctx.base_dir)
-    context = {
-        "pipeline_name": ctx.flowgroup.pipeline,
-        "pipeline_id": ctx.flowgroup.pipeline,
-        "update_id": ctx.run_id,
-        "run_id": ctx.run_id,
-        "terminal_state": terminal_state,
-        "store": ctx.store,
-    }
     try:
+        # provider resolution is inside the containment too: a bad
+        # module_path/function_name is a broken reporter, and must neither
+        # fail a green pipeline nor mask the original error on the FAILED path
+        provider = _resolve_provider(cfg, ctx.base_dir)
+        context = {
+            "pipeline_name": ctx.flowgroup.pipeline,
+            "pipeline_id": ctx.flowgroup.pipeline,
+            "update_id": ctx.run_id,
+            "run_id": ctx.run_id,
+            "terminal_state": terminal_state,
+            "store": ctx.store,
+        }
         out = provider(
             results=list(ctx.test_results),
             config=dict(cfg.get("config") or {}),

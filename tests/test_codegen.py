@@ -488,3 +488,66 @@ def test_expectations_file_resolves_at_compile_time(spark, runner, testdata, tmp
     exec(compile(src, "<generated>", "exec"), ns)
     written = ns["build"](spark, str(tmp_path / "gen"))
     assert written["m.f.t"].count() == 15
+
+
+def test_orphaned_dq_fail_view_does_not_block(spark, tmp_path):
+    """A data_quality view with fail expectations that no write consumes
+    must not register a footer check — the Observation would never populate
+    and build() would hang on _obs.get (ADVICE r3)."""
+    spec = {
+        "pipeline": "p", "flowgroup": "orphan_dq",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v_src",
+             "source": {"type": "sql",
+                        "sql": "SELECT * FROM (VALUES (1), (NULL)) AS t(id)"}},
+            # orphaned: nothing consumes v_checked
+            {"name": "dq", "type": "transform", "transform_type": "data_quality",
+             "source": "v_src", "target": "v_checked",
+             "expectations_inline": [
+                 {"name": "id_set", "constraint": "id IS NOT NULL",
+                  "action": "fail"}]},
+            # the write consumes the RAW view, so the pipeline itself is fine
+            {"name": "wr", "type": "write", "source": "v_src",
+             "write_target": {"type": "materialized_view", "database": "m.o",
+                              "table": "raw_copy"}},
+        ],
+    }
+    src = compile_flowgroup(load_flowgroup(spec))
+    assert "fail-check not registered" in src
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    # would block forever before the fix
+    written = ns["build"](spark, str(tmp_path / "gen"))
+    assert written["m.o.raw_copy"].count() == 2
+
+
+def test_compiled_cdc_conflicting_rerun_prefers_newest_append(spark, tmp_path):
+    """Two appends carry the same (key, sequence) with different values — a
+    correction re-run. The survivor must deterministically be the NEWER
+    append (engine _dedup_key_seq batch-priority rule), not whichever row the
+    shuffle happened to order first (ADVICE r3)."""
+    def spec(batch_sql):
+        return {
+            "pipeline": "p", "flowgroup": "cdc_rerun",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_ev",
+                 "source": {"type": "sql", "sql": batch_sql}},
+                {"name": "wr", "type": "write", "source": "v_ev",
+                 "write_target": {"type": "streaming_table", "database": "m.r",
+                                  "table": "scd1r", "mode": "cdc",
+                                  "cdc_config": {"keys": ["id"],
+                                                 "sequence_by": "seq",
+                                                 "scd_type": 1}}},
+            ],
+        }
+
+    out = tmp_path / "gen"
+    b1 = "SELECT * FROM (VALUES (1, 'orig', 1)) AS t(id, v, seq)"
+    b2 = "SELECT * FROM (VALUES (1, 'corrected', 1)) AS t(id, v, seq)"
+    for b in (b1, b2):
+        src = compile_flowgroup(load_flowgroup(spec(b)))
+        ns: dict = {}
+        exec(compile(src, "<generated>", "exec"), ns)
+        written = ns["build"](spark, str(out))
+    rows = written["m.r.scd1r"].collect()
+    assert [(r["id"], r["v"], r["seq"]) for r in rows] == [(1, "corrected", 1)]

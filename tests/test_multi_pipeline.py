@@ -159,3 +159,33 @@ def f(spark, params):
         )
         ctxs = runner.run_many([fg_b, fg_a])
         assert ctxs[0].resolve_view("main.y.pycount").collect()[0]["n"] == 25
+
+    def test_non_spark_receivers_do_not_fabricate_edges(self):
+        """catalog.table() / self.sql() / obj.table() are NOT Spark reads;
+        counting them fabricates dependency edges (and, with the runner's
+        view-name folding, even cycles) — ADVICE r3."""
+        from lakehouse_plumber_spark.pydeps import extract_python_table_refs
+
+        code = '''
+def f(spark, params):
+    a = catalog.table("main.x.t1")
+    b = self.table("main.x.t2")
+    c = conn.sql("SELECT * FROM main.x.t3")
+    d = self.helper.sql("SELECT * FROM main.x.t4")
+    return a
+'''
+        res = extract_python_table_refs(code)
+        assert res.tables == set()
+
+    def test_sessionlike_receivers_still_count(self):
+        from lakehouse_plumber_spark.pydeps import extract_python_table_refs
+
+        code = '''
+def f(spark_sess, params):
+    a = spark_sess.table("main.x.t1")
+    b = self.spark.sql("SELECT * FROM main.x.t2")
+    c = my_session.table("main.x.t3")
+    return a
+'''
+        res = extract_python_table_refs(code)
+        assert res.tables == {"main.x.t1", "main.x.t2", "main.x.t3"}

@@ -254,3 +254,53 @@ def test_streaming_quarantine_roundtrip(spark, runner, tmp_path):
     # recycle make it a no-op
     ctx = runner.run(fg())
     assert ctx.resolve_view("m.s.clean").count() == 30
+
+
+def test_streaming_quarantine_replay_does_not_duplicate_staging(spark, runner, tmp_path):
+    """foreachBatch is at-least-once: simulate a post-failure replay by
+    wiping the stream checkpoint while keeping its incarnation marker — the
+    same micro-batch (same epoch ids) replays, and the epoch guard must skip
+    it instead of appending the clean rows to staging a second time
+    (ADVICE r3; same guard as the incremental-MV path)."""
+    import os
+    import shutil
+
+    land = tmp_path / "land_rp"
+    land.mkdir()
+    spark.sql(
+        "SELECT id, CASE WHEN id % 3 = 0 THEN -1.0 ELSE 1.0 END AS amt FROM range(30)"
+    ).coalesce(1).write.mode("overwrite").json(str(land))
+
+    def fg():
+        return load_flowgroup({
+            "pipeline": "p", "flowgroup": "qrp",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_raw", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": str(land), "format": "json",
+                            "schema": "id BIGINT, amt DOUBLE"}},
+                {"name": "dq", "type": "transform", "transform_type": "data_quality",
+                 "source": "v_raw", "target": "v_clean", "mode": "quarantine",
+                 "quarantine": {"dlq_table": "m.dlqrp.s"},
+                 "expectations_inline": [
+                     {"name": "pos", "constraint": "amt > 0", "type": "expect_or_drop"}]},
+                {"name": "wr", "type": "write", "source": "v_clean", "readMode": "stream",
+                 "write_target": {"type": "streaming_table", "database": "m.srp",
+                                  "table": "clean", "mode": "standard"}},
+            ],
+        })
+
+    runner.run(fg())
+    staging = runner.store.read("m.dlqrp.s__clean")
+    assert staging.count() == 20
+
+    # replay: reset stream progress but keep the incarnation marker, so the
+    # re-run delivers the SAME epochs again (exactly what a crash-before-
+    # checkpoint-commit does)
+    ckpt = runner.store.checkpoint_dir("p", "qrp", "quarantine", "dq")
+    for entry in os.listdir(ckpt):
+        if entry != ".lhp_incarnation":
+            p = os.path.join(ckpt, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+
+    runner.run(fg())
+    assert runner.store.read("m.dlqrp.s__clean").count() == 20  # not 40

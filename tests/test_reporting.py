@@ -108,3 +108,18 @@ class TestReportingHook:
         runner = _mk_runner(spark, tmp_path, "wh6")
         ctx = runner.run(_fg("warn", None))
         assert ctx.test_results == []
+
+    def test_unresolvable_provider_is_contained(self, spark, tmp_path):
+        """A bad module_path / function_name is a broken reporter: it must be
+        logged as publish_failed, not raised out of the hook (ADVICE r3)."""
+        runner = _mk_runner(spark, tmp_path, "wh7")
+        ctx = runner.run(_fg("warn", {"module_path": "does/not/exist.py"}))
+        events = [e for e in ctx.event_log if e["event"] == "publish_failed"]
+        assert len(events) == 1
+
+    def test_unresolvable_provider_does_not_mask_pipeline_failure(self, spark, tmp_path):
+        """On the FAILED path the original test failure must surface, not an
+        ImportError from the reporter resolution."""
+        runner = _mk_runner(spark, tmp_path, "wh8")
+        with pytest.raises(DataQualityTestFailed):
+            runner.run(_fg("fail", {"module_path": "does/not/exist.py"}))
