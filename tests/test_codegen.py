@@ -49,8 +49,8 @@ def test_compiled_source_matches_engine(spark, runner, testdata, tmp_path):
 
 def test_runtime_only_actions_refuse_compilation(spark, tmp_path):
     """Surfaces the compiler cannot express must raise, never emit
-    silently-wrong code: expectations_file at compile time; a streaming
-    source through compiled quarantine at execution time."""
+    silently-wrong code: an expectations_file with no base_dir cannot be
+    resolved at compile time."""
     fg = load_flowgroup(
         {
             "pipeline": "p", "flowgroup": "f",
@@ -551,3 +551,75 @@ def test_compiled_cdc_conflicting_rerun_prefers_newest_append(spark, tmp_path):
         written = ns["build"](spark, str(out))
     rows = written["m.r.scd1r"].collect()
     assert [(r["id"], r["v"], r["seq"]) for r in rows] == [(1, "corrected", 1)]
+
+
+def test_streaming_quarantine_compiles_and_matches_engine(spark, runner, tmp_path):
+    """Compiled streaming quarantine (reference streaming template path,
+    data_quality_quarantine.py.j2:30-215): micro-batches through the DLQ
+    merge in foreachBatch, clean rows staged, downstream streams from the
+    staging table; a dropped fix file recycles the rows exactly once."""
+    import os
+
+    land = tmp_path / "land_sq"
+    land.mkdir()
+    spark.sql(
+        "SELECT id, CASE WHEN id % 3 = 0 THEN -1.0 ELSE 1.0 END AS amt FROM range(30)"
+    ).coalesce(1).write.mode("overwrite").json(str(land))
+
+    def spec():
+        return {
+            "pipeline": "p", "flowgroup": "sqgen",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_raw", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": str(land), "format": "json",
+                            "schema": "id BIGINT, amt DOUBLE"}},
+                {"name": "dq", "type": "transform", "transform_type": "data_quality",
+                 "source": "v_raw", "target": "v_clean", "mode": "quarantine",
+                 "quarantine": {"dlq_table": "m.dlqg.s"},
+                 "expectations_inline": [
+                     {"name": "pos", "constraint": "amt > 0", "type": "expect_or_drop"}]},
+                {"name": "wr", "type": "write", "source": "v_clean", "readMode": "stream",
+                 "write_target": {"type": "streaming_table", "database": "m.sg",
+                                  "table": "clean", "mode": "standard"}},
+            ],
+        }
+
+    out = tmp_path / "gen_sq"
+    src = compile_flowgroup(load_flowgroup(spec()))
+    assert "_dlq_staging" in src  # streaming path emitted, not refused
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    written = ns["build"](spark, str(out))
+    got = written["m.sg.clean"]
+    assert got.count() == 20 and got.filter("amt <= 0").count() == 0
+    dlq = spark.read.parquet(str(out / "_dlq" / "m" / "dlqg" / "s"))
+    assert dlq.count() == 10
+
+    # drop a fix file into the generated inbox: negated amts become valid
+    from pyspark.sql import functions as SF
+    fixes = dlq.select(
+        "_dlq_sk",
+        SF.to_json(SF.struct(
+            SF.get_json_object("_row_data", "$.id").cast("long").alias("id"),
+            SF.abs(SF.get_json_object("_row_data", "$.amt").cast("double")).alias("amt"),
+        )).alias("_row_data"),
+    )
+    fixes.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "fixstage_sq"))
+    part = [f for f in os.listdir(tmp_path / "fixstage_sq") if f.endswith(".parquet")][0]
+    os.rename(tmp_path / "fixstage_sq" / part,
+              out / "_dlq_fixes" / "m" / "dlqg" / "s" / "fix1.parquet")
+
+    ns2: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns2)
+    written = ns2["build"](spark, str(out))
+    got = written["m.sg.clean"]
+    assert got.count() == 30 and got.filter("amt <= 0").count() == 0
+
+    # third run: no new source files, fixes consumed -> still exactly 30
+    ns3: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns3)
+    assert ns3["build"](spark, str(out))["m.sg.clean"].count() == 30
+
+    # engine reaches the same end state through its change-feed channel
+    ctx = runner.run(load_flowgroup(spec()))
+    assert ctx.resolve_view("m.sg.clean").count() == 20

@@ -66,6 +66,22 @@ SPECS = {
                                                                           "function": "pull"}}}},
         ],
     },
+    "stream_quarantine": {
+        "pipeline": "p", "flowgroup": "sq",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v_raw", "readMode": "stream",
+             "source": {"type": "cloudfiles", "path": "/data/landing", "format": "json",
+                        "schema": "id BIGINT, amt DOUBLE"}},
+            {"name": "dq", "type": "transform", "transform_type": "data_quality",
+             "source": "v_raw", "target": "v_clean", "mode": "quarantine",
+             "quarantine": {"dlq_table": "m.dlq.t"},
+             "expectations_inline": [
+                 {"name": "pos", "constraint": "amt > 0", "type": "expect_or_drop"}]},
+            {"name": "wr", "type": "write", "source": "v_clean", "readMode": "stream",
+             "write_target": {"type": "streaming_table", "database": "m.s", "table": "t",
+                              "mode": "standard"}},
+        ],
+    },
     "sinks": {
         "pipeline": "p", "flowgroup": "snk",
         "actions": [
