@@ -289,13 +289,17 @@ def dedup_connected_components(
     (A~B, B~C must retire both B and C even when A~C was never emitted).
 
     Hash-min label propagation: every node starts labeled with itself; each
-    round every node takes the min label over itself and its neighbors;
-    converged when no label changes. Rounds = component diameter, and near-dup
+    hop every node takes the min label over itself and its neighbors;
+    converged when no label changes. Hops = component diameter, and near-dup
     components are quasi-cliques (diameter 2-3) regardless of corpus size, so
-    the round count does not grow with data. Each round is one shuffle of the
-    symmetrized edge list joined to the label table — no driver-side graph
-    state; only the scalar changed-count crosses to the driver. Labels are
-    localCheckpoint()ed per round so the plan does not grow with rounds.
+    the hop count does not grow with data. TWO hops are batched per
+    materialization (one localCheckpoint + one action per round): diameter-2/3
+    components converge-and-confirm in 2 materialized rounds instead of 3-4,
+    which halves the scheduler-latency-bound part of the wall clock — each
+    materialization is one job whose cost is dominated by job launch at small
+    scale and by the edge-shuffle at large scale, and both hops of a round
+    pipeline inside a single job. Only the scalar changed-count crosses to
+    the driver, riding the checkpoint materialization as an Observation.
     (For adversarial long-chain graphs, alternating large-star/small-star
     [Kiveris et al., "Connected Components in MapReduce"] gives O(log n)
     rounds; near-dup clustering never needs it.)
@@ -311,24 +315,30 @@ def dedup_connected_components(
     )
     from pyspark.sql import Observation
 
-    changed = 0
-    for rnd in range(max_rounds):
+    def _hop(lab: DataFrame) -> DataFrame:
+        """One min-label propagation step over the symmetrized edges,
+        preserving any extra columns (olbl) on the label table."""
         neigh = (
-            sym.join(labels, sym["src"] == labels["id"])
-            .groupBy(F.col("dst").alias("id"))
+            sym.join(lab.select(F.col("id").alias("__jid"), "lbl"), sym["src"] == F.col("__jid"))
+            .groupBy(F.col("dst").alias("__nid"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        # the changed-count rides the checkpoint materialization as an
-        # observation — ONE action per round, not a checkpoint + a count
-        obs = Observation(f"cc_round_{rnd}")
-        new_labels = (
-            labels.withColumnRenamed("lbl", "olbl")
-            .join(neigh, "id", "left")
+        return (
+            lab.withColumnRenamed("lbl", "__cur")
+            .join(neigh, lab["id"] == neigh["__nid"], "left")
             .select(
                 "id",
-                F.least(F.col("olbl"), F.coalesce("nlbl", F.col("olbl"))).alias("lbl"),
-                "olbl",
+                F.least(F.col("__cur"), F.coalesce("nlbl", F.col("__cur"))).alias("lbl"),
+                *[c for c in lab.columns if c not in ("id", "lbl")],
             )
+        )
+
+    changed = 0
+    for rnd in range(max_rounds):
+        obs = Observation(f"cc_round_{rnd}")
+        stepped = _hop(_hop(labels.withColumn("olbl", F.col("lbl"))))
+        new_labels = (
+            stepped
             .observe(obs, F.sum((F.col("lbl") != F.col("olbl")).cast("long")).alias("changed"))
             .localCheckpoint(eager=True)
         )
