@@ -43,6 +43,15 @@ def _discover(args) -> list:
     fgs = discover_flowgroups(args.project_root, tokens=_load_tokens(args.project_root, args.env))
     if not fgs:
         raise SystemExit(f"no flowgroups under {args.project_root}/pipelines/")
+    if getattr(args, "sandbox", None):
+        # per-developer rename pass (reference --sandbox, core/sandbox/):
+        # every produced table and every read of it gets the namespace prefix
+        from lakehouse_plumber_spark.sandbox import SandboxConfigError, apply_sandbox
+
+        try:
+            fgs = apply_sandbox(fgs, args.sandbox)
+        except SandboxConfigError as e:
+            raise SystemExit(f"bad --sandbox config: {e}")
     return fgs
 
 
@@ -219,6 +228,9 @@ def main(argv: list[str] | None = None) -> int:
         sp = sub.add_parser(name)
         sp.add_argument("project_root")
         sp.add_argument("--env", default=None, help="substitutions/{env}.yaml tokens")
+        sp.add_argument("--sandbox", default=None, metavar="NAMESPACE",
+                        help="per-developer rename pass: produced tables (and "
+                             "reads of them) get the {namespace}_{table} leaf")
         if name == "compile":
             sp.add_argument("-o", "--out", default="generated")
         if name == "deps":
