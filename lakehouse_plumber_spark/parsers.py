@@ -179,15 +179,21 @@ def discover_flowgroups(
             spec, tokens=tokens, presets_dir=presets_dir, templates_dir=templates_dir
         )
 
-    for p in bp_paths:
+    from lakehouse_plumber_spark.parse_cache import cache_for
+
+    cache = cache_for(project_root)
+
+    def _read_yaml(p: str) -> dict:
+        if cache is not None:
+            return cache.load_yaml(p) or {}
         with open(p) as f:
-            blueprints_spec = yaml.safe_load(f) or {}
-        bp = Blueprint.model_validate(blueprints_spec)
+            return yaml.safe_load(f) or {}
+
+    for p in bp_paths:
+        bp = Blueprint.model_validate(_read_yaml(p))
         blueprints[bp.name] = bp
     for p in sorted(set(paths)):
-        with open(p) as f:
-            spec = yaml.safe_load(f) or {}
-        fg = _classify(p, spec)
+        fg = _classify(p, _read_yaml(p))
         if fg is not None:
             out.append(fg)
     for synthetic in expand_blueprints(blueprints, instances):

@@ -236,3 +236,74 @@ class TestCloudFilesOptionValidation:
         assert validate_cloudfiles_options(
             {"cloudFiles.validateOptions": "false", "cloudFiles.bogus": "1"}, "a"
         ) == []
+
+
+class TestParseCache:
+    """Content-hash parse cache (reference src/lhp/parsers/parse_cache.py):
+    same bytes hit, edited bytes miss, corrupt entries fall back."""
+
+    def _proj(self, tmp_path):
+        proj = tmp_path / "proj"
+        (proj / "pipelines").mkdir(parents=True)
+        (proj / "pipelines" / "fg.yaml").write_text(
+            "pipeline: p\nflowgroup: f\nactions:\n"
+            "  - {name: ld, type: load, target: v,\n"
+            "     source: {type: sql, sql: 'SELECT 1 AS x'}}\n"
+            "  - name: wr\n    type: write\n    source: v\n"
+            "    write_target: {type: materialized_view, catalog: c, schema: s, table: t}\n"
+        )
+        return proj
+
+    def test_second_discovery_hits_cache(self, tmp_path):
+        import os
+
+        from lakehouse_plumber_spark.parsers import discover_flowgroups
+
+        proj = self._proj(tmp_path)
+        fgs1 = discover_flowgroups(str(proj))
+        cache_dir = proj / ".lhp" / "cache" / "parse"
+        entries = [f for f in os.listdir(cache_dir) if f.endswith(".pkl")]
+        assert len(entries) == 1
+        # poison the yaml file mtime-style edit is irrelevant: same bytes ->
+        # same key; discovery must return the identical flowgroup from cache
+        fgs2 = discover_flowgroups(str(proj))
+        assert fgs1[0].model_dump() == fgs2[0].model_dump()
+
+    def test_edited_file_misses_and_reparses(self, tmp_path):
+        import os
+
+        from lakehouse_plumber_spark.parsers import discover_flowgroups
+
+        proj = self._proj(tmp_path)
+        discover_flowgroups(str(proj))
+        (proj / "pipelines" / "fg.yaml").write_text(
+            (proj / "pipelines" / "fg.yaml").read_text().replace(
+                "table: t", "table: t2")
+        )
+        fgs = discover_flowgroups(str(proj))
+        assert fgs[0].actions[1].write_target.table == "t2"
+        cache_dir = proj / ".lhp" / "cache" / "parse"
+        assert len([f for f in os.listdir(cache_dir) if f.endswith(".pkl")]) == 2
+
+    def test_corrupt_entry_falls_back_to_parse(self, tmp_path):
+        import os
+
+        from lakehouse_plumber_spark.parsers import discover_flowgroups
+
+        proj = self._proj(tmp_path)
+        discover_flowgroups(str(proj))
+        cache_dir = proj / ".lhp" / "cache" / "parse"
+        entry = next(f for f in os.listdir(cache_dir) if f.endswith(".pkl"))
+        (cache_dir / entry).write_bytes(b"not a pickle")
+        fgs = discover_flowgroups(str(proj))
+        assert fgs[0].actions[1].write_target.table == "t"
+
+    def test_opt_out_env_var(self, tmp_path, monkeypatch):
+        import os
+
+        from lakehouse_plumber_spark.parsers import discover_flowgroups
+
+        monkeypatch.setenv("LHP_NO_PARSE_CACHE", "1")
+        proj = self._proj(tmp_path)
+        discover_flowgroups(str(proj))
+        assert not (proj / ".lhp").exists()
