@@ -133,7 +133,7 @@ def main() -> None:
     print("# --- 1x ---", file=sys.stderr)
     t1 = _time_queries(spark, qs, sf_dir)
 
-    print("# --- 10x ---", file=sys.stderr)
+    print(f"# --- {FACTOR}x ---", file=sys.stderr)
     _scaled_views(spark, sf_dir, FACTOR)
     t10 = _time_queries(spark, qs, sf_dir)
     # restore the real registration for anything running after us
@@ -148,9 +148,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "scaleup_10x_ratio",
+                "metric": f"scaleup_{FACTOR}x_ratio",
                 "value": round(statistics.median(ratios), 2),
-                "unit": "x (10x data => ideal <= 10)",
+                "unit": f"x ({FACTOR}x data => ideal <= {FACTOR})",
                 "queries": detail,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             }

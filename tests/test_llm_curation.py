@@ -114,3 +114,51 @@ def test_lsh_hot_bucket_cap_bounds_clique_pairs(spark):
     assert capped < 50
     # the genuine near-dup pair survives the cap
     assert capped_pairs.where("id_a = 100 AND id_b = 101").count() == 1
+
+
+class TestIVFProductionPath:
+    """The driver row runs IVF with n_probe = n_centroids (exactness oracle);
+    these cover the production trade-off n_probe < n_centroids."""
+
+    def _clustered(self, spark, n_clusters=4, per=25, dim=8):
+        # well-separated clusters: one axis-aligned center per cluster with
+        # small deterministic jitter, so true neighbors share a cluster
+        rows = []
+        for c in range(n_clusters):
+            for i in range(per):
+                v = [0.0] * dim
+                v[c] = 10.0
+                v[(c + 1) % dim] = ((i * 37) % 13) / 13.0  # jitter
+                rows.append((c * per + i, v))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_nprobe_one_stays_in_cluster_and_matches_bruteforce(self, spark):
+        from lakehouse_plumber_spark.llm import similarity as S
+
+        df = self._clustered(spark)
+        qids = [0, 25, 50, 75]  # one query per cluster
+        exact = S.knn_bruteforce(df, qids, k=3)
+        approx = S.ivf_build_and_search(df, qids, k=3, n_centroids=4, n_probe=1)
+        ex = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+        ap = {(r.query_id, r.rank): r.neighbor_id for r in approx.collect()}
+        # separated clusters: probing only the nearest list loses nothing
+        assert ap == ex
+        # and every neighbor is from the query's own cluster
+        for (q, _), n in ap.items():
+            assert n // 25 == q // 25
+
+    def test_nprobe_full_equals_bruteforce_on_any_data(self, spark):
+        from lakehouse_plumber_spark.llm import similarity as S
+
+        # adversarial: random-ish vectors, no cluster structure
+        df = spark.range(0, 60).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 8), i -> sin(cast((id + 1) * i as double))) AS embedding",
+        )
+        qids = [0, 1, 2]
+        exact = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+                 for r in S.knn_bruteforce(df, qids, k=3).collect()}
+        approx = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+                  for r in S.ivf_build_and_search(
+                      df, qids, k=3, n_centroids=8, n_probe=8).collect()}
+        assert approx == exact
