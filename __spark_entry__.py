@@ -3299,6 +3299,46 @@ def text_metrics_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return narrow.join(rep, "doc_id").join(pii, "doc_id")
 
 
+_PACK_BUDGET = 2000
+_PACK_SHARDS = 8
+
+
+def _token_pack_duck() -> str:
+    shard_h = md5int_duck("'pack:' || CAST(doc_id AS VARCHAR)")
+    ord_h = md5int_duck("'sample:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH tok AS (SELECT doc_id, CAST(len({tokens_duck('text')}) AS INT) AS n_tokens
+                 FROM documents),
+    sh AS (SELECT doc_id, n_tokens,
+                  {shard_h} % {_PACK_SHARDS} AS shard,
+                  {ord_h} % 1000000 AS ord
+           FROM tok),
+    c AS (SELECT doc_id, n_tokens, shard,
+                 COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          FROM sh)
+    SELECT doc_id, n_tokens, CAST(shard AS INT) AS shard,
+           CAST(floor(bef / {_PACK_BUDGET}.0) AS INT) AS bin
+    FROM c
+    """
+
+
+@_register("sample_token_pack", _token_pack_duck())
+def sample_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: documents fill contiguous ~2000-token bins
+    inside 8 hash shards (the coarse outer level of sequence packing a
+    training-data materialization needs). Deterministic two-level design —
+    hash-sharded so the running-sum window parallelizes; see
+    llm/sampling.py:pack_token_shards for the 100 TB rationale."""
+    from lakehouse_plumber_spark.llm import sampling as SP
+
+    _prep(spark, sf_dir)
+    docs = TX.with_token_count(spark.table("documents")).select("doc_id", "n_tokens")
+    return SP.pack_token_shards(
+        docs, budget=_PACK_BUDGET, shards=_PACK_SHARDS
+    )
+
+
 def _curation_duck() -> str:
     return rf"""
     WITH q AS (SELECT * FROM ({_quality_duck()}) x),

@@ -98,3 +98,50 @@ def per_stratum_smallest_hash(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def pack_token_shards(
+    df: DataFrame,
+    budget: int,
+    shards: int = 64,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack documents into contiguous token-budget bins for training shards.
+
+    Training-data pipelines materialize the corpus as shards of roughly
+    `budget` tokens each (sequence packing's coarse outer level). The rule
+    here is deterministic contiguous fill: order documents by salted hash
+    (stable, engine-independent), accumulate token counts, and start a new
+    bin whenever the EXCLUSIVE prefix sum crosses a budget boundary — so a
+    bin holds whole documents and overshoots by at most one document.
+
+    Scale: a single global ordering would be one giant window partition, so
+    packing is two-level — documents hash into `shards` independent groups
+    first, and the running sum windows over each group in parallel (the
+    shuffle is one hash partition by shard). Bin ids are (shard, bin) pairs;
+    each shard's bins fill to the same budget, so global shard sizing stays
+    uniform by the law of large numbers. NOT append-stable by design:
+    packing is a materialization step, re-run per corpus snapshot.
+    """
+    salted = f"concat('pack:', cast({id_col} as string))"
+    shard = F.expr(f"{md5int_spark(salted)} % {shards}")
+    w = Window.partitionBy("__shard").orderBy(F.expr(_bucket_expr(id_col)), F.col(id_col))
+    return (
+        df.withColumn("__shard", shard)
+        .withColumn(
+            "__before",
+            F.coalesce(
+                F.sum(F.col(token_col)).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col(token_col),
+            F.col("__shard").cast("int").alias("shard"),
+            F.floor(F.col("__before") / budget).cast("int").alias("bin"),
+        )
+    )

@@ -162,3 +162,39 @@ class TestIVFProductionPath:
                   for r in S.ivf_build_and_search(
                       df, qids, k=3, n_centroids=8, n_probe=8).collect()}
         assert approx == exact
+
+
+class TestTokenPacking:
+    def test_bins_fill_to_budget_with_one_doc_overshoot(self, spark):
+        from lakehouse_plumber_spark.llm.sampling import pack_token_shards
+
+        docs = spark.range(0, 400).selectExpr(
+            "id AS doc_id", "CAST(50 + id % 300 AS INT) AS n_tokens")
+        out = pack_token_shards(docs, budget=1000, shards=4).collect()
+        # every doc assigned exactly once
+        assert len(out) == 400
+        by_bin: dict = {}
+        for r in out:
+            by_bin.setdefault((r.shard, r.bin), []).append(r.n_tokens)
+        max_doc = 349
+        for (shard, b), toks in by_bin.items():
+            # contiguous fill: a bin never exceeds budget + one document
+            assert sum(toks) <= 1000 + max_doc
+        # non-final bins are full up to the previous bin's overshoot carry:
+        # the exclusive-prefix rule bounds each side by one document
+        max_bin = {}
+        for (shard, b) in by_bin:
+            max_bin[shard] = max(max_bin.get(shard, -1), b)
+        for (shard, b), toks in by_bin.items():
+            if b < max_bin[shard]:
+                assert sum(toks) >= 1000 - max_doc
+
+    def test_deterministic_across_partitionings(self, spark):
+        from lakehouse_plumber_spark.llm.sampling import pack_token_shards
+
+        docs = spark.range(0, 300).selectExpr(
+            "id AS doc_id", "CAST(10 + id % 90 AS INT) AS n_tokens")
+        a = sorted(map(tuple, pack_token_shards(docs, 500, shards=4).collect()))
+        b = sorted(map(tuple, pack_token_shards(
+            docs.repartition(13), 500, shards=4).collect()))
+        assert a == b
