@@ -92,13 +92,19 @@ def knn_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     planes: int = NUM_HYPERPLANES,
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH bucket(s).
 
     Scale path: bucket id is a grouping key — candidate generation is an
     equi-join on bucket, shuffling each side once by bucket instead of
-    broadcasting/scanning all pairs. Recall grows with multi-probe (adjacent
-    buckets) or more tables; this single-table variant is the skeleton.
+    broadcasting/scanning all pairs. `multi_probe` is the recall knob: it
+    additionally probes every bucket within that Hamming distance of the
+    query's (flipping the least-confident hyperplane bits first is the
+    classic refinement; this probes all of them). Probing expands only the
+    tiny QUERY side — multi_probe=1 makes it |Q| x (planes+1) rows — while
+    the collection side still shuffles exactly once by bucket, so recall is
+    bought without touching the big side's plan.
     """
     from lakehouse_plumber_spark.llm.dedup import spread_for_compute
 
@@ -110,11 +116,26 @@ def knn_lsh(
     q = base.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
     )
+    if multi_probe > 0:
+        # all bit-flip masks with popcount <= multi_probe, precomputed in
+        # Python (planes is small) and exploded on the query side only
+        masks = [m for m in range(1 << planes) if bin(m).count("1") <= multi_probe]
+        q = q.withColumn(
+            "bucket",
+            F.explode(F.expr(
+                "transform(array(" + ", ".join(f"{m}L" for m in masks) + "), "
+                "m -> cast(bucket ^ m as bigint))"
+            )),
+        )
     scored = (
         base.join(q, on="bucket")
         .where(F.col(id_col) != F.col("query_id"))
         .withColumn("cosine", F.round(F.expr(cosine_expr("qv", "v")), 6))
     )
+    if multi_probe > 0:
+        # a candidate can surface through several probed buckets: dedup before
+        # ranking so rank positions are unique per (query, neighbor)
+        scored = scored.dropDuplicates(["query_id", id_col])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

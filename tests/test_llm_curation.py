@@ -198,3 +198,26 @@ class TestTokenPacking:
         b = sorted(map(tuple, pack_token_shards(
             docs.repartition(13), 500, shards=4).collect()))
         assert a == b
+
+
+class TestMultiProbeLSH:
+    def test_multi_probe_recall_dominates_single_bucket(self, spark, testdata):
+        """Probing Hamming-1 neighbor buckets can only ADD candidates, so
+        every single-bucket hit survives and recall vs brute force is
+        monotone in the probe radius; full radius = exact."""
+        from lakehouse_plumber_spark.llm import similarity as S
+
+        df = spark.table("embeddings")
+        qids = [0, 1, 2, 3, 4]
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in S.knn_bruteforce(df, qids, k=3).collect()}
+
+        def hits(mp):
+            got = {(r.query_id, r.neighbor_id)
+                   for r in S.knn_lsh(df, qids, k=3, multi_probe=mp).collect()}
+            return len(got & exact)
+
+        h0, h1 = hits(0), hits(1)
+        assert h1 >= h0
+        # all 8 planes probed = every bucket = exact search
+        assert hits(S.NUM_HYPERPLANES) == len(exact)
