@@ -127,15 +127,13 @@ def cmd_compile(args) -> int:
     return rc
 
 
-def cmd_deps(args) -> int:
-    """Print the cross-flowgroup execution stages (reference: `lhp deps` +
-    job stage synthesis, src/lhp/core/jobs/job_generator.py)."""
+def _build_dep_edges(fgs: list, base_dir: str) -> dict:
+    """Cross-flowgroup edges + carried advisories, JSON-serializable so the
+    graph cache (reference graph_cache.py) can persist it."""
     from lakehouse_plumber_spark.models import ActionType
     from lakehouse_plumber_spark.dag import sql_table_refs
     from lakehouse_plumber_spark.pydeps import action_python_refs
 
-    fgs = _discover(args)
-    base_dir = getattr(args, "project_root", ".") or "."
     writes: dict[str, int] = {}
     for i, fg in enumerate(fgs):
         for a in fg.actions:
@@ -144,6 +142,7 @@ def cmd_deps(args) -> int:
                 if a.write_target.table:
                     writes[a.write_target.table] = i
     deps: dict[int, set[int]] = {i: set() for i in range(len(fgs))}
+    warnings: list[str] = []
     for i, fg in enumerate(fgs):
         for a in fg.actions:
             refs = list(a.source_views())
@@ -156,9 +155,10 @@ def cmd_deps(args) -> int:
             # python_parser.py; see pydeps) — advisories surface on stderr
             pyres = action_python_refs(a, base_dir)
             refs.extend(pyres.tables)
-            for w in pyres.warnings:
-                print(f"WARNING {fg.pipeline}/{fg.flowgroup}/{a.name}: {w}",
-                      file=__import__("sys").stderr)
+            warnings.extend(
+                f"WARNING {fg.pipeline}/{fg.flowgroup}/{a.name}: {w}"
+                for w in pyres.warnings
+            )
             for v in refs:
                 # python bodies read the folded temp-view spelling
                 j = writes.get(v)
@@ -166,6 +166,43 @@ def cmd_deps(args) -> int:
                     j = writes.get(v.replace("__", "."))
                 if j is not None and j != i:
                     deps[i].add(j)
+    return {"deps": {str(i): sorted(s) for i, s in deps.items()},
+            "warnings": warnings}
+
+
+def cmd_deps(args) -> int:
+    """Print the cross-flowgroup execution stages (reference: `lhp deps` +
+    job stage synthesis, src/lhp/core/jobs/job_generator.py)."""
+    import hashlib
+
+    fgs = _discover(args)
+    base_dir = getattr(args, "project_root", ".") or "."
+
+    from lakehouse_plumber_spark.graph_cache import graph_cache_for
+
+    cache = graph_cache_for(base_dir)
+    if cache is not None:
+        # key on the RESOLVED specs (tokens/presets/templates already folded
+        # in) plus every python module a dep edge could come from
+        h = hashlib.sha256()
+        for fg in fgs:
+            h.update(json.dumps(fg.model_dump(), sort_keys=True, default=str).encode())
+        module_paths = [
+            os.path.join(base_dir, a.module_path)
+            if a.module_path and not os.path.isabs(a.module_path) else a.module_path
+            for fg in fgs for a in fg.actions if a.module_path
+        ]
+        from lakehouse_plumber_spark.graph_cache import project_graph_key
+
+        h.update(project_graph_key(module_paths).encode())
+        built = cache.get_or_build(
+            h.hexdigest(), lambda: _build_dep_edges(fgs, base_dir)
+        )
+    else:
+        built = _build_dep_edges(fgs, base_dir)
+    deps = {int(i): set(v) for i, v in built["deps"].items()}
+    for w in built["warnings"]:
+        print(w, file=sys.stderr)
     def _label(i: int) -> str:
         return f"{fgs[i].pipeline}/{fgs[i].flowgroup}"
 

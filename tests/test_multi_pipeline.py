@@ -189,3 +189,54 @@ def f(spark_sess, params):
 '''
         res = extract_python_table_refs(code)
         assert res.tables == {"main.x.t1", "main.x.t2", "main.x.t3"}
+
+
+class TestGraphCache:
+    """Persistent dependency-graph cache (reference graph_cache.py): second
+    `deps` run hits, edits invalidate by key construction."""
+
+    def _proj(self, tmp_path):
+        proj = tmp_path / "gproj"
+        (proj / "pipelines").mkdir(parents=True)
+        (proj / "pipelines" / "a.yaml").write_text(
+            "pipeline: pa\nflowgroup: fa\nactions:\n"
+            "  - {name: ld, type: load, target: v,\n"
+            "     source: {type: sql, sql: 'SELECT 1 AS x'}}\n"
+            "  - name: wr\n    type: write\n    source: v\n"
+            "    write_target: {type: materialized_view, catalog: c, schema: s, table: base}\n"
+        )
+        (proj / "pipelines" / "b.yaml").write_text(
+            "pipeline: pb\nflowgroup: fb\nactions:\n"
+            "  - {name: ld, type: load, target: v2,\n"
+            "     source: {type: sql, sql: 'SELECT * FROM c.s.base'}}\n"
+            "  - name: wr\n    type: write\n    source: v2\n"
+            "    write_target: {type: materialized_view, catalog: c, schema: s, table: derived}\n"
+        )
+        return proj
+
+    def test_deps_cached_and_invalidated(self, tmp_path, capsys):
+        import os
+
+        from lakehouse_plumber_spark.__main__ import main
+
+        proj = self._proj(tmp_path)
+        assert main(["deps", str(proj)]) == 0
+        out1 = capsys.readouterr().out
+        assert "stage 2: pb/fb" in out1
+        gdir = proj / ".lhp" / "cache" / "graph"
+        entries = [f for f in os.listdir(gdir) if f.endswith(".json")]
+        assert len(entries) == 1
+
+        # cache hit: same output, no new entry
+        assert main(["deps", str(proj)]) == 0
+        assert capsys.readouterr().out == out1
+        assert len([f for f in os.listdir(gdir) if f.endswith(".json")]) == 1
+
+        # edit flips the dependency around -> new key, correct new stages
+        (proj / "pipelines" / "b.yaml").write_text(
+            (proj / "pipelines" / "b.yaml").read_text().replace("c.s.base", "elsewhere")
+        )
+        assert main(["deps", str(proj)]) == 0
+        out2 = capsys.readouterr().out
+        assert "stage 1: pb/fb" in out2
+        assert len([f for f in os.listdir(gdir) if f.endswith(".json")]) == 2
