@@ -133,18 +133,32 @@ def minhash_lsh_dedup(
     Capped buckets are dropped whole; their members are better handled by
     exact/prefix dedup, which is linear.
     """
-    sigs = minhash_signatures(df, text_col, id_col)
-    cands = lsh_candidate_pairs(sigs, id_col, max_bucket_size=max_bucket_size)
-    # verify over HASHED shingles (8-byte longs), not shingle strings: the
-    # two candidate-side joins shuffle every doc's full shingle array, and
-    # longs cut those shuffle bytes ~4x. Set semantics are unchanged short
-    # of a 60-bit md5 collision inside one doc pair (~(s^2/2)/2^60 — never).
-    grams = spread_for_compute(df, [id_col, text_col]).select(
-        F.col(id_col),
-        F.expr(
-            f"transform({word_ngrams_spark(text_col, SHINGLE_N)}, g -> {md5int_spark('g')})"
-        ).alias("grams"),
+    from lakehouse_plumber_spark.llm.hashing import minhash_coeffs, minhash_mix
+
+    # hash the shingles ONCE and materialize: signatures, the band explode,
+    # and BOTH verify-join sides all derive from this one table, so the
+    # tokenize+md5 pass (the dominant CPU here) runs once instead of twice.
+    # (doc_id, array<long>) is ~8 bytes/shingle — at corpus scale this is the
+    # hashed-shingle table you would persist anyway. Longs, not shingle
+    # strings, also cut the candidate-side shuffle bytes ~4x; set semantics
+    # are unchanged short of a 60-bit md5 collision inside one doc pair
+    # (~(s^2/2)/2^60 — never).
+    grams = (
+        spread_for_compute(df, [id_col, text_col])
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform({word_ngrams_spark(text_col, SHINGLE_N)}, g -> {md5int_spark('g')})"
+            ).alias("grams"),
+        )
+        .localCheckpoint(eager=True)
     )
+    sig_entries = ", ".join(
+        f"array_min(transform(grams, h -> {minhash_mix(a, b, c, 'h', 'spark')}))"
+        for a, b, c in minhash_coeffs(MINHASH_K)
+    )
+    sigs = grams.select(F.col(id_col), F.expr(f"array({sig_entries})").alias("sig"))
+    cands = lsh_candidate_pairs(sigs, id_col, max_bucket_size=max_bucket_size)
     out = (
         cands.join(grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "ga"), "id_a")
         .join(grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "gb"), "id_b")
