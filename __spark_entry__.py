@@ -1528,6 +1528,9 @@ def pipe_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.resolve_view("main.out.supp_by_nation")
 
 
+_SESS_FEED_ROWS: dict[str, int] = {}
+
+
 def _stage_session_feed(spark: SparkSession, sf_dir: str) -> str:
     """One-time parquet staging of the events feed for the stateful stream
     (idempotent per sf_dir; also called from bench warmup as setup cost)."""
@@ -1586,7 +1589,7 @@ def pipe_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store — the horizontal-scale path SQL windows can't express in a
     stream). Bounded availableNow run emits every session except each key's
     still-open last one; the batch oracle reproduces that contract."""
-    from lakehouse_plumber_spark.streaming import sessionize_stateful
+    from lakehouse_plumber_spark.streaming import sessionize_stateful, state_parallelism
 
     _prep(spark, sf_dir)
     stage = _stage_session_feed(spark, sf_dir)
@@ -1594,15 +1597,22 @@ def pipe_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(
         "user_id long, eus long, event_id long, value double"
     ).parquet(stage)
-    q = (
-        sessionize_stateful(stream, gap_us=1_800_000_000)
-        .writeStream.format("parquet")
-        .option("path", os.path.join(work, "out"))
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # size the state-store partition count to the feed (parquet footer count
+    # — metadata only, cached per staged dir since the stage is immutable),
+    # fixed for the query's lifetime at birth
+    if stage not in _SESS_FEED_ROWS:
+        _SESS_FEED_ROWS[stage] = spark.read.parquet(stage).count()
+    n_rows = _SESS_FEED_ROWS[stage]
+    with state_parallelism(spark, n_rows):
+        q = (
+            sessionize_stateful(stream, gap_us=1_800_000_000)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(work, "out"))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.read.schema(
             "user_id long, start_us long, end_us long, n_events long, total_value double"

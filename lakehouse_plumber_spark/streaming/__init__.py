@@ -1,3 +1,3 @@
-from lakehouse_plumber_spark.streaming.stateful import sessionize_stateful
+from lakehouse_plumber_spark.streaming.stateful import sessionize_stateful, state_parallelism
 
-__all__ = ["sessionize_stateful"]
+__all__ = ["sessionize_stateful", "state_parallelism"]

@@ -18,11 +18,37 @@ in state — a property a batch SQL oracle can reproduce exactly.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+@contextmanager
+def state_parallelism(spark, n_rows: int, rows_per_partition: int = 2_000_000, lo: int = 8):
+    """Scope `spark.sql.shuffle.partitions` — which fixes a streaming query's
+    state-store partition count for its lifetime — to the input volume.
+
+    Same philosophy as the engine's adaptive CDC/IMV bucket sizing: each
+    state partition is a checkpointed store with per-batch file I/O, so a
+    small feed should not pay for the cluster-wide default, and a huge feed
+    should not squeeze into it. Power-of-two in [lo, current default]; use
+    around the writeStream.start() of a NEW stateful query only (an existing
+    checkpoint has its partitioning baked in).
+    """
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    need = max(1, (n_rows + rows_per_partition - 1) // rows_per_partition)
+    target = lo
+    while target < need:
+        target <<= 1
+    target = min(max(target, lo), cur)
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield target
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cur))
 
 OUT_SCHEMA = (
     "user_id long, start_us long, end_us long, n_events long, total_value double"

@@ -129,3 +129,15 @@ def test_bounded_run_matches_batch_oracle(spark, testdata, tmp_path):
     a = sorted([(r[0], r[1], r[2], r[3], round(r[4], 6)) for r in got.collect()])
     b = sorted([(r[0], r[1], r[2], r[3], round(r[4], 6)) for r in oracle.collect()])
     assert a == b
+
+
+def test_state_parallelism_scales_with_volume(spark):
+    from lakehouse_plumber_spark.streaming import state_parallelism
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    with state_parallelism(spark, 100_000) as n:
+        assert n == 8  # floor for tiny feeds
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    with state_parallelism(spark, 1_000_000_000) as n:
+        assert n == int(old)  # capped at the session default
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
