@@ -3284,29 +3284,31 @@ def text_metrics_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded PII redaction md5 — in one row per document, so the family keeps a
     hard correctness signal inside the driver's 50-row prefix.
 
-    Plan shape: every metric except top2_frac is a narrow whole-stage-codegen
-    expression over one scan (no shuffle); top2_frac's explode→two-level agg
-    and the final doc_id joins are the only exchanges."""
+    Plan shape: every metric except top2_frac — including dup5_frac and the
+    PII pass over the seeded text — fuses into ONE whole-stage-codegen
+    projection over a single documents scan; top2_frac's explode→two-level
+    agg is the only other scan, joined back on doc_id. Two scans, one join —
+    the plan you want at 100 TB (the naive composition reads the corpus four
+    times)."""
     _prep(spark, sf_dir)
     docs = spark.table("documents")
-    narrow = (
-        TX.with_token_count(docs)
+    seeded = docs.withColumn("__seeded", F.expr(_pii_seed_sql("spark")))
+    per_row = (
+        TX.with_token_count(seeded)
         .transform(TX.with_bpe_token_count)
         .transform(TX.with_fingerprint)
         .transform(TX.with_quality_score)
         .transform(TX.with_lang_id)
         .transform(TX.with_rolling_hash_fingerprint)
+        .withColumn("dup5_frac", F.expr(TX.dup_ngram_fraction_expr("text")))
+        .transform(lambda d: TX.with_pii_redaction(d, text_col="__seeded"))
         .select(
             "doc_id", "n_tokens", "n_bpe_tokens", "fingerprint",
-            "quality_score", "lang_pred", "winnow_fp",
+            "quality_score", "lang_pred", "winnow_fp", "dup5_frac",
+            "n_emails", "n_phones", F.md5("redacted").alias("red_md5"),
         )
     )
-    rep = TX.repetition_metrics(docs)
-    seeded = docs.select("doc_id", F.expr(_pii_seed_sql("spark")).alias("text"))
-    pii = TX.with_pii_redaction(seeded).select(
-        "doc_id", "n_emails", "n_phones", F.md5("redacted").alias("red_md5")
-    )
-    return narrow.join(rep, "doc_id").join(pii, "doc_id")
+    return per_row.join(TX.top_ngram_fraction(docs), "doc_id")
 
 
 _PACK_BUDGET = 2000

@@ -136,6 +136,36 @@ REP_TOP_N = 2   # "fraction of tokens in the most common 2-gram"
 REP_DUP_N = 5   # "fraction of duplicated 5-grams"
 
 
+def dup_ngram_fraction_expr(text_col: str = "text", n: int = REP_DUP_N) -> str:
+    """Per-row duplicated-n-gram fraction (1 - distinct/total) — pure
+    whole-stage-codegen array expression, composable into any projection."""
+    from lakehouse_plumber_spark.llm.hashing import word_ngrams_all_spark
+
+    g = word_ngrams_all_spark(text_col, n)
+    return f"round(1.0 - size(array_distinct({g})) / cast(size({g}) as double), 6)"
+
+
+def top_ngram_fraction(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = REP_TOP_N, out: str = "top2_frac",
+) -> DataFrame:
+    """Most-frequent-n-gram fraction per document, relationally: explode →
+    two-level aggregate with map-side partials (a per-row O(grams²) mode
+    computation would blow up on long documents)."""
+    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
+    from lakehouse_plumber_spark.llm.hashing import word_ngrams_all_spark
+
+    g = word_ngrams_all_spark(text_col, n)
+    return (
+        spread_for_compute(df, [id_col, text_col])
+        .select(F.col(id_col), F.explode(F.expr(g)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(out))
+    )
+
+
 def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document repetition scores used by training-data quality filters:
 
@@ -145,33 +175,16 @@ def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc
       5-gram, i.e. 1 - distinct/total (copy-paste detector).
 
     dup5 is a per-row array expression (no shuffle, whole-stage codegen over
-    the scan). top2 needs a per-(doc, gram) count, done relationally —
-    explode → two-level aggregate with map-side partial — because a per-row
-    O(grams²) mode computation would blow up on long documents.
+    the scan); top2 is the relational explode-aggregate.
     """
-    from lakehouse_plumber_spark.llm.hashing import word_ngrams_all_spark
-
-    g2 = word_ngrams_all_spark(text_col, REP_TOP_N)
-    g5 = word_ngrams_all_spark(text_col, REP_DUP_N)
     from lakehouse_plumber_spark.llm.dedup import spread_for_compute
 
     base = spread_for_compute(df, [id_col, text_col])
     dup5 = base.select(
         F.col(id_col),
-        F.expr(
-            f"round(1.0 - size(array_distinct({g5})) / cast(size({g5}) as double), 6)"
-        ).alias("dup5_frac"),
+        F.expr(dup_ngram_fraction_expr(text_col)).alias("dup5_frac"),
     )
-    top2 = (
-        base.select(F.col(id_col), F.explode(F.expr(g2)).alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top2_frac")
-        )
-    )
-    return top2.join(dup5, id_col)
+    return top_ngram_fraction(base, text_col, id_col).join(dup5, id_col)
 
 
 # --- PII redaction ----------------------------------------------------------

@@ -121,3 +121,16 @@ def test_crossdoc_dup_fraction_bounded_exchanges(spark, q):
     # the exchange count must stay bounded — a regression adding per-row
     # shuffles would blow past this
     assert plan.count("Exchange") <= 12
+
+
+def test_text_metrics_all_two_scans_one_join(spark, q):
+    """The composite text/PII driver row must fuse every per-row metric
+    (counts, fingerprints, quality, lang-id, dup5, PII) into ONE documents
+    scan, with top2's explode-aggregate as the only other scan — a naive
+    composition reads the corpus four times."""
+    df = q["text_metrics_all"](spark, SF)
+    plan = _spark_plan(df)
+    # formatted explain lists each scan once in the tree and once in the
+    # details section -> 2 scans appear as 4 mentions
+    assert plan.count("Scan parquet") <= 4
+    assert "CartesianProduct" not in plan
