@@ -3311,6 +3311,47 @@ def text_metrics_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_row.join(TX.top_ngram_fraction(docs), "doc_id")
 
 
+_SPAN_K = 8
+
+
+def _span_removal_duck() -> str:
+    toks = tokens_duck("text")
+    gram_h = md5int_duck(f"array_to_string(list_slice(t, u.pos, u.pos + {_SPAN_K} - 1), ' ')")
+    return f"""
+    WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+    g AS (SELECT doc_id, u.pos, {gram_h} AS h
+          FROM base, UNNEST(range(1, greatest(len(t) - {_SPAN_K - 1}, 0) + 1)) AS u(pos)),
+    dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (SELECT doc_id, list(pos) AS starts FROM g JOIN dup USING (h) GROUP BY doc_id),
+    rebuilt AS (
+      SELECT b.doc_id, b.t,
+             [b.t[i] FOR i IN range(1, len(b.t) + 1)
+              IF len(list_filter(COALESCE(c.starts, []),
+                                 s -> s <= i AND i < s + {_SPAN_K})) = 0] AS kept
+      FROM base b LEFT JOIN cov c USING (doc_id)
+    )
+    SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(t) - len(kept) AS INT) AS n_removed,
+           -- duckdb's array_to_string of an empty list is NULL; spark's
+           -- array_join is '' — normalize to md5('') for fully-removed docs
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_md5
+    FROM rebuilt
+    """
+
+
+@_register("dedup_span_removal", _span_removal_duck())
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with span removal (Lee et al. 2022 ExactSubstr,
+    re-expressed as positional k-gram hashing — llm/dedup.py documents the
+    linear-cost distributed plan). Verified by the md5 of every cleaned
+    document against a DuckDB replica of the same rule."""
+    _prep(spark, sf_dir)
+    out = D.remove_duplicated_spans(spark.table("documents"), k=_SPAN_K)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("cleaned_text").alias("cleaned_md5")
+    )
+
+
 _PACK_BUDGET = 2000
 _PACK_SHARDS = 8
 

@@ -221,3 +221,42 @@ class TestMultiProbeLSH:
         assert h1 >= h0
         # all 8 planes probed = every bucket = exact search
         assert hits(S.NUM_HYPERPLANES) == len(exact)
+
+
+class TestSpanRemoval:
+    def test_shared_run_removed_unique_text_kept(self, spark):
+        from lakehouse_plumber_spark.llm.dedup import remove_duplicated_spans
+
+        shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+        df = spark.createDataFrame(
+            [
+                (1, f"alpha beta {shared} gamma delta"),
+                (2, f"one two three {shared} four"),
+                (3, "completely unrelated text with none of those runs here"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in
+               remove_duplicated_spans(df, k=10).collect()}
+        # both docs lose exactly the 10-token shared run
+        assert out[1].n_removed == 10 and out[2].n_removed == 10
+        assert out[1].cleaned_text == "alpha beta gamma delta"
+        assert out[2].cleaned_text == "one two three four"
+        # the unrelated doc is untouched
+        assert out[3].n_removed == 0
+        assert out[3].cleaned_text.startswith("completely unrelated")
+
+    def test_short_docs_and_overlapping_windows(self, spark):
+        from lakehouse_plumber_spark.llm.dedup import remove_duplicated_spans
+
+        # 9-token duplicated run with k=4: every window inside the run
+        # duplicates, so the whole run goes; docs shorter than k are untouched
+        run = "a b c d e f g h i"
+        df = spark.createDataFrame(
+            [(1, f"x {run} y"), (2, f"z {run} w"), (3, "tiny doc")],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in remove_duplicated_spans(df, k=4).collect()}
+        assert out[1].cleaned_text == "x y" and out[1].n_removed == 9
+        assert out[2].cleaned_text == "z w"
+        assert out[3].n_removed == 0 and out[3].cleaned_text == "tiny doc"
