@@ -3311,6 +3311,44 @@ def text_metrics_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_row.join(TX.top_ngram_fraction(docs), "doc_id")
 
 
+_SEMDEDUP_T = 0.95
+
+
+def _semdedup_duck() -> str:
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM base ORDER BY vec_id LIMIT 16),
+    d_t AS (SELECT b.vec_id, c.cid,
+                   list_sum(list_transform(range(1, len(b.v) + 1),
+                            i -> (b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]))) AS d
+            FROM base b CROSS JOIN cents c),
+    asg AS (SELECT vec_id, cid AS list_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+              FROM d_t) t WHERE rn = 1),
+    retired_t AS (
+      SELECT DISTINCT b2.vec_id AS vid
+      FROM asg a JOIN asg b2 ON a.list_id = b2.list_id AND a.vec_id < b2.vec_id
+      JOIN base va ON va.vec_id = a.vec_id
+      JOIN base vb ON vb.vec_id = b2.vec_id
+      WHERE round(list_dot_product(va.v, vb.v) /
+                  (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),
+                  6) >= {_SEMDEDUP_T}
+    )
+    SELECT a.vec_id, CAST(a.list_id AS INT) AS list_id,
+           (a.vec_id IN (SELECT vid FROM retired_t)) AS retired
+    FROM asg a
+    """
+
+
+@_register("dedup_semantic", _semdedup_duck())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embedding-cluster near-dup pruning (llm/similarity.py
+    documents the per-cluster pair-bound plan). Deterministic lowest-id
+    quantizer so the oracle replicates assignment + retirement exactly."""
+    _prep(spark, sf_dir)
+    return S.semantic_dedup(spark.table("embeddings"), threshold=_SEMDEDUP_T)
+
+
 _SPAN_K = 8
 
 

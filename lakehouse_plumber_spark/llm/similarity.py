@@ -271,3 +271,62 @@ def knn_int8(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine_q")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then retire any
+    document with a lower-id near-duplicate (cosine >= threshold) inside its
+    cluster — semantic dedup without an all-pairs scan.
+
+    Quantizer: deterministic lowest-id centroids (the trained-quantizer
+    variant is ivf_build_and_search; determinism here keeps the whole
+    operator single-pass SQL so the DuckDB oracle replicates it exactly).
+
+    Scale plan: centroid set broadcasts; assignment is one narrow argmin
+    projection; candidate pairs come from a per-cluster self-join — shuffle
+    keyed on list_id — so pair cost is sum of cluster sizes squared, not
+    corpus squared (pick n_centroids ~ sqrt(N/target_cluster) at scale).
+    Returns (vec_id, list_id, retired).
+    """
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    cents = (
+        base.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+    )
+    dist = "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+    w = Window.partitionBy(id_col).orderBy(F.col("d"), F.col("cid"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("d", F.expr(dist))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(id_col, "v", F.col("cid").alias("list_id"))
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dup_pairs = (
+        a.join(b, on="list_id")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(cosine_expr("a.v", "b.v")), 6),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__retired", F.lit(True))
+    )
+    return (
+        assigned.join(dup_pairs, id_col, "left")
+        .select(
+            id_col,
+            F.col("list_id").cast("int").alias("list_id"),
+            F.coalesce("__retired", F.lit(False)).alias("retired"),
+        )
+    )

@@ -260,3 +260,25 @@ class TestSpanRemoval:
         assert out[1].cleaned_text == "x y" and out[1].n_removed == 9
         assert out[2].cleaned_text == "z w"
         assert out[3].n_removed == 0 and out[3].cleaned_text == "tiny doc"
+
+
+def test_semantic_dedup_retires_within_cluster_near_dups(spark):
+    """Near-identical vectors land in the same cluster and the higher id is
+    retired; distinct vectors survive."""
+    from lakehouse_plumber_spark.llm import similarity as S
+
+    rows = []
+    for c in range(4):
+        v = [0.0] * 8
+        v[c] = 1.0
+        rows.append((c, v))                        # centroid-ish seed vectors
+        near = list(v)
+        near[(c + 4) % 8] = 0.001                  # ~same direction
+        rows.append((100 + c, near))               # near-dup of vector c
+    out = {r.vec_id: r for r in
+           S.semantic_dedup(spark.createDataFrame(rows, ["vec_id", "embedding"]),
+                            threshold=0.99, n_centroids=4).collect()}
+    for c in range(4):
+        assert out[c].retired is False             # lowest id survives
+        assert out[100 + c].retired is True        # its near-dup is retired
+        assert out[100 + c].list_id == out[c].list_id
