@@ -33,6 +33,7 @@ NAMES = [
     "events_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_span_removal",
     "text_repetition",
     "sample_hash_split",
 ]
