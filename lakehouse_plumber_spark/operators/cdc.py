@@ -118,8 +118,25 @@ def _normalize_events(batch: DataFrame, cfg: CDCConfig) -> DataFrame:
 
 
 def _dedup_key_seq(events: DataFrame, cfg: CDCConfig) -> DataFrame:
-    """One event per (key, seq): prefer newest batch (_PRIO desc), then delete flags."""
-    order = [F.col(_PRIO).desc(), F.col(_DEL).desc()]
+    """One event per (key, seq): prefer newest batch (_PRIO desc), then delete
+    flags, then a TOTAL order over the remaining value columns — without the
+    final tiebreak, two conflicting events with the same (key, seq, batch,
+    delete-flag) would survive by shuffle order and the visible row would
+    flip between runs/engines (intra-batch conflicts are ambiguous input,
+    but the resolution must still be a pure function of the data)."""
+    from pyspark.sql.types import MapType
+
+    internal = {_DEL, _TRUNC, _PRIO, START_COL, END_COL, EVENT_DEL, TOMBSTONE, BUCKET_COL}
+    keyed = set(cfg.keys) | set(_seq_cols(cfg))
+    value_cols = [
+        f.name
+        for f in events.schema.fields
+        if f.name not in internal and f.name not in keyed
+        and not isinstance(f.dataType, MapType)  # maps are not orderable
+    ]
+    order = [F.col(_PRIO).desc(), F.col(_DEL).desc()] + [
+        F.col(c).desc_nulls_last() for c in sorted(value_cols)
+    ]
     w = Window.partitionBy(*cfg.keys, *_seq_cols(cfg)).orderBy(*order)
     return (
         events.withColumn("__rn", F.row_number().over(w))

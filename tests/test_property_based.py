@@ -93,3 +93,68 @@ def test_interval_self_join_matches_bruteforce(spark, rows, window):
         if ka == kb and 0 < tb - ta <= window
     }
     assert got == expected
+
+
+# --- compiled CDC vs engine parity on random event streams -----------------
+
+cdc_events_st = st.lists(
+    # (key, value, seq, is_delete)
+    st.tuples(st.integers(1, 5), st.integers(0, 9), st.integers(1, 6), st.booleans()),
+    min_size=1,
+    max_size=18,
+)
+
+
+@given(batches=st.lists(cdc_events_st, min_size=1, max_size=3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_compiled_cdc_scd2_matches_engine_on_random_streams(spark, tmp_path_factory, batches):
+    """Two independent SCD2 implementations — the engine's bucket-merged
+    event log and the generated standalone script's window rebuild — must
+    produce the same visible history for ANY batch split of any event
+    stream (dedup ties, delete/reinsert, late arrivals included)."""
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+    from lakehouse_plumber_spark.runner import PipelineRunner
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    tmp = tmp_path_factory.mktemp("cdcprop")
+
+    def spec(batch_rows):
+        values = ", ".join(
+            f"({k}, {v}, {s}, {str(d).lower()})" for k, v, s, d in batch_rows
+        )
+        return load_flowgroup({
+            "pipeline": "p", "flowgroup": "cdcp",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_ev",
+                 "source": {"type": "sql",
+                            "sql": f"SELECT * FROM (VALUES {values}) AS t(id, v, seq, del)"}},
+                {"name": "wr", "type": "write", "source": "v_ev",
+                 "write_target": {"type": "streaming_table", "database": "m.pp",
+                                  "table": "scd2p", "mode": "cdc",
+                                  "cdc_config": {"keys": ["id"], "sequence_by": "seq",
+                                                 "scd_type": 2,
+                                                 "apply_as_deletes": "del",
+                                                 "except_column_list": ["del"]}}},
+            ],
+        })
+
+    runner = PipelineRunner(spark, store=ParquetTableStore(spark=spark, root=str(tmp / "wh")))
+    for b in batches:
+        runner.run(spec(b))
+    cols = ["id", "v", "seq", "__start_at", "__end_at"]
+    engine = sorted(
+        tuple(r) for r in runner.store.read("m.pp.scd2p")
+        .filter("NOT __tombstone").select(*cols).collect()
+    )
+
+    out = tmp / "gen"
+    for b in batches:
+        src = compile_flowgroup(spec(b))
+        ns: dict = {}
+        exec(compile(src, "<generated>", "exec"), ns)
+        written = ns["build"](spark, str(out))
+    gen = sorted(tuple(r) for r in written["m.pp.scd2p"].select(*cols).collect())
+    assert engine == gen
