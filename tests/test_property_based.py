@@ -158,3 +158,56 @@ def test_compiled_cdc_scd2_matches_engine_on_random_streams(spark, tmp_path_fact
         written = ns["build"](spark, str(out))
     gen = sorted(tuple(r) for r in written["m.pp.scd2p"].select(*cols).collect())
     assert engine == gen
+
+
+@given(batches=st.lists(cdc_events_st, min_size=1, max_size=3))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_compiled_cdc_scd1_matches_engine_on_random_streams(spark, tmp_path_factory, batches):
+    """SCD1 variant of the parity property: latest visible row per key must
+    agree between the engine and the generated script for any stream."""
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+    from lakehouse_plumber_spark.runner import PipelineRunner
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    tmp = tmp_path_factory.mktemp("cdcprop1")
+
+    def spec(batch_rows):
+        values = ", ".join(
+            f"({k}, {v}, {s}, {str(d).lower()})" for k, v, s, d in batch_rows
+        )
+        return load_flowgroup({
+            "pipeline": "p", "flowgroup": "cdcp1",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_ev",
+                 "source": {"type": "sql",
+                            "sql": f"SELECT * FROM (VALUES {values}) AS t(id, v, seq, del)"}},
+                {"name": "wr", "type": "write", "source": "v_ev",
+                 "write_target": {"type": "streaming_table", "database": "m.p1",
+                                  "table": "scd1p", "mode": "cdc",
+                                  "cdc_config": {"keys": ["id"], "sequence_by": "seq",
+                                                 "scd_type": 1,
+                                                 "apply_as_deletes": "del",
+                                                 "except_column_list": ["del"]}}},
+            ],
+        })
+
+    runner = PipelineRunner(spark, store=ParquetTableStore(spark=spark, root=str(tmp / "wh")))
+    for b in batches:
+        runner.run(spec(b))
+    cols = ["id", "v", "seq"]
+    engine = sorted(
+        tuple(r) for r in runner.store.read("m.p1.scd1p")
+        .filter("NOT __tombstone").select(*cols).collect()
+    )
+
+    out = tmp / "gen"
+    for b in batches:
+        src = compile_flowgroup(spec(b))
+        ns: dict = {}
+        exec(compile(src, "<generated>", "exec"), ns)
+        written = ns["build"](spark, str(out))
+    gen = sorted(tuple(r) for r in written["m.p1.scd1p"].select(*cols).collect())
+    assert engine == gen
