@@ -3311,6 +3311,43 @@ def text_metrics_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_row.join(TX.top_ngram_fraction(docs), "doc_id")
 
 
+def _decontaminate_duck() -> str:
+    from lakehouse_plumber_spark.llm.dedup import SHINGLE_N
+
+    grams = word_ngrams_duck("text", SHINGLE_N)
+    return f"""
+    WITH bench AS (SELECT doc_id FROM ({_topk_sample_duck()}) x),
+    bh_t AS (SELECT DISTINCT {md5int_duck('g')} AS h FROM (
+               SELECT unnest({grams}) AS g
+               FROM documents JOIN bench USING (doc_id)) t),
+    bl AS (SELECT list(h ORDER BY h) AS bh FROM bh_t),
+    d AS (SELECT doc_id,
+                 list_transform({grams}, g -> {md5int_duck('g')}) AS hg
+          FROM documents)
+    SELECT doc_id, CAST(len(hg) AS BIGINT) AS n_grams,
+           CAST(len(list_intersect(hg, bh)) AS BIGINT) AS n_shared,
+           len(list_intersect(hg, bh)) >= 1 AS contaminated
+    FROM d, bl
+    """
+
+
+@_register("dedup_decontaminate", _decontaminate_duck())
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the deterministic 5-per-source sample plays
+    the eval set; every training document is scored by distinct shared
+    n-grams against the benchmark's broadcast shingle set (llm/dedup.py
+    documents the no-corpus-shuffle plan)."""
+    from lakehouse_plumber_spark.llm import sampling as SP
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    bench_ids = SP.per_stratum_smallest_hash(
+        docs.select("doc_id", "source"), "source", _TOPK_PER_SOURCE
+    ).select("doc_id")
+    bench = docs.join(bench_ids, "doc_id")
+    return D.decontaminate(docs, bench)
+
+
 _SEMDEDUP_T = 0.95
 
 

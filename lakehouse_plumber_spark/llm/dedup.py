@@ -475,3 +475,51 @@ def remove_duplicated_spans(
             F.expr(f"array_join({kept}, ' ')").alias("cleaned_text"),
         )
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing >= min_shared
+    distinct n-grams with ANY benchmark/eval document (the standard
+    pre-training hygiene pass — e.g. GPT-3 appendix C, PaLM §6.4 — so eval
+    answers don't leak into the training set).
+
+    Scale plan: the benchmark side is tiny (eval sets are thousands of docs),
+    so its DISTINCT shingle-hash set BROADCASTS; the corpus side is one
+    narrow projection + semi-join-style intersection per row — no shuffle of
+    the training corpus at all. Returns (doc_id, n_grams, n_shared,
+    contaminated).
+    """
+    from lakehouse_plumber_spark.llm.hashing import let_spark
+
+    grams_h = f"transform({word_ngrams_spark(text_col, n)}, g -> {md5int_spark('g')})"
+    bench = (
+        benchmark.select(F.explode(F.expr(grams_h)).alias("h")).distinct()
+        .agg(F.sort_array(F.collect_set("h")).alias("bh"))
+    )
+    scored = (
+        spread_for_compute(df, [id_col, text_col])
+        .crossJoin(F.broadcast(bench))
+        .select(
+            F.col(id_col),
+            F.expr(
+                let_spark(
+                    grams_h, "hg",
+                    "named_struct('n_grams', size(hg), "
+                    "'n_shared', size(array_intersect(hg, bh)))",
+                )
+            ).alias("m"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("m.n_grams").cast("long").alias("n_grams"),
+        F.col("m.n_shared").cast("long").alias("n_shared"),
+        (F.col("m.n_shared") >= min_shared).alias("contaminated"),
+    )

@@ -282,3 +282,22 @@ def test_semantic_dedup_retires_within_cluster_near_dups(spark):
         assert out[c].retired is False             # lowest id survives
         assert out[100 + c].retired is True        # its near-dup is retired
         assert out[100 + c].list_id == out[c].list_id
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from lakehouse_plumber_spark.llm.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france and why does it matter")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "quiz answer: the capital of france and its history"),  # leaks 3-grams
+            (2, "completely unrelated training document about cooking pasta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in decontaminate(docs, bench, min_shared=1).collect()}
+    assert out[1].contaminated is True and out[1].n_shared >= 1
+    assert out[2].contaminated is False and out[2].n_shared == 0
