@@ -3311,6 +3311,26 @@ def text_metrics_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_row.join(TX.top_ngram_fraction(docs), "doc_id")
 
 
+@_register(
+    "text_mean_token_freq",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({tokens_duck('text')}) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf) AS BIGINT) AS sum_freq,
+           round(SUM(tf) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_freq
+    FROM toks JOIN freq USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def text_mean_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy LM filter (CCNet-style): mean corpus frequency of a
+    document's tokens, integer-exact so cross-engine reproducible
+    (llm/text.py:mean_token_frequency documents the broadcast-vocab plan)."""
+    _prep(spark, sf_dir)
+    return TX.mean_token_frequency(spark.table("documents"))
+
+
 def _decontaminate_duck() -> str:
     from lakehouse_plumber_spark.llm.dedup import SHINGLE_N
 

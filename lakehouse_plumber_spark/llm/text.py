@@ -223,3 +223,37 @@ def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+def mean_token_frequency(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean corpus frequency of its tokens — the integer-exact
+    proxy for LM-perplexity filtering (CCNet-style): documents made of rare
+    tokens (gibberish, encoding noise, exotic boilerplate) score low,
+    natural-language documents score near the corpus mean.
+
+    All arithmetic before the final division is exact 64-bit integers, so
+    the score is bit-reproducible across engines and partitionings (a float
+    log-prob average would drift with summation order).
+
+    Plan: explode tokens -> corpus term frequencies (one map-side-combinable
+    aggregate; the result IS the vocabulary, small at any corpus size ->
+    broadcast back) -> per-doc exact sum/count. Returns
+    (doc_id, n_tokens, sum_freq, mean_freq).
+    """
+    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
+    from lakehouse_plumber_spark.llm.hashing import tokens_spark
+
+    toks = (
+        spread_for_compute(df, [id_col, text_col])
+        .select(F.col(id_col), F.explode(F.expr(tokens_spark(text_col))).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("tf").cast("long").alias("sum_freq"),
+        )
+        .withColumn("mean_freq", F.round(F.col("sum_freq") / F.col("n_tokens"), 6))
+    )

@@ -301,3 +301,22 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     out = {r.doc_id: r for r in decontaminate(docs, bench, min_shared=1).collect()}
     assert out[1].contaminated is True and out[1].n_shared >= 1
     assert out[2].contaminated is False and out[2].n_shared == 0
+
+
+def test_mean_token_frequency_ranks_gibberish_low(spark):
+    from lakehouse_plumber_spark.llm.text import mean_token_frequency
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog sat too"),
+            (2, "the dog ran to the cat on the mat again"),
+            (3, "xqzt vvwq plrk jjkm zzyx qwpv mnbx"),   # gibberish: unique tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in mean_token_frequency(df).collect()}
+    assert out[3].mean_freq == 1.0                     # every token unique
+    assert out[1].mean_freq > 2.0 and out[2].mean_freq > 2.0
+    # exact integer invariants
+    for r in out.values():
+        assert r.sum_freq >= r.n_tokens
