@@ -134,3 +134,29 @@ def test_text_metrics_all_two_scans_one_join(spark, q):
     # details section -> 2 scans appear as 4 mentions
     assert plan.count("Scan parquet") <= 4
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_no_corpus_shuffle(spark, q):
+    """The eval-set shingle list must broadcast; the training corpus side
+    must not shuffle at all (the whole point of the design)."""
+    df = q["dedup_decontaminate"](spark, SF)
+    plan = _spark_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_removal_no_pairwise_joins(spark, q):
+    """ExactSubstr span removal must stay linear: hash-keyed aggregates and
+    doc-keyed joins only — no cartesian/nested-loop pair generation."""
+    df = q["dedup_span_removal"](spark, SF)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mean_token_freq_broadcasts_vocabulary(spark, q):
+    df = q["text_mean_token_freq"](spark, SF)
+    plan = _spark_plan(df)
+    assert "BroadcastExchange" in plan  # vocabulary joins back via broadcast
+    assert "CartesianProduct" not in plan
