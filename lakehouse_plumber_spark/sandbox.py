@@ -161,7 +161,25 @@ def rewrite_flowgroup(
     data = fg.model_dump(by_alias=True, exclude_none=True)
     for action in data.get("actions") or []:
         _rewrite_action(action, strategy, produced)
-    return FlowGroup(**data)
+    out = FlowGroup(**data)
+    # in-process callables are excluded from model_dump (not serializable);
+    # re-attach them so programmatically-built specs survive the rewrite
+    for a_old, a_new in zip(fg.actions, out.actions):
+        if a_old.callable_fn is not None:
+            a_new.callable_fn = a_old.callable_fn
+        if (
+            a_old.write_target is not None
+            and a_new.write_target is not None
+            and a_old.write_target.batch_handler_callable is not None
+        ):
+            a_new.write_target.batch_handler_callable = a_old.write_target.batch_handler_callable
+        old_snap = a_old.write_target.snapshot_cdc_config if a_old.write_target else None
+        new_snap = a_new.write_target.snapshot_cdc_config if a_new.write_target else None
+        if old_snap is not None and new_snap is not None:
+            cb = getattr(old_snap, "source_callable", None)
+            if cb is not None:
+                new_snap.source_callable = cb
+    return out
 
 
 def _rewrite_action(action: dict[str, Any], strategy: SandboxStrategy, produced: dict[str, str]) -> None:

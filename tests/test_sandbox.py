@@ -140,3 +140,24 @@ def test_cli_compile_with_sandbox(tmp_path, capsys):
     gold = (tmp_path / "gold__summary.py").read_text()
     assert "main.bronze.dev2_customers" in gold
     assert "main.gold.dev2_customer_summary" in gold
+
+
+def test_in_process_callables_survive_rewrite(spark):
+    """model_dump excludes callables; the rewrite must carry them over so
+    programmatically-built specs still run after sandboxing."""
+    def my_load(spark_, params):
+        return spark_.range(3).withColumnRenamed("id", "k")
+
+    fgs = [load_flowgroup({
+        "pipeline": "p", "flowgroup": "cb",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v",
+             "source": {"type": "python"}, "callable_fn": my_load},
+            {"name": "wr", "type": "write", "source": "v",
+             "write_target": {"type": "materialized_view", "catalog": "m",
+                              "schema": "s", "table": "t"}},
+        ],
+    })]
+    out = apply_sandbox(fgs, "carol")
+    assert out[0].actions[0].callable_fn is my_load
+    assert out[0].actions[1].write_target.table == "carol_t"
