@@ -623,3 +623,37 @@ def test_streaming_quarantine_compiles_and_matches_engine(spark, runner, tmp_pat
     # engine reaches the same end state through its change-feed channel
     ctx = runner.run(load_flowgroup(spec()))
     assert ctx.resolve_view("m.sg.clean").count() == 20
+
+
+def test_compiled_cdc_truncate_matches_engine(spark, runner, tmp_path):
+    """apply_as_truncates in generated source: everything older than the
+    newest truncate event is discarded, the truncate row itself never lands
+    (mirrors tests/test_cdc.py::test_truncate through the compiled path)."""
+    def spec(batch_sql):
+        return {
+            "pipeline": "p", "flowgroup": "cdctr",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_ev",
+                 "source": {"type": "sql", "sql": batch_sql}},
+                {"name": "wr", "type": "write", "source": "v_ev",
+                 "write_target": {"type": "streaming_table", "database": "m.tr",
+                                  "table": "trunc1", "mode": "cdc",
+                                  "cdc_config": {"keys": ["id"], "sequence_by": "seq",
+                                                 "scd_type": 1,
+                                                 "apply_as_truncates": "op = 'T'",
+                                                 "except_column_list": ["op"]}}},
+            ],
+        }
+
+    b1 = ("SELECT * FROM (VALUES (1, 'a', 1, CAST(NULL AS STRING)), (2, 'b', 2, CAST(NULL AS STRING))) "
+          "AS t(id, v, seq, op)")
+    b2 = ("SELECT * FROM (VALUES (99, CAST(NULL AS STRING), 5, 'T'), (3, 'c', 6, CAST(NULL AS STRING))) "
+          "AS t(id, v, seq, op)")
+    out = tmp_path / "gen_tr"
+    for b in (b1, b2):
+        src = compile_flowgroup(load_flowgroup(spec(b)))
+        ns: dict = {}
+        exec(compile(src, "<generated>", "exec"), ns)
+        written = ns["build"](spark, str(out))
+    rows = written["m.tr.trunc1"].collect()
+    assert {r["id"] for r in rows} == {3}
