@@ -161,3 +161,35 @@ def test_in_process_callables_survive_rewrite(spark):
     out = apply_sandbox(fgs, "carol")
     assert out[0].actions[0].callable_fn is my_load
     assert out[0].actions[1].write_target.table == "carol_t"
+
+
+def test_bare_ref_qualifiers_rewritten_with_table():
+    """`SELECT customers.c_name FROM customers` must rename the qualifier
+    along with the FROM, or the rewritten query no longer resolves; dotted
+    schema chains (x.y.z) are not qualifiers and stay put."""
+    fgs = [load_flowgroup({
+        "pipeline": "p", "flowgroup": "q",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v",
+             "source": {"type": "sql", "sql": "SELECT 1 AS c_name"}},
+            {"name": "w0", "type": "write", "source": "v",
+             "write_target": {"type": "materialized_view", "table": "customers"}},
+        ],
+    }), load_flowgroup({
+        "pipeline": "p2", "flowgroup": "r",
+        "actions": [
+            {"name": "tx", "type": "transform", "transform_type": "sql",
+             "source": "customers",
+             "sql": "SELECT customers.c_name, other.x FROM customers "
+                    "JOIN other ON customers.c_name = other.y",
+             "target": "v2"},
+            {"name": "w1", "type": "write", "source": "v2",
+             "write_target": {"type": "materialized_view", "table": "out_t"}},
+        ],
+    })]
+    out = apply_sandbox(fgs, "dana")
+    sql = out[1].actions[0].sql
+    assert "FROM dana_customers" in sql
+    assert "dana_customers.c_name" in sql and "customers.c_name" not in sql.replace("dana_customers.c_name", "")
+    # out-of-scope table + its qualifier untouched
+    assert "JOIN other" in sql and "other.x" in sql and "other.y" in sql
