@@ -187,11 +187,18 @@ def cmd_deps(args) -> int:
         h = hashlib.sha256()
         for fg in fgs:
             h.update(json.dumps(fg.model_dump(), sort_keys=True, default=str).encode())
-        module_paths = [
-            os.path.join(base_dir, a.module_path)
-            if a.module_path and not os.path.isabs(a.module_path) else a.module_path
-            for fg in fgs for a in fg.actions if a.module_path
-        ]
+        def _mods():
+            # every python body a dep edge could come from: action-level
+            # module_path AND load-source module_path (pydeps reads both)
+            for fg in fgs:
+                for a in fg.actions:
+                    mp = a.module_path or (
+                        a.source.get("module_path") if isinstance(a.source, dict) else None
+                    )
+                    if mp:
+                        yield mp if os.path.isabs(mp) else os.path.join(base_dir, mp)
+
+        module_paths = list(_mods())
         from lakehouse_plumber_spark.graph_cache import project_graph_key
 
         h.update(project_graph_key(module_paths).encode())

@@ -124,15 +124,15 @@ def _dedup_key_seq(events: DataFrame, cfg: CDCConfig) -> DataFrame:
     delete-flag) would survive by shuffle order and the visible row would
     flip between runs/engines (intra-batch conflicts are ambiguous input,
     but the resolution must still be a pure function of the data)."""
-    from pyspark.sql.types import MapType
-
     internal = {_DEL, _TRUNC, _PRIO, START_COL, END_COL, EVENT_DEL, TOMBSTONE, BUCKET_COL}
     keyed = set(cfg.keys) | set(_seq_cols(cfg))
     value_cols = [
         f.name
         for f in events.schema.fields
         if f.name not in internal and f.name not in keyed
-        and not isinstance(f.dataType, MapType)  # maps are not orderable
+        # any type CONTAINING a map is not orderable (top-level or nested
+        # inside a struct/array)
+        and "map<" not in f.dataType.simpleString()
     ]
     order = [F.col(_PRIO).desc(), F.col(_DEL).desc()] + [
         F.col(c).desc_nulls_last() for c in sorted(value_cols)

@@ -47,7 +47,7 @@ def _spark_rooted(chain: list[str]) -> bool:
 
     global _SPARK_ROOT_RE
     if _SPARK_ROOT_RE is None:
-        _SPARK_ROOT_RE = re.compile(r"^(spark\w*|\w*session)$", re.IGNORECASE)
+        _SPARK_ROOT_RE = re.compile(r"^(spark\w*|\w*session|sqlcontext)$", re.IGNORECASE)
     return any(
         seg in _READER_ROOTS or _SPARK_ROOT_RE.match(seg) for seg in chain[:-1]
     )
@@ -193,6 +193,20 @@ class _Extractor(ast.NodeVisitor):
                     self.result.warnings.append(
                         f"line {node.lineno}: spark.sql(...) with runtime-only "
                         f"query string — reads not statically resolvable (LHP-DEP-002)"
+                    )
+            elif func.attr == "sql" and node.args and not _spark_rooted(chain):
+                # not counted as an edge, but don't drop it SILENTLY: if the
+                # argument is a constant with table refs, surface an advisory
+                # so a renamed session variable is diagnosable
+                sql = _const_str(node.args[0], self.bindings)
+                refs = sql_table_refs(sql) if sql else set()
+                if refs:
+                    recv = ".".join(chain[:-1]) or "?"
+                    self.result.warnings.append(
+                        f"line {node.lineno}: .sql() on non-session receiver "
+                        f"{recv!r} — refs {sorted(refs)} not counted as "
+                        f"dependencies (LHP-DEP-003); rename the variable to "
+                        f"*session/spark* or add depends_on"
                     )
             elif func.attr in ("table", "load") and node.args:
                 is_direct_table = func.attr == "table" and (

@@ -149,16 +149,17 @@ def _rewrite_sql(sql: str, strategy: SandboxStrategy, produced: dict[str, str]) 
             continue
         pat = re.compile(r"(?<![\w.`])" + re.escape(ref) + r"(?![\w.`])", re.IGNORECASE)
         out = pat.sub(lambda m: _rename_ref(m.group(0), strategy), out)
-        if "." not in ref:
-            # bare table refs also appear as COLUMN QUALIFIERS
-            # (`customers.c_name`); rewrite those too or they go stale once
-            # the FROM is renamed. A following two-dot chain (x.y.z) means
-            # `ref` is a catalog/schema there, not a qualifier — skip it.
-            qpat = re.compile(
-                r"(?<![\w.`])" + re.escape(ref) + r"(?=\.[A-Za-z_`])(?!\.[\w`]+\.)",
-                re.IGNORECASE,
-            )
-            out = qpat.sub(lambda m: _rename_ref(m.group(0), strategy), out)
+        # a renamed table's LEAF also appears as a COLUMN QUALIFIER
+        # (`customers.c_name`, `customers.address.city` — Spark accepts
+        # leaf-name qualification even for dotted FROM refs); rewrite those
+        # too or they go stale once the FROM is renamed. The lookbehind
+        # keeps dotted positions (schema.customers.x) untouched.
+        leaf = ref.rsplit(".", 1)[-1]
+        qpat = re.compile(
+            r"(?<![\w.`])" + re.escape(leaf) + r"(?=\.[A-Za-z_`])",
+            re.IGNORECASE,
+        )
+        out = qpat.sub(lambda m: strategy.rename_leaf(m.group(0)), out)
     return out
 
 

@@ -193,3 +193,27 @@ def test_bare_ref_qualifiers_rewritten_with_table():
     assert "dana_customers.c_name" in sql and "customers.c_name" not in sql.replace("dana_customers.c_name", "")
     # out-of-scope table + its qualifier untouched
     assert "JOIN other" in sql and "other.x" in sql and "other.y" in sql
+
+
+def test_dotted_ref_leaf_qualifiers_and_struct_chains():
+    """Leaf-name qualifiers of a DOTTED in-scope ref (Spark accepts
+    `customers.c_name` with FROM main.bronze.customers) and struct-field
+    chains (`customers.address.city`) must follow the rename."""
+    fgs = _fgs()  # produces main.bronze.Customers
+    fgs.append(load_flowgroup({
+        "pipeline": "p3", "flowgroup": "qq",
+        "actions": [
+            {"name": "tx", "type": "transform", "transform_type": "sql",
+             "source": "main.bronze.customers",
+             "sql": "SELECT customers.c_name, customers.address.city "
+                    "FROM main.bronze.customers",
+             "target": "v3"},
+            {"name": "w", "type": "write", "source": "v3",
+             "write_target": {"type": "materialized_view", "table": "out3"}},
+        ],
+    }))
+    out = apply_sandbox(fgs, "erin")
+    sql = out[2].actions[0].sql
+    assert "FROM main.bronze.erin_customers" in sql
+    assert "erin_customers.c_name" in sql
+    assert "erin_customers.address.city" in sql
