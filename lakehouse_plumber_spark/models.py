@@ -293,7 +293,12 @@ class Action(BaseModel):
         return self.test_type.value if self.test_type else "custom_sql"
 
     def source_views(self) -> list[str]:
-        """Upstream view names this action consumes (edges of the DAG)."""
+        """Upstream view names this action consumes (edges of the DAG).
+
+        SQL text counts as consumption: an action (or a materialized view's
+        ``write_target.sql``) referencing a view by name inside SQL depends
+        on its producer even with no ``source:`` field — external table refs
+        simply have no in-flowgroup producer and impose no constraint."""
         views: list[str] = []
         if isinstance(self.source, str):
             views.append(self.source)
@@ -304,6 +309,15 @@ class Action(BaseModel):
                 v = self.source.get(key)
                 if isinstance(v, str):
                     views.append(v)
+            if isinstance(self.source.get("sql"), str):
+                from lakehouse_plumber_spark.dag import sql_table_refs
+
+                views.extend(sql_table_refs(self.source["sql"]))
+        for sql in (self.sql, self.write_target.sql if self.write_target else None):
+            if sql:
+                from lakehouse_plumber_spark.dag import sql_table_refs
+
+                views.extend(sql_table_refs(sql))
         views.extend(self.depends_on)
         return views
 

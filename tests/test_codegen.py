@@ -657,3 +657,59 @@ def test_compiled_cdc_truncate_matches_engine(spark, runner, tmp_path):
         written = ns["build"](spark, str(out))
     rows = written["m.tr.trunc1"].collect()
     assert {r["id"] for r in rows} == {3}
+
+
+def test_dq_check_registered_for_mv_sql_consumer(spark, tmp_path):
+    """A view consumed ONLY through a materialized view's write_target.sql is
+    real data flow: its fail-expectations must register and fire."""
+    spec = {
+        "pipeline": "p", "flowgroup": "dq_mvsql",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v_src",
+             "source": {"type": "sql",
+                        "sql": "SELECT * FROM (VALUES (1), (NULL)) AS t(id)"}},
+            {"name": "dq", "type": "transform", "transform_type": "data_quality",
+             "source": "v_src", "target": "v_checked",
+             "expectations_inline": [
+                 {"name": "id_set", "constraint": "id IS NOT NULL",
+                  "action": "fail"}]},
+            # no action-level source: consumption is via the MV's SQL text
+            {"name": "wr", "type": "write",
+             "write_target": {"type": "materialized_view", "database": "m.ms",
+                              "table": "out", "sql": "SELECT COUNT(*) AS n FROM v_checked"}},
+        ],
+    }
+    src = compile_flowgroup(load_flowgroup(spec))
+    assert "fail-check not registered" not in src
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    with pytest.raises(RuntimeError, match="fail-expectations violated"):
+        ns["build"](spark, str(tmp_path / "gen"))
+
+
+def test_depends_on_only_reference_does_not_register_check(spark, tmp_path):
+    """depends_on is ordering-only — a fail-check registered through it would
+    wait on an Observation that never populates."""
+    spec = {
+        "pipeline": "p", "flowgroup": "dq_dep",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v_src",
+             "source": {"type": "sql",
+                        "sql": "SELECT * FROM (VALUES (1), (NULL)) AS t(id)"}},
+            {"name": "dq", "type": "transform", "transform_type": "data_quality",
+             "source": "v_src", "target": "v_checked",
+             "expectations_inline": [
+                 {"name": "id_set", "constraint": "id IS NOT NULL",
+                  "action": "fail"}]},
+            {"name": "wr", "type": "write", "source": "v_src",
+             "depends_on": ["v_checked"],
+             "write_target": {"type": "materialized_view", "database": "m.dp",
+                              "table": "raw_copy"}},
+        ],
+    }
+    src = compile_flowgroup(load_flowgroup(spec))
+    assert "fail-check not registered" in src
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    written = ns["build"](spark, str(tmp_path / "gen"))  # must not hang
+    assert written["m.dp.raw_copy"].count() == 2
