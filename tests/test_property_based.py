@@ -211,3 +211,79 @@ def test_compiled_cdc_scd1_matches_engine_on_random_streams(spark, tmp_path_fact
         written = ns["build"](spark, str(out))
     gen = sorted(tuple(r) for r in written["m.p1.scd1p"].select(*cols).collect())
     assert engine == gen
+
+
+snap_st = st.lists(
+    st.dictionaries(st.integers(1, 4), st.integers(0, 5), max_size=4),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(snaps=snap_st)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_compiled_snapshot_cdc_matches_engine_on_random_snapshots(
+    spark, tmp_path_factory, monkeypatch, snaps
+):
+    """Random full-snapshot sequences (keys appearing, vanishing,
+    reappearing, changing) must produce identical SCD2 history through the
+    engine's apply_snapshot and the generated script's presence-grid
+    derivation."""
+    import json
+    import os
+
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+    from lakehouse_plumber_spark.runner import PipelineRunner
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    tmp = tmp_path_factory.mktemp("snapprop")
+    snap_file = tmp / "snaps.json"
+    snap_file.write_text(json.dumps(
+        {str(i + 1): sorted(d.items()) for i, d in enumerate(snaps)}
+    ))
+    monkeypatch.setenv("LHP_PROP_SNAPS", str(snap_file))
+
+    # self-contained (no closures): reads the example's snapshots via env var
+    def pull(latest):
+        import json as _json
+        import os as _os
+        from pyspark.sql import SparkSession
+        with open(_os.environ["LHP_PROP_SNAPS"]) as fh:
+            snaps_d = {int(k): v for k, v in _json.load(fh).items()}
+        nxt = 1 if latest is None else latest + 1
+        if nxt not in snaps_d:
+            return None
+        sp = SparkSession.builder.getOrCreate()
+        rows = [tuple(r) for r in snaps_d[nxt]]
+        return sp.createDataFrame(rows, "id int, v int"), nxt
+
+    def spec():
+        return {
+            "pipeline": "p", "flowgroup": "snapp",
+            "actions": [
+                {"name": "wr", "type": "write",
+                 "write_target": {"type": "streaming_table", "database": "m.sp",
+                                  "table": "t", "mode": "snapshot_cdc",
+                                  "snapshot_cdc_config": {"keys": ["id"],
+                                                          "stored_as_scd_type": 2,
+                                                          "source_callable": pull}}},
+            ],
+        }
+
+    runner = PipelineRunner(spark, store=ParquetTableStore(spark=spark, root=str(tmp / "wh")))
+    runner.run(load_flowgroup(spec()))
+    cols = ["id", "v", "__start_at", "__end_at"]
+    engine = sorted(
+        tuple(r) for r in runner.store.read("m.sp.t")
+        .filter("NOT __tombstone").select(*cols).collect()
+    )
+
+    src = compile_flowgroup(load_flowgroup(spec()))
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    written = ns["build"](spark, str(tmp / "gen"))
+    gen = sorted(tuple(r) for r in written["m.sp.t"].select(*cols).collect())
+    assert engine == gen
