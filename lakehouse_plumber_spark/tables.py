@@ -104,6 +104,12 @@ class ParquetTableStore:
             os.makedirs(self.path(name), exist_ok=True)
 
     def append(self, name: str, df: DataFrame, partition_columns: Optional[list[str]] = None) -> None:
+        if not self.exists(name) and df.isEmpty():
+            # a zero-row partitioned/multi-task write emits NO parquet files,
+            # leaving a dir whose schema can never be inferred — seed the
+            # table with a schema-bearing empty file instead
+            self.overwrite(name, df, partition_columns=partition_columns)
+            return
         w = df.write.mode("append")
         if partition_columns:
             w = w.partitionBy(*partition_columns)
@@ -113,8 +119,12 @@ class ParquetTableStore:
         """Atomic overwrite: write to shadow dir, swap, drop the old data.
 
         With Delta this is a single transactional overwrite; here the rename is
-        the commit point.
+        the commit point. Empty results are written unpartitioned through one
+        task so the parquet footer (and thus the table schema) always exists.
         """
+        if df.isEmpty():
+            df = df.coalesce(1)
+            partition_columns = None
         target = self.path(name)
         shadow = f"{target}__swap_{uuid.uuid4().hex[:8]}"
         if partition_columns:

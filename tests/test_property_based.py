@@ -287,3 +287,60 @@ def test_compiled_snapshot_cdc_matches_engine_on_random_snapshots(
     written = ns["build"](spark, str(tmp / "gen"))
     gen = sorted(tuple(r) for r in written["m.sp.t"].select(*cols).collect())
     assert engine == gen
+
+
+imv_batches_st = st.lists(
+    st.lists(st.tuples(st.sampled_from(["a", "b", "c", "d"]),
+                       st.integers(-50, 50)),
+             min_size=0, max_size=12),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=imv_batches_st)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_incremental_mv_equals_full_recompute_on_random_batches(spark, tmp_path_factory, batches):
+    """The IMV contract, adversarially: for ANY batch split (including empty
+    batches) the bucketed partial-aggregate state must finalize to exactly
+    the full recompute over everything seen. Integer values keep every
+    aggregate exact, so equality is bitwise."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.operators.incremental import (
+        finalize_incremental,
+        incremental_update,
+    )
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    tmp = tmp_path_factory.mktemp("imvprop")
+    store = ParquetTableStore(spark=spark, root=str(tmp / "wh"))
+    aggs = {"n": "count(*)", "total": "sum(v)", "lo": "min(v)", "hi": "max(v)"}
+
+    def mk(rows):
+        return spark.createDataFrame(rows or [("zz", 0)], "k string, v long").filter(
+            F.lit(bool(rows))
+        )
+
+    for b in batches:
+        incremental_update(store, "t.state", mk(b), ["k"], aggs)
+    finalize_incremental(store, "t.mv", "t.state", ["k"], aggs)
+
+    allrows = [r for b in batches for r in b]
+    got = sorted(
+        (r.k, r.n, r.total, r.lo, r.hi) for r in store.read("t.mv").collect()
+    )
+    if not allrows:
+        assert got == []
+        return
+    want = sorted(
+        (r.k, r.n, r.total, r.lo, r.hi)
+        for r in spark.createDataFrame(allrows, "k string, v long")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+             F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    assert got == want
