@@ -330,18 +330,19 @@ def apply_changes(
 ) -> None:
     """Merge one batch of change events into `target` (SCD1 or SCD2)."""
     data_cols = _data_columns(batch.columns, cfg)
-    if batch.isEmpty():
-        # an empty batch (e.g. the first poll of an empty snapshot source)
-        # has nothing to merge, but the target must still exist with the
-        # right schema — an empty parquet append writes NO files, and the
-        # later event-log read would fail schema inference
-        if not store.exists(target):
-            empty = batch.sparkSession.createDataFrame([], batch.schema)
-            empty = _normalize_events(empty, cfg).withColumn(_PRIO, F.lit(1))
-            empty = empty.select(*data_cols, _DEL, _PRIO)
-            out = _rebuild_scd1(empty, cfg, data_cols) if cfg.scd_type == 1 \
-                else _rebuild_scd2(empty, cfg, data_cols)
-            store.overwrite(target, out, partition_columns=partition_columns)
+    if not store.exists(target) and batch.isEmpty():
+        # an empty FIRST batch (e.g. the first poll of an empty snapshot
+        # source) has nothing to merge, but the target must still exist with
+        # the right schema — the emptiness probe is only paid on the
+        # creation path, never per steady-state merge. (Empty batches
+        # against an existing target flow through the normal path: the
+        # affected-key set is empty and the merge is a no-op.)
+        empty = batch.sparkSession.createDataFrame([], batch.schema)
+        empty = _normalize_events(empty, cfg).withColumn(_PRIO, F.lit(1))
+        empty = empty.select(*data_cols, _DEL, _PRIO)
+        out = _rebuild_scd1(empty, cfg, data_cols) if cfg.scd_type == 1 \
+            else _rebuild_scd2(empty, cfg, data_cols)
+        store.overwrite(target, out, partition_columns=partition_columns)
         return
     events = _normalize_events(batch.select(*[c for c in batch.columns]), cfg)
     events = events.withColumn(_PRIO, F.lit(1))

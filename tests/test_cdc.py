@@ -298,3 +298,33 @@ class TestLogCompactionProperty:
             want = sorted(map(tuple, _visible(store, f"t.pp{seed}")
                               .select("id", "v", "__start_at", "__end_at").collect()))
             assert got == want, f"divergence after batch {batch_no}"
+
+
+class TestEmptyBatches:
+    def test_empty_first_batch_creates_schema_bearing_target(self, spark, runner):
+        from lakehouse_plumber_spark.models import CDCConfig
+        from lakehouse_plumber_spark.operators.cdc import apply_changes
+
+        cfg = CDCConfig(keys=["id"], sequence_by="seq", scd_type=2)
+        empty = spark.createDataFrame([], "id int, v string, seq int")
+        apply_changes(runner.store, "e.first", empty, cfg)
+        got = runner.store.read("e.first")
+        assert got.count() == 0
+        assert {"id", "v", "seq"} <= set(got.columns)
+        # and a later real batch merges normally on top
+        apply_changes(runner.store, "e.first",
+                      spark.createDataFrame([(1, "a", 1)], "id int, v string, seq int"), cfg)
+        assert runner.store.read("e.first").filter("NOT __tombstone").count() == 1
+
+    def test_empty_batch_on_existing_target_is_noop(self, spark, runner):
+        from lakehouse_plumber_spark.models import CDCConfig
+        from lakehouse_plumber_spark.operators.cdc import apply_changes
+
+        cfg = CDCConfig(keys=["id"], sequence_by="seq", scd_type=1)
+        apply_changes(runner.store, "e.noop",
+                      spark.createDataFrame([(1, "a", 1)], "id int, v string, seq int"), cfg)
+        before = sorted(tuple(r) for r in runner.store.read("e.noop").collect())
+        apply_changes(runner.store, "e.noop",
+                      spark.createDataFrame([], "id int, v string, seq int"), cfg)
+        after = sorted(tuple(r) for r in runner.store.read("e.noop").collect())
+        assert before == after
