@@ -3487,6 +3487,72 @@ def sample_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_PARTS = {"de": 2, "en": 4, "fr": 1, "zh": 1}
+_MIX_EPOCH_TARGET = 1200
+
+
+def _mixture_duck(upsample: bool) -> str:
+    """Oracle for mixture_weighted_sample: every derived quantity (target
+    size, per-stratum millionth-thresholds, copy counts) is exact integer
+    arithmetic, so the SQL replica is bit-identical to the engine's plan —
+    no float-rounding boundary rows (llm/sampling.py:mixture_weighted_sample)."""
+    h = md5int_duck("'sample:' || CAST(doc_id AS VARCHAR)")
+    total = sum(_MIX_PARTS.values())
+    vals = ", ".join(f"('{k}', {p})" for k, p in sorted(_MIX_PARTS.items()))
+    base = f"""
+    WITH w(lang, p) AS (VALUES {vals}),
+    cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    j AS (SELECT w.lang, w.p, cnt.c FROM w JOIN cnt USING (lang)),
+    nv AS (SELECT {"CAST(%d AS BIGINT)" % _MIX_EPOCH_TARGET if upsample
+                   else "MIN((c * %d) // p)" % total} AS n FROM j),
+    thr AS (SELECT lang, (p * (SELECT n FROM nv) * 1000000) // ({total} * c) AS t
+            FROM j)
+    """
+    if not upsample:
+        return base + f"""
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN thr ON d.lang = thr.lang
+    WHERE {h} % 1000000 < thr.t
+    """
+    return base + f""",
+    b AS (SELECT d.doc_id, d.lang, {h} % 1000000 AS bkt, thr.t
+          FROM documents d JOIN thr ON d.lang = thr.lang),
+    nc AS (SELECT doc_id, lang,
+                  (t // 1000000) + CASE WHEN bkt < t % 1000000 THEN 1 ELSE 0 END AS n
+           FROM b)
+    SELECT doc_id, lang, CAST(u.copy_id AS BIGINT) AS copy_id
+    FROM nc, UNNEST(generate_series(0, n - 1)) AS u(copy_id)
+    """
+
+
+@_register("sample_mixture", _mixture_duck(False))
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: downsample languages to the recipe's 4:2:1:1 mixture at
+    the largest corpus size reachable without replication. One bounded
+    count-per-stratum agg sizes the thresholds; the sample itself is a
+    narrow per-row hash filter (no shuffle, stable under re-partitioning)."""
+    from lakehouse_plumber_spark.llm import sampling as SP
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang")
+    return SP.mixture_weighted_sample(docs, "lang", _MIX_PARTS)
+
+
+@_register("sample_mixture_epochs", _mixture_duck(True))
+def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted data mixing: same 4:2:1:1 recipe forced to a corpus
+    larger than any stratum can supply, so rare strata replicate
+    ("see Wikipedia 2.4 times per epoch") — whole copies plus a
+    hash-thresholded fractional copy, numbered by copy_id."""
+    from lakehouse_plumber_spark.llm import sampling as SP
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang")
+    return SP.mixture_weighted_sample(
+        docs, "lang", _MIX_PARTS, target_rows=_MIX_EPOCH_TARGET, allow_upsample=True
+    )
+
+
 def _curation_duck() -> str:
     return rf"""
     WITH q AS (SELECT * FROM ({_quality_duck()}) x),

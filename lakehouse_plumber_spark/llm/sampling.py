@@ -100,6 +100,93 @@ def per_stratum_smallest_hash(
     )
 
 
+def mixture_weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    parts: dict[str, int],
+    target_rows: int | None = None,
+    id_col: str = "doc_id",
+    allow_upsample: bool = False,
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Sample strata to hit a target mixture (training-data "data mixing").
+
+    `parts` gives the mixture as integer proportions ("4 parts en, 2 parts
+    de, 1 part fr") — the way corpus recipes are actually written, and it
+    keeps every derived quantity in exact integer arithmetic so the DuckDB
+    oracle reproduces the sample bit-for-bit (no float-rounding boundary
+    rows). Per stratum the keep-threshold in millionths is
+
+        thr_k = parts_k * n * 1_000_000 // (sum(parts) * count_k)
+
+    where `n` is the target corpus size: the caller's `target_rows`, capped
+    (unless `allow_upsample`) at the largest size reachable without
+    replicating rows, n_max = min_k(count_k * sum(parts) // parts_k).
+
+    Downsampling keeps a row iff its salted content hash falls under the
+    stratum threshold — a pure per-row filter, no shuffle. With
+    `allow_upsample`, a stratum rarer than its mixture share is replicated:
+    every row emits thr//1e6 whole copies plus one more iff its hash falls
+    under thr%1e6, with `copy_col` numbering the copies (epoch-style
+    reweighting: "see Wikipedia 2.4 times per epoch").
+
+    Scale: the only full-data work is one map-side-combined count per
+    stratum (result rows are bounded by the number of strata, so the
+    collect is metadata-sized); thresholds ship back as literals in a
+    when-chain. The sample itself is embarrassingly parallel and stable
+    under re-partitioning, retries, and engine choice. thr_k's numerator is
+    parts_k * n * 1e6 — within int64 up to corpora of ~10^12 rows per unit
+    part; beyond that, pre-divide parts by their gcd.
+    """
+    counts = {
+        r[0]: r[1] for r in df.groupBy(strata_col).agg(F.count(F.lit(1))).collect()
+    }
+    if any(p < 0 for p in parts.values()):
+        raise ValueError("mixture parts must be non-negative")
+    total = sum(parts.values())
+    if total <= 0:
+        raise ValueError("mixture parts must sum to a positive total")
+    pos = {k: p for k, p in sorted(parts.items()) if p > 0}
+    missing = sorted(k for k in pos if not counts.get(k))
+    if missing:
+        raise ValueError(
+            f"mixture strata absent from the data: {missing} — every "
+            "positively-weighted stratum needs at least one row"
+        )
+    n_max = min(counts[k] * total // p for k, p in pos.items())
+    if target_rows is None:
+        n = n_max
+    elif allow_upsample:
+        n = int(target_rows)
+    else:
+        n = min(int(target_rows), n_max)
+    thr = {k: p * n * SAMPLE_MOD // (total * counts[k]) for k, p in pos.items()}
+
+    bucket = F.expr(_bucket_expr(id_col))
+
+    def _chain(vals: dict[str, int]):
+        # when-chain of integer literals (not string-formatted SQL: stratum
+        # names are data); whole/frac splits are computed in exact Python
+        # integer arithmetic, never float division in the plan
+        expr = None
+        for k, t in vals.items():
+            cond = F.col(strata_col) == F.lit(k)
+            expr = F.when(cond, F.lit(t)) if expr is None else expr.when(cond, F.lit(t))
+        return expr.otherwise(F.lit(0))
+
+    if not allow_upsample:
+        return df.where(bucket < _chain(thr))
+    whole = _chain({k: t // SAMPLE_MOD for k, t in thr.items()})
+    frac = _chain({k: t % SAMPLE_MOD for k, t in thr.items()})
+    n_copies = whole.cast("long") + (bucket < frac).cast("long")
+    return (
+        df.withColumn("__nc", n_copies)
+        .where(F.col("__nc") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nc") - 1)))
+        .drop("__nc")
+    )
+
+
 def pack_token_shards(
     df: DataFrame,
     budget: int,

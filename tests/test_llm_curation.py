@@ -4,6 +4,7 @@ repetition metrics, PII redaction."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_plumber_spark.llm import sampling as SP
@@ -55,6 +56,76 @@ def test_stratified_sample_rates(spark):
     out = SP.stratified_sample(df, "src", {"a": 1.0, "b": 0.0}, id_col="doc_id")
     rows = out.collect()
     assert len(rows) == 1000 and all(r.src == "a" for r in rows)
+
+
+def _mixture_fixture(spark):
+    # skewed strata: a=1200, b=300, c=500 rows
+    return spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 20 < 12, "a")
+        .when(F.col("id") % 20 < 15, "b")
+        .otherwise("c")
+        .alias("src"),
+    )
+
+
+def test_mixture_sample_hits_recipe_proportions(spark):
+    df = _mixture_fixture(spark)
+    # 2:1:1 recipe; n_max limited by b: 300*4//1 = 1200
+    out = SP.mixture_weighted_sample(df, "src", {"a": 2, "b": 1, "c": 1}, id_col="doc_id")
+    counts = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # thresholds are exact; realized counts are hash-binomial around p*n/W
+    assert 0.8 * 600 < counts["a"] < 1.2 * 600
+    assert counts["b"] == 300  # rate exactly 1.0 — every b row kept
+    assert 0.8 * 300 < counts["c"] < 1.2 * 300
+    # stable under re-partitioning (pure per-row function)
+    again = SP.mixture_weighted_sample(
+        df.repartition(17), "src", {"a": 2, "b": 1, "c": 1}, id_col="doc_id"
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_mixture_sample_zero_part_drops_stratum_and_caps_target(spark):
+    df = _mixture_fixture(spark)
+    out = SP.mixture_weighted_sample(df, "src", {"a": 1, "b": 1, "c": 0}, id_col="doc_id")
+    assert out.where(F.col("src") == "c").count() == 0
+    # target above n_max without allow_upsample is capped at n_max exactly
+    capped = SP.mixture_weighted_sample(
+        df, "src", {"a": 1, "b": 1, "c": 0}, target_rows=10**9, id_col="doc_id"
+    )
+    assert sorted(r.doc_id for r in capped.collect()) == sorted(
+        r.doc_id for r in out.collect()
+    )
+
+
+def test_mixture_sample_upsample_copy_counts(spark):
+    df = _mixture_fixture(spark)
+    # force replication: target twice what b can supply at its share
+    out = SP.mixture_weighted_sample(
+        df, "src", {"a": 2, "b": 1, "c": 1}, target_rows=2400,
+        id_col="doc_id", allow_upsample=True,
+    )
+    rows = out.collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.copy_id)
+    # b's threshold is 1*2400*1e6 // (4*300) = exactly 2.0 copies -> every
+    # b doc appears exactly twice with dense copy ids
+    b_docs = [r.doc_id for r in rows if r.src == "b"]
+    assert len(b_docs) == 600
+    for d in set(b_docs):
+        assert sorted(per_doc[d]) == [0, 1]
+    # every doc's copy ids are dense 0..n-1
+    for copies in per_doc.values():
+        assert sorted(copies) == list(range(len(copies)))
+
+
+def test_mixture_sample_missing_stratum_raises(spark):
+    df = _mixture_fixture(spark)
+    with pytest.raises(ValueError, match="absent"):
+        SP.mixture_weighted_sample(df, "src", {"a": 1, "nope": 1}, id_col="doc_id")
 
 
 def test_per_stratum_smallest_hash_is_deterministic(spark):

@@ -84,6 +84,19 @@ def test_sample_stratified_narrow_and_pruned(spark, q):
     assert m and "text" not in m.group(1) and "n_chars" not in m.group(1)
 
 
+def test_sample_mixture_narrow_after_bounded_count(spark, q):
+    # the count-per-stratum agg runs as its own tiny job at build time; the
+    # sample that ships is a literal-threshold filter — no shuffle, pruned scan
+    df = q["sample_mixture"](spark, SF)
+    plan = _spark_plan(df)
+    assert "Exchange" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1)
+    # epoch upsampling adds only a narrow explode(sequence) — still no shuffle
+    plan2 = _spark_plan(q["sample_mixture_epochs"](spark, SF))
+    assert "Exchange" not in plan2 and "Generate" in plan2
+
+
 def test_pii_redact_no_shuffle(spark, q):
     df = q["pii_redact"](spark, SF)
     plan = _spark_plan(df)
