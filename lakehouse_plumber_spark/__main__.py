@@ -8,6 +8,9 @@ Because this engine executes pipelines instead of emitting Databricks code,
   python -m lakehouse_plumber_spark run      <project_root> [--env dev]
   python -m lakehouse_plumber_spark compile  <project_root> [-o OUT] [--env dev]
   python -m lakehouse_plumber_spark deps     <project_root> [--env dev]
+  python -m lakehouse_plumber_spark diff     <project_root> [-o OUT] [-s] [--exit-code]
+  python -m lakehouse_plumber_spark list     <project_root> {presets,templates,blueprints}
+  python -m lakehouse_plumber_spark substitutions <project_root> [--env dev]
 
 Project layout mirrors the reference: `pipelines/**/*.yaml` flowgroups (plus
 `presets/`, `templates/`, `blueprints/`), and token files under
@@ -264,11 +267,190 @@ def cmd_deps(args) -> int:
     return 0
 
 
+def cmd_list(args) -> int:
+    """Enumerate presets / templates / blueprints (reference `lhp list`,
+    src/lhp/cli/commands/list_command.py — listing reads are
+    environment-independent, so there is no --env here)."""
+    import yaml
+
+    from lakehouse_plumber_spark.parsers import _find_dir
+
+    kind = args.kind
+    root = args.project_root
+    d = _find_dir(root, kind)
+    if d is None:
+        print(f"no {kind}/ directory under {root}")
+        return 0
+
+    def _specs():
+        for base, _, files in os.walk(d):
+            for fn in sorted(files):
+                if fn.endswith((".yaml", ".yml")):
+                    p = os.path.join(base, fn)
+                    with open(p) as f:
+                        try:
+                            spec = yaml.safe_load(f) or {}
+                        except yaml.YAMLError as e:
+                            print(f"warn: unparseable {p}: {e}", file=sys.stderr)
+                            continue
+                    yield p, spec
+
+    if kind in ("presets", "templates"):
+        for p, spec in _specs():
+            name = spec.get("name") or os.path.splitext(os.path.basename(p))[0]
+            extra = ""
+            if kind == "templates":
+                params = [
+                    pr.get("name", "?") if isinstance(pr, dict) else str(pr)
+                    for pr in spec.get("parameters") or []
+                ]
+                extra = f"  params: {', '.join(params) or '-'}"
+            if kind == "presets" and spec.get("extends"):
+                extra = f"  extends: {spec['extends']}"
+            print(f"{name}{extra}")
+        return 0
+
+    # blueprints: definitions, and with --instances the instance expansion
+    from lakehouse_plumber_spark.blueprints import looks_like_blueprint, looks_like_instance
+
+    defs, insts = [], []
+    for p, spec in _specs():
+        if looks_like_blueprint(spec):
+            defs.append(spec)
+        elif looks_like_instance(spec):
+            insts.append(spec)
+    for spec in defs:
+        params = [pr.get("name", "?") for pr in spec.get("parameters") or []]
+        n_fgs = len(spec.get("flowgroups") or [])
+        print(
+            f"{spec.get('name')}  params: {', '.join(params) or '-'}"
+            f"  flowgroups: {n_fgs}"
+        )
+        if args.instances:
+            for inst in insts:
+                # preferred `use_blueprint` form and legacy flat `blueprint`
+                ref = inst.get("use_blueprint") or inst.get("blueprint")
+                if ref == spec.get("name"):
+                    pv = inst.get("parameters") or {
+                        k: v for k, v in inst.items() if k not in ("blueprint", "source")
+                    }
+                    kv = ", ".join(f"{k}={v}" for k, v in sorted(pv.items()))
+                    print(f"  instance: {kv or '-'}")
+    return 0
+
+
+def cmd_substitutions(args) -> int:
+    """Show the resolved substitution tokens for --env (reference
+    `lhp substitutions`, src/lhp/cli/commands/substitutions_command.py):
+    every ${token} mapping, plus the ${secret:scope/key} refs observed in
+    project files and whether each resolves here. A missing
+    substitutions/<env>.yaml is not an error — an empty context is reported
+    (reference contract). Secret VALUES are never printed."""
+    import re
+
+    from lakehouse_plumber_spark.substitution import _SECRET
+
+    env = args.env or "dev"
+    path = os.path.join(args.project_root, "substitutions", f"{env}.yaml")
+    if os.path.exists(path):
+        tokens = _load_tokens(args.project_root, env)
+    else:
+        tokens = {}
+        print(f"(no substitution file at {path} — empty context)")
+
+    def _flat(prefix: str, obj) -> list[tuple[str, str]]:
+        if isinstance(obj, dict):
+            out = []
+            for k in sorted(obj):
+                out.extend(_flat(f"{prefix}.{k}" if prefix else str(k), obj[k]))
+            return out
+        return [(prefix, str(obj))]
+
+    print(f"environment: {env}")
+    for k, v in _flat("", tokens):
+        print(f"  ${{{k}}} = {v}")
+
+    # observed secret refs across the project's yaml/sql/json files
+    refs: set[tuple[str, str]] = set()
+    for base, dirs, files in os.walk(args.project_root):
+        dirs[:] = [x for x in dirs if not x.startswith(".")]
+        for fn in files:
+            if fn.endswith((".yaml", ".yml", ".sql", ".json")):
+                try:
+                    with open(os.path.join(base, fn)) as f:
+                        refs.update(_SECRET.findall(f.read()))
+                except OSError:
+                    continue
+    if refs:
+        print("secrets:")
+        for scope, key in sorted(refs):
+            env_key = f"LHP_SECRET_{scope.upper()}_{key.upper()}"
+            status = "resolves" if env_key in os.environ else f"unset ({env_key})"
+            print(f"  ${{secret:{scope}/{key}}}  {status}")
+    return 0
+
+
+def cmd_diff(args) -> int:
+    """Show what `compile` would change on disk (reference `lhp diff`,
+    src/lhp/cli/commands/diff_command.py): plan every flowgroup without
+    writing, compare to the on-disk output tree, one `~`/`+`/`-` line per
+    changed path. --show-details prints unified diffs; --exit-code exits 1
+    on a non-empty change set."""
+    import difflib
+
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+
+    planned: dict[str, str] = {}
+    for fg in _discover(args):
+        name = f"{fg.pipeline}__{fg.flowgroup}.py"
+        try:
+            planned[name] = compile_flowgroup(fg, base_dir=args.project_root)
+        except NotImplementedError as e:
+            print(f"skip  {fg.pipeline}/{fg.flowgroup}: {e}", file=sys.stderr)
+    on_disk: dict[str, str] = {}
+    if os.path.isdir(args.out):
+        for base, _, files in os.walk(args.out):
+            for fn in files:
+                p = os.path.join(base, fn)
+                rel = os.path.relpath(p, args.out)
+                try:
+                    with open(p) as f:
+                        on_disk[rel] = f.read()
+                except (OSError, UnicodeDecodeError):
+                    continue
+    changed = False
+    for rel in sorted(set(planned) | set(on_disk)):
+        if rel not in on_disk:
+            mark = "+"
+        elif rel not in planned:
+            mark = "-"
+        elif planned[rel] != on_disk[rel]:
+            mark = "~"
+        else:
+            continue
+        changed = True
+        print(f"{mark} {rel}")
+        if args.show_details and mark == "~":
+            sys.stdout.writelines(
+                difflib.unified_diff(
+                    on_disk[rel].splitlines(keepends=True),
+                    planned[rel].splitlines(keepends=True),
+                    fromfile=f"on-disk/{rel}",
+                    tofile=f"planned/{rel}",
+                )
+            )
+    if not changed:
+        print("no changes")
+    return 1 if (changed and args.exit_code) else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m lakehouse_plumber_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (("validate", cmd_validate), ("run", cmd_run),
-                     ("compile", cmd_compile), ("deps", cmd_deps)):
+                     ("compile", cmd_compile), ("deps", cmd_deps),
+                     ("diff", cmd_diff), ("list", cmd_list),
+                     ("substitutions", cmd_substitutions)):
         sp = sub.add_parser(name)
         sp.add_argument("project_root")
         sp.add_argument("--env", default=None, help="substitutions/{env}.yaml tokens")
@@ -280,6 +462,17 @@ def main(argv: list[str] | None = None) -> int:
         if name == "deps":
             sp.add_argument("--format", choices=("text", "dot", "json"), default="text",
                             help="output format (reference output.py serializers)")
+        if name == "diff":
+            sp.add_argument("-o", "--out", default="generated",
+                            help="on-disk tree to compare the plan against")
+            sp.add_argument("-s", "--show-details", action="store_true",
+                            help="unified diff per changed file")
+            sp.add_argument("--exit-code", action="store_true",
+                            help="exit 1 when the change set is non-empty")
+        if name == "list":
+            sp.add_argument("kind", choices=("presets", "templates", "blueprints"))
+            sp.add_argument("--instances", action="store_true",
+                            help="show each blueprint's instances")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     return args.fn(args)

@@ -96,3 +96,78 @@ def test_cli_deps_dot_and_json_formats(capsys):
     doc = _json.loads(out)
     assert {f["stage"] for f in doc["flowgroups"]} >= {1, 2}
     assert len(doc["stages"]) >= 2
+
+
+def test_cli_diff_clean_then_changed(tmp_path, capsys):
+    """Reference `lhp diff` contract (diff_command.py): plan vs on-disk tree,
+    one ~/+/- line per path, --exit-code flips to 1 on a non-empty set."""
+    out_dir = tmp_path / "generated"
+    main(["compile", PROJECT, "--env", "dev", "-o", str(out_dir)])
+    capsys.readouterr()
+
+    rc = main(["diff", PROJECT, "--env", "dev", "-o", str(out_dir)])
+    out = capsys.readouterr().out
+    assert rc == 0 and "no changes" in out
+
+    # drift one file, delete one, and the plan adds nothing new
+    f = out_dir / "bronze__customers.py"
+    f.write_text(f.read_text() + "\n# drifted\n")
+    (out_dir / "gold__summary.py").unlink()
+    rc = main(["diff", PROJECT, "--env", "dev", "-o", str(out_dir), "--exit-code"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "~ bronze__customers.py" in out
+    assert "+ gold__summary.py" in out
+    assert "- " not in out.replace("- drifted", "")
+
+    # --show-details prints a unified diff for the drifted file
+    rc = main(["diff", PROJECT, "--env", "dev", "-o", str(out_dir), "-s"])
+    out = capsys.readouterr().out
+    assert "-# drifted" in out
+
+
+def test_cli_substitutions_reports_tokens_and_missing_env(capsys):
+    rc = main(["substitutions", PROJECT, "--env", "dev"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "${catalog} = main" in out and "${min_balance} = 0" in out
+
+    # reference contract: a missing env file reports an empty context, no error
+    rc = main(["substitutions", PROJECT, "--env", "nope"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "empty context" in out
+
+
+def test_cli_list_presets_templates_blueprints(tmp_path, capsys):
+    proj = tmp_path / "proj"
+    (proj / "pipelines").mkdir(parents=True)
+    (proj / "presets").mkdir()
+    (proj / "templates").mkdir()
+    (proj / "blueprints").mkdir()
+    (proj / "presets" / "bronze.yaml").write_text("name: bronze_defaults\n")
+    (proj / "templates" / "ingest.yaml").write_text(
+        "name: ingest_t\nparameters:\n  - name: table\n    required: true\n"
+    )
+    (proj / "blueprints" / "bp.yaml").write_text(
+        """
+name: std_ingest
+parameters:
+  - name: table
+    required: true
+flowgroups:
+  - pipeline: "p_%{table}"
+    flowgroup: "fg_%{table}"
+    actions: []
+"""
+    )
+    (proj / "blueprints" / "inst.yaml").write_text(
+        "use_blueprint: std_ingest\nparameters:\n  table: orders\n"
+    )
+    rc = main(["list", str(proj), "presets"])
+    assert rc == 0 and "bronze_defaults" in capsys.readouterr().out
+    rc = main(["list", str(proj), "templates"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "ingest_t" in out and "params: table" in out
+    rc = main(["list", str(proj), "blueprints", "--instances"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "std_ingest" in out and "table=orders" in out
