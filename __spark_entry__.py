@@ -1339,6 +1339,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(spark.table("documents"))
 
 
+_EDITDIST_MAX = 24
+
+
+def _editdist_duck() -> str:
+    """Same LSH band CTEs as _minhash_duck; the verify step is exact
+    Levenshtein (both engines implement the standard case-sensitive DP, so
+    distances agree integer-for-integer)."""
+    from lakehouse_plumber_spark.llm.hashing import minhash_coeffs, minhash_mix
+
+    grams = word_ngrams_duck("text", D.SHINGLE_N)
+    sig_entries = ", ".join(
+        f"list_min(list_transform(hg, h -> {minhash_mix(a, b, c, 'h', 'duck')}))"
+        for a, b, c in minhash_coeffs(D.MINHASH_K)
+    )
+    band_selects = []
+    for b in range(D.LSH_BANDS):
+        lo = b * D.LSH_ROWS + 1
+        hi = lo + D.LSH_ROWS - 1
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(array_to_string(sig[{lo}:{hi}], ',')) AS h FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH grams_t AS (SELECT doc_id, {grams} AS grams FROM documents),
+    hg_t AS (SELECT doc_id, list_transform(grams, g -> {md5int_duck('g')}) AS hg FROM grams_t),
+    sigs AS (SELECT doc_id, [{sig_entries}] AS sig FROM hg_t),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS distance
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    WHERE abs(len(da.text) - len(db.text)) <= {_EDITDIST_MAX}
+      AND levenshtein(da.text, db.text) <= {_EDITDIST_MAX}
+    """
+
+
+@_register("dedup_edit_distance", _editdist_duck())
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs verified by exact edit distance: LSH-bounded candidate
+    set, length-difference prune, then Spark's bounded levenshtein (abandons
+    a pair once its running distance exceeds the cap) — the per-pair DP never
+    touches non-candidates, so cost stays linear in candidate count."""
+    _prep(spark, sf_dir)
+    return D.edit_distance_dedup(spark.table("documents"), max_distance=_EDITDIST_MAX)
+
+
 def _ngram_jaccard_duck() -> str:
     grams = word_ngrams_duck("text", D.SHINGLE_N)
     return f"""

@@ -66,9 +66,20 @@ def main() -> None:
     # Spread across the timed runs is reported per query on stderr.
     runs = int(os.environ.get("LHP_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    # streaming-machinery queries (checkpointed availableNow runs, state
+    # store, foreachBatch merges) JIT a much larger code surface than the
+    # batch shapes — one warm run still leaves Janino/JVM compilation inside
+    # the first timed runs (measured: cdc_scd2 settles over ~4 iterations on
+    # a fresh JVM). Give those shapes one extra untimed warm; this is
+    # per-shape setup cost, not throughput, same rationale as the single warm.
+    STREAMING_WARM_TWICE = {
+        "pipe_cdc_scd2", "pipe_streaming_fanin", "pipe_stateful_sessionize",
+    }
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).count()
+        if name in STREAMING_WARM_TWICE:
+            fn(spark, sf_dir).count()
         samples, n = [], 0
         for _ in range(runs):
             t0 = time.time()
@@ -83,6 +94,14 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # the six untouched TPC-H queries are the box-state control group:
+    # their subtotal moves only with machine conditions (round-to-round VM /
+    # frequency / scheduler drift), so ratios against it separate engine
+    # changes from environment changes (see BASELINE.md protocol notes)
+    controls = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q10_returned_items", "q14_promo_revenue", "q18_large_volume_customer",
+    ]
     print(
         json.dumps(
             {
@@ -90,6 +109,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "controls_sec": round(sum(timings[c] for c in controls), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -173,6 +173,38 @@ def minhash_lsh_dedup(
     return out
 
 
+def edit_distance_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_distance: int = 24, max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs verified by exact Levenshtein edit distance.
+
+    Candidate generation is the same banded MinHash LSH as
+    `minhash_lsh_dedup` (no all-pairs scan); the verify join then computes
+    `levenshtein` only on candidate pairs. Two scale guards around the
+    O(len_a*len_b) DP: a length pre-filter (|len_a - len_b| is a lower
+    bound on edit distance, so pairs beyond `max_distance` prune before the
+    DP runs) and Spark's bounded `levenshtein(l, r, threshold)`, which
+    abandons a pair the moment its running distance exceeds the bound
+    instead of filling the full matrix. Returns (id_a, id_b, distance).
+    """
+    base = spread_for_compute(df, [id_col, text_col]).select(
+        F.col(id_col), F.col(text_col).alias("__t")
+    )
+    sigs = minhash_signatures(df, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col, max_bucket_size=max_bucket_size)
+    return (
+        cands.join(
+            base.select(F.col(id_col).alias("id_a"), F.col("__t").alias("ta")), "id_a"
+        )
+        .join(base.select(F.col(id_col).alias("id_b"), F.col("__t").alias("tb")), "id_b")
+        .where(F.abs(F.length("ta") - F.length("tb")) <= max_distance)
+        .withColumn("distance", F.levenshtein("ta", "tb", max_distance))
+        .where(F.col("distance") >= 0)  # bounded form returns -1 above the cap
+        .select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

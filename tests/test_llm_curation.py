@@ -391,3 +391,20 @@ def test_mean_token_frequency_ranks_gibberish_low(spark):
     # exact integer invariants
     for r in out.values():
         assert r.sum_freq >= r.n_tokens
+
+
+def test_edit_distance_dedup_finds_small_edits_only(spark):
+    from lakehouse_plumber_spark.llm.dedup import edit_distance_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base),
+        (2, base.replace("delta", "delia", 1)),     # 2-char edit, near-dup
+        (3, base),                                   # exact dup of 1
+        (4, "totally different text with none of those words at all " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.distance for r in edit_distance_dedup(df, max_distance=10).collect()}
+    assert out[(1, 3)] == 0
+    assert 0 < out[(1, 2)] <= 4 and out[(2, 3)] == out[(1, 2)]
+    assert all(4 not in pair for pair in out)
