@@ -3537,6 +3537,42 @@ def sample_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_stats_duck() -> str:
+    toks = tokens_duck("text")
+    return f"""
+    WITH base AS (
+      SELECT source AS stratum, doc_id AS id,
+             CAST(len(text) AS BIGINT) AS n_chars,
+             CAST(len({toks}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY stratum ORDER BY n_chars, id) AS rn,
+             COUNT(*) OVER (PARTITION BY stratum) AS cnt
+      FROM base
+    )
+    SELECT stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS median_chars,
+           MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n_chars END) AS p90_chars,
+           round(CAST(SUM(n_tokens) AS BIGINT) / CAST(COUNT(*) AS BIGINT), 6) AS mean_tokens
+    FROM r GROUP BY stratum
+    """
+
+
+@_register("text_corpus_stats", _corpus_stats_duck())
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report (doc counts, token totals/means, exact
+    rank-based median/p90 lengths) — the recurring reporting job every
+    corpus pipeline runs after each build; one stratum-keyed exchange
+    serves both the ranking window and the aggregate."""
+    _prep(spark, sf_dir)
+    return TX.corpus_stats(spark.table("documents"))
+
+
 _MIX_PARTS = {"de": 2, "en": 4, "fr": 1, "zh": 1}
 _MIX_EPOCH_TARGET = 1200
 

@@ -257,3 +257,53 @@ def mean_token_frequency(df: DataFrame, text_col: str = "text", id_col: str = "d
         )
         .withColumn("mean_freq", F.round(F.col("sum_freq") / F.col("n_tokens"), 6))
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum corpus report: doc count, token totals/means, and exact
+    rank-based length quantiles (lower median, ceil-p90 of n_chars).
+
+    The quantiles are exact order statistics — the (cnt+1)//2-th and
+    ceil(0.9*cnt)-th smallest lengths, ties broken by id — so the DuckDB
+    oracle reproduces every value bit-for-bit (mean is one correctly-rounded
+    double division in both engines).
+
+    Plan/scale: ONE hash exchange on the stratum key serves both the
+    ranking window and the final aggregate (same partitioning, Catalyst
+    reuses it); everything else is narrow. A giant stratum makes the window
+    sort that stratum's partition — at 100 TB swap the exact rank-select
+    for approx_percentile in the same query shape; exactness here is what
+    the cross-engine correctness gate buys.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(id_col).alias("__id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.expr(f"size({tokens_spark(text_col)})").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("stratum")
+    ranked = base.withColumn(
+        "rn", F.row_number().over(w.orderBy("n_chars", "__id"))
+    ).withColumn("cnt", F.count(F.lit(1)).over(w))
+    return (
+        ranked.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max(
+                F.when(F.expr("rn = (cnt + 1) DIV 2"), F.col("n_chars"))
+            ).alias("median_chars"),
+            F.max(
+                F.when(F.expr("rn = (9 * cnt + 9) DIV 10"), F.col("n_chars"))
+            ).alias("p90_chars"),
+        )
+        .withColumn("mean_tokens", F.round(F.col("total_tokens") / F.col("n_docs"), 6))
+    )

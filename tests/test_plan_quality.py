@@ -173,3 +173,12 @@ def test_mean_token_freq_broadcasts_vocabulary(spark, q):
     plan = _spark_plan(df)
     assert "BroadcastExchange" in plan  # vocabulary joins back via broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_stats_single_exchange(spark, q):
+    # the ranking window and the aggregate share the stratum hash
+    # partitioning: exactly one exchange in the whole plan (formatted mode
+    # double-lists nodes: tree + details), with a map-side partial aggregate
+    plan = _spark_plan(q["text_corpus_stats"](spark, SF))
+    assert plan.count("Exchange") == 2
+    assert plan.count("HashAggregate") >= 4
