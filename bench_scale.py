@@ -34,8 +34,11 @@ NAMES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_span_removal",
+    "dedup_edit_distance",
     "text_repetition",
+    "text_corpus_stats",
     "sample_hash_split",
+    "sample_mixture",
 ]
 
 

@@ -447,8 +447,12 @@ def cmd_diff(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m lakehouse_plumber_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+    # `dag` is the reference's current name for the dependency-graph command;
+    # `deps` stays as the backward-compatibility alias (reference
+    # _lazy_group.py maps both to the same command)
     for name, fn in (("validate", cmd_validate), ("run", cmd_run),
                      ("compile", cmd_compile), ("deps", cmd_deps),
+                     ("dag", cmd_deps),
                      ("diff", cmd_diff), ("list", cmd_list),
                      ("substitutions", cmd_substitutions)):
         sp = sub.add_parser(name)
@@ -459,7 +463,7 @@ def main(argv: list[str] | None = None) -> int:
                              "reads of them) get the {namespace}_{table} leaf")
         if name == "compile":
             sp.add_argument("-o", "--out", default="generated")
-        if name == "deps":
+        if name in ("deps", "dag"):
             sp.add_argument("--format", choices=("text", "dot", "json"), default="text",
                             help="output format (reference output.py serializers)")
         if name == "diff":

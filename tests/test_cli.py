@@ -171,3 +171,13 @@ flowgroups:
     rc = main(["list", str(proj), "blueprints", "--instances"])
     out = capsys.readouterr().out
     assert rc == 0 and "std_ingest" in out and "table=orders" in out
+
+
+def test_cli_dag_aliases_deps(capsys):
+    # reference renamed deps -> dag keeping deps as a hidden alias; both
+    # forms must produce the identical staged output
+    rc = main(["dag", PROJECT, "--env", "dev"])
+    dag_out = capsys.readouterr().out
+    rc2 = main(["deps", PROJECT, "--env", "dev"])
+    deps_out = capsys.readouterr().out
+    assert rc == rc2 == 0 and dag_out == deps_out and "stage 1:" in dag_out
