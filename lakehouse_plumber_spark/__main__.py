@@ -63,7 +63,9 @@ def cmd_validate(args) -> int:
 
     try:
         fgs = _discover(args)
-    except (CycleError, ValidationError) as e:
+    except (CycleError, ValidationError, ValueError, FileNotFoundError) as e:
+        # spec-layer failures (bad template params, unresolved tokens,
+        # missing files) report as a clean FAIL line, not a traceback
         print(f"FAIL  {e}")
         return 1
     rc = 0

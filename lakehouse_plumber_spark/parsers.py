@@ -62,7 +62,34 @@ def _expand_template(
     path = os.path.join(templates_dir, f"{name}.yaml")
     with open(path) as f:
         raw = f.read()
-    rendered = jinja2.Template(raw, undefined=jinja2.StrictUndefined).render(**dict(params))
+    # the template's own `parameters:` block declares defaults and required
+    # params (reference template_engine.py:106,129-155: defaults applied,
+    # missing required -> clean error, BEFORE rendering). Templates that use
+    # structural Jinja ({% for %} across the YAML tree — a superset of the
+    # reference's per-value rendering) can't be pre-parsed; they simply get
+    # no declared-parameter handling.
+    final_params = dict(params)
+    try:
+        pre = yaml.safe_load(raw) or {}
+    except yaml.YAMLError:
+        pre = {}
+    declared = pre.get("parameters") if isinstance(pre, dict) else None
+    if isinstance(declared, list):
+        missing = []
+        for p in declared:
+            if not isinstance(p, dict) or "name" not in p:
+                continue
+            if p["name"] in final_params:
+                continue
+            if "default" in p:
+                final_params[p["name"]] = p["default"]
+            elif p.get("required", False):
+                missing.append(p["name"])
+        if missing:
+            raise ValueError(
+                f"template {name!r}: missing required parameters {sorted(missing)}"
+            )
+    rendered = jinja2.Template(raw, undefined=jinja2.StrictUndefined).render(**final_params)
     template = yaml.safe_load(rendered) or {}
     merged = deep_merge({k: v for k, v in template.items() if k != "parameters"}, spec)
     merged.pop("use_template", None)

@@ -92,6 +92,43 @@ actions:
         assert fg.actions[0].source["sql"] == "SELECT * FROM nation"
         assert fg.actions[1].write_target.table == "nation_mv"
 
+    def test_template_parameter_defaults_and_required(self, tmp_path):
+        """Reference template_engine.py:106,129-155: declared defaults are
+        applied when a parameter is omitted; a missing required parameter is
+        a clean error, not a raw Jinja undefined failure."""
+        (tmp_path / "templates").mkdir()
+        (tmp_path / "templates" / "ingest.yaml").write_text(
+            """
+pipeline: "{{ pipe }}"
+flowgroup: "{{ table }}_ingest"
+parameters:
+  - name: table
+    required: true
+  - name: pipe
+    default: bronze
+actions:
+  - name: ld
+    type: load
+    source: {type: sql, sql: "SELECT * FROM {{ table }}"}
+    target: v_raw
+  - name: wr
+    type: write
+    source: v_raw
+    write_target: {type: materialized_view, database: m.s, table: "{{ table }}_mv"}
+"""
+        )
+        fg = load_flowgroup(
+            {"use_template": "ingest", "template_parameters": {"table": "nation"}},
+            templates_dir=str(tmp_path / "templates"),
+        )
+        assert fg.pipeline == "bronze"  # default applied
+
+        with pytest.raises(ValueError, match="missing required.*table"):
+            load_flowgroup(
+                {"use_template": "ingest", "template_parameters": {"pipe": "x"}},
+                templates_dir=str(tmp_path / "templates"),
+            )
+
     def test_file_loader_finds_sibling_dirs(self, tmp_path):
         (tmp_path / "presets").mkdir()
         (tmp_path / "presets" / "std.yaml").write_text(
