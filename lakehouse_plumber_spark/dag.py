@@ -120,6 +120,7 @@ def validate_flowgroup_graph(actions: list[Action]) -> list[str]:
     for a in actions:
         for err in validate_cdc_schema(a):
             raise ValidationError(err)
+    warnings.extend(_validate_action_configs(actions))
 
     topo_sort(actions)  # raises on cycles
     consumed = {v for a in actions for v in a.source_views()}
@@ -128,6 +129,40 @@ def validate_flowgroup_graph(actions: list[Action]) -> list[str]:
             v = a.produced_view()
             if v and v not in consumed:
                 warnings.append(f"orphaned transform output view {v!r} ({a.name})")
+    return warnings
+
+
+def _validate_action_configs(actions: list[Action]) -> list[str]:
+    """Per-action source-config checks at validation time (reference runs its
+    field validators — cloudfiles option whitelist, kafka mandatory broker —
+    during `lhp validate`, not first at generation/run time)."""
+    warnings: list[str] = []
+    for a in actions:
+        if a.type != ActionType.LOAD or not isinstance(a.source, dict):
+            continue
+        st = a.source.get("type")
+        if st == "cloudfiles":
+            from lakehouse_plumber_spark.operators.load import validate_cloudfiles_options
+
+            try:
+                ignored = validate_cloudfiles_options(a.source.get("options") or {}, a.name)
+            except ValueError as e:
+                raise ValidationError(str(e))
+            warnings.extend(
+                f"{a.name}: {k} is accepted but not honored by the OSS engine"
+                for k in ignored
+                if k in ("cloudFiles.useNotifications", "cloudFiles.backfillInterval")
+            )
+        elif st == "kafka":
+            opts = a.source.get("options") or {}
+            sim = a.source.get("simulate_from") or opts.get("simulate_from")
+            if not sim and not (
+                a.source.get("bootstrap_servers") or opts.get("kafka.bootstrap.servers")
+            ):
+                raise ValidationError(
+                    f"kafka load {a.name!r}: kafka.bootstrap.servers is mandatory "
+                    "(reference load/kafka.py:23)"
+                )
     return warnings
 
 

@@ -64,9 +64,21 @@ def validate_cloudfiles_options(options: dict[str, Any], action_name: str) -> li
         if k.startswith("cloudFiles.") and k.split(".", 1)[1] not in _CLOUDFILES_KNOWN
     )
     if unknown:
+        # near-miss suggestions, mirroring the reference's field-suggestion
+        # layer (validators/field/_field_suggestions.py): a typo'd option
+        # should point at the key the user meant
+        import difflib
+
+        hints = []
+        for k in unknown:
+            close = difflib.get_close_matches(k.split(".", 1)[1], _CLOUDFILES_KNOWN, n=1)
+            if close:
+                hints.append(f"{k} (did you mean cloudFiles.{close[0]}?)")
+            else:
+                hints.append(k)
         raise ValueError(
             f"load_cloudfiles action {action_name!r}: unknown cloudFiles option(s) "
-            f"{unknown}; known: {sorted('cloudFiles.' + k for k in _CLOUDFILES_KNOWN)}"
+            f"{hints}; known: {sorted('cloudFiles.' + k for k in _CLOUDFILES_KNOWN)}"
         )
     return sorted(
         k for k in options

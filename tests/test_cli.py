@@ -181,3 +181,51 @@ def test_cli_dag_aliases_deps(capsys):
     rc2 = main(["deps", PROJECT, "--env", "dev"])
     deps_out = capsys.readouterr().out
     assert rc == rc2 == 0 and dag_out == deps_out and "stage 1:" in dag_out
+
+
+def test_cli_validate_runs_field_validators(tmp_path, capsys):
+    """Reference runs field validators at validate time: a typo'd cloudFiles
+    option must FAIL validation (with a near-miss hint), not surface first
+    at run/compile time; a kafka load without brokers must FAIL too."""
+    proj = tmp_path / "proj"
+    (proj / "pipelines").mkdir(parents=True)
+    (proj / "pipelines" / "cf.yaml").write_text(
+        """
+pipeline: p
+flowgroup: f
+actions:
+  - name: ld
+    type: load
+    readMode: stream
+    source: {type: cloudfiles, path: /tmp/none, format: json,
+             options: {cloudFiles.maxFilesPerTriger: "5"}}
+    target: v
+  - name: wr
+    type: write
+    source: v
+    write_target: {type: materialized_view, database: m.s, table: t}
+"""
+    )
+    rc = main(["validate", str(proj)])
+    out = capsys.readouterr().out
+    assert rc == 1 and "did you mean cloudFiles.maxFilesPerTrigger" in out
+
+    (proj / "pipelines" / "cf.yaml").write_text(
+        """
+pipeline: p
+flowgroup: f
+actions:
+  - name: ld
+    type: load
+    readMode: stream
+    source: {type: kafka, subscribe: topic}
+    target: v
+  - name: wr
+    type: write
+    source: v
+    write_target: {type: materialized_view, database: m.s, table: t}
+"""
+    )
+    rc = main(["validate", str(proj)])
+    out = capsys.readouterr().out
+    assert rc == 1 and "kafka.bootstrap.servers is mandatory" in out

@@ -259,6 +259,13 @@ class TestCloudFilesOptionValidation:
         with pytest.raises(ValueError, match="maxFilesPerTriger"):
             validate_cloudfiles_options({"cloudFiles.maxFilesPerTriger": "10"}, "a")
 
+    def test_unknown_option_suggests_near_miss(self):
+        # reference field-suggestion layer: the typo points at the real key
+        from lakehouse_plumber_spark.operators.load import validate_cloudfiles_options
+
+        with pytest.raises(ValueError, match="did you mean cloudFiles.maxFilesPerTrigger"):
+            validate_cloudfiles_options({"cloudFiles.maxFilesPerTriger": "10"}, "a")
+
     def test_known_unhonored_reported_not_dropped(self):
         from lakehouse_plumber_spark.operators.load import validate_cloudfiles_options
 
