@@ -446,6 +446,79 @@ def cmd_diff(args) -> int:
     return 1 if (changed and args.exit_code) else 0
 
 
+_INIT_SAMPLE_FG = """\
+pipeline: quickstart
+flowgroup: customer_summary
+actions:
+  - name: load_customers
+    type: load
+    source:
+      type: sql
+      # self-contained inline data so the quickstart runs anywhere;
+      # swap for a delta/cloudfiles load against your own tables
+      sql: >
+        SELECT * FROM VALUES
+          (1, 'Alice', 120.50, 'BUILDING'),
+          (2, 'Bob',   -30.25, 'MACHINERY'),
+          (3, 'Cara',  410.00, 'BUILDING'),
+          (4, 'Dev',    55.75, 'AUTOMOBILE')
+        AS t(c_custkey, c_name, c_acctbal, c_mktsegment)
+    target: v_customers
+  - name: summarize
+    type: transform
+    transform_type: sql
+    source: v_customers
+    sql: >
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+             ROUND(SUM(c_acctbal), 2) AS total_balance
+      FROM v_customers GROUP BY c_mktsegment
+    target: v_summary
+  - name: write_summary
+    type: write
+    source: v_summary
+    write_target:
+      type: materialized_view
+      catalog: ${catalog}
+      schema: gold
+      table: customer_summary
+"""
+
+
+def cmd_init(args) -> int:
+    """Scaffold a new project (reference `lhp init`, api/bootstrap.py:34-218):
+    the standard directory tree + lhp.yaml + substitutions/dev.yaml, refusing
+    a non-empty target. --sample adds a runnable quickstart flowgroup
+    (Databricks Asset Bundle scaffolding is out of scope for the OSS engine)."""
+    import yaml
+
+    target = os.path.abspath(args.project_root)
+    if os.path.isdir(target) and os.listdir(target):
+        print(f"FAIL  target directory is not empty: {target}")
+        return 1
+    name = args.name or os.path.basename(target)
+    dirs = ["presets", "templates", "pipelines", "substitutions",
+            "schemas", "expectations", "generated"]
+    os.makedirs(target, exist_ok=True)
+    for d in dirs:
+        os.makedirs(os.path.join(target, d), exist_ok=True)
+    with open(os.path.join(target, "lhp.yaml"), "w") as f:
+        yaml.safe_dump({"name": name, "version": "1.0"}, f, sort_keys=False)
+    with open(os.path.join(target, "substitutions", "dev.yaml"), "w") as f:
+        yaml.safe_dump({"dev": {"catalog": "main"}}, f, sort_keys=False)
+    created = ["lhp.yaml", "substitutions/dev.yaml"]
+    if args.sample:
+        sample = os.path.join(target, "pipelines", "customer_summary.yaml")
+        with open(sample, "w") as f:
+            f.write(_INIT_SAMPLE_FG)
+        created.append("pipelines/customer_summary.yaml")
+    for d in dirs:
+        print(f"created {d}/")
+    for c in created:
+        print(f"created {c}")
+    print(f"ok    project {name!r} scaffolded at {target}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m lakehouse_plumber_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -480,6 +553,12 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--instances", action="store_true",
                             help="show each blueprint's instances")
         sp.set_defaults(fn=fn)
+    sp = sub.add_parser("init")
+    sp.add_argument("project_root", help="directory to scaffold (created if absent)")
+    sp.add_argument("--name", default=None, help="project name (default: dir name)")
+    sp.add_argument("--sample", action="store_true",
+                    help="add a runnable quickstart flowgroup")
+    sp.set_defaults(fn=cmd_init)
     args = p.parse_args(argv)
     return args.fn(args)
 

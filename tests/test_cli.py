@@ -229,3 +229,28 @@ actions:
     rc = main(["validate", str(proj)])
     out = capsys.readouterr().out
     assert rc == 1 and "kafka.bootstrap.servers is mandatory" in out
+
+
+def test_cli_init_scaffolds_runnable_sample(tmp_path, spark, capsys):
+    """Reference `lhp init` (api/bootstrap.py): standard directory tree,
+    refusal of a non-empty target, and a --sample quickstart that validates
+    AND runs end-to-end with zero external dependencies."""
+    target = tmp_path / "newproj"
+    rc = main(["init", str(target), "--sample"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "scaffolded" in out
+    for d in ("presets", "templates", "pipelines", "substitutions",
+              "schemas", "expectations", "generated"):
+        assert (target / d).is_dir()
+    assert (target / "lhp.yaml").exists()
+
+    rc = main(["validate", str(target), "--env", "dev"])
+    assert rc == 0 and "ok    quickstart/customer_summary" in capsys.readouterr().out
+
+    rc = main(["run", str(target), "--env", "dev"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "main.gold.customer_summary rows=3" in out
+
+    # non-empty target refused, nothing overwritten
+    rc = main(["init", str(target)])
+    assert rc == 1 and "not empty" in capsys.readouterr().out
