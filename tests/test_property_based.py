@@ -344,3 +344,47 @@ def test_incremental_mv_equals_full_recompute_on_random_batches(spark, tmp_path_
         .collect()
     )
     assert got == want
+
+
+mixture_rows_st = st.lists(
+    st.tuples(st.integers(0, 400), st.sampled_from(["a", "b", "c"])),
+    min_size=3, max_size=120, unique_by=lambda r: r[0],
+)
+mixture_parts_st = st.fixed_dictionaries(
+    {"a": st.integers(0, 4), "b": st.integers(0, 4), "c": st.integers(0, 4)}
+).filter(lambda p: sum(p.values()) > 0)
+
+
+@given(rows=mixture_rows_st, parts=mixture_parts_st)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_mixture_sample_matches_python_model(spark, rows, parts):
+    """The engine's sample must equal an independent pure-Python evaluation
+    of the spec: thresholds in exact integer arithmetic, salted-md5 bucket
+    per row, survivors = bucket < thr[stratum]."""
+    import hashlib
+
+    from lakehouse_plumber_spark.llm.sampling import SAMPLE_MOD, mixture_weighted_sample
+
+    present = {s for _, s in rows}
+    if any(p > 0 and s not in present for s, p in parts.items()):
+        return  # engine raises for absent strata; covered by the unit test
+
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    got = sorted(r.doc_id for r in mixture_weighted_sample(df, "src", parts, id_col="doc_id").collect())
+
+    counts: dict[str, int] = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    total = sum(parts.values())
+    pos = {k: p for k, p in sorted(parts.items()) if p > 0}
+    n = min(counts[k] * total // p for k, p in pos.items())
+    thr = {k: p * n * SAMPLE_MOD // (total * counts[k]) for k, p in pos.items()}
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"sample:{doc_id}".encode()).hexdigest()[:15]
+        return int(h, 16) % SAMPLE_MOD
+
+    want = sorted(i for i, s in rows if s in thr and bucket(i) < thr[s])
+    assert got == want
