@@ -170,6 +170,58 @@ class ParquetTableStore:
     def drop(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
 
+    def _data_file_count(self, name: str) -> int:
+        n = 0
+        for _, _, fs in os.walk(self.path(name)):
+            n += sum(1 for f in fs if f.endswith(".parquet"))
+        return n
+
+    def _partition_columns_on_disk(self, name: str) -> list[str]:
+        """Partition layout inferred from the key=value directory chain."""
+        cols: list[str] = []
+        probe = self.path(name)
+        while os.path.isdir(probe):
+            subs = [
+                d for d in os.listdir(probe)
+                if "=" in d and os.path.isdir(os.path.join(probe, d))
+            ]
+            if not subs:
+                break
+            cols.append(subs[0].split("=", 1)[0])
+            probe = os.path.join(probe, subs[0])
+        return cols
+
+    def compact(self, name: str, target_rows_per_file: int = 4_000_000) -> dict:
+        """Small-file compaction — the parquet analogue of Delta ``OPTIMIZE``
+        (the reference delegates this to the platform; an executing engine
+        must own it).
+
+        Streaming appends and partition-scoped merges accumulate a file per
+        micro-batch per partition; at scale the FILE COUNT, not the byte
+        count, becomes the scan bottleneck (one task per file, a footer read
+        per file, ever-slower listings). Rewrites the table through the same
+        atomic shadow-swap as ``overwrite`` — readers see old or new, never
+        a mix — preserving the on-disk partition layout (rows co-located one
+        task per partition value) or, for unpartitioned tables, sized to
+        ``target_rows_per_file``. Content is byte-identical, so nothing is
+        logged to the change feed and table meta is untouched (both live
+        outside the table dir).
+        """
+        before = self._data_file_count(name)
+        part_cols = self._partition_columns_on_disk(name)
+        df = self.read(name)
+        if part_cols:
+            self.overwrite(name, df, partition_columns=part_cols)
+        else:
+            rows = df.count()
+            nfiles = max(1, -(-rows // target_rows_per_file))
+            self.overwrite(name, df.repartition(nfiles))
+        return {
+            "files_before": before,
+            "files_after": self._data_file_count(name),
+            "partition_columns": part_cols,
+        }
+
     # ------------------------------------------------------------------
     # Change data feed emulation (Delta CDF: readChangeFeed /
     # delta.enableChangeDataFeed). Writers append change rows tagged with

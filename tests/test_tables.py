@@ -1,0 +1,57 @@
+"""ParquetTableStore maintenance tests: small-file compaction (the parquet
+analogue of Delta OPTIMIZE — the reference delegates it to the platform;
+this engine owns it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_plumber_spark.tables import ParquetTableStore
+
+
+def _store(spark, tmp_path) -> ParquetTableStore:
+    return ParquetTableStore(spark=spark, root=str(tmp_path / "wh"))
+
+
+def test_compact_unpartitioned_collapses_append_files(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    t = "main.s.t"
+    for i in range(6):  # six appends -> many small files
+        st.append(t, spark.range(i * 10, i * 10 + 10).withColumn("v", F.col("id") * 2))
+    before = sorted((r.id, r.v) for r in st.read(t).collect())
+    res = st.compact(t)
+    assert res["files_before"] > res["files_after"] == 1
+    assert res["partition_columns"] == []
+    assert sorted((r.id, r.v) for r in st.read(t).collect()) == before
+
+
+def test_compact_partitioned_preserves_layout_and_content(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    t = "main.s.p"
+    df = spark.range(0, 100).withColumn("b", (F.col("id") % 4).cast("int"))
+    for _ in range(4):  # repeated partition-scoped writes fragment each bucket
+        st.append(t, df, partition_columns=["b"])
+    before = sorted((r.id, r.b) for r in st.read(t).collect())
+    n_before = st._data_file_count(t)
+    res = st.compact(t)
+    assert res["partition_columns"] == ["b"]
+    assert res["files_before"] == n_before > res["files_after"]
+    # one file per partition value after co-located rewrite
+    assert res["files_after"] == 4
+    assert sorted((r.id, r.b) for r in st.read(t).collect()) == before
+
+
+def test_compact_leaves_cdf_and_meta_untouched(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    t = "main.s.c"
+    df = spark.range(0, 10).withColumn("v", F.lit(1))
+    st.append(t, df)
+    st.append(t, df)
+    st.set_meta(t, "cdc_buckets", 7)
+    v = st.next_version(t)
+    st.log_changes(t, st.read(t), "insert", version=v)
+    n_changes = st.read_changes(t, 0).count()
+    st.compact(t)
+    assert st.get_meta(t, "cdc_buckets") == 7
+    assert st.current_version(t) == v
+    assert st.read_changes(t, 0).count() == n_changes
