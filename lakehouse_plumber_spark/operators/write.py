@@ -188,8 +188,41 @@ def _write_streaming_table_inner(
             with open(marker, "w") as f:
                 f.write(ctx.run_id)
         ctx.log(action.name, "flow_appended", target=target, once=action.once)
+        _maybe_auto_compact(ctx, action, wt, target)
 
     return _register_read(ctx, action, target)
+
+
+def _maybe_auto_compact(ctx: BuildContext, action: Action, wt: WriteTarget, target: str) -> None:
+    """Opt-in post-append compaction, the OSS analogue of Delta auto-optimize
+    (`delta.autoOptimize.autoCompact`): append flows leave one file per
+    micro-batch per partition, and on a long-lived streaming table the file
+    count — not the byte count — eventually dominates scan cost. Declared as
+    a table property:
+
+        table_properties: {lhp.autoOptimize.maxFiles: "64"}
+
+    After a flow finishes, if the table's data-file count exceeds the bound,
+    the table is rewritten through the store's atomic shadow-swap compaction
+    (readers see old or new, never a mix). Work is a full rewrite of the
+    table, so the bound chooses the amortization point; compaction never
+    changes content, CDF, or table meta."""
+    props = wt.table_properties or {}
+    raw = props.get("lhp.autoOptimize.maxFiles")
+    if raw is None:
+        return
+    max_files = int(raw)
+    n = ctx.store._data_file_count(target)
+    if n <= max_files:
+        return
+    res = ctx.store.compact(target)
+    ctx.log(
+        action.name,
+        "auto_compacted",
+        target=target,
+        files_before=res["files_before"],
+        files_after=res["files_after"],
+    )
 
 
 def _register_read(ctx: BuildContext, action: Action, target: str) -> DataFrame:

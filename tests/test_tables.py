@@ -55,3 +55,32 @@ def test_compact_leaves_cdf_and_meta_untouched(spark, tmp_path):
     assert st.get_meta(t, "cdc_buckets") == 7
     assert st.current_version(t) == v
     assert st.read_changes(t, 0).count() == n_changes
+
+
+def test_streaming_table_auto_compact_property(spark, tmp_path):
+    """lhp.autoOptimize.maxFiles on a streaming table: repeated append flows
+    trip the bound and the engine compacts in place (event-logged), content
+    unchanged."""
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+    from lakehouse_plumber_spark.runner import PipelineRunner
+
+    store = ParquetTableStore(spark=spark, root=str(tmp_path / "wh"))
+    spec = {
+        "pipeline": "p", "flowgroup": "f",
+        "actions": [
+            {"name": "ld", "type": "load",
+             "source": {"type": "sql", "sql": "SELECT id, id * 2 AS v FROM RANGE(50)"},
+             "target": "v_in"},
+            {"name": "wr", "type": "write", "source": "v_in",
+             "write_target": {"type": "streaming_table", "catalog": "m",
+                              "schema": "s", "table": "t",
+                              "table_properties": {"lhp.autoOptimize.maxFiles": "3"}}},
+        ],
+    }
+    runner = PipelineRunner(spark, store=store)
+    for _ in range(4):  # batch append flows fragment the table
+        runner.run(load_flowgroup(spec))
+    assert store._data_file_count("m.s.t") <= 3
+    assert store.read("m.s.t").count() == 200
+    events = runner.event_log_df()
+    assert events.where("event = 'auto_compacted'").count() >= 1
