@@ -713,3 +713,43 @@ def test_depends_on_only_reference_does_not_register_check(spark, tmp_path):
     exec(compile(src, "<generated>", "exec"), ns)
     written = ns["build"](spark, str(tmp_path / "gen"))  # must not hang
     assert written["m.dp.raw_copy"].count() == 2
+
+
+def test_compiled_streaming_table_partitions_and_autocompacts(spark, tmp_path):
+    """The compiled append flow must honor partition_columns (engine parity)
+    and the lhp.autoOptimize.maxFiles property must compact in the generated
+    script just as the engine does."""
+    import glob
+    import os
+
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    spec = {
+        "pipeline": "p", "flowgroup": "f",
+        "actions": [
+            {"name": "ld", "type": "load",
+             "source": {"type": "sql",
+                        "sql": "SELECT id, CAST(id % 3 AS INT) AS b FROM RANGE(30)"},
+             "target": "v_in"},
+            {"name": "wr", "type": "write", "source": "v_in",
+             "write_target": {"type": "streaming_table", "catalog": "m",
+                              "schema": "s", "table": "t",
+                              "partition_columns": ["b"],
+                              "table_properties": {"lhp.autoOptimize.maxFiles": "4"}}},
+        ],
+    }
+    src = compile_flowgroup(load_flowgroup(spec))
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    out = tmp_path / "gen"
+    for _ in range(4):  # repeated runs fragment, then trip the compact bound
+        written = ns["build"](spark, str(out))
+    tbl_dir = next(p for p in glob.glob(str(out) + "/**/t", recursive=True)
+                   if os.path.isdir(p))
+    # partition layout honored
+    assert any(d.startswith("b=") for d in os.listdir(tbl_dir))
+    # compacted under the bound: one file per partition value
+    files = glob.glob(tbl_dir + "/**/*.parquet", recursive=True)
+    assert len(files) <= 4
+    assert written["m.s.t"].count() == 120
