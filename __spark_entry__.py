@@ -1297,7 +1297,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_duck() -> str:
+def _lsh_cand_cte() -> str:
+    """Shared WITH-block: hashed shingles -> minhash signatures -> LSH band
+    buckets -> candidate pairs. Both the Jaccard-verified and the
+    edit-distance-verified oracles build on this one definition, so the LSH
+    parameters/band encoding can never silently diverge between them."""
     from lakehouse_plumber_spark.llm.hashing import minhash_coeffs, minhash_mix
 
     grams = word_ngrams_duck("text", D.SHINGLE_N)
@@ -1322,6 +1326,11 @@ def _minhash_duck() -> str:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
     )
+    """
+
+
+def _minhash_duck() -> str:
+    return _lsh_cand_cte() + """
     SELECT c.id_a, c.id_b,
            round(len(list_intersect(ga.grams, gb.grams)) /
                  (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
@@ -1343,33 +1352,10 @@ _EDITDIST_MAX = 24
 
 
 def _editdist_duck() -> str:
-    """Same LSH band CTEs as _minhash_duck; the verify step is exact
+    """Shared LSH candidate CTEs (_lsh_cand_cte); the verify step is exact
     Levenshtein (both engines implement the standard case-sensitive DP, so
     distances agree integer-for-integer)."""
-    from lakehouse_plumber_spark.llm.hashing import minhash_coeffs, minhash_mix
-
-    grams = word_ngrams_duck("text", D.SHINGLE_N)
-    sig_entries = ", ".join(
-        f"list_min(list_transform(hg, h -> {minhash_mix(a, b, c, 'h', 'duck')}))"
-        for a, b, c in minhash_coeffs(D.MINHASH_K)
-    )
-    band_selects = []
-    for b in range(D.LSH_BANDS):
-        lo = b * D.LSH_ROWS + 1
-        hi = lo + D.LSH_ROWS - 1
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5(array_to_string(sig[{lo}:{hi}], ',')) AS h FROM sigs"
-        )
-    bands = " UNION ALL ".join(band_selects)
-    return f"""
-    WITH grams_t AS (SELECT doc_id, {grams} AS grams FROM documents),
-    hg_t AS (SELECT doc_id, list_transform(grams, g -> {md5int_duck('g')}) AS hg FROM grams_t),
-    sigs AS (SELECT doc_id, [{sig_entries}] AS sig FROM hg_t),
-    bands AS ({bands}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-    )
+    return _lsh_cand_cte() + f"""
     SELECT c.id_a, c.id_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS distance
     FROM cand c
     JOIN documents da ON da.doc_id = c.id_a

@@ -118,6 +118,8 @@ def cmd_compile(args) -> int:
 
     os.makedirs(args.out, exist_ok=True)
     rc = 0
+    written: set[str] = set()
+    skipped = False
     for fg in _discover(args):
         dest = os.path.join(args.out, f"{fg.pipeline}__{fg.flowgroup}.py")
         try:
@@ -125,10 +127,22 @@ def cmd_compile(args) -> int:
         except NotImplementedError as e:
             print(f"skip  {fg.pipeline}/{fg.flowgroup}: {e}")
             rc = 2
+            skipped = True
             continue
         with open(dest, "w") as f:
             f.write(src)
+        written.add(os.path.basename(dest))
         print(f"wrote {dest}")
+    # change-aware cleanup (reference _commit.py removes stale outputs):
+    # renamed/deleted flowgroups must not leave their old generated file
+    # behind — otherwise `diff --exit-code` stays red forever. Only our own
+    # naming shape (<pipeline>__<flowgroup>.py) is ever removed, and nothing
+    # is removed on a run where any flowgroup failed to compile.
+    if not skipped:
+        for fn in sorted(os.listdir(args.out)):
+            if fn.endswith(".py") and "__" in fn and fn not in written:
+                os.remove(os.path.join(args.out, fn))
+                print(f"removed stale {os.path.join(args.out, fn)}")
     return rc
 
 
@@ -322,7 +336,10 @@ def cmd_list(args) -> int:
         elif looks_like_instance(spec):
             insts.append(spec)
     for spec in defs:
-        params = [pr.get("name", "?") for pr in spec.get("parameters") or []]
+        params = [
+            pr.get("name", "?") if isinstance(pr, dict) else str(pr)
+            for pr in spec.get("parameters") or []
+        ]
         n_fgs = len(spec.get("flowgroups") or [])
         print(
             f"{spec.get('name')}  params: {', '.join(params) or '-'}"
@@ -334,7 +351,8 @@ def cmd_list(args) -> int:
                 ref = inst.get("use_blueprint") or inst.get("blueprint")
                 if ref == spec.get("name"):
                     pv = inst.get("parameters") or {
-                        k: v for k, v in inst.items() if k not in ("blueprint", "source")
+                        k: v for k, v in inst.items()
+                        if k not in ("blueprint", "use_blueprint", "source")
                     }
                     kv = ", ".join(f"{k}={v}" for k, v in sorted(pv.items()))
                     print(f"  instance: {kv or '-'}")

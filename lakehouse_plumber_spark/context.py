@@ -27,6 +27,10 @@ class BuildContext:
     # structured DQ test outcomes, published post-run by the test-reporting
     # hook (reference templates/test_reporting/hook.py.j2:1-115)
     test_results: list[dict] = field(default_factory=list)
+    # {target: (action_name, max_files, cluster_columns)} — auto-compaction
+    # candidates collected during the run, performed by the runner AFTER all
+    # actions so no registered DataFrame's file index is invalidated mid-build
+    pending_compactions: dict[str, tuple] = field(default_factory=dict)
     conf: dict[str, Any] = field(default_factory=dict)
 
     def resolve_path(self, p: str) -> str:

@@ -194,7 +194,7 @@ def _write_streaming_table_inner(
 
 
 def _maybe_auto_compact(ctx: BuildContext, action: Action, wt: WriteTarget, target: str) -> None:
-    """Opt-in post-append compaction, the OSS analogue of Delta auto-optimize
+    """Opt-in post-run compaction, the OSS analogue of Delta auto-optimize
     (`delta.autoOptimize.autoCompact`): append flows leave one file per
     micro-batch per partition, and on a long-lived streaming table the file
     count — not the byte count — eventually dominates scan cost. Declared as
@@ -202,27 +202,41 @@ def _maybe_auto_compact(ctx: BuildContext, action: Action, wt: WriteTarget, targ
 
         table_properties: {lhp.autoOptimize.maxFiles: "64"}
 
-    After a flow finishes, if the table's data-file count exceeds the bound,
-    the table is rewritten through the store's atomic shadow-swap compaction
-    (readers see old or new, never a mix). Work is a full rewrite of the
-    table, so the bound chooses the amortization point; compaction never
-    changes content, CDF, or table meta."""
+    The flow only REGISTERS the candidate here; the runner compacts after
+    every action has executed. Compacting mid-run would rename/delete the
+    parquet files behind DataFrames registered by earlier flows — Spark file
+    indexes are captured at read() time, so a lazy consumer of the
+    pre-compaction listing would hit FileNotFoundException. At run end the
+    table is rewritten through the store's atomic shadow-swap compaction
+    (readers see old or new, never a mix) iff its file count exceeds the
+    bound; cluster_columns ordering is re-applied so data skipping
+    survives. Compaction never changes content, CDF, or table meta."""
     props = wt.table_properties or {}
     raw = props.get("lhp.autoOptimize.maxFiles")
     if raw is None:
         return
-    max_files = int(raw)
-    n = ctx.store._data_file_count(target)
-    if n <= max_files:
-        return
-    res = ctx.store.compact(target)
-    ctx.log(
-        action.name,
-        "auto_compacted",
-        target=target,
-        files_before=res["files_before"],
-        files_after=res["files_after"],
+    ctx.pending_compactions[target] = (
+        action.name, int(raw), list(wt.cluster_columns or [])
     )
+
+
+def run_pending_compactions(ctx: BuildContext) -> None:
+    """Perform the compactions registered by append flows (runner calls this
+    after the action loop) and re-register the table reads so post-run
+    consumers (resolve_view) see the fresh file listing."""
+    for target, (action_name, max_files, ccols) in ctx.pending_compactions.items():
+        if ctx.store._data_file_count(target) <= max_files:
+            continue
+        res = ctx.store.compact(target, order_within_files=ccols or None)
+        ctx.register(target, ctx.strip_internal(ctx.store.read(target)))
+        ctx.log(
+            action_name,
+            "auto_compacted",
+            target=target,
+            files_before=res["files_before"],
+            files_after=res["files_after"],
+        )
+    ctx.pending_compactions.clear()
 
 
 def _register_read(ctx: BuildContext, action: Action, target: str) -> DataFrame:

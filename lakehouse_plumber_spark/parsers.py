@@ -48,6 +48,31 @@ def _load_presets(preset_names: list[str], presets_dir: Optional[str]) -> dict:
     return merged
 
 
+def _extract_parameters_block(raw: str) -> list:
+    """Pull the top-level `parameters:` block out of a template whose full
+    text is not valid YAML (unquoted Jinja scalars elsewhere). The block
+    spans from the `parameters:` line to the next unindented key."""
+    lines = raw.splitlines()
+    start = None
+    for i, ln in enumerate(lines):
+        if ln.rstrip() == "parameters:" or ln.startswith("parameters:"):
+            start = i
+            break
+    if start is None:
+        return []
+    block = [lines[start]]
+    for ln in lines[start + 1:]:
+        if ln.strip() and not ln[0].isspace():
+            break
+        block.append(ln)
+    try:
+        parsed = yaml.safe_load("\n".join(block)) or {}
+    except yaml.YAMLError:
+        return []
+    decl = parsed.get("parameters")
+    return decl if isinstance(decl, list) else []
+
+
 def _expand_template(
     spec: dict, templates_dir: Optional[str], params: Mapping[str, Any]
 ) -> dict:
@@ -64,15 +89,16 @@ def _expand_template(
         raw = f.read()
     # the template's own `parameters:` block declares defaults and required
     # params (reference template_engine.py:106,129-155: defaults applied,
-    # missing required -> clean error, BEFORE rendering). Templates that use
-    # structural Jinja ({% for %} across the YAML tree — a superset of the
-    # reference's per-value rendering) can't be pre-parsed; they simply get
-    # no declared-parameter handling.
+    # missing required -> clean error, BEFORE rendering). A full YAML
+    # pre-parse fails for any template with an unquoted `{{ x }}` scalar —
+    # the common case — so when it does, fall back to parsing just the
+    # top-level `parameters:` block textually (its declarations are plain
+    # YAML by construction; only values elsewhere carry Jinja).
     final_params = dict(params)
     try:
         pre = yaml.safe_load(raw) or {}
     except yaml.YAMLError:
-        pre = {}
+        pre = {"parameters": _extract_parameters_block(raw)}
     declared = pre.get("parameters") if isinstance(pre, dict) else None
     if isinstance(declared, list):
         missing = []
@@ -89,7 +115,14 @@ def _expand_template(
             raise ValueError(
                 f"template {name!r}: missing required parameters {sorted(missing)}"
             )
-    rendered = jinja2.Template(raw, undefined=jinja2.StrictUndefined).render(**final_params)
+    try:
+        rendered = jinja2.Template(raw, undefined=jinja2.StrictUndefined).render(
+            **final_params
+        )
+    except jinja2.UndefinedError as e:
+        # StrictUndefined failures become the same clean spec error the
+        # declared-parameter check raises (not a raw Jinja traceback)
+        raise ValueError(f"template {name!r}: {e.message or e}") from e
     template = yaml.safe_load(rendered) or {}
     merged = deep_merge({k: v for k, v in template.items() if k != "parameters"}, spec)
     merged.pop("use_template", None)

@@ -66,6 +66,14 @@ class PipelineRunner:
                 # observation requires the plan to have executed; writes usually did.
                 metrics = check_failures(obs, fail_exps)
                 ctx.log(name, "expectations_checked", **{k: v for k, v in metrics.items()})
+
+            # auto-compaction deferred to after ALL actions: compacting
+            # mid-run would delete the files behind already-registered
+            # DataFrames (operators/write.py:run_pending_compactions)
+            if ctx.pending_compactions:
+                from lakehouse_plumber_spark.operators.write import run_pending_compactions
+
+                run_pending_compactions(ctx)
         except BaseException:
             # the reference hook publishes at EVERY terminal state incl.
             # FAILED (hook.py.j2:36-44) — collected results must survive a

@@ -115,12 +115,21 @@ class ParquetTableStore:
             w = w.partitionBy(*partition_columns)
         w.parquet(self.path(name))
 
-    def overwrite(self, name: str, df: DataFrame, partition_columns: Optional[list[str]] = None) -> None:
+    def overwrite(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_columns: Optional[list[str]] = None,
+        order_within_files: Optional[list[str]] = None,
+    ) -> None:
         """Atomic overwrite: write to shadow dir, swap, drop the old data.
 
         With Delta this is a single transactional overwrite; here the rename is
         the commit point. Empty results are written unpartitioned through one
         task so the parquet footer (and thus the table schema) always exists.
+        ``order_within_files`` sorts rows inside each write task AFTER the
+        partition co-location shuffle (cluster_columns layout — applied last
+        so the repartition cannot undo it).
         """
         if df.isEmpty():
             df = df.coalesce(1)
@@ -131,6 +140,8 @@ class ParquetTableStore:
             from pyspark.sql import functions as F
 
             df = df.repartition(*[F.col(c) for c in partition_columns])
+        if order_within_files:
+            df = df.sortWithinPartitions(*order_within_files)
         w = df.write.mode("overwrite")
         if partition_columns:
             w = w.partitionBy(*partition_columns)
@@ -191,7 +202,12 @@ class ParquetTableStore:
             probe = os.path.join(probe, subs[0])
         return cols
 
-    def compact(self, name: str, target_rows_per_file: int = 4_000_000) -> dict:
+    def compact(
+        self,
+        name: str,
+        target_rows_per_file: int = 4_000_000,
+        order_within_files: Optional[list[str]] = None,
+    ) -> dict:
         """Small-file compaction — the parquet analogue of Delta ``OPTIMIZE``
         (the reference delegates this to the platform; an executing engine
         must own it).
@@ -210,12 +226,22 @@ class ParquetTableStore:
         before = self._data_file_count(name)
         part_cols = self._partition_columns_on_disk(name)
         df = self.read(name)
+        # order_within_files re-establishes the cluster layout
+        # (sort-within-files -> parquet min/max footer stats keep giving
+        # readers data skipping): a compaction that interleaved rows would
+        # silently destroy it. overwrite applies it after its co-location
+        # shuffle, so the repartition cannot undo the sort.
         if part_cols:
-            self.overwrite(name, df, partition_columns=part_cols)
+            self.overwrite(
+                name, df, partition_columns=part_cols,
+                order_within_files=order_within_files,
+            )
         else:
             rows = df.count()
             nfiles = max(1, -(-rows // target_rows_per_file))
-            self.overwrite(name, df.repartition(nfiles))
+            self.overwrite(
+                name, df.repartition(nfiles), order_within_files=order_within_files
+            )
         return {
             "files_before": before,
             "files_after": self._data_file_count(name),

@@ -254,3 +254,24 @@ def test_cli_init_scaffolds_runnable_sample(tmp_path, spark, capsys):
     # non-empty target refused, nothing overwritten
     rc = main(["init", str(target)])
     assert rc == 1 and "not empty" in capsys.readouterr().out
+
+
+def test_cli_compile_removes_stale_generated_files(tmp_path, capsys):
+    """Renamed/deleted flowgroups must not leave their old generated file
+    behind (reference change-aware writes clean up): otherwise
+    `diff --exit-code` stays red forever after a rename."""
+    out = tmp_path / "gen"
+    main(["compile", PROJECT, "--env", "dev", "-o", str(out)])
+    capsys.readouterr()
+    stale = out / "old__flowgroup.py"
+    stale.write_text("# left over from a renamed flowgroup\n")
+    user_file = out / "notes.py"  # no '__' — never touched
+    user_file.write_text("# user file\n")
+    rc = main(["compile", PROJECT, "--env", "dev", "-o", str(out)])
+    outtext = capsys.readouterr().out
+    assert rc == 0 and "removed stale" in outtext
+    assert not stale.exists() and user_file.exists()
+
+    rc = main(["diff", PROJECT, "--env", "dev", "-o", str(out)])
+    # notes.py shows as '-' (not planned) but stale generated files are gone
+    assert "old__flowgroup.py" not in capsys.readouterr().out

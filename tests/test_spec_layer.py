@@ -351,3 +351,54 @@ class TestParseCache:
         proj = self._proj(tmp_path)
         discover_flowgroups(str(proj))
         assert not (proj / ".lhp").exists()
+
+    def test_template_defaults_apply_with_unquoted_jinja_scalars(self, tmp_path):
+        """The common unquoted `{{ x }}` form breaks a full-file YAML
+        pre-parse; declared defaults/required must still be honored via the
+        parameters-block extraction, and an undefined parameter must raise a
+        clean ValueError, not a raw Jinja traceback."""
+        (tmp_path / "templates").mkdir()
+        (tmp_path / "templates" / "ingest.yaml").write_text(
+            """
+pipeline: {{ pipe }}
+flowgroup: {{ table }}_ingest
+parameters:
+  - name: table
+    required: true
+  - name: pipe
+    default: bronze
+actions:
+  - name: ld
+    type: load
+    source: {type: sql, sql: "SELECT 1 AS x"}
+    target: v_raw
+  - name: wr
+    type: write
+    source: v_raw
+    write_target: {type: materialized_view, database: m.s, table: {{ table }}_mv}
+"""
+        )
+        fg = load_flowgroup(
+            {"use_template": "ingest", "template_parameters": {"table": "nation"}},
+            templates_dir=str(tmp_path / "templates"),
+        )
+        assert fg.pipeline == "bronze" and fg.flowgroup == "nation_ingest"
+
+        with pytest.raises(ValueError, match="missing required.*table"):
+            load_flowgroup(
+                {"use_template": "ingest", "template_parameters": {}},
+                templates_dir=str(tmp_path / "templates"),
+            )
+
+    def test_template_undefined_param_is_clean_error(self, tmp_path):
+        (tmp_path / "templates").mkdir()
+        # no parameters block at all: StrictUndefined failures must still be
+        # surfaced as ValueError so validate reports FAIL, not a traceback
+        (tmp_path / "templates" / "t.yaml").write_text(
+            "pipeline: p\nflowgroup: {{ oops }}\nactions: []\n"
+        )
+        with pytest.raises(ValueError, match="oops"):
+            load_flowgroup(
+                {"use_template": "t", "template_parameters": {}},
+                templates_dir=str(tmp_path / "templates"),
+            )
