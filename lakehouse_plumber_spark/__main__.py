@@ -119,7 +119,6 @@ def cmd_compile(args) -> int:
     os.makedirs(args.out, exist_ok=True)
     rc = 0
     written: set[str] = set()
-    skipped = False
     for fg in _discover(args):
         dest = os.path.join(args.out, f"{fg.pipeline}__{fg.flowgroup}.py")
         try:
@@ -127,7 +126,6 @@ def cmd_compile(args) -> int:
         except NotImplementedError as e:
             print(f"skip  {fg.pipeline}/{fg.flowgroup}: {e}")
             rc = 2
-            skipped = True
             continue
         with open(dest, "w") as f:
             f.write(src)
@@ -135,14 +133,25 @@ def cmd_compile(args) -> int:
         print(f"wrote {dest}")
     # change-aware cleanup (reference _commit.py removes stale outputs):
     # renamed/deleted flowgroups must not leave their old generated file
-    # behind — otherwise `diff --exit-code` stays red forever. Only our own
-    # naming shape (<pipeline>__<flowgroup>.py) is ever removed, and nothing
-    # is removed on a run where any flowgroup failed to compile.
-    if not skipped:
+    # behind — otherwise `diff --exit-code` stays red forever. A file is
+    # only removed if its CONTENT carries the generated-file header (not
+    # just a __-shaped name: __init__.py or a user's conftest__local.py must
+    # never be touched), and nothing is removed on a partially-failed
+    # compile (rc != 0).
+    if rc == 0:
+        marker = '"""Generated by lakehouse_plumber_spark.codegen'
         for fn in sorted(os.listdir(args.out)):
-            if fn.endswith(".py") and "__" in fn and fn not in written:
-                os.remove(os.path.join(args.out, fn))
-                print(f"removed stale {os.path.join(args.out, fn)}")
+            p = os.path.join(args.out, fn)
+            if not (fn.endswith(".py") and "__" in fn and fn not in written):
+                continue
+            try:
+                with open(p) as f:
+                    head = f.read(len(marker))
+            except OSError:
+                continue
+            if head == marker:
+                os.remove(p)
+                print(f"removed stale {p}")
     return rc
 
 

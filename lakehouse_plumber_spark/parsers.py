@@ -55,14 +55,16 @@ def _extract_parameters_block(raw: str) -> list:
     lines = raw.splitlines()
     start = None
     for i, ln in enumerate(lines):
-        if ln.rstrip() == "parameters:" or ln.startswith("parameters:"):
+        if ln.startswith("parameters:"):
             start = i
             break
     if start is None:
         return []
     block = [lines[start]]
     for ln in lines[start + 1:]:
-        if ln.strip() and not ln[0].isspace():
+        # the block ends at the next top-level KEY; zero-indent sequence
+        # items ("- name: x") and comments belong to the block
+        if ln and not ln[0].isspace() and not ln.lstrip().startswith(("-", "#")):
             break
         block.append(ln)
     try:
@@ -119,10 +121,11 @@ def _expand_template(
         rendered = jinja2.Template(raw, undefined=jinja2.StrictUndefined).render(
             **final_params
         )
-    except jinja2.UndefinedError as e:
-        # StrictUndefined failures become the same clean spec error the
-        # declared-parameter check raises (not a raw Jinja traceback)
-        raise ValueError(f"template {name!r}: {e.message or e}") from e
+    except (jinja2.UndefinedError, jinja2.TemplateSyntaxError) as e:
+        # StrictUndefined and syntax failures become the same clean spec
+        # error the declared-parameter check raises (not a raw Jinja
+        # traceback) so `validate` reports a FAIL line
+        raise ValueError(f"template {name!r}: {getattr(e, 'message', None) or e}") from e
     template = yaml.safe_load(rendered) or {}
     merged = deep_merge({k: v for k, v in template.items() if k != "parameters"}, spec)
     merged.pop("use_template", None)

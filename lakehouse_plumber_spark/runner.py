@@ -37,7 +37,12 @@ class PipelineRunner:
         self.base_dir = base_dir
         self.event_log: list[dict] = []
 
-    def run(self, fg: FlowGroup, conf: Optional[dict] = None) -> BuildContext:
+    def run(
+        self,
+        fg: FlowGroup,
+        conf: Optional[dict] = None,
+        defer_compactions: bool = False,
+    ) -> BuildContext:
         """Execute one flowgroup; returns the BuildContext with views/event log."""
         validate_flowgroup_graph(fg.actions)
         ctx = BuildContext(
@@ -69,8 +74,11 @@ class PipelineRunner:
 
             # auto-compaction deferred to after ALL actions: compacting
             # mid-run would delete the files behind already-registered
-            # DataFrames (operators/write.py:run_pending_compactions)
-            if ctx.pending_compactions:
+            # DataFrames (operators/write.py:run_pending_compactions).
+            # run_many defers further — to after ALL flowgroups — because a
+            # context from an earlier stage may hold a DataFrame over the
+            # same table.
+            if ctx.pending_compactions and not defer_compactions:
                 from lakehouse_plumber_spark.operators.write import run_pending_compactions
 
                 run_pending_compactions(ctx)
@@ -135,8 +143,35 @@ class PipelineRunner:
             if not stage:
                 raise ValueError("cross-flowgroup dependency cycle")
             for i in stage:
-                out[i] = self.run(flowgroups[i])
+                out[i] = self.run(flowgroups[i], defer_compactions=True)
                 done.add(i)
+        # one global compaction pass AFTER every flowgroup: a context from an
+        # earlier stage may hold a registered DataFrame over a table a later
+        # flowgroup wants to compact — its file index was captured at read()
+        # time and a mid-sequence shadow-swap would point it at deleted files
+        compacted: set[str] = set()
+        for ctx in out:
+            for target, (action_name, max_files, ccols) in list(ctx.pending_compactions.items()):
+                if target in compacted:
+                    continue
+                compacted.add(target)
+                if self.store._data_file_count(target) <= max_files:
+                    continue
+                res = self.store.compact(target, order_within_files=ccols or None)
+                ctx.log(
+                    action_name, "auto_compacted", target=target,
+                    files_before=res["files_before"], files_after=res["files_after"],
+                )
+                # run() already flushed ctx.event_log into the runner's log —
+                # forward this post-flush event explicitly
+                self.event_log.append(ctx.event_log[-1])
+            ctx.pending_compactions.clear()
+        if compacted:
+            # refresh every context's registered read of a compacted table
+            for ctx in out:
+                for target in compacted:
+                    if target in ctx.views:
+                        ctx.register(target, ctx.strip_internal(self.store.read(target)))
         return out
 
     def event_log_df(self) -> DataFrame:

@@ -264,13 +264,17 @@ def test_cli_compile_removes_stale_generated_files(tmp_path, capsys):
     main(["compile", PROJECT, "--env", "dev", "-o", str(out)])
     capsys.readouterr()
     stale = out / "old__flowgroup.py"
-    stale.write_text("# left over from a renamed flowgroup\n")
+    # stale files carry the generated header (they WERE generated output)
+    stale.write_text('"""Generated by lakehouse_plumber_spark.codegen — old"""\n')
     user_file = out / "notes.py"  # no '__' — never touched
     user_file.write_text("# user file\n")
+    dunder = out / "__init__.py"  # __-shaped but NOT generated content
+    dunder.write_text("# package marker\n")
     rc = main(["compile", PROJECT, "--env", "dev", "-o", str(out)])
     outtext = capsys.readouterr().out
     assert rc == 0 and "removed stale" in outtext
     assert not stale.exists() and user_file.exists()
+    assert dunder.exists()  # content check protects non-generated files
 
     rc = main(["diff", PROJECT, "--env", "dev", "-o", str(out)])
     # notes.py shows as '-' (not planned) but stale generated files are gone

@@ -402,3 +402,45 @@ actions:
                 {"use_template": "t", "template_parameters": {}},
                 templates_dir=str(tmp_path / "templates"),
             )
+
+    def test_template_parameters_block_zero_indent_and_comments(self, tmp_path):
+        """The zero-indent list style and column-0 comments are valid YAML
+        inside the parameters block — the textual fallback must keep them."""
+        (tmp_path / "templates").mkdir()
+        (tmp_path / "templates" / "t.yaml").write_text(
+            """
+pipeline: {{ pipe }}
+flowgroup: f
+parameters:
+- name: pipe
+  default: bronze
+# a comment at column 0 inside the block
+- name: extra
+  default: x
+actions:
+  - name: ld
+    type: load
+    source: {type: sql, sql: "SELECT 1 AS x"}
+    target: v
+  - name: wr
+    type: write
+    source: v
+    write_target: {type: materialized_view, database: m.s, table: t}
+"""
+        )
+        fg = load_flowgroup(
+            {"use_template": "t", "template_parameters": {}},
+            templates_dir=str(tmp_path / "templates"),
+        )
+        assert fg.pipeline == "bronze"
+
+    def test_template_syntax_error_is_clean_error(self, tmp_path):
+        (tmp_path / "templates").mkdir()
+        (tmp_path / "templates" / "bad.yaml").write_text(
+            "pipeline: p\nflowgroup: f\nactions: []\n{% endfor %}\n"
+        )
+        with pytest.raises(ValueError, match="template 'bad'"):
+            load_flowgroup(
+                {"use_template": "bad", "template_parameters": {}},
+                templates_dir=str(tmp_path / "templates"),
+            )

@@ -84,3 +84,42 @@ def test_streaming_table_auto_compact_property(spark, tmp_path):
     assert store.read("m.s.t").count() == 200
     events = runner.event_log_df()
     assert events.where("event = 'auto_compacted'").count() >= 1
+
+
+def test_run_many_defers_compaction_past_all_flowgroups(spark, tmp_path):
+    """A context from an earlier stage may hold a DataFrame over a table a
+    later flowgroup compacts: run_many must compact only after ALL
+    flowgroups, then every context's read must still resolve (no stale
+    file index over deleted files)."""
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+    from lakehouse_plumber_spark.runner import PipelineRunner
+
+    store = ParquetTableStore(spark=spark, root=str(tmp_path / "wh"))
+    writer = {
+        "pipeline": "a", "flowgroup": "w",
+        "actions": [
+            {"name": "ld", "type": "load",
+             "source": {"type": "sql", "sql": "SELECT id FROM RANGE(40)"}, "target": "v"},
+            {"name": "wr", "type": "write", "source": "v",
+             "write_target": {"type": "streaming_table", "catalog": "m", "schema": "s",
+                              "table": "t",
+                              "table_properties": {"lhp.autoOptimize.maxFiles": "1"}}},
+        ],
+    }
+    reader = {
+        "pipeline": "b", "flowgroup": "r",
+        "actions": [
+            {"name": "mv", "type": "write", "source": "m.s.t",
+             "write_target": {"type": "materialized_view", "catalog": "m", "schema": "g",
+                              "table": "agg",
+                              "sql": "SELECT COUNT(*) AS n FROM m__s__t"}},
+        ],
+    }
+    runner = PipelineRunner(spark, store=store)
+    runner.run_many([load_flowgroup(writer), load_flowgroup(reader)])
+    ctxs = runner.run_many([load_flowgroup(writer), load_flowgroup(reader)])
+    # every context still resolves after the global compaction pass
+    assert ctxs[0].resolve_view("m.s.t").count() == 80
+    assert ctxs[1].resolve_view("m.g.agg").collect()[0].n == 80
+    assert store._data_file_count("m.s.t") == 1
+    assert runner.event_log_df().where("event='auto_compacted'").count() >= 1
