@@ -147,7 +147,7 @@ def cmd_compile(args) -> int:
             try:
                 with open(p) as f:
                     head = f.read(len(marker))
-            except OSError:
+            except (OSError, UnicodeDecodeError):
                 continue
             if head == marker:
                 os.remove(p)

@@ -309,6 +309,24 @@ class Action(BaseModel):
                 v = self.source.get(key)
                 if isinstance(v, str):
                     views.append(v)
+            # a delta load of a table another flowgroup WRITES is a real
+            # dependency edge (reference sql_extraction counts table reads;
+            # a table no one here produces imposes no constraint, like any
+            # other external ref). Both the bare `table:` leaf and the
+            # assembled catalog.schema.table spelling are emitted so either
+            # writer declaration matches.
+            tbl = self.source.get("table")
+            if isinstance(tbl, str):
+                views.append(tbl)
+                full = ".".join(
+                    p for p in (
+                        self.source.get("catalog"),
+                        self.source.get("database") or self.source.get("schema"),
+                        tbl,
+                    ) if p
+                )
+                if full != tbl:
+                    views.append(full)
             if isinstance(self.source.get("sql"), str):
                 from lakehouse_plumber_spark.dag import sql_table_refs
 

@@ -220,15 +220,33 @@ def _maybe_auto_compact(ctx: BuildContext, action: Action, wt: WriteTarget, targ
     )
 
 
-def run_pending_compactions(ctx: BuildContext) -> None:
-    """Perform the compactions registered by append flows (runner calls this
-    after the action loop) and re-register the table reads so post-run
-    consumers (resolve_view) see the fresh file listing."""
-    for target, (action_name, max_files, ccols) in ctx.pending_compactions.items():
+def run_pending_compactions(ctxs: list, forward_log=None) -> None:
+    """Perform the compactions registered by append flows, across any number
+    of finished contexts, in ONE pass (the runner calls this after a single
+    run's action loop, and run_many calls it after each stage):
+
+    - per target, the strictest (smallest) registered max_files wins — two
+      flowgroups declaring different bounds must not race on submission
+      order;
+    - each target compacts at most once;
+    - only targets actually rewritten trigger re-registration, and the
+      refresh covers EVERY provided context's registered read of the table
+      (a sibling flowgroup's context may hold one);
+    - `forward_log` (when given) receives each auto_compacted event — for
+      callers that already flushed the context's event log.
+    """
+    agg: dict[str, tuple] = {}
+    for ctx in ctxs:
+        for target, (action_name, max_files, ccols) in ctx.pending_compactions.items():
+            cur = agg.get(target)
+            if cur is None or max_files < cur[1]:
+                agg[target] = (action_name, max_files, ccols, ctx)
+    compacted: list[str] = []
+    for target, (action_name, max_files, ccols, ctx) in agg.items():
         if ctx.store._data_file_count(target) <= max_files:
             continue
         res = ctx.store.compact(target, order_within_files=ccols or None)
-        ctx.register(target, ctx.strip_internal(ctx.store.read(target)))
+        compacted.append(target)
         ctx.log(
             action_name,
             "auto_compacted",
@@ -236,7 +254,13 @@ def run_pending_compactions(ctx: BuildContext) -> None:
             files_before=res["files_before"],
             files_after=res["files_after"],
         )
-    ctx.pending_compactions.clear()
+        if forward_log is not None:
+            forward_log(ctx.event_log[-1])
+    for ctx in ctxs:
+        ctx.pending_compactions.clear()
+        for target in compacted:
+            if target in ctx.views:
+                ctx.register(target, ctx.strip_internal(ctx.store.read(target)))
 
 
 def _register_read(ctx: BuildContext, action: Action, target: str) -> DataFrame:

@@ -62,8 +62,11 @@ def _extract_parameters_block(raw: str) -> list:
         return []
     block = [lines[start]]
     for ln in lines[start + 1:]:
-        # the block ends at the next top-level KEY; zero-indent sequence
-        # items ("- name: x") and comments belong to the block
+        # the block ends at the next top-level KEY or a document separator;
+        # zero-indent sequence items ("- name: x") and comments belong to
+        # the block
+        if ln.startswith("---"):
+            break
         if ln and not ln[0].isspace() and not ln.lstrip().startswith(("-", "#")):
             break
         block.append(ln)

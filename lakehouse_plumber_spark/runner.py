@@ -81,7 +81,7 @@ class PipelineRunner:
             if ctx.pending_compactions and not defer_compactions:
                 from lakehouse_plumber_spark.operators.write import run_pending_compactions
 
-                run_pending_compactions(ctx)
+                run_pending_compactions([ctx])
         except BaseException:
             # the reference hook publishes at EVERY terminal state incl.
             # FAILED (hook.py.j2:36-44) — collected results must survive a
@@ -145,33 +145,24 @@ class PipelineRunner:
             for i in stage:
                 out[i] = self.run(flowgroups[i], defer_compactions=True)
                 done.add(i)
-        # one global compaction pass AFTER every flowgroup: a context from an
-        # earlier stage may hold a registered DataFrame over a table a later
-        # flowgroup wants to compact — its file index was captured at read()
-        # time and a mid-sequence shadow-swap would point it at deleted files
-        compacted: set[str] = set()
-        for ctx in out:
-            for target, (action_name, max_files, ccols) in list(ctx.pending_compactions.items()):
-                if target in compacted:
-                    continue
-                compacted.add(target)
-                if self.store._data_file_count(target) <= max_files:
-                    continue
-                res = self.store.compact(target, order_within_files=ccols or None)
-                ctx.log(
-                    action_name, "auto_compacted", target=target,
-                    files_before=res["files_before"], files_after=res["files_after"],
-                )
-                # run() already flushed ctx.event_log into the runner's log —
-                # forward this post-flush event explicitly
-                self.event_log.append(ctx.event_log[-1])
-            ctx.pending_compactions.clear()
-        if compacted:
-            # refresh every context's registered read of a compacted table
-            for ctx in out:
-                for target in compacted:
-                    if target in ctx.views:
-                        ctx.register(target, ctx.strip_internal(self.store.read(target)))
+            # compact BETWEEN stages, not per-flowgroup and not after
+            # everything. Per-flowgroup would delete the files behind a
+            # SIBLING context's registered DataFrame (file indexes are
+            # captured at read() time). Fully-global would leave later-stage
+            # READERS (a load of the table into a differently-named view)
+            # holding pre-compaction listings. Stage ordering guarantees
+            # every reader of a table runs in a stage after its writers, so
+            # the safe point is: after the writing stage, before the next
+            # stage starts. All finished contexts get their target reads
+            # refreshed; completed stages keep their compactions even if a
+            # later stage fails.
+            finished = [c for c in out if c is not None]
+            if any(c.pending_compactions for c in finished):
+                from lakehouse_plumber_spark.operators.write import run_pending_compactions
+
+                # run() already flushed each context's event log into the
+                # runner's — forward post-flush compaction events explicitly
+                run_pending_compactions(finished, forward_log=self.event_log.append)
         return out
 
     def event_log_df(self) -> DataFrame:

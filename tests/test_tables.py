@@ -123,3 +123,52 @@ def test_run_many_defers_compaction_past_all_flowgroups(spark, tmp_path):
     assert ctxs[1].resolve_view("m.g.agg").collect()[0].n == 80
     assert store._data_file_count("m.s.t") == 1
     assert runner.event_log_df().where("event='auto_compacted'").count() >= 1
+
+
+def test_stage_compaction_respects_later_stage_readers_and_strictest_bound(spark, tmp_path):
+    """Two guarantees of the between-stages compaction point: (a) a later
+    flowgroup that loads the table into a DIFFERENTLY-NAMED view reads
+    post-compaction files (its captured index is never invalidated);
+    (b) when sibling flowgroups declare different maxFiles bounds for one
+    table, the strictest wins regardless of submission order."""
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+    from lakehouse_plumber_spark.runner import PipelineRunner
+
+    store = ParquetTableStore(spark=spark, root=str(tmp_path / "wh"))
+
+    def writer(name, max_files, create):
+        return {
+            "pipeline": "a", "flowgroup": name,
+            "actions": [
+                {"name": "ld", "type": "load",
+                 "source": {"type": "sql", "sql": "SELECT id FROM RANGE(40)"}, "target": "v"},
+                {"name": "wr", "type": "write", "source": "v",
+                 "write_target": {"type": "streaming_table", "catalog": "m", "schema": "s",
+                                  "table": "t", "create_table": create,
+                                  "table_properties": {"lhp.autoOptimize.maxFiles": str(max_files)}}},
+            ],
+        }
+
+    # a loose bound submitted FIRST must not mask the sibling's strict bound
+    reader = {
+        "pipeline": "b", "flowgroup": "r",
+        "actions": [
+            {"name": "ld2", "type": "load",
+             "source": {"type": "delta", "table": "m.s.t"}, "target": "v_copy"},
+            {"name": "mv", "type": "write", "source": "v_copy",
+             "write_target": {"type": "materialized_view", "catalog": "m", "schema": "g",
+                              "table": "agg",
+                              "sql": "SELECT COUNT(*) AS n FROM v_copy"}},
+        ],
+    }
+    runner = PipelineRunner(spark, store=store)
+    specs = [load_flowgroup(writer("w1", 100, True)),
+             load_flowgroup(writer("w2", 1, False)),
+             load_flowgroup(reader)]
+    runner.run_many(specs)
+    ctxs = runner.run_many(specs)
+    # strictest bound (1) applied even though the loose writer came first
+    assert store._data_file_count("m.s.t") == 1
+    # the reader's differently-named view still resolves post-run
+    assert ctxs[2].resolve_view("v_copy").count() == 160
+    assert ctxs[2].resolve_view("m.g.agg").collect()[0].n == 160
