@@ -174,6 +174,7 @@ def _build_dep_edges(fgs: list, base_dir: str) -> dict:
     for i, fg in enumerate(fgs):
         for a in fg.actions:
             refs = list(a.source_views())
+            refs.extend(a.table_reads())  # delta loads: cross-fg-only edges
             sql = a.sql or (a.source.get("sql") if isinstance(a.source, dict) else None)
             if sql:
                 refs.extend(sql_table_refs(sql))

@@ -309,24 +309,6 @@ class Action(BaseModel):
                 v = self.source.get(key)
                 if isinstance(v, str):
                     views.append(v)
-            # a delta load of a table another flowgroup WRITES is a real
-            # dependency edge (reference sql_extraction counts table reads;
-            # a table no one here produces imposes no constraint, like any
-            # other external ref). Both the bare `table:` leaf and the
-            # assembled catalog.schema.table spelling are emitted so either
-            # writer declaration matches.
-            tbl = self.source.get("table")
-            if isinstance(tbl, str):
-                views.append(tbl)
-                full = ".".join(
-                    p for p in (
-                        self.source.get("catalog"),
-                        self.source.get("database") or self.source.get("schema"),
-                        tbl,
-                    ) if p
-                )
-                if full != tbl:
-                    views.append(full)
             if isinstance(self.source.get("sql"), str):
                 from lakehouse_plumber_spark.dag import sql_table_refs
 
@@ -338,6 +320,36 @@ class Action(BaseModel):
                 views.extend(sql_table_refs(sql))
         views.extend(self.depends_on)
         return views
+
+    def table_reads(self) -> list[str]:
+        """Managed-table reads for CROSS-flowgroup scheduling only (a delta
+        load of a table another flowgroup writes must run in a later stage).
+
+        Deliberately NOT part of source_views(): inside one flowgroup a
+        delta load of a table the same flowgroup writes reads the table's
+        PRE-RUN content (the self-referential incremental pattern), so it
+        must not create an intra-flowgroup edge — that would be a false
+        cycle. Only delta sources count (a jdbc source's `table:` names an
+        external RDBMS table no flowgroup produces), and the bare leaf is
+        only emitted when the ref is unqualified — a fully-qualified read of
+        other.sch.t must not match an unrelated writer whose leaf is `t`."""
+        if not isinstance(self.source, dict) or self.source.get("type") != "delta":
+            return []
+        tbl = self.source.get("table")
+        if not isinstance(tbl, str):
+            return []
+        qualifier = self.source.get("catalog") or self.source.get("database") or self.source.get("schema")
+        if not qualifier:
+            return [tbl]
+        return [
+            ".".join(
+                p for p in (
+                    self.source.get("catalog"),
+                    self.source.get("database") or self.source.get("schema"),
+                    tbl,
+                ) if p
+            )
+        ]
 
     def produced_view(self) -> Optional[str]:
         """View name this action registers (node output)."""

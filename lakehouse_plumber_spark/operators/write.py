@@ -239,8 +239,19 @@ def run_pending_compactions(ctxs: list, forward_log=None) -> None:
     for ctx in ctxs:
         for target, (action_name, max_files, ccols) in ctx.pending_compactions.items():
             cur = agg.get(target)
-            if cur is None or max_files < cur[1]:
+            if cur is None:
                 agg[target] = (action_name, max_files, ccols, ctx)
+            else:
+                # merge sibling registrations: the strictest bound wins, but
+                # a declared cluster ordering must survive no matter which
+                # sibling declared it — dropping it would silently destroy
+                # the sort-within-files layout on the rewrite
+                agg[target] = (
+                    action_name if max_files < cur[1] else cur[0],
+                    min(max_files, cur[1]),
+                    cur[2] or ccols,
+                    ctx if max_files < cur[1] else cur[3],
+                )
     compacted: list[str] = []
     for target, (action_name, max_files, ccols, ctx) in agg.items():
         if ctx.store._data_file_count(target) <= max_files:

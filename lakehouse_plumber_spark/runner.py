@@ -75,9 +75,8 @@ class PipelineRunner:
             # auto-compaction deferred to after ALL actions: compacting
             # mid-run would delete the files behind already-registered
             # DataFrames (operators/write.py:run_pending_compactions).
-            # run_many defers further — to after ALL flowgroups — because a
-            # context from an earlier stage may hold a DataFrame over the
-            # same table.
+            # run_many defers to its own between-stages point instead, where
+            # sibling writers have finished and no reader has started.
             if ctx.pending_compactions and not defer_compactions:
                 from lakehouse_plumber_spark.operators.write import run_pending_compactions
 
@@ -115,6 +114,10 @@ class PipelineRunner:
         for i, fg in enumerate(flowgroups):
             for a in fg.actions:
                 refs = list(a.source_views())
+                # delta-load table reads: cross-flowgroup-only edges
+                # (models.py:table_reads explains why they must not be in
+                # source_views)
+                refs.extend(a.table_reads())
                 # table reads hidden inside SQL text (reference extracts
                 # these with sqlglot; see dag.sql_table_refs)
                 sql = a.sql or (a.source.get("sql") if isinstance(a.source, dict) else None)

@@ -444,3 +444,58 @@ actions:
                 {"use_template": "bad", "template_parameters": {}},
                 templates_dir=str(tmp_path / "templates"),
             )
+
+
+class TestTableReadEdges:
+    def test_self_referential_delta_load_is_not_a_cycle(self):
+        """A flowgroup that delta-loads the table it also writes reads the
+        PRE-RUN content (the incremental self-reference pattern) — the
+        table read must not create an intra-flowgroup edge, or topo_sort
+        would report a false cycle."""
+        spec = {
+            "pipeline": "p", "flowgroup": "f",
+            "actions": [
+                {"name": "ld", "type": "load",
+                 "source": {"type": "delta", "catalog": "m", "schema": "s", "table": "t"},
+                 "target": "v_prev"},
+                {"name": "tr", "type": "transform", "transform_type": "sql",
+                 "source": "v_prev", "sql": "SELECT * FROM v_prev", "target": "v_next"},
+                {"name": "wr", "type": "write", "source": "v_next",
+                 "write_target": {"type": "streaming_table", "catalog": "m",
+                                  "schema": "s", "table": "t"}},
+            ],
+        }
+        fg = load_flowgroup(spec)  # must not raise CycleError
+        # but the read IS a cross-flowgroup edge via table_reads —
+        # fully-qualified spelling only (no bare-leaf false matches)
+        assert fg.actions[0].table_reads() == ["m.s.t"]
+        assert "m.s.t" not in fg.actions[0].source_views()
+
+    def test_jdbc_table_is_not_a_dependency_edge(self):
+        a = load_flowgroup({
+            "pipeline": "p", "flowgroup": "f",
+            "actions": [
+                {"name": "ld", "type": "load",
+                 "source": {"type": "jdbc", "url": "jdbc:derby:x", "table": "orders"},
+                 "target": "v"},
+                {"name": "wr", "type": "write", "source": "v",
+                 "write_target": {"type": "materialized_view", "database": "m.s",
+                                  "table": "t"}},
+            ],
+        }).actions[0]
+        # a jdbc `table:` names an external RDBMS table no flowgroup produces
+        assert a.table_reads() == []
+        assert "orders" not in a.source_views()
+
+    def test_unqualified_delta_table_emits_bare_leaf(self):
+        a = load_flowgroup({
+            "pipeline": "p", "flowgroup": "f",
+            "actions": [
+                {"name": "ld", "type": "load",
+                 "source": {"type": "delta", "table": "t"}, "target": "v"},
+                {"name": "wr", "type": "write", "source": "v",
+                 "write_target": {"type": "materialized_view", "database": "m.s",
+                                  "table": "x"}},
+            ],
+        }).actions[0]
+        assert a.table_reads() == ["t"]

@@ -86,11 +86,10 @@ def test_streaming_table_auto_compact_property(spark, tmp_path):
     assert events.where("event = 'auto_compacted'").count() >= 1
 
 
-def test_run_many_defers_compaction_past_all_flowgroups(spark, tmp_path):
-    """A context from an earlier stage may hold a DataFrame over a table a
-    later flowgroup compacts: run_many must compact only after ALL
-    flowgroups, then every context's read must still resolve (no stale
-    file index over deleted files)."""
+def test_run_many_compacts_between_stages(spark, tmp_path):
+    """run_many compacts between stages — after a table's writing stage,
+    before any reader stage starts — so every context's read still
+    resolves afterwards (no stale file index over deleted files)."""
     from lakehouse_plumber_spark.parsers import load_flowgroup
     from lakehouse_plumber_spark.runner import PipelineRunner
 
