@@ -127,9 +127,20 @@ def cmd_compile(args) -> int:
             print(f"skip  {fg.pipeline}/{fg.flowgroup}: {e}")
             rc = 2
             continue
+        # change-aware write (reference _commit.py): leave byte-identical
+        # outputs untouched so mtimes/downstream watchers only see real change
+        prev = None
+        try:
+            with open(dest) as f:
+                prev = f.read()
+        except (OSError, UnicodeDecodeError):
+            pass
+        written.add(os.path.basename(dest))
+        if prev == src:
+            print(f"unchanged {dest}")
+            continue
         with open(dest, "w") as f:
             f.write(src)
-        written.add(os.path.basename(dest))
         print(f"wrote {dest}")
     # change-aware cleanup (reference _commit.py removes stale outputs):
     # renamed/deleted flowgroups must not leave their old generated file

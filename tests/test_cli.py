@@ -279,3 +279,22 @@ def test_cli_compile_removes_stale_generated_files(tmp_path, capsys):
     rc = main(["diff", PROJECT, "--env", "dev", "-o", str(out)])
     # notes.py shows as '-' (not planned) but stale generated files are gone
     assert "old__flowgroup.py" not in capsys.readouterr().out
+
+
+def test_cli_compile_skips_unchanged_files(tmp_path, capsys):
+    """Change-aware writes (reference _commit.py): a recompile with no spec
+    change leaves byte-identical outputs untouched — mtimes only move when
+    content does, so downstream watchers see real change only."""
+    out = tmp_path / "gen"
+    rc = main(["compile", PROJECT, "--env", "dev", "-o", str(out)])
+    assert rc == 0
+    capsys.readouterr()
+    before = {p.name: p.stat().st_mtime_ns for p in out.glob("*__*.py")}
+    assert before
+    rc = main(["compile", PROJECT, "--env", "dev", "-o", str(out)])
+    outtext = capsys.readouterr().out
+    assert rc == 0
+    assert "unchanged" in outtext and "wrote" not in outtext
+    assert "removed stale" not in outtext  # unchanged files are not stale
+    after = {p.name: p.stat().st_mtime_ns for p in out.glob("*__*.py")}
+    assert after == before
