@@ -110,7 +110,41 @@ def cmd_run(args) -> int:
         for r in log.groupBy("event").count().withColumnRenamed("count", "n").collect()
     }
     print(f"event log: {json.dumps(summary, sort_keys=True)}")
+    if getattr(args, "perf", False):
+        _print_perf_report(fgs, runner.event_log)
     return 0
+
+
+def _print_perf_report(fgs: list, event_log: list[dict]) -> None:
+    """--perf analog of the reference's performance_timer report
+    (src/lhp/utils/performance_timer.py:150-166): per-operator-category
+    cnt/avg/min/max/total over the run's action timings, plus event counts.
+    Driven entirely by the event log the engine already records, so enabling
+    it adds zero overhead to the run itself."""
+    cat_of: dict[str, str] = {}
+    for fg in fgs:
+        for a in fg.actions:
+            sub = a.sub_type
+            cat_of[a.name] = f"{a.type.value}.{sub}" if sub else a.type.value
+    timings: dict[str, list[float]] = {}
+    event_counts: dict[str, int] = {}
+    for ev in event_log:
+        event_counts[ev.get("event", "?")] = event_counts.get(ev.get("event", "?"), 0) + 1
+        secs = (ev.get("details") or {}).get("seconds")
+        if ev.get("event") == "action_completed" and secs is not None:
+            cat = cat_of.get(ev.get("action", ""), "other")
+            timings.setdefault(cat, []).append(float(secs))
+    print("[PERF] ============ operator timings ==============")
+    for cat in sorted(timings, key=lambda c: -sum(timings[c])):
+        d = timings[cat]
+        print(
+            f"[PERF]   {cat:<28s} cnt={len(d):<4d} avg={sum(d)/len(d):.3f}s  "
+            f"min={min(d):.3f}s  max={max(d):.3f}s  total={sum(d):>7.2f}s"
+        )
+    print("[PERF] Event counts:")
+    for name in sorted(event_counts):
+        print(f"[PERF]   {name:<35s} {event_counts[name]:>8d}")
+    print("[PERF] =============================================")
 
 
 def cmd_compile(args) -> int:
@@ -575,6 +609,10 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--sandbox", default=None, metavar="NAMESPACE",
                         help="per-developer rename pass: produced tables (and "
                              "reads of them) get the {namespace}_{table} leaf")
+        if name == "run":
+            sp.add_argument("--perf", action="store_true",
+                            help="per-operator-category timing report from the "
+                                 "event log (reference performance_timer analog)")
         if name == "compile":
             sp.add_argument("-o", "--out", default="generated")
         if name in ("deps", "dag"):

@@ -298,3 +298,20 @@ def test_cli_compile_skips_unchanged_files(tmp_path, capsys):
     assert "removed stale" not in outtext  # unchanged files are not stale
     after = {p.name: p.stat().st_mtime_ns for p in out.glob("*__*.py")}
     assert after == before
+
+
+def test_cli_run_perf_report(spark, testdata, capsys):
+    """--perf prints the per-operator-category timing table (reference
+    performance_timer report shape) from the already-recorded event log."""
+    rc = main(["run", PROJECT, "--env", "dev", "--perf"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "[PERF] ============ operator timings" in out
+    # every category row carries the five aggregates
+    perf_rows = [l for l in out.splitlines()
+                 if l.startswith("[PERF]   ") and "cnt=" in l and "avg=" in l]
+    assert perf_rows and all("total=" in l for l in perf_rows)
+    # categories are type.sub_type of real actions in the fixture project
+    assert any("write.materialized_view" in l for l in perf_rows)
+    assert "[PERF] Event counts:" in out
+    assert "action_completed" in out
