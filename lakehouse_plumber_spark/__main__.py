@@ -147,18 +147,50 @@ def _print_perf_report(fgs: list, event_log: list[dict]) -> None:
     print("[PERF] =============================================")
 
 
-def cmd_compile(args) -> int:
-    from lakehouse_plumber_spark.codegen import compile_flowgroup
+def _compile_sources(fgs: list, base_dir: str, jobs: int):
+    """Yield (pipeline, flowgroup, src, err) for every flowgroup, preserving
+    input order. jobs>1 compiles in a spawn-based process pool (reference
+    orchestrator.py:103-124 uses a spawn pool of ~0.8xCPU workers); specs
+    holding in-process callables are not picklable, so the pool degrades to
+    in-process compilation rather than failing the command.
 
+    The worker lives in codegen (compile_flowgroup_result), NOT here: when
+    the CLI runs as `python -m lakehouse_plumber_spark`, this file IS
+    __main__, and spawn children cannot resolve attributes of the parent's
+    __main__ module — the worker must be importable by package path."""
+    from lakehouse_plumber_spark.codegen import compile_flowgroup_result
+
+    if jobs > 1 and len(fgs) > 1:
+        import multiprocessing as mp
+        import pickle
+        from concurrent.futures import ProcessPoolExecutor
+
+        try:
+            # decide up front: an unpicklable spec (in-process callable)
+            # must not fail mid-pool and leave duplicate/partial output
+            pickle.dumps(fgs)
+            ctx = mp.get_context("spawn")
+            with ProcessPoolExecutor(max_workers=min(jobs, len(fgs)), mp_context=ctx) as pool:
+                yield from pool.map(compile_flowgroup_result, fgs, [base_dir] * len(fgs))
+            return
+        except (TypeError, AttributeError, pickle.PicklingError, ImportError, OSError) as e:
+            print(f"note: parallel compile unavailable ({e}); compiling serially")
+    for fg in fgs:
+        yield compile_flowgroup_result(fg, base_dir)
+
+
+def cmd_compile(args) -> int:
     os.makedirs(args.out, exist_ok=True)
     rc = 0
     written: set[str] = set()
-    for fg in _discover(args):
-        dest = os.path.join(args.out, f"{fg.pipeline}__{fg.flowgroup}.py")
-        try:
-            src = compile_flowgroup(fg, base_dir=args.project_root)
-        except NotImplementedError as e:
-            print(f"skip  {fg.pipeline}/{fg.flowgroup}: {e}")
+    fgs = _discover(args)
+    jobs = getattr(args, "jobs", 1)
+    if jobs == 0:
+        jobs = max(2, int(0.8 * (os.cpu_count() or 4)))
+    for pipeline, flowgroup, src, err in _compile_sources(fgs, args.project_root, jobs):
+        dest = os.path.join(args.out, f"{pipeline}__{flowgroup}.py")
+        if err is not None:
+            print(f"skip  {pipeline}/{flowgroup}: {err}")
             rc = 2
             continue
         # change-aware write (reference _commit.py): leave byte-identical
@@ -615,6 +647,10 @@ def main(argv: list[str] | None = None) -> int:
                                  "event log (reference performance_timer analog)")
         if name == "compile":
             sp.add_argument("-o", "--out", default="generated")
+            sp.add_argument("-j", "--jobs", type=int, default=1,
+                            help="compile flowgroups in a spawn process pool "
+                                 "(0 = ~0.8x CPUs, the reference pool sizing; "
+                                 "default 1 = in-process)")
         if name in ("deps", "dag"):
             sp.add_argument("--format", choices=("text", "dot", "json"), default="text",
                             help="output format (reference output.py serializers)")

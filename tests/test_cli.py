@@ -315,3 +315,16 @@ def test_cli_run_perf_report(spark, testdata, capsys):
     assert any("write.materialized_view" in l for l in perf_rows)
     assert "[PERF] Event counts:" in out
     assert "action_completed" in out
+
+
+def test_cli_compile_parallel_matches_serial(tmp_path, capsys):
+    """--jobs N compiles flowgroups in a spawn process pool (reference
+    orchestrator pool) and must produce byte-identical output to serial."""
+    serial = tmp_path / "serial"
+    par = tmp_path / "par"
+    assert main(["compile", PROJECT, "--env", "dev", "-o", str(serial)]) == 0
+    assert main(["compile", PROJECT, "--env", "dev", "-o", str(par), "--jobs", "4"]) == 0
+    capsys.readouterr()
+    s = {p.name: p.read_text() for p in serial.glob("*.py")}
+    p = {q.name: q.read_text() for q in par.glob("*.py")}
+    assert s == p and len(s) >= 2
