@@ -121,19 +121,23 @@ def _print_perf_report(fgs: list, event_log: list[dict]) -> None:
     cnt/avg/min/max/total over the run's action timings, plus event counts.
     Driven entirely by the event log the engine already records, so enabling
     it adds zero overhead to the run itself."""
-    cat_of: dict[str, str] = {}
+    # keyed by (pipeline, flowgroup, action): bare action names are only
+    # unique within one flowgroup, and the event log carries all three
+    cat_of: dict[tuple, str] = {}
     for fg in fgs:
         for a in fg.actions:
             sub = a.sub_type
-            cat_of[a.name] = f"{a.type.value}.{sub}" if sub else a.type.value
+            cat_of[(fg.pipeline, fg.flowgroup, a.name)] = (
+                f"{a.type.value}.{sub}" if sub else a.type.value
+            )
     timings: dict[str, list[float]] = {}
     event_counts: dict[str, int] = {}
     for ev in event_log:
         event_counts[ev.get("event", "?")] = event_counts.get(ev.get("event", "?"), 0) + 1
         secs = (ev.get("details") or {}).get("seconds")
         if ev.get("event") == "action_completed" and secs is not None:
-            cat = cat_of.get(ev.get("action", ""), "other")
-            timings.setdefault(cat, []).append(float(secs))
+            key = (ev.get("pipeline"), ev.get("flowgroup"), ev.get("action"))
+            timings.setdefault(cat_of.get(key, "other"), []).append(float(secs))
     print("[PERF] ============ operator timings ==============")
     for cat in sorted(timings, key=lambda c: -sum(timings[c])):
         d = timings[cat]
@@ -160,21 +164,28 @@ def _compile_sources(fgs: list, base_dir: str, jobs: int):
     __main__ module — the worker must be importable by package path."""
     from lakehouse_plumber_spark.codegen import compile_flowgroup_result
 
+    usable = False
     if jobs > 1 and len(fgs) > 1:
-        import multiprocessing as mp
         import pickle
-        from concurrent.futures import ProcessPoolExecutor
 
         try:
             # decide up front: an unpicklable spec (in-process callable)
-            # must not fail mid-pool and leave duplicate/partial output
+            # must not fail mid-pool and leave duplicate/partial output.
+            # ONLY the pre-check is guarded — a genuine compile error inside
+            # a worker (missing expectations_file, bad module) propagates
+            # exactly as it would serially, never re-runs the loop.
             pickle.dumps(fgs)
-            ctx = mp.get_context("spawn")
-            with ProcessPoolExecutor(max_workers=min(jobs, len(fgs)), mp_context=ctx) as pool:
-                yield from pool.map(compile_flowgroup_result, fgs, [base_dir] * len(fgs))
-            return
-        except (TypeError, AttributeError, pickle.PicklingError, ImportError, OSError) as e:
+            usable = True
+        except (TypeError, AttributeError, pickle.PicklingError) as e:
             print(f"note: parallel compile unavailable ({e}); compiling serially")
+    if usable:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        ctx = mp.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=min(jobs, len(fgs)), mp_context=ctx) as pool:
+            yield from pool.map(compile_flowgroup_result, fgs, [base_dir] * len(fgs))
+        return
     for fg in fgs:
         yield compile_flowgroup_result(fg, base_dir)
 
@@ -234,44 +245,12 @@ def cmd_compile(args) -> int:
 
 def _build_dep_edges(fgs: list, base_dir: str) -> dict:
     """Cross-flowgroup edges + carried advisories, JSON-serializable so the
-    graph cache (reference graph_cache.py) can persist it."""
-    from lakehouse_plumber_spark.models import ActionType
-    from lakehouse_plumber_spark.dag import sql_table_refs
-    from lakehouse_plumber_spark.pydeps import action_python_refs
+    graph cache (reference graph_cache.py) can persist it. Thin shim over
+    dag.cross_flowgroup_deps — the SAME edge-builder the runner schedules
+    with, so `dag`/`deps` output and actual execution order cannot drift."""
+    from lakehouse_plumber_spark.dag import cross_flowgroup_deps
 
-    writes: dict[str, int] = {}
-    for i, fg in enumerate(fgs):
-        for a in fg.actions:
-            if a.type == ActionType.WRITE and a.write_target is not None:
-                writes[a.write_target.full_name] = i
-                if a.write_target.table:
-                    writes[a.write_target.table] = i
-    deps: dict[int, set[int]] = {i: set() for i in range(len(fgs))}
-    warnings: list[str] = []
-    for i, fg in enumerate(fgs):
-        for a in fg.actions:
-            refs = list(a.source_views())
-            refs.extend(a.table_reads())  # delta loads: cross-fg-only edges
-            sql = a.sql or (a.source.get("sql") if isinstance(a.source, dict) else None)
-            if sql:
-                refs.extend(sql_table_refs(sql))
-            if a.write_target is not None and a.write_target.sql:
-                refs.extend(sql_table_refs(a.write_target.sql))
-            # reads hidden inside python bodies (reference AST extraction,
-            # python_parser.py; see pydeps) — advisories surface on stderr
-            pyres = action_python_refs(a, base_dir)
-            refs.extend(pyres.tables)
-            warnings.extend(
-                f"WARNING {fg.pipeline}/{fg.flowgroup}/{a.name}: {w}"
-                for w in pyres.warnings
-            )
-            for v in refs:
-                # python bodies read the folded temp-view spelling
-                j = writes.get(v)
-                if j is None and "__" in v:
-                    j = writes.get(v.replace("__", "."))
-                if j is not None and j != i:
-                    deps[i].add(j)
+    deps, warnings = cross_flowgroup_deps(fgs, base_dir)
     return {"deps": {str(i): sorted(s) for i, s in deps.items()},
             "warnings": warnings}
 

@@ -276,3 +276,57 @@ def validate_cdc_schema(action: Action) -> list[str]:
                 f"with the sequence_by type (reference cdc_schema.py:18-26)"
             )
     return errors
+
+
+def cross_flowgroup_deps(flowgroups: list, base_dir: str) -> tuple[dict[int, set[int]], list[str]]:
+    """Cross-flowgroup dependency edges: flowgroup i depends on flowgroup j
+    when i reads a table/view j writes (reference
+    DependencyAnalysisService semantics). The single source of truth for
+    BOTH the runner's stage scheduling and the CLI's dag/deps command — the
+    two must never disagree on execution order.
+
+    Edge sources, per action:
+    - declared view/table reads (source_views), plus delta-load managed-table
+      reads (table_reads — cross-flowgroup ONLY, see models.py for why they
+      must not be intra-flowgroup edges);
+    - table refs inside SQL text (reference extracts with sqlglot);
+    - table refs inside python bodies (reference AST visitors; see pydeps) —
+      extraction advisories come back as the second tuple element.
+
+    Temp views fold dots (main.x.t -> main__x__t): a python body may read
+    the folded spelling of a dotted writer, so both spellings match.
+    """
+    from lakehouse_plumber_spark.models import ActionType
+    from lakehouse_plumber_spark.pydeps import action_python_refs
+
+    writes: dict[str, int] = {}
+    for i, fg in enumerate(flowgroups):
+        for a in fg.actions:
+            if a.type == ActionType.WRITE and a.write_target is not None:
+                writes[a.write_target.full_name] = i
+                if a.write_target.table:
+                    writes[a.write_target.table] = i
+    deps: dict[int, set[int]] = {i: set() for i in range(len(flowgroups))}
+    warnings: list[str] = []
+    for i, fg in enumerate(flowgroups):
+        for a in fg.actions:
+            refs = list(a.source_views())
+            refs.extend(a.table_reads())
+            sql = a.sql or (a.source.get("sql") if isinstance(a.source, dict) else None)
+            if sql:
+                refs.extend(sql_table_refs(sql))
+            if a.write_target is not None and a.write_target.sql:
+                refs.extend(sql_table_refs(a.write_target.sql))
+            pyres = action_python_refs(a, base_dir)
+            refs.extend(pyres.tables)
+            warnings.extend(
+                f"WARNING {fg.pipeline}/{fg.flowgroup}/{a.name}: {w}"
+                for w in pyres.warnings
+            )
+            for v in refs:
+                j = writes.get(v)
+                if j is None and "__" in v:
+                    j = writes.get(v.replace("__", "."))
+                if j is not None and j != i:
+                    deps[i].add(j)
+    return deps, warnings

@@ -19,10 +19,20 @@ import tempfile
 from typing import Any, Callable, Iterable, Optional
 
 
+# Version of the EDGE-BUILDER ALGORITHM, not the data: the graph is pure in
+# (file contents, builder code), so a semantic change to edge extraction —
+# new edge kinds, different ref matching — must bump this or upgraded
+# installs would serve pre-upgrade graphs for unchanged specs forever.
+# History: 2 = delta-load table_reads() edges added to the cross-fg graph.
+GRAPH_ALGO_VERSION = 2
+
+
 def project_graph_key(paths: Iterable[str]) -> str:
     """Composite content key over every contributing file (missing files key
-    on their absence, so creating one later invalidates)."""
+    on their absence, so creating one later invalidates) and the edge-builder
+    algorithm version."""
     h = hashlib.sha256()
+    h.update(f"algo:{GRAPH_ALGO_VERSION}".encode())
     for p in sorted(set(paths)):
         h.update(p.encode())
         try:

@@ -215,9 +215,26 @@ def _maybe_auto_compact(ctx: BuildContext, action: Action, wt: WriteTarget, targ
     raw = props.get("lhp.autoOptimize.maxFiles")
     if raw is None:
         return
-    ctx.pending_compactions[target] = (
-        action.name, int(raw), list(wt.cluster_columns or [])
-    )
+    entry = (action.name, int(raw), list(wt.cluster_columns or []))
+    cur = ctx.pending_compactions.get(target)
+    if cur is not None:
+        # sibling flows into the same target WITHIN one flowgroup merge by
+        # the same rule run_pending_compactions applies across contexts:
+        # strictest bound wins, a declared cluster ordering always survives
+        entry = _merge_compaction(cur, entry)
+    ctx.pending_compactions[target] = entry
+
+
+def _merge_compaction(a: tuple, b: tuple) -> tuple:
+    """Merge two (action_name, max_files, cluster_cols) registrations for one
+    target: the strictest (smallest) max_files decides the bound, cluster
+    ordering survives from whichever side declared one, and the action name
+    follows the ordering (the logged event must name the flow whose layout
+    is applied) — falling back to the stricter side when neither orders."""
+    ccols = a[2] or b[2]
+    strict = a if a[1] <= b[1] else b
+    name = (a if a[2] else b if b[2] else strict)[0]
+    return (name, strict[1], ccols)
 
 
 def run_pending_compactions(ctxs: list, forward_log=None) -> None:
@@ -242,16 +259,13 @@ def run_pending_compactions(ctxs: list, forward_log=None) -> None:
             if cur is None:
                 agg[target] = (action_name, max_files, ccols, ctx)
             else:
-                # merge sibling registrations: the strictest bound wins, but
-                # a declared cluster ordering must survive no matter which
-                # sibling declared it — dropping it would silently destroy
-                # the sort-within-files layout on the rewrite
-                agg[target] = (
-                    action_name if max_files < cur[1] else cur[0],
-                    min(max_files, cur[1]),
-                    cur[2] or ccols,
-                    ctx if max_files < cur[1] else cur[3],
-                )
+                # merge sibling registrations across contexts with the same
+                # rule as within one (_merge_compaction): strictest bound
+                # wins, a declared cluster ordering must survive no matter
+                # which sibling declared it, and the logged action name
+                # follows the ordering actually applied
+                merged = _merge_compaction(cur[:3], (action_name, max_files, ccols))
+                agg[target] = (*merged, ctx if max_files < cur[1] else cur[3])
     compacted: list[str] = []
     for target, (action_name, max_files, ccols, ctx) in agg.items():
         if ctx.store._data_file_count(target) <= max_files:

@@ -12,6 +12,7 @@ staged by table-level dependencies and executed stage by stage.
 
 from __future__ import annotations
 
+import sys
 import time
 from typing import Optional
 
@@ -20,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from lakehouse_plumber_spark.context import BuildContext
 from lakehouse_plumber_spark.dag import topo_sort, validate_flowgroup_graph
 from lakehouse_plumber_spark.expectations import check_failures
-from lakehouse_plumber_spark.models import ActionType, FlowGroup
+from lakehouse_plumber_spark.models import FlowGroup
 from lakehouse_plumber_spark.operators import REGISTRY
 from lakehouse_plumber_spark.tables import ParquetTableStore, new_store
 
@@ -97,47 +98,15 @@ class PipelineRunner:
 
         Stage graph: a flowgroup depends on another when it reads a table the
         other writes (reference DependencyAnalysisService semantics, driven
-        here by write-target/view names instead of sqlglot SQL parsing).
+        here by write-target/view names plus SQL/python ref extraction).
         """
-        writes: dict[str, int] = {}
-        for i, fg in enumerate(flowgroups):
-            for a in fg.actions:
-                if a.type == ActionType.WRITE and a.write_target is not None:
-                    writes[a.write_target.full_name] = i
-                    if a.write_target.table:
-                        writes[a.write_target.table] = i
+        # one shared edge-builder with the CLI's dag/deps command
+        # (dag.cross_flowgroup_deps) — scheduling and reporting must agree
+        from lakehouse_plumber_spark.dag import cross_flowgroup_deps
 
-        from lakehouse_plumber_spark.dag import sql_table_refs
-        from lakehouse_plumber_spark.pydeps import action_python_refs
-
-        deps: dict[int, set[int]] = {i: set() for i in range(len(flowgroups))}
-        for i, fg in enumerate(flowgroups):
-            for a in fg.actions:
-                refs = list(a.source_views())
-                # delta-load table reads: cross-flowgroup-only edges
-                # (models.py:table_reads explains why they must not be in
-                # source_views)
-                refs.extend(a.table_reads())
-                # table reads hidden inside SQL text (reference extracts
-                # these with sqlglot; see dag.sql_table_refs)
-                sql = a.sql or (a.source.get("sql") if isinstance(a.source, dict) else None)
-                if sql:
-                    refs.extend(sql_table_refs(sql))
-                if a.write_target is not None and a.write_target.sql:
-                    refs.extend(sql_table_refs(a.write_target.sql))
-                # table reads hidden inside python bodies (reference AST
-                # visitors, python_parser.py:1-427; see pydeps)
-                pyres = action_python_refs(a, self.base_dir)
-                refs.extend(pyres.tables)
-                for view in refs:
-                    # temp views fold dots (main.x.t -> main__x__t); a python
-                    # body reads the folded name, the writer declared the
-                    # dotted one — match both spellings
-                    j = writes.get(view)
-                    if j is None and "__" in view:
-                        j = writes.get(view.replace("__", "."))
-                    if j is not None and j != i:
-                        deps[i].add(j)
+        deps, warnings = cross_flowgroup_deps(flowgroups, self.base_dir)
+        for w in warnings:
+            print(w, file=sys.stderr)
 
         done: set[int] = set()
         out: list[BuildContext] = [None] * len(flowgroups)  # type: ignore[list-item]

@@ -240,3 +240,17 @@ class TestGraphCache:
         out2 = capsys.readouterr().out
         assert "stage 1: pb/fb" in out2
         assert len([f for f in os.listdir(gdir) if f.endswith(".json")]) == 2
+
+
+def test_graph_cache_key_covers_algorithm_version(tmp_path, monkeypatch):
+    """Upgrading the edge-builder must invalidate cached graphs even when no
+    spec changed — the graph is pure in (file contents, builder code), so
+    the key carries GRAPH_ALGO_VERSION."""
+    from lakehouse_plumber_spark import graph_cache as gc
+
+    f = tmp_path / "spec.yaml"
+    f.write_text("pipeline: p\n")
+    k1 = gc.project_graph_key([str(f)])
+    monkeypatch.setattr(gc, "GRAPH_ALGO_VERSION", gc.GRAPH_ALGO_VERSION + 1)
+    k2 = gc.project_graph_key([str(f)])
+    assert k1 != k2

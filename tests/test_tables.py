@@ -171,3 +171,52 @@ def test_stage_compaction_respects_later_stage_readers_and_strictest_bound(spark
     # the reader's differently-named view still resolves post-run
     assert ctxs[2].resolve_view("v_copy").count() == 160
     assert ctxs[2].resolve_view("m.g.agg").collect()[0].n == 160
+
+
+def test_within_flowgroup_compaction_merge_strictest_bound(spark, tmp_path):
+    """Two append flows into one target WITHIN one flowgroup with different
+    maxFiles bounds: the strictest must win (same merge rule as the
+    cross-context pass) — dict assignment must not let the last flow mask
+    its sibling's stricter bound."""
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+    from lakehouse_plumber_spark.runner import PipelineRunner
+
+    store = ParquetTableStore(spark=spark, root=str(tmp_path / "wh"))
+    fg = {
+        "pipeline": "a", "flowgroup": "w",
+        "actions": [
+            {"name": "ld1", "type": "load",
+             "source": {"type": "sql", "sql": "SELECT id FROM RANGE(40)"}, "target": "v1"},
+            {"name": "ld2", "type": "load",
+             "source": {"type": "sql", "sql": "SELECT id + 100 AS id FROM RANGE(40)"}, "target": "v2"},
+            # strict bound FIRST, loose bound SECOND: last-wins would keep 100
+            {"name": "wr1", "type": "write", "source": "v1",
+             "write_target": {"type": "streaming_table", "catalog": "m", "schema": "s",
+                              "table": "t",
+                              "table_properties": {"lhp.autoOptimize.maxFiles": "1"}}},
+            {"name": "wr2", "type": "write", "source": "v2",
+             "write_target": {"type": "streaming_table", "catalog": "m", "schema": "s",
+                              "table": "t", "create_table": False,
+                              "table_properties": {"lhp.autoOptimize.maxFiles": "100"}}},
+        ],
+    }
+    runner = PipelineRunner(spark, store=store)
+    runner.run(load_flowgroup(fg))
+    ctx = runner.run(load_flowgroup(fg))
+    assert store._data_file_count("m.s.t") == 1
+    assert ctx.resolve_view("m.s.t").count() == 160
+
+
+def test_merge_compaction_rule():
+    """_merge_compaction unit contract: strictest bound, ordering survives,
+    logged action follows the ordering actually applied."""
+    from lakehouse_plumber_spark.operators.write import _merge_compaction
+
+    # ordering on the loose side: bound from strict, ccols+name from orderer
+    assert _merge_compaction(("strict", 1, []), ("ordered", 9, ["c"])) == ("ordered", 1, ["c"])
+    # ordering on the strict side: everything from it
+    assert _merge_compaction(("s", 1, ["k"]), ("loose", 9, [])) == ("s", 1, ["k"])
+    # neither orders: stricter side names the event
+    assert _merge_compaction(("a", 5, []), ("b", 2, [])) == ("b", 2, [])
+    # both order: first registration's ordering wins (stable), strictest bound
+    assert _merge_compaction(("a", 5, ["x"]), ("b", 2, ["y"])) == ("a", 2, ["x"])
