@@ -3523,14 +3523,14 @@ def sample_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _corpus_stats_duck() -> str:
+def _corpus_stats_duck(stratum_col: str = "source", rel: str = "documents") -> str:
     toks = tokens_duck("text")
     return f"""
     WITH base AS (
-      SELECT source AS stratum, doc_id AS id,
+      SELECT {stratum_col} AS stratum, doc_id AS id,
              CAST(len(text) AS BIGINT) AS n_chars,
              CAST(len({toks}) AS BIGINT) AS n_tokens
-      FROM documents
+      FROM {rel}
     ),
     r AS (
       SELECT *,
@@ -3623,6 +3623,34 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.mixture_weighted_sample(
         docs, "lang", _MIX_PARTS, target_rows=_MIX_EPOCH_TARGET, allow_upsample=True
     )
+
+
+def _mixture_stats_duck() -> str:
+    samp = _mixture_duck(False)
+    rel = (
+        f"(SELECT d.* FROM documents d JOIN ({samp}) s USING (doc_id)) sampled"
+    )
+    return _corpus_stats_duck(stratum_col="lang", rel=rel)
+
+
+@_register("sample_mixture_stats", _mixture_stats_duck())
+def sample_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation row: mixture-weighted sampling (the 4:2:1:1
+    language recipe of sample_mixture) followed by a per-language corpus
+    report of the SAMPLE — the back-to-back pair every training-data build
+    runs ("mix the corpus, then audit what the mix actually contains").
+    One row proves both operators end-to-end: the sample is a narrow
+    per-row hash filter (llm/sampling.py:mixture_weighted_sample) and the
+    report's single stratum exchange serves window + aggregate
+    (llm/text.py:corpus_stats)."""
+    from lakehouse_plumber_spark.llm import sampling as SP
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    sampled_ids = SP.mixture_weighted_sample(
+        docs.select("doc_id", "lang"), "lang", _MIX_PARTS
+    ).select("doc_id")
+    return TX.corpus_stats(docs.join(sampled_ids, "doc_id"), strata_col="lang")
 
 
 def _curation_duck() -> str:
@@ -3803,32 +3831,45 @@ _PRIORITY: list[str] = [
     "pipe_test_all_lookups",
     "pipe_test_custom_sql",
     "pipe_test_custom_expectations",
-    # LLM-data: dedup family
+    # LLM-data: dedup family.  Four r4-rotations (VERDICT r4 item #1): the
+    # round-4 curation operators take the prefix slots of rows whose plan
+    # shape is already proven by a sibling — dedup_span_removal replaces
+    # dedup_embedding_cosine (0-row output was the weakest signal; the
+    # labeled-pair cosine path stays in the local sweep), dedup_edit_distance
+    # replaces knn_int8 (same broadcast+window shape as knn_bruteforce), and
+    # dedup_decontaminate replaces multimodal_bytes (the binary-asset read is
+    # exercised by multimodal_features on the same asset table).
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    "dedup_edit_distance",
     "dedup_clusters",
+    "dedup_span_removal",
+    "dedup_decontaminate",
     # LLM-data: similarity search ladder
     "knn_bruteforce",
-    "knn_int8",
     "knn_lsh",
     "knn_ivf",
     # LLM-data: multimodal plumbing
-    "multimodal_bytes",
     "multimodal_features",
     "multimodal_frame_sample",
-    # LLM-data: sampling
+    # LLM-data: sampling (mixture_stats composes mixture_weighted_sample +
+    # corpus_stats in one row; it replaces sample_per_source_topk, whose
+    # per-stratum window is the same shape as sample_stratified's)
     "sample_stratified",
     "sample_hash_split",
-    "sample_per_source_topk",
+    "sample_mixture_stats",
     # LLM-data: the whole text/PII family in one composite row
     "text_metrics_all",
     # custom stateful streaming
     "pipe_stateful_sessionize",
     "pipe_stream_dedup",
     # --- 50 entries above this line ---
+    "dedup_embedding_cosine",
+    "knn_int8",
+    "multimodal_bytes",
+    "sample_per_source_topk",
     "pipe_quarantine_clean",
     "pipe_stream_window_agg",
     "pipe_stream_session_window",

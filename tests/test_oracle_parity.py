@@ -78,16 +78,19 @@ def test_driver_prefix_covers_every_operator_class():
             "pipe_test_all_lookups", "pipe_test_custom_sql",
             "pipe_test_custom_expectations",
         },
+        # r5 rotation (VERDICT r4 item #1): the round-4 curation operators
+        # hold prefix slots; the rotated-out siblings stay in the local sweep
         "llm:dedup": {
             "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-            "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters",
+            "dedup_ngram_jaccard", "dedup_edit_distance", "dedup_clusters",
+            "dedup_span_removal", "dedup_decontaminate",
         },
-        "llm:knn": {"knn_bruteforce", "knn_int8", "knn_lsh", "knn_ivf"},
+        "llm:knn": {"knn_bruteforce", "knn_lsh", "knn_ivf"},
         "llm:multimodal": {
-            "multimodal_bytes", "multimodal_features", "multimodal_frame_sample",
+            "multimodal_features", "multimodal_frame_sample",
         },
         "llm:sampling": {
-            "sample_stratified", "sample_hash_split", "sample_per_source_topk",
+            "sample_stratified", "sample_hash_split", "sample_mixture_stats",
         },
         "llm:text": {"text_metrics_all"},
         "streaming:stateful": {"pipe_stateful_sessionize", "pipe_stream_dedup"},
