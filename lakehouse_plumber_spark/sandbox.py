@@ -37,12 +37,55 @@ from typing import Any, Optional
 
 from lakehouse_plumber_spark.models import ActionType, FlowGroup
 
-_PATTERN_PLACEHOLDERS = frozenset({"namespace", "table"})
-_PATTERN_LITERAL_RE = re.compile(r"[A-Za-z0-9_]*")
-
-
 class SandboxConfigError(ValueError):
     pass
+
+
+def _pattern_problems(pattern: str) -> list[str]:
+    """Every defect in a rename pattern, as human-readable strings.
+
+    A pattern is acceptable when ``str.format`` can render it, its only
+    placeholders are a plain ``{namespace}`` and a plain ``{table}`` (each
+    required, neither dressed with a conversion or format spec — the rename
+    must be a pure substitution), and the glue text around them stays within
+    ``[A-Za-z0-9_]`` so every rendered leaf is still a legal table
+    identifier.  Walked with ``string.Formatter`` because that is the exact
+    tokenizer ``str.format`` itself uses at rename time.
+    """
+    try:
+        pieces = list(string.Formatter().parse(pattern))
+    except ValueError as exc:
+        return [f"cannot be parsed as a format string ({exc})"]
+
+    problems: list[str] = []
+    used: list[str] = []
+    for glue, placeholder, spec, conversion in pieces:
+        stray = sorted(set(re.sub(r"[A-Za-z0-9_]", "", glue)))
+        if stray:
+            problems.append(
+                f"non-identifier characters {stray} in table_pattern"
+                f" literal segment {glue!r}"
+            )
+        if placeholder is None:
+            continue
+        used.append(placeholder)
+        if placeholder not in ("namespace", "table"):
+            problems.append(
+                f"unsupported placeholder {{{placeholder}}} in table_pattern"
+                " (supported: {namespace}, {table})"
+            )
+        elif spec or conversion is not None:
+            problems.append(
+                f"placeholder {{{placeholder}}} in table_pattern must appear"
+                " bare, without !conversion or :format-spec"
+            )
+    absent = [f"{{{p}}}" for p in ("namespace", "table") if p not in used]
+    if absent:
+        problems.append(
+            "table_pattern is missing required placeholder(s) "
+            + ", ".join(absent)
+        )
+    return problems
 
 
 @dataclass(frozen=True)
@@ -53,33 +96,8 @@ class SandboxStrategy:
     table_pattern: str = "{namespace}_{table}"
 
     def __post_init__(self) -> None:
-        try:
-            segments = list(string.Formatter().parse(self.table_pattern))
-        except ValueError as e:
-            raise SandboxConfigError(f"table_pattern is not a valid format string: {e}") from e
-        seen: set[str] = set()
-        for literal_text, field_name, format_spec, conversion in segments:
-            if not _PATTERN_LITERAL_RE.fullmatch(literal_text):
-                raise SandboxConfigError(
-                    "table_pattern literal text may only contain letters, "
-                    f"digits, and underscores; got {literal_text!r}"
-                )
-            if field_name is None:
-                continue
-            if field_name not in _PATTERN_PLACEHOLDERS:
-                raise SandboxConfigError(
-                    f"table_pattern placeholder {{{field_name}}} is not recognized; "
-                    "only {namespace} and {table} are allowed"
-                )
-            if conversion is not None or format_spec:
-                raise SandboxConfigError(
-                    f"table_pattern placeholder {{{field_name}}} must be plain"
-                )
-            seen.add(field_name)
-        missing = _PATTERN_PLACEHOLDERS - seen
-        if missing:
-            names = ", ".join(f"{{{m}}}" for m in sorted(missing))
-            raise SandboxConfigError(f"table_pattern must contain {names}")
+        for problem in _pattern_problems(self.table_pattern):
+            raise SandboxConfigError(problem)
         if not re.fullmatch(r"\w+", self.namespace or ""):
             raise SandboxConfigError(
                 f"sandbox namespace must be an identifier, got {self.namespace!r}"

@@ -26,16 +26,26 @@ class TestStrategy:
         assert s.rename_leaf("orders") == "alice_orders"
 
     def test_pattern_must_have_both_placeholders(self):
-        with pytest.raises(SandboxConfigError, match="must contain"):
+        with pytest.raises(SandboxConfigError, match="missing required"):
             SandboxStrategy(namespace="a", table_pattern="{namespace}_fixed")
 
     def test_pattern_rejects_unknown_placeholder(self):
-        with pytest.raises(SandboxConfigError, match="not recognized"):
+        with pytest.raises(SandboxConfigError, match="unsupported placeholder"):
             SandboxStrategy(namespace="a", table_pattern="{user}_{table}")
 
     def test_pattern_rejects_non_identifier_literals(self):
-        with pytest.raises(SandboxConfigError, match="literal text"):
+        with pytest.raises(SandboxConfigError, match="literal segment"):
             SandboxStrategy(namespace="a", table_pattern="{namespace}-{table}")
+
+    def test_pattern_rejects_decorated_placeholders(self):
+        with pytest.raises(SandboxConfigError, match="bare"):
+            SandboxStrategy(namespace="a", table_pattern="{namespace}_{table!r}")
+        with pytest.raises(SandboxConfigError, match="bare"):
+            SandboxStrategy(namespace="a", table_pattern="{namespace}_{table:>10}")
+
+    def test_pattern_rejects_unparseable_format_string(self):
+        with pytest.raises(SandboxConfigError, match="format string"):
+            SandboxStrategy(namespace="a", table_pattern="{namespace}_{table")
 
     def test_namespace_must_be_identifier(self):
         with pytest.raises(SandboxConfigError, match="identifier"):
