@@ -144,6 +144,44 @@ def knn_lsh(
     )
 
 
+def _centroid_struct_array(cents: list[tuple[int, list[float]]]) -> str:
+    """The centroid set as an array<struct<cid,cv>> LITERAL (repr round-trips
+    doubles exactly, so collected centroids re-enter the plan bit-identical)."""
+    return "array(" + ", ".join(
+        "named_struct('cid', {c}L, 'cv', array({vs}))".format(
+            c=cid, vs=", ".join(f"{x!r}D" for x in cv)
+        )
+        for cid, cv in cents
+    ) + ")"
+
+
+def centroid_distances_expr(cents: list[tuple[int, list[float]]], v_col: str) -> str:
+    """Per-centroid squared distances of one vector column, as
+    array<struct<d,cid>> — the shared kernel of argmin assignment and
+    nearest-list probing. Struct comparison orders by d then cid, i.e.
+    exactly the ORDER BY d, cid tie-break of the window formulation."""
+    dist = (
+        f"aggregate(zip_with({v_col}, c.cv, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    return (
+        f"transform({_centroid_struct_array(cents)}, "
+        f"c -> named_struct('d', {dist}, 'cid', c.cid))"
+    )
+
+
+def centroid_argmin_expr(cents: list[tuple[int, list[float]]], v_col: str = "v") -> str:
+    """Nearest-centroid id in ONE narrow projection: no explode, no window,
+    no exchange (VERDICT r4 item 5 — replaces crossJoin+row_number argmin,
+    which shuffled an N x n_centroids expansion per Lloyd round)."""
+    return f"array_min({centroid_distances_expr(cents, v_col)}).cid"
+
+
+def _collect_centroids(df, id_col: str) -> list[tuple[int, list[float]]]:
+    """Bounded collect (n_centroids rows) sorted by cid for stable expr text."""
+    return sorted((r[0], list(r[1])) for r in df.collect())
+
+
 def ivf_build_and_search(
     df: DataFrame,
     query_ids: list[int],
@@ -157,51 +195,43 @@ def ivf_build_and_search(
     """IVF-style ANN: k-means coarse quantizer, probe the n_probe nearest lists.
 
     Centroids are trained with a few Lloyd iterations (deterministic init:
-    lowest ids). Centroid set is tiny -> broadcast joins everywhere; the
-    big side shuffles once on assigned list id at build time, exactly how a
+    lowest ids). The centroid set is tiny, so it is carried as a LITERAL in
+    the plan: assignment is a narrow argmin projection (no join, no window —
+    each Lloyd round is one map + one groupBy(cid) partial agg), and the big
+    side shuffles once on assigned list id at build time, exactly how a
     production IVF index partitions a 100 TB corpus.
     """
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    cents = (
-        base.orderBy(id_col).limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+    cents = _collect_centroids(
+        base.orderBy(id_col).limit(n_centroids).select(id_col, "v"), id_col
     )
-    dist = "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+    dim = len(cents[0][1]) if cents else 0
     for _ in range(max_iter):
-        w = Window.partitionBy(id_col).orderBy(F.col("d"), F.col("cid"))
-        assigned = (
-            base.crossJoin(F.broadcast(cents))
-            .withColumn("d", F.expr(dist))
-            .withColumn("rn", F.row_number().over(w))
-            .where("rn = 1")
+        asg = base.select(
+            F.expr(centroid_argmin_expr(cents)).alias("cid"), "v"
         )
-        dim = len(base.first()["v"])
-        cents = (
-            assigned.groupBy("cid")
-            .agg(
+        cents = _collect_centroids(
+            asg.groupBy("cid").agg(
                 F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
-            )
+            ),
+            id_col,
         )
-    w = Window.partitionBy(id_col).orderBy(F.col("d"), F.col("cid"))
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("d", F.expr(dist))
-        .withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select(id_col, "v", F.col("cid").alias("list_id"))
+    assigned = base.select(
+        id_col, "v", F.expr(centroid_argmin_expr(cents)).alias("list_id")
     )
-    q = assigned.where(F.col(id_col).isin(query_ids))
-    wq = Window.partitionBy("query_id").orderBy(F.col("d"), F.col("cid"))
     probes = (
-        q.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("d", F.expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= n_probe)
-        .select("query_id", "qv", F.col("cid").alias("list_id"))
+        base.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+        .withColumn(
+            "p",
+            F.explode(F.expr(
+                f"slice(array_sort({centroid_distances_expr(cents, 'qv')}), 1, {n_probe})"
+            )),
+        )
+        .select("query_id", "qv", F.col("p.cid").alias("list_id"))
     )
     scored = (
-        assigned.join(probes, on="list_id")
+        assigned.join(F.broadcast(probes), on="list_id")
         .where(F.col(id_col) != F.col("query_id"))
         .withColumn("cosine", F.round(F.expr(cosine_expr("qv", "v")), 6))
     )
@@ -295,18 +325,11 @@ def semantic_dedup(
     Returns (vec_id, list_id, retired).
     """
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    cents = (
-        base.orderBy(id_col).limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+    cents = _collect_centroids(
+        base.orderBy(id_col).limit(n_centroids).select(id_col, "v"), id_col
     )
-    dist = "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
-    w = Window.partitionBy(id_col).orderBy(F.col("d"), F.col("cid"))
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("d", F.expr(dist))
-        .withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select(id_col, "v", F.col("cid").alias("list_id"))
+    assigned = base.select(
+        id_col, "v", F.expr(centroid_argmin_expr(cents)).alias("list_id")
     )
     a = assigned.alias("a")
     b = assigned.alias("b")

@@ -68,6 +68,26 @@ def test_knn_bruteforce_broadcasts_queries(spark, q):
     assert "CartesianProduct" not in plan  # big side must never shuffle-cartesian
 
 
+def test_kmeans_assignment_single_narrow_projection(spark, q):
+    """VERDICT r4 item 5: nearest-centroid assignment (shared by knn_ivf's
+    Lloyd rounds and dedup_semantic) is ONE narrow projection over a
+    centroid-literal array — no exchange, no window, no join, no explode."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.similarity import centroid_argmin_expr
+
+    base = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cents = [(i, [float(i), 1.0, -0.5]) for i in range(4)]
+    plan = _spark_plan(
+        base.select("vec_id", F.expr(centroid_argmin_expr(cents)).alias("cid"))
+    )
+    for node in ("Exchange", "Window", "Join", "Generate", "CartesianProduct"):
+        assert node not in plan, f"assignment stage must not contain {node}"
+
+
 def test_minhash_lsh_no_cartesian(spark, q):
     df = q["dedup_minhash_lsh"](spark, SF)
     plan = _spark_plan(df)
