@@ -59,13 +59,20 @@ def _discover(args) -> list:
 
 
 def cmd_validate(args) -> int:
-    from lakehouse_plumber_spark.dag import CycleError, ValidationError, validate_flowgroup_graph
+    from lakehouse_plumber_spark.dag import (
+        CycleError,
+        ValidationError,
+        validate_flowgroup_graph,
+        validate_streaming_compaction,
+    )
+    from lakehouse_plumber_spark.models import SpecError
 
     try:
         fgs = _discover(args)
-    except (CycleError, ValidationError, ValueError, FileNotFoundError) as e:
-        # spec-layer failures (bad template params, unresolved tokens,
-        # missing files) report as a clean FAIL line, not a traceback
+    except (CycleError, ValidationError, SpecError) as e:
+        # user-spec failures (bad template params, unresolved tokens, missing
+        # preset/template files) report as a clean FAIL line; any OTHER
+        # exception is an engine bug and must traceback (ADVICE r4)
         print(f"FAIL  {e}")
         return 1
     rc = 0
@@ -80,6 +87,9 @@ def cmd_validate(args) -> int:
         print(f"ok    {label} ({len(fg.actions)} actions)")
         for w in warnings:
             print(f"  warn: {w}")
+    for problem in validate_streaming_compaction(fgs):
+        print(f"FAIL  {problem}")
+        rc = 1
     return rc
 
 
@@ -487,12 +497,15 @@ def cmd_diff(args) -> int:
     from lakehouse_plumber_spark.codegen import compile_flowgroup
 
     planned: dict[str, str] = {}
+    skipped = False
     for fg in _discover(args):
         name = f"{fg.pipeline}__{fg.flowgroup}.py"
         try:
             planned[name] = compile_flowgroup(fg, base_dir=args.project_root)
         except NotImplementedError as e:
             print(f"skip  {fg.pipeline}/{fg.flowgroup}: {e}", file=sys.stderr)
+            skipped = True
+    marker = '"""Generated by lakehouse_plumber_spark.codegen'
     on_disk: dict[str, str] = {}
     if os.path.isdir(args.out):
         for base, _, files in os.walk(args.out):
@@ -509,6 +522,19 @@ def cmd_diff(args) -> int:
         if rel not in on_disk:
             mark = "+"
         elif rel not in planned:
+            # mirror compile's cleanup rule exactly (ADVICE r4): compile only
+            # deletes generator-owned files (__-shaped .py whose content
+            # starts with the generated-file header) and deletes nothing
+            # when any flowgroup was skipped — so diff must not report a
+            # deletion compile would never perform, or `diff --exit-code`
+            # stays permanently red on projects with user files in the
+            # output tree
+            fn = os.path.basename(rel)
+            if skipped or os.sep in rel or not (
+                # compile's cleanup only scans the top level of the out dir
+                fn.endswith(".py") and "__" in fn and on_disk[rel].startswith(marker)
+            ):
+                continue
             mark = "-"
         elif planned[rel] != on_disk[rel]:
             mark = "~"

@@ -28,11 +28,13 @@ from typing import Any, Mapping, Optional
 
 from pydantic import BaseModel, ConfigDict, Field, model_validator
 
+from lakehouse_plumber_spark.models import SpecError
+
 _LOCAL = re.compile(r"%\{([A-Za-z0-9_.\-]+)\}")
 _ENV_TOKEN = re.compile(r"\$\{[^}]+\}")
 
 
-class BlueprintError(ValueError):
+class BlueprintError(SpecError):
     pass
 
 

@@ -278,6 +278,55 @@ def validate_cdc_schema(action: Action) -> list[str]:
     return errors
 
 
+def validate_streaming_compaction(flowgroups: list) -> list[str]:
+    """Auto-compaction is incompatible with streaming consumers of the same
+    table (ADVICE r4 high): the store's shadow-swap compaction rewrites every
+    data file under a NEW name, and a parquet FileStreamSource checkpoint
+    tracks processed file PATHS — so after a compaction, every checkpointed
+    streaming reader of the table re-ingests it in full, duplicating rows
+    downstream (Delta OPTIMIZE avoids this with dataChange=false; a
+    parquet-directory table has no equivalent). Flag the combination
+    statically across the project; the store and runner independently refuse
+    it at runtime (tables.py:compact, write.py:run_pending_compactions)."""
+    from lakehouse_plumber_spark.models import ActionType
+
+    compacted: dict[str, str] = {}
+    for fg in flowgroups:
+        for a in fg.actions:
+            wt = a.write_target
+            if wt is None:
+                continue
+            if (wt.table_properties or {}).get("lhp.autoOptimize.maxFiles") is not None:
+                compacted[wt.full_name] = f"{fg.pipeline}/{fg.flowgroup}/{a.name}"
+    if not compacted:
+        return []
+    problems: list[str] = []
+    for fg in flowgroups:
+        for a in fg.actions:
+            if a.type != ActionType.LOAD or (a.readMode or "batch") != "stream":
+                continue
+            src = a.source if isinstance(a.source, dict) else {}
+            if src.get("type") != "delta" or not src.get("table"):
+                continue
+            name = ".".join(
+                p for p in (
+                    src.get("catalog"),
+                    src.get("database") or src.get("schema"),
+                    src.get("table"),
+                ) if p
+            )
+            if name in compacted:
+                problems.append(
+                    f"{fg.pipeline}/{fg.flowgroup}/{a.name} streams from table "
+                    f"{name!r}, but {compacted[name]} declares "
+                    "lhp.autoOptimize.maxFiles on it: compaction renames every "
+                    "data file, so this consumer's streaming checkpoint would "
+                    "re-ingest the table in full — drop the property or read "
+                    "the table in batch mode"
+                )
+    return problems
+
+
 def cross_flowgroup_deps(flowgroups: list, base_dir: str) -> tuple[dict[int, set[int]], list[str]]:
     """Cross-flowgroup dependency edges: flowgroup i depends on flowgroup j
     when i reads a table/view j writes (reference

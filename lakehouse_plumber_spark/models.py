@@ -17,6 +17,14 @@ from typing import Any, Callable, Optional, Union
 from pydantic import BaseModel, ConfigDict, Field, field_validator, model_validator
 
 
+class SpecError(ValueError):
+    """A defect in user-authored spec input (YAML flowgroups, templates,
+    presets, blueprints, substitutions). The CLI reports these as clean FAIL
+    lines; anything else escaping the spec layer is an engine bug and
+    surfaces as a traceback (ADVICE r4: `validate` must not swallow internal
+    ValueErrors)."""
+
+
 class ActionType(str, Enum):
     LOAD = "load"
     TRANSFORM = "transform"

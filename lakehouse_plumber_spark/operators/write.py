@@ -210,7 +210,11 @@ def _maybe_auto_compact(ctx: BuildContext, action: Action, wt: WriteTarget, targ
     table is rewritten through the store's atomic shadow-swap compaction
     (readers see old or new, never a mix) iff its file count exceeds the
     bound; cluster_columns ordering is re-applied so data skipping
-    survives. Compaction never changes content, CDF, or table meta."""
+    survives. Compaction never changes content, CDF, or table meta — but it
+    DOES rename every data file, so tables with streaming consumers (whose
+    checkpoints track file paths) are skipped with an auto_compact_skipped
+    event, and `validate` flags the property/stream combination statically
+    (dag.validate_streaming_compaction)."""
     props = wt.table_properties or {}
     raw = props.get("lhp.autoOptimize.maxFiles")
     if raw is None:
@@ -268,6 +272,22 @@ def run_pending_compactions(ctxs: list, forward_log=None) -> None:
                 agg[target] = (*merged, ctx if max_files < cur[1] else cur[3])
     compacted: list[str] = []
     for target, (action_name, max_files, ccols, ctx) in agg.items():
+        if ctx.store.get_meta(target, "streaming_consumed"):
+            # ADVICE r4 high: compaction renames every data file, and a
+            # parquet FileStreamSource checkpoint tracks file PATHS — a
+            # streaming consumer of this table would re-ingest it in full.
+            # Skip loudly; dag.validate_streaming_compaction flags the
+            # combination statically when both sides are project-declared.
+            ctx.log(
+                action_name,
+                "auto_compact_skipped",
+                target=target,
+                reason="table has streaming consumers; compaction would make "
+                       "their checkpoints re-ingest every (renamed) file",
+            )
+            if forward_log is not None:
+                forward_log(ctx.event_log[-1])
+            continue
         if ctx.store._data_file_count(target) <= max_files:
             continue
         res = ctx.store.compact(target, order_within_files=ccols or None)

@@ -14,9 +14,10 @@ import os
 from typing import Any, Mapping, Optional
 
 import yaml
+from pydantic import ValidationError as PydanticValidationError
 
 from lakehouse_plumber_spark.dag import validate_flowgroup_graph
-from lakehouse_plumber_spark.models import FlowGroup
+from lakehouse_plumber_spark.models import FlowGroup, SpecError
 from lakehouse_plumber_spark.substitution import substitute
 
 
@@ -36,10 +37,13 @@ def _load_presets(preset_names: list[str], presets_dir: Optional[str]) -> dict:
     merged: dict = {}
     for name in preset_names:
         if not presets_dir:
-            raise FileNotFoundError(f"preset {name!r} requested but no presets_dir given")
+            raise SpecError(f"preset {name!r} requested but no presets_dir given")
         path = os.path.join(presets_dir, f"{name}.yaml")
-        with open(path) as f:
-            preset = yaml.safe_load(f) or {}
+        try:
+            with open(path) as f:
+                preset = yaml.safe_load(f) or {}
+        except FileNotFoundError as e:
+            raise SpecError(f"preset {name!r}: file not found: {path}") from e
         # presets may themselves extend other presets
         parent = preset.pop("extends", None)
         if parent:
@@ -86,12 +90,15 @@ def _expand_template(
     if not name:
         return spec
     if not templates_dir:
-        raise FileNotFoundError(f"template {name!r} requested but no templates_dir given")
+        raise SpecError(f"template {name!r} requested but no templates_dir given")
     import jinja2
 
     path = os.path.join(templates_dir, f"{name}.yaml")
-    with open(path) as f:
-        raw = f.read()
+    try:
+        with open(path) as f:
+            raw = f.read()
+    except FileNotFoundError as e:
+        raise SpecError(f"template {name!r}: file not found: {path}") from e
     # the template's own `parameters:` block declares defaults and required
     # params (reference template_engine.py:106,129-155: defaults applied,
     # missing required -> clean error, BEFORE rendering). A full YAML
@@ -128,7 +135,7 @@ def _expand_template(
         # StrictUndefined and syntax failures become the same clean spec
         # error the declared-parameter check raises (not a raw Jinja
         # traceback) so `validate` reports a FAIL line
-        raise ValueError(f"template {name!r}: {getattr(e, 'message', None) or e}") from e
+        raise SpecError(f"template {name!r}: {getattr(e, 'message', None) or e}") from e
     template = yaml.safe_load(rendered) or {}
     merged = deep_merge({k: v for k, v in template.items() if k != "parameters"}, spec)
     merged.pop("use_template", None)
@@ -150,7 +157,7 @@ def _expand_variable_definitions(variables: dict) -> dict:
                     changed = True
         if not changed:
             return out
-    raise ValueError(
+    raise SpecError(
         "variable expansion did not converge in 10 iterations "
         f"(likely circular reference among {sorted(out)})"
     )
@@ -173,7 +180,11 @@ def load_flowgroup(
         # presets provide defaults under the flowgroup (actions keep their own fields)
         spec = deep_merge(preset_defaults, spec)
     spec = substitute(spec, tokens=tokens or {}, variables=variables, secrets=secrets)
-    fg = FlowGroup.model_validate(spec)
+    try:
+        fg = FlowGroup.model_validate(spec)
+    except PydanticValidationError as e:
+        # user-authored spec defects report as spec errors, not tracebacks
+        raise SpecError(str(e)) from e
     if validate:
         validate_flowgroup_graph(fg.actions)
     return fg
@@ -233,14 +244,17 @@ def discover_flowgroups(
     out: list[FlowGroup] = []
 
     def _classify(path: str, spec: dict) -> Optional[FlowGroup]:
-        if looks_like_blueprint(spec):
-            bp = Blueprint.model_validate(spec)
-            blueprints[bp.name] = bp
-            return None
-        if looks_like_instance(spec):
-            inst = BlueprintInstance.model_validate({**spec, "source": path})
-            instances.append(inst)
-            return None
+        try:
+            if looks_like_blueprint(spec):
+                bp = Blueprint.model_validate(spec)
+                blueprints[bp.name] = bp
+                return None
+            if looks_like_instance(spec):
+                inst = BlueprintInstance.model_validate({**spec, "source": path})
+                instances.append(inst)
+                return None
+        except PydanticValidationError as e:
+            raise SpecError(f"{path}: {e}") from e
         return load_flowgroup(
             spec, tokens=tokens, presets_dir=presets_dir, templates_dir=templates_dir
         )
@@ -256,7 +270,10 @@ def discover_flowgroups(
             return yaml.safe_load(f) or {}
 
     for p in bp_paths:
-        bp = Blueprint.model_validate(_read_yaml(p))
+        try:
+            bp = Blueprint.model_validate(_read_yaml(p))
+        except PydanticValidationError as e:
+            raise SpecError(f"{p}: {e}") from e
         blueprints[bp.name] = bp
     for p in sorted(set(paths)):
         fg = _classify(p, _read_yaml(p))

@@ -18,7 +18,10 @@ _SECRET = re.compile(r"\$\{secret:([A-Za-z0-9_\-]+)/([A-Za-z0-9_\-]+)\}")
 _LOCAL = re.compile(r"%\{([A-Za-z0-9_.\-]+)\}")
 
 
-class UnresolvedTokenError(ValueError):
+from lakehouse_plumber_spark.models import SpecError
+
+
+class UnresolvedTokenError(SpecError):
     pass
 
 

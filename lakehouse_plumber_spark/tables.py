@@ -85,6 +85,14 @@ class ParquetTableStore:
 
     def read_stream(self, name: str) -> DataFrame:
         schema = self.read(name).schema
+        # Persistent marker: a parquet FileStreamSource checkpoint tracks
+        # processed file PATHS, so once ANY run consumes this table as a
+        # stream, a compaction (which renames every data file) would make
+        # every checkpointed consumer re-ingest the table in full. compact()
+        # refuses such tables; the marker lives in the meta sidecar, outside
+        # the table dir, so it survives rewrites.
+        if not self.get_meta(name, "streaming_consumed"):
+            self.set_meta(name, "streaming_consumed", True)
         return self.spark.readStream.schema(schema).parquet(self.path(name))
 
     def create_if_not_exists(
@@ -207,6 +215,7 @@ class ParquetTableStore:
         name: str,
         target_rows_per_file: int = 4_000_000,
         order_within_files: Optional[list[str]] = None,
+        force: bool = False,
     ) -> dict:
         """Small-file compaction — the parquet analogue of Delta ``OPTIMIZE``
         (the reference delegates this to the platform; an executing engine
@@ -222,7 +231,22 @@ class ParquetTableStore:
         ``target_rows_per_file``. Content is byte-identical, so nothing is
         logged to the change feed and table meta is untouched (both live
         outside the table dir).
+
+        FILE IDENTITY is not preserved, though: every data file gets a new
+        name, and a parquet FileStreamSource checkpoint tracks processed
+        file paths — a checkpointed streaming consumer of a compacted table
+        would re-ingest it in full (Delta OPTIMIZE sidesteps this with
+        dataChange=false; a parquet directory has no equivalent). Tables
+        ever read via ``read_stream`` are therefore refused unless
+        ``force=True`` (ADVICE r4 high).
         """
+        if not force and self.get_meta(name, "streaming_consumed"):
+            raise ValueError(
+                f"refusing to compact {name!r}: the table has been read as a "
+                "stream, and compaction renames every data file, which would "
+                "make checkpointed streaming consumers re-ingest it in full; "
+                "pass force=True only if all consumer checkpoints are reset"
+            )
         before = self._data_file_count(name)
         part_cols = self._partition_columns_on_disk(name)
         df = self.read(name)

@@ -328,3 +328,69 @@ def test_cli_compile_parallel_matches_serial(tmp_path, capsys):
     s = {p.name: p.read_text() for p in serial.glob("*.py")}
     p = {q.name: q.read_text() for q in par.glob("*.py")}
     assert s == p and len(s) >= 2
+
+
+def test_cli_diff_only_deletes_what_compile_would(tmp_path, capsys):
+    """ADVICE r4: diff must mirror compile's cleanup rule exactly — report a
+    deletion ONLY for generator-owned files (top-level __-shaped .py whose
+    content starts with the generated-file header). User files in the output
+    tree must not keep `diff --exit-code` permanently red."""
+    out_dir = tmp_path / "generated"
+    main(["compile", PROJECT, "--env", "dev", "-o", str(out_dir)])
+    capsys.readouterr()
+
+    # a user file (no generated header) and a nested file: compile would
+    # never delete either, so diff must not claim it would
+    (out_dir / "conftest__local.py").write_text("x = 1\n")
+    (out_dir / "sub").mkdir()
+    (out_dir / "sub" / "stale__thing.py").write_text(
+        '"""Generated by lakehouse_plumber_spark.codegen (old)"""\n'
+    )
+    rc = main(["diff", PROJECT, "--env", "dev", "-o", str(out_dir), "--exit-code"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "no changes" in out
+
+    # a stale top-level generated file IS deletable — diff reports it
+    (out_dir / "renamed__old.py").write_text(
+        '"""Generated by lakehouse_plumber_spark.codegen (old run)"""\n'
+    )
+    rc = main(["diff", PROJECT, "--env", "dev", "-o", str(out_dir), "--exit-code"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "- renamed__old.py" in out
+
+
+def test_cli_validate_flags_streaming_compaction_conflict(tmp_path, capsys):
+    """Project-level validate FAILs when one flowgroup declares
+    lhp.autoOptimize.maxFiles on a table another flowgroup streams from."""
+    import yaml
+
+    proj = tmp_path / "proj"
+    (proj / "pipelines").mkdir(parents=True)
+    writer = {
+        "pipeline": "a", "flowgroup": "w",
+        "actions": [
+            {"name": "ld", "type": "load",
+             "source": {"type": "sql", "sql": "SELECT 1 AS id"}, "target": "v"},
+            {"name": "wr", "type": "write", "source": "v",
+             "write_target": {"type": "streaming_table", "catalog": "m",
+                              "schema": "s", "table": "t",
+                              "table_properties": {"lhp.autoOptimize.maxFiles": "4"}}},
+        ],
+    }
+    consumer = {
+        "pipeline": "b", "flowgroup": "r",
+        "actions": [
+            {"name": "ld", "type": "load", "readMode": "stream",
+             "source": {"type": "delta", "catalog": "m", "schema": "s", "table": "t"},
+             "target": "v_src"},
+            {"name": "wr", "type": "write", "source": "v_src",
+             "write_target": {"type": "streaming_table", "catalog": "m",
+                              "schema": "s", "table": "u"}},
+        ],
+    }
+    (proj / "pipelines" / "w.yaml").write_text(yaml.safe_dump(writer))
+    (proj / "pipelines" / "r.yaml").write_text(yaml.safe_dump(consumer))
+    rc = main(["validate", str(proj)])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "lhp.autoOptimize.maxFiles" in out and "'m.s.t'" in out

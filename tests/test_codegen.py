@@ -753,3 +753,43 @@ def test_compiled_streaming_table_partitions_and_autocompacts(spark, tmp_path):
     files = glob.glob(tbl_dir + "/**/*.parquet", recursive=True)
     assert len(files) <= 4
     assert written["m.s.t"].count() == 120
+
+
+def test_compiled_fanin_compaction_merges_strictest_bound(spark, tmp_path):
+    """ADVICE r4: sibling fan-in flows registering conflicting maxFiles for
+    one target must merge strictest-wins in the GENERATED script, matching
+    the engine's _merge_compaction — not last-writer-wins. Here the LAST
+    registration carries the loose bound (100): last-writer-wins would never
+    compact; the merge rule compacts to one file."""
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    spec = {
+        "pipeline": "p", "flowgroup": "fanin_merge",
+        "actions": [
+            {"name": "ld1", "type": "load",
+             "source": {"type": "sql", "sql": "SELECT id FROM RANGE(10)"},
+             "target": "v_a"},
+            {"name": "ld2", "type": "load",
+             "source": {"type": "sql", "sql": "SELECT id + 100 AS id FROM RANGE(10)"},
+             "target": "v_b"},
+            {"name": "wr1", "type": "write", "source": "v_a",
+             "write_target": {"type": "streaming_table", "catalog": "m",
+                              "schema": "s", "table": "fan",
+                              "table_properties": {"lhp.autoOptimize.maxFiles": "1"}}},
+            {"name": "wr2", "type": "write", "source": "v_b", "depends_on": ["wr1"],
+             "write_target": {"type": "streaming_table", "catalog": "m",
+                              "schema": "s", "table": "fan", "create_table": False,
+                              "table_properties": {"lhp.autoOptimize.maxFiles": "100"}}},
+        ],
+    }
+    src = compile_flowgroup(load_flowgroup(spec))
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    out = tmp_path / "gen"
+    for _ in range(3):
+        written = ns["build"](spark, str(out))
+    import glob as _glob
+    tbl_files = _glob.glob(str(out / "m" / "s" / "fan") + "/**/*.parquet", recursive=True)
+    assert len(tbl_files) == 1, "strictest bound (1) must win over the later loose bound"
+    assert written["m.s.fan"].count() == 60

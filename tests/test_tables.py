@@ -220,3 +220,117 @@ def test_merge_compaction_rule():
     assert _merge_compaction(("a", 5, []), ("b", 2, [])) == ("b", 2, [])
     # both order: first registration's ordering wins (stable), strictest bound
     assert _merge_compaction(("a", 5, ["x"]), ("b", 2, ["y"])) == ("a", 2, ["x"])
+
+
+def test_compact_refuses_streaming_consumed_table(spark, tmp_path):
+    """ADVICE r4 high: compaction renames every data file, and a parquet
+    FileStreamSource checkpoint tracks processed file PATHS — so a table that
+    has ever been read as a stream must refuse compaction (every checkpointed
+    consumer would re-ingest it in full)."""
+    import pytest
+
+    st = _store(spark, tmp_path)
+    t = "main.s.sc"
+    for i in range(3):
+        st.append(t, spark.range(i * 5, i * 5 + 5))
+    st.read_stream(t)  # marks the table as streaming-consumed (persistently)
+    with pytest.raises(ValueError, match="stream"):
+        st.compact(t)
+    # explicit override for operators who reset every consumer checkpoint
+    res = st.compact(t, force=True)
+    assert res["files_after"] == 1
+
+
+def test_auto_compact_skipped_for_streaming_consumed_target(spark, tmp_path):
+    """End-to-end: a flowgroup declares lhp.autoOptimize.maxFiles on a table
+    another flowgroup consumes as a stream. The runner must SKIP the
+    compaction (logged as auto_compact_skipped), and the streaming consumer's
+    checkpoint must keep exactly-once semantics across runs — before the fix
+    the post-compaction rename made run 2 re-ingest the whole table."""
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+    from lakehouse_plumber_spark.runner import PipelineRunner
+
+    store = ParquetTableStore(spark=spark, root=str(tmp_path / "wh"))
+    writer = {
+        "pipeline": "a", "flowgroup": "w",
+        "actions": [
+            {"name": "ld", "type": "load",
+             "source": {"type": "sql", "sql": "SELECT id FROM RANGE(40)"},
+             "target": "v"},
+            {"name": "wr", "type": "write", "source": "v",
+             "write_target": {"type": "streaming_table", "catalog": "m",
+                              "schema": "s", "table": "t",
+                              "table_properties": {"lhp.autoOptimize.maxFiles": "1"}}},
+        ],
+    }
+    consumer = {
+        "pipeline": "b", "flowgroup": "r",
+        "actions": [
+            {"name": "ld", "type": "load", "readMode": "stream",
+             "source": {"type": "delta", "catalog": "m", "schema": "s",
+                        "table": "t"},
+             "target": "v_src"},
+            {"name": "wr", "type": "write", "source": "v_src",
+             "write_target": {"type": "streaming_table", "catalog": "m",
+                              "schema": "s", "table": "u"}},
+        ],
+    }
+    runner = PipelineRunner(spark, store=store)
+    runner.run_many([load_flowgroup(writer), load_flowgroup(consumer)])
+    runner.run_many([load_flowgroup(writer), load_flowgroup(consumer)])
+    # exactly-once: the consumer holds exactly the producer's rows, no re-ingest
+    assert store.read("m.s.t").count() == 80
+    assert store.read("m.s.u").count() == 80
+    ev = runner.event_log_df()
+    # run 1 may legitimately compact (the compaction pass runs before the
+    # consumer's first stream, so no checkpoint exists yet); once the table
+    # is marked streaming-consumed every later registration must skip
+    assert ev.where("event = 'auto_compact_skipped'").count() >= 1
+    # the table keeps run-2's small files — correct trade against re-ingestion
+    assert store._data_file_count("m.s.t") > 1
+
+
+def test_validate_streaming_compaction_flags_conflict(spark):
+    """Static project-level check for the same hazard (dag.py)."""
+    from lakehouse_plumber_spark.dag import validate_streaming_compaction
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    writer = load_flowgroup({
+        "pipeline": "a", "flowgroup": "w",
+        "actions": [
+            {"name": "ld", "type": "load",
+             "source": {"type": "sql", "sql": "SELECT 1 AS id"}, "target": "v"},
+            {"name": "wr", "type": "write", "source": "v",
+             "write_target": {"type": "streaming_table", "catalog": "m",
+                              "schema": "s", "table": "t",
+                              "table_properties": {"lhp.autoOptimize.maxFiles": "4"}}},
+        ],
+    })
+    consumer = load_flowgroup({
+        "pipeline": "b", "flowgroup": "r",
+        "actions": [
+            {"name": "ld", "type": "load", "readMode": "stream",
+             "source": {"type": "delta", "catalog": "m", "schema": "s",
+                        "table": "t"},
+             "target": "v_src"},
+            {"name": "wr", "type": "write", "source": "v_src",
+             "write_target": {"type": "streaming_table", "catalog": "m",
+                              "schema": "s", "table": "u"}},
+        ],
+    })
+    problems = validate_streaming_compaction([writer, consumer])
+    assert len(problems) == 1 and "m.s.t" in problems[0]
+    # batch consumers are fine
+    batch = load_flowgroup({
+        "pipeline": "b", "flowgroup": "r2",
+        "actions": [
+            {"name": "ld", "type": "load",
+             "source": {"type": "delta", "catalog": "m", "schema": "s",
+                        "table": "t"},
+             "target": "v_src"},
+            {"name": "wr", "type": "write", "source": "v_src",
+             "write_target": {"type": "materialized_view", "catalog": "m",
+                              "schema": "g", "table": "agg"}},
+        ],
+    })
+    assert validate_streaming_compaction([writer, batch]) == []
