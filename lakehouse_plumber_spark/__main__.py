@@ -265,10 +265,13 @@ def _build_dep_edges(fgs: list, base_dir: str) -> dict:
             "warnings": warnings}
 
 
-def cmd_deps(args) -> int:
-    """Print the cross-flowgroup execution stages (reference: `lhp deps` +
-    job stage synthesis, src/lhp/core/jobs/job_generator.py)."""
+def _staged_plan(args):
+    """Discover flowgroups, build the (cached) cross-flowgroup edges, and
+    assign execution stages via dag.execution_stages — the SAME computation
+    run_many schedules with. Shared by `deps`/`dag` and the `jobs` export."""
     import hashlib
+
+    from lakehouse_plumber_spark.dag import execution_stages
 
     fgs = _discover(args)
     base_dir = getattr(args, "project_root", ".") or "."
@@ -305,20 +308,23 @@ def cmd_deps(args) -> int:
     deps = {int(i): set(v) for i, v in built["deps"].items()}
     for w in built["warnings"]:
         print(w, file=sys.stderr)
+    stages = execution_stages(deps, len(fgs))
+    return fgs, deps, stages
+
+
+def cmd_deps(args) -> int:
+    """Print the cross-flowgroup execution stages (reference: `lhp deps` +
+    job stage synthesis, src/lhp/core/jobs/job_generator.py)."""
+    from lakehouse_plumber_spark.dag import CycleError
+
+    try:
+        fgs, deps, stages = _staged_plan(args)
+    except CycleError as e:
+        print(f"ERROR: {e}")
+        return 1
+
     def _label(i: int) -> str:
         return f"{fgs[i].pipeline}/{fgs[i].flowgroup}"
-
-    # stage assignment (shared by all formats)
-    done: set[int] = set()
-    stages: list[list[int]] = []
-    while len(done) < len(fgs):
-        stage = [i for i in range(len(fgs)) if i not in done and deps[i] <= done]
-        if not stage:
-            print("ERROR: dependency cycle among: "
-                  + ", ".join(_label(i) for i in range(len(fgs)) if i not in done))
-            return 1
-        stages.append(stage)
-        done.update(stage)
 
     fmt = getattr(args, "format", "text") or "text"
     if fmt == "dot":
@@ -356,6 +362,63 @@ def cmd_deps(args) -> int:
         for i in stage:
             up = ", ".join(_label(j) for j in sorted(deps[i])) or "-"
             print(f"stage {stage_no}: {_label(i)}  (after: {up})")
+    return 0
+
+
+def cmd_jobs(args) -> int:
+    """Export the staged orchestration plan `run_many` executes as a job
+    artifact for an external scheduler — the engine-side analogue of the
+    reference JobGenerator, which emits staged job YAML from the
+    cross-pipeline DAG (src/lhp/core/jobs/job_generator.py:60-108,
+    job_builder.py:17-60: stages of tasks, each with depends_on and an
+    is-parallel marker). A scheduler that runs stage N's tasks concurrently
+    and stages in order reproduces exactly what `run` does in-process."""
+    from lakehouse_plumber_spark.dag import CycleError
+
+    try:
+        fgs, deps, stages = _staged_plan(args)
+    except CycleError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+
+    def _key(i: int) -> str:
+        return f"{fgs[i].pipeline}__{fgs[i].flowgroup}"
+
+    doc = {
+        "job": {
+            "name": f"{os.path.basename(os.path.abspath(args.project_root))}_master",
+            "max_concurrent_runs": 1,
+        },
+        "stages": [
+            {
+                "stage": n,
+                "parallel": len(s) > 1,
+                "tasks": [
+                    {
+                        "task_key": _key(i),
+                        "pipeline": fgs[i].pipeline,
+                        "flowgroup": fgs[i].flowgroup,
+                        "depends_on": sorted(_key(j) for j in deps[i]),
+                    }
+                    for i in sorted(s, key=_key)
+                ],
+            }
+            for n, s in enumerate(stages, 1)
+        ],
+    }
+    if getattr(args, "format", "yaml") == "json":
+        text = json.dumps(doc, indent=2, sort_keys=True) + "\n"
+    else:
+        import yaml
+
+        text = yaml.safe_dump(doc, sort_keys=False, default_flow_style=False)
+    out = getattr(args, "out", None)
+    if out:
+        with open(out, "w") as f:
+            f.write(text)
+        print(f"wrote {out}")
+    else:
+        sys.stdout.write(text)
     return 0
 
 
@@ -637,7 +700,7 @@ def main(argv: list[str] | None = None) -> int:
     # _lazy_group.py maps both to the same command)
     for name, fn in (("validate", cmd_validate), ("run", cmd_run),
                      ("compile", cmd_compile), ("deps", cmd_deps),
-                     ("dag", cmd_deps),
+                     ("dag", cmd_deps), ("jobs", cmd_jobs),
                      ("diff", cmd_diff), ("list", cmd_list),
                      ("substitutions", cmd_substitutions)):
         sp = sub.add_parser(name)
@@ -659,6 +722,12 @@ def main(argv: list[str] | None = None) -> int:
         if name in ("deps", "dag"):
             sp.add_argument("--format", choices=("text", "dot", "json"), default="text",
                             help="output format (reference output.py serializers)")
+        if name == "jobs":
+            sp.add_argument("--format", choices=("yaml", "json"), default="yaml",
+                            help="staged job artifact format (reference "
+                                 "job_generator.py emits job YAML)")
+            sp.add_argument("-o", "--out", default=None,
+                            help="write the artifact to a file instead of stdout")
         if name == "diff":
             sp.add_argument("-o", "--out", default="generated",
                             help="on-disk tree to compare the plan against")

