@@ -173,12 +173,15 @@ def load_flowgroup(
 ) -> FlowGroup:
     """Resolve a raw YAML dict into a validated FlowGroup model."""
     spec = copy.deepcopy(spec)
-    variables = _expand_variable_definitions(spec.get("variables", {}) or {})
     spec = _expand_template(spec, templates_dir, spec.get("template_parameters", {}) or {})
     preset_defaults = _load_presets(spec.get("presets", []) or [], presets_dir)
     if preset_defaults:
         # presets provide defaults under the flowgroup (actions keep their own fields)
         spec = deep_merge(preset_defaults, spec)
+    # %{var} resolution sees the MERGED variable set — template- and
+    # preset-provided variables are referenceable, with the flowgroup's own
+    # declarations winning (deep_merge puts spec over preset defaults)
+    variables = _expand_variable_definitions(spec.get("variables", {}) or {})
     spec = substitute(spec, tokens=tokens or {}, variables=variables, secrets=secrets)
     try:
         fg = FlowGroup.model_validate(spec)
