@@ -112,10 +112,11 @@ class ParquetTableStore:
             os.makedirs(self.path(name), exist_ok=True)
 
     def append(self, name: str, df: DataFrame, partition_columns: Optional[list[str]] = None) -> None:
-        if not self.exists(name) and df.isEmpty():
-            # a zero-row partitioned/multi-task write emits NO parquet files,
-            # leaving a dir whose schema can never be inferred — seed the
-            # table with a schema-bearing empty file instead
+        if not self.exists(name):
+            # route table creation through overwrite: it guarantees a
+            # schema-bearing file even for zero-row frames (a partitioned/
+            # multi-task empty write emits no parquet footer) without
+            # probing isEmpty(), which would evaluate the frame once extra
             self.overwrite(name, df, partition_columns=partition_columns)
             return
         w = df.write.mode("append")
@@ -133,35 +134,47 @@ class ParquetTableStore:
         """Atomic overwrite: write to shadow dir, swap, drop the old data.
 
         With Delta this is a single transactional overwrite; here the rename is
-        the commit point. Empty results are written unpartitioned through one
-        task so the parquet footer (and thus the table schema) always exists.
-        ``order_within_files`` sorts rows inside each write task AFTER the
-        partition co-location shuffle (cluster_columns layout — applied last
-        so the repartition cannot undo it).
+        the commit point. ``order_within_files`` sorts rows inside each write
+        task AFTER the partition co-location shuffle (cluster_columns layout —
+        applied last so the repartition cannot undo it).
+
+        Zero-row results need a schema-bearing file (a partitioned/multi-task
+        empty write emits no parquet footer at all), but probing df.isEmpty()
+        up front would evaluate the WHOLE query once extra — for an MV refresh
+        or CDC rebuild that doubles the compute. Instead: write first, and
+        only if the shadow dir came out file-less rewrite it as one empty
+        single-task file (the second write runs on a known-empty frame, so the
+        slow path costs nothing).
         """
-        if df.isEmpty():
-            df = df.coalesce(1)
-            partition_columns = None
         target = self.path(name)
         shadow = f"{target}__swap_{uuid.uuid4().hex[:8]}"
+        out = df
         if partition_columns:
             from pyspark.sql import functions as F
 
-            df = df.repartition(*[F.col(c) for c in partition_columns])
+            out = out.repartition(*[F.col(c) for c in partition_columns])
         if order_within_files:
-            df = df.sortWithinPartitions(*order_within_files)
-        w = df.write.mode("overwrite")
+            out = out.sortWithinPartitions(*order_within_files)
+        w = out.write.mode("overwrite")
         if partition_columns:
             w = w.partitionBy(*partition_columns)
         w.parquet(shadow)
+        if not any(
+            f.endswith(".parquet") for _, _, fs in os.walk(shadow) for f in fs
+        ):
+            self.spark.createDataFrame([], df.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(shadow)
         backup = f"{target}__old_{uuid.uuid4().hex[:8]}"
         if os.path.isdir(target):
             os.rename(target, backup)
         os.rename(shadow, target)
         if os.path.isdir(backup):
             shutil.rmtree(backup, ignore_errors=True)
-        # invalidate any cached file listings for this path
-        self.spark.catalog.clearCache()
+        # invalidate cached file listings for THIS path only — clearCache()
+        # here would drop every cached relation in the session (including
+        # in-flight persisted frames and unrelated tables' file indexes)
+        self.spark.catalog.refreshByPath(target)
 
     def overwrite_partitions(
         self, name: str, df: DataFrame, partition_columns: list[str]
@@ -184,7 +197,7 @@ class ParquetTableStore:
             .partitionBy(*partition_columns)
             .parquet(self.path(name))
         )
-        self.spark.catalog.clearCache()
+        self.spark.catalog.refreshByPath(self.path(name))
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
