@@ -1673,6 +1673,77 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+_PQ_M, _PQ_K, _PQ_PROBE = 8, 16, 4
+
+
+def _ivfpq_duck() -> str:
+    ids = ", ".join(str(i) for i in _KNN_IDS)
+    m, kk, probe = _PQ_M, _PQ_K, _PQ_PROBE
+    sq = lambda a, b: f"list_sum(list_transform(range(1, len({a}) + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"  # noqa: E731
+    sub = lambda v, mm: f"list_slice({v}, {mm} * (len({v}) // {m}) + 1, ({mm} + 1) * (len({v}) // {m}))"  # noqa: E731
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS j
+              FROM base ORDER BY vec_id LIMIT {kk}),
+    -- coarse list assignment: full-vector argmin over the seed centroids
+    asg AS (SELECT vec_id, list_id FROM (
+              SELECT b.vec_id, s.vec_id AS list_id,
+                     row_number() OVER (PARTITION BY b.vec_id
+                                        ORDER BY {sq('b.v', 's.v')}, s.vec_id) AS rn
+              FROM base b CROSS JOIN seeds s) t WHERE rn = 1),
+    -- PQ codes: per (vector, subspace) argmin over the subspace codebook
+    codes AS (SELECT vec_id, m, j AS code FROM (
+                SELECT b.vec_id, mr.range AS m, s.j,
+                       row_number() OVER (PARTITION BY b.vec_id, mr.range
+                                          ORDER BY {sq(sub('b.v', 'mr.range'), sub('s.v', 'mr.range'))}, s.j) AS rn
+                FROM base b, range(0, {m}) mr CROSS JOIN seeds s) t WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN ({ids})),
+    -- per-query ADC tables: distance of each query subvector to each code
+    qt AS (SELECT q.query_id, mr.range AS m, s.j,
+                  {sq(sub('q.qv', 'mr.range'), sub('s.v', 'mr.range'))} AS t
+           FROM q, range(0, {m}) mr CROSS JOIN seeds s),
+    probes AS (SELECT query_id, list_id FROM (
+                 SELECT q.query_id, s.vec_id AS list_id,
+                        row_number() OVER (PARTITION BY q.query_id
+                                           ORDER BY {sq('q.qv', 's.v')}, s.vec_id) AS rn
+                 FROM q CROSS JOIN seeds s) t WHERE rn <= {probe}),
+    cand AS (SELECT p.query_id, a.vec_id
+             FROM probes p JOIN asg a ON a.list_id = p.list_id
+             WHERE a.vec_id <> p.query_id),
+    -- ADC score: ordered (by subspace) sequential sum of table lookups, the
+    -- same fold order as the engine's aggregate()
+    adc AS (SELECT c.query_id, c.vec_id,
+                   list_sum(list(qt.t ORDER BY qt.m)) AS adc
+            FROM cand c
+            JOIN codes ON codes.vec_id = c.vec_id
+            JOIN qt ON qt.query_id = c.query_id AND qt.m = codes.m AND qt.j = codes.code
+            GROUP BY c.query_id, c.vec_id)
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(rn AS BIGINT) AS rank, round(adc, 6) AS adc_dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc, vec_id) AS rn FROM adc) t
+    WHERE rn <= 3
+    """
+
+
+@_register("knn_ivfpq", _ivfpq_duck())
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011): coarse inverted lists + per-subspace
+    product-quantization codes + asymmetric-distance scoring — the
+    memory-compression rung of the similarity ladder (8 code bytes per
+    vector vs 512 float64 bytes; at 100 TB the candidate scan reads codes
+    only). Deterministic lowest-id quantizers so the DuckDB oracle
+    replicates list assignment, encoding, probe selection, and ADC ranking
+    exactly (llm/similarity.py:ivfpq_search documents the narrow-encode +
+    bucket-join plan)."""
+    _prep(spark, sf_dir)
+    return S.ivfpq_search(
+        spark.table("embeddings"), _KNN_IDS, k=3,
+        n_centroids=_PQ_K, n_probe=_PQ_PROBE,
+        m_subvectors=_PQ_M, n_codes=_PQ_K,
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 @_register(
     "multimodal_features",
     """

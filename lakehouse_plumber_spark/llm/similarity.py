@@ -243,6 +243,112 @@ def ivf_build_and_search(
     )
 
 
+def ivfpq_search(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: coarse inverted lists + product-quantized codes with ADC
+    scoring (Jégou et al. 2011) — the memory-compression rung of the ANN
+    ladder above int8: each vector stores `m_subvectors` small codes
+    (8 bytes here vs 512 for the float64 pipeline, a 64x reduction), so at
+    100 TB the candidate scan reads codes only and never touches the raw
+    vectors.
+
+    Deterministic quantizers (lowest-id seeds for both the coarse lists and
+    every per-subspace codebook) keep the whole pipeline single-pass and
+    cross-engine reproducible — the trained-quantizer variant is
+    ivf_build_and_search's Lloyd loop, unchanged here by design.
+
+    Plan/scale: encoding is ONE narrow projection over codebook literals
+    (no join, no exchange — same argmin-fold shape as centroid_argmin_expr);
+    the query side is driver-bounded (|Q| rows): probe selection and the
+    per-query ADC distance tables are computed in Python from the collected
+    query vectors and broadcast as a tiny (query, probed-list, tables)
+    frame; scoring a candidate is `m_subvectors` array LOOKUPS — that is
+    the asymmetric-distance trick — followed by one top-k window per query.
+    Collection-side work: one scan + one bucket equi-join, nothing else.
+
+    Returns (query_id, neighbor_id, rank, adc_dist): rank ascending by
+    quantized L2 distance, ties to the lower id.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    n_seeds = max(n_centroids, n_codes)
+    seeds = [
+        (r[0], list(r[1]))
+        for r in base.orderBy(id_col).limit(n_seeds).select(id_col, "v").collect()
+    ]
+    seeds.sort()
+    dim = len(seeds[0][1])
+    if dim % m_subvectors:
+        raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
+    d = dim // m_subvectors
+    cents = seeds[:n_centroids]
+
+    # per-subspace codebooks: entry j of book m is the m-th subvector of the
+    # j-th lowest-id seed; codes are POSITIONS (0..n_codes-1), not ids
+    books = [
+        [(j, seeds[j][1][m * d:(m + 1) * d]) for j in range(n_codes)]
+        for m in range(m_subvectors)
+    ]
+    code_exprs = [
+        "array_min(" + centroid_distances_expr(books[m], f"slice(v, {m * d + 1}, {d})") + ").cid"
+        for m in range(m_subvectors)
+    ]
+    encoded = base.select(
+        id_col,
+        F.expr(centroid_argmin_expr(cents)).alias("list_id"),
+        F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes"),
+    )
+
+    def _sqdist(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):  # sequential fold, matching the SQL engines
+            acc += (x - y) * (x - y)
+        return acc
+
+    q_rows = {r[0]: list(r[1]) for r in base.where(F.col(id_col).isin(query_ids)).collect()}
+    probe_rows = []
+    for qid in sorted(q_rows):
+        qv = q_rows[qid]
+        nearest = sorted((_sqdist(qv, cv), cid) for cid, cv in cents)[:n_probe]
+        tables = [
+            [_sqdist(qv[m * d:(m + 1) * d], bv) for _, bv in books[m]]
+            for m in range(m_subvectors)
+        ]
+        for _, cid in nearest:
+            probe_rows.append((qid, cid, tables))
+    probes = df.sparkSession.createDataFrame(
+        probe_rows, "query_id long, list_id long, tabs array<array<double>>"
+    )
+    adc = (
+        "aggregate(zip_with(codes, tabs, (c, t) -> element_at(t, cast(c + 1 as int))), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    scored = (
+        encoded.join(F.broadcast(probes), on="list_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("adc", F.expr(adc))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "rank",
+            F.round("adc", 6).alias("adc_dist"),
+        )
+    )
+
+
 INT8_LEVELS = 127
 
 

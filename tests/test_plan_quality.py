@@ -88,6 +88,40 @@ def test_kmeans_assignment_single_narrow_projection(spark, q):
         assert node not in plan, f"assignment stage must not contain {node}"
 
 
+def test_ivfpq_encode_narrow_and_probe_broadcast(spark, q):
+    """IVF-PQ contract: collection-side encoding (coarse list + all PQ codes)
+    is ONE narrow projection over codebook literals, and the only join in the
+    full search is the broadcast probe join — the big side never shuffles."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.similarity import (
+        centroid_argmin_expr,
+        centroid_distances_expr,
+    )
+
+    base = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cents = [(i, [0.1 * i] * 8) for i in range(4)]
+    books = [[(j, [0.2 * j] * 4) for j in range(4)] for _ in range(2)]
+    code_exprs = [
+        "array_min(" + centroid_distances_expr(books[m], f"slice(v, {m * 4 + 1}, 4)") + ").cid"
+        for m in range(2)
+    ]
+    encoded = base.select(
+        "vec_id",
+        F.expr(centroid_argmin_expr(cents)).alias("list_id"),
+        F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes"),
+    )
+    plan = _spark_plan(encoded)
+    for node in ("Exchange", "Window", "Join", "Generate"):
+        assert node not in plan, f"PQ encode stage must not contain {node}"
+    full = _spark_plan(q["knn_ivfpq"](spark, SF))
+    assert "BroadcastHashJoin" in full
+    assert "SortMergeJoin" not in full and "CartesianProduct" not in full
+
+
 def test_minhash_lsh_no_cartesian(spark, q):
     df = q["dedup_minhash_lsh"](spark, SF)
     plan = _spark_plan(df)
