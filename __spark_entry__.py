@@ -3438,6 +3438,57 @@ def text_mean_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.mean_token_frequency(spark.table("documents"))
 
 
+def _gopher_duck() -> str:
+    from lakehouse_plumber_spark.llm.text import (
+        ENGLISH_STOPWORDS,
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    return f"""
+    WITH t AS (SELECT doc_id, text, {tokens_duck('text')} AS tk FROM documents),
+    g AS (
+      SELECT doc_id,
+             len(tk) AS n_words,
+             list_sum(list_transform(tk, w -> len(w))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS mean_word_len,
+             ((len(text) - len(replace(text, '#', '')))
+              + (len(text) - len(replace(text, '...', ''))) / 3)
+               / CAST(greatest(len(tk), 1) AS DOUBLE) AS symbol_word_ratio,
+             len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]')))
+               / CAST(greatest(len(tk), 1) AS DOUBLE) AS alpha_word_frac,
+             len(list_filter(tk, w -> lower(w) IN ({stops}))) AS n_stopwords
+      FROM t)
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(symbol_word_ratio, 6) AS symbol_word_ratio,
+           round(alpha_word_frac, 6) AS alpha_word_frac,
+           CAST(n_stopwords AS INT) AS n_stopwords,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+            AND symbol_word_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+            AND alpha_word_frac > {GOPHER_MIN_ALPHA_FRAC}
+            AND n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS keep
+    FROM g
+    """
+
+
+@_register("text_gopher_rules", _gopher_duck())
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher heuristic quality-filter battery (Rae et al. 2021): word-count
+    and mean-word-length bounds, symbol-to-word ratio, alphabetic-word
+    fraction, minimum stopword count, and the composite keep verdict — the
+    standard web-corpus pre-filter before any model-based scoring
+    (llm/text.py:gopher_rules documents the single-scan narrow plan)."""
+    _prep(spark, sf_dir)
+    return TX.gopher_rules(spark.table("documents"))
+
+
 def _decontaminate_duck() -> str:
     from lakehouse_plumber_spark.llm.dedup import SHINGLE_N
 
@@ -3592,6 +3643,48 @@ def sample_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.pack_token_shards(
         docs, budget=_PACK_BUDGET, shards=_PACK_SHARDS
     )
+
+
+_SEQPACK_L = 128
+_SEQPACK_SHARDS = 8
+
+
+def _seq_pack_duck() -> str:
+    shard_h = md5int_duck("'pack:' || CAST(doc_id AS VARCHAR)")
+    ord_h = md5int_duck("'sample:' || CAST(doc_id AS VARCHAR)")
+    L = _SEQPACK_L
+    return f"""
+    WITH tok AS (SELECT doc_id, CAST(len({tokens_duck('text')}) AS INT) AS n
+                 FROM documents),
+    sh AS (SELECT doc_id, n,
+                  {shard_h} % {_SEQPACK_SHARDS} AS shard,
+                  {ord_h} % 1000000 AS ord
+           FROM tok WHERE n > 0),
+    c AS (SELECT doc_id, n, shard,
+                 COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+          FROM sh)
+    SELECT CAST(shard AS INT) AS shard, CAST(u.s AS INT) AS seq, doc_id,
+           CAST(greatest(u.s * {L}, st) - u.s * {L} AS INT) AS frag_start,
+           CAST(least((u.s + 1) * {L}, st + n) - greatest(u.s * {L}, st) AS INT) AS frag_len
+    FROM c, UNNEST(generate_series(CAST(st // {L} AS BIGINT),
+                                   CAST((st + n - 1) // {L} AS BIGINT))) AS u(s)
+    """
+
+
+@_register("sample_sequence_pack", _seq_pack_duck())
+def sample_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained sequence packing: documents laid contiguously and cut
+    into fixed 128-token training sequences, one row per (sequence,
+    document-fragment) — the attention-boundary metadata a packed
+    pretraining loader consumes (llm/sampling.py:pack_sequences documents
+    the one-shuffle + bounded-explode plan). Complements sample_token_pack,
+    which is the coarse whole-document shard level."""
+    from lakehouse_plumber_spark.llm import sampling as SP
+
+    _prep(spark, sf_dir)
+    docs = TX.with_token_count(spark.table("documents")).select("doc_id", "n_tokens")
+    return SP.pack_sequences(docs, seq_len=_SEQPACK_L, shards=_SEQPACK_SHARDS)
 
 
 def _corpus_stats_duck(stratum_col: str = "source", rel: str = "documents") -> str:

@@ -39,6 +39,7 @@ NAMES = [
     "text_corpus_stats",
     "sample_hash_split",
     "sample_mixture",
+    "knn_ivfpq",
 ]
 
 
@@ -66,6 +67,7 @@ def _scaled_views(spark, sf_dir: str, factor: int):
     ekey_span = base["events"].agg(F.max("event_id")).collect()[0][0] + 1
     user_span = base["events"].agg(F.max("user_id")).collect()[0][0] + 1
     doc_span = base["documents"].agg(F.max("doc_id")).collect()[0][0] + 1
+    vec_span = base["embeddings"].agg(F.max("vec_id")).collect()[0][0] + 1
 
     scaled = dict(base)
     scaled["orders"] = union_all([
@@ -96,6 +98,13 @@ def _scaled_views(spark, sf_dir: str, factor: int):
             F.expr(f"array_join(transform(split(text, ' '), w -> concat(w, '·{i}')), ' ')")
             if i else F.col("text"),
         )
+        for i in range(factor)
+    ])
+    scaled["embeddings"] = union_all([
+        # shifted ids, identical vectors: every list/bucket gets factor-x
+        # members, which is the growth shape that stresses the ANN candidate
+        # scans (codebooks stay fixed — they come from the lowest ids)
+        base["embeddings"].withColumn("vec_id", F.col("vec_id") + F.lit(i * vec_span))
         for i in range(factor)
     ])
     for name, df in scaled.items():

@@ -232,3 +232,65 @@ def pack_token_shards(
             F.floor(F.col("__before") / budget).cast("int").alias("bin"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    shards: int = 64,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fine-grained sequence packing: lay documents contiguously and cut the
+    stream into fixed `seq_len`-token training sequences, emitting one row
+    per (sequence, document-fragment) — the attention-boundary metadata a
+    packed-pretraining data loader needs (which doc occupies which token
+    range of which sequence, so cross-document attention can be masked).
+
+    Same deterministic two-level layout as pack_token_shards (hash shards ->
+    salted-hash order -> exclusive prefix sum), then each document explodes
+    into the sequences it crosses: a doc starting at global token `start`
+    with n tokens spans sequences start//L .. (start+n-1)//L, contributing
+    fragment [max(s*L, start), min((s+1)*L, start+n)) to sequence s.
+
+    Scale: one shuffle (hash by shard) feeds the running-sum window; the
+    explode is bounded by ceil(n/L)+1 rows per document. Sequence ids are
+    (shard, seq) pairs, so shards pack independently and in parallel.
+    Zero-token documents are excluded (they occupy no tokens).
+    """
+    salted = f"concat('pack:', cast({id_col} as string))"
+    shard = F.expr(f"{md5int_spark(salted)} % {shards}")
+    w = Window.partitionBy("__shard").orderBy(F.expr(_bucket_expr(id_col)), F.col(id_col))
+    laid = (
+        df.where(F.col(token_col) > 0)
+        .withColumn("__shard", shard)
+        .withColumn(
+            "__start",
+            F.coalesce(
+                F.sum(F.col(token_col)).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    L = int(seq_len)
+    return (
+        laid.withColumn(
+            "seq",
+            F.explode(F.expr(
+                f"sequence(__start div {L}, (__start + {token_col} - 1) div {L})"
+            )),
+        )
+        .select(
+            F.col("__shard").cast("int").alias("shard"),
+            F.col("seq").cast("int").alias("seq"),
+            F.col(id_col),
+            (F.greatest(F.col("seq") * L, F.col("__start")) - F.col("seq") * L)
+            .cast("int").alias("frag_start"),
+            (
+                F.least((F.col("seq") + 1) * L, F.col("__start") + F.col(token_col))
+                - F.greatest(F.col("seq") * L, F.col("__start"))
+            ).cast("int").alias("frag_len"),
+        )
+    )

@@ -307,3 +307,68 @@ def corpus_stats(
         )
         .withColumn("mean_tokens", F.round(F.col("total_tokens") / F.col("n_docs"), 6))
     )
+
+
+# Thresholds from Rae et al. 2021 (Gopher), "Quality filtering" appendix —
+# the rule battery most training-data pipelines start from. min_words is the
+# paper's 50; callers tune per corpus.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = GOPHER_MIN_WORDS,
+) -> DataFrame:
+    """Gopher-style heuristic quality filter battery (Rae et al. 2021):
+    word-count bounds, mean word length bounds, symbol-to-word ratio
+    ('#' and '...'), alphabetic-word fraction, and a minimum stopword
+    count — the standard pre-filter a web-scale corpus build runs before
+    any model-based scoring.
+
+    Pure narrow per-row expressions (one tokenization, let-bound) — no
+    shuffle, no UDF; at 100 TB this is a single codegen'd scan. Every ratio
+    is one integer division in both engines, so the DuckDB oracle
+    reproduces each value and the keep verdict bit-for-bit.
+
+    Returns (id, n_words, mean_word_len, symbol_word_ratio,
+    alpha_word_frac, n_stopwords, keep).
+    """
+    from lakehouse_plumber_spark.llm.hashing import let_spark
+
+    stop_list = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    hashes = f"length({text_col}) - length(replace({text_col}, '#', ''))"
+    dots = f"(length({text_col}) - length(replace({text_col}, '...', ''))) / 3"
+    body = (
+        "named_struct("
+        "'n_words', size(tk), "
+        "'mean_word_len', aggregate(tk, 0, (a, w) -> a + length(w)) / cast(greatest(size(tk), 1) as double), "
+        f"'symbol_word_ratio', ({hashes} + {dots}) / cast(greatest(size(tk), 1) as double), "
+        "'alpha_word_frac', size(filter(tk, w -> w rlike '[A-Za-z]')) / cast(greatest(size(tk), 1) as double), "
+        f"'n_stopwords', size(filter(tk, w -> lower(w) IN ({stop_list})))"
+        ")"
+    )
+    g = let_spark(tokens_spark(text_col), "tk", body)
+    return (
+        df.select(F.col(id_col), F.expr(g).alias("g"))
+        .select(
+            id_col,
+            F.col("g.n_words").cast("int").alias("n_words"),
+            F.round("g.mean_word_len", 6).alias("mean_word_len"),
+            F.round("g.symbol_word_ratio", 6).alias("symbol_word_ratio"),
+            F.round("g.alpha_word_frac", 6).alias("alpha_word_frac"),
+            F.col("g.n_stopwords").cast("int").alias("n_stopwords"),
+            (
+                F.col("g.n_words").between(min_words, GOPHER_MAX_WORDS)
+                & F.col("g.mean_word_len").between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+                & (F.col("g.symbol_word_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+                & (F.col("g.alpha_word_frac") > GOPHER_MIN_ALPHA_FRAC)
+                & (F.col("g.n_stopwords") >= GOPHER_MIN_STOPWORDS)
+            ).alias("keep"),
+        )
+    )
