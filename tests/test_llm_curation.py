@@ -408,3 +408,82 @@ def test_edit_distance_dedup_finds_small_edits_only(spark):
     assert out[(1, 3)] == 0
     assert 0 < out[(1, 2)] <= 4 and out[(2, 3)] == out[(1, 2)]
     assert all(4 not in pair for pair in out)
+
+
+def test_ivfpq_exact_on_separable_clusters(spark):
+    """With well-separated clusters and probes covering them, IVF-PQ's
+    quantized ranking must agree with exact nearest neighbors: the query's
+    true cluster-mates rank first."""
+    from lakehouse_plumber_spark.llm.similarity import ivfpq_search
+
+    rows = []
+    # two tight clusters far apart in an 8-dim space; ids INTERLEAVED so the
+    # lowest-id codebook seeds cover both clusters (even = A, odd = B)
+    for i in range(8):
+        rows.append((2 * i, [10.0 + 0.01 * i] * 8))       # cluster A: even ids
+        rows.append((2 * i + 1, [-10.0 - 0.01 * i] * 8))  # cluster B: odd ids
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivfpq_search(
+        df, [0, 1], k=3, n_centroids=4, n_probe=4, m_subvectors=4, n_codes=4
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    # every returned neighbor is from the query's own cluster
+    assert all(n % 2 == 0 for n in by_q[0]) and len(by_q[0]) == 3
+    assert all(n % 2 == 1 for n in by_q[1]) and len(by_q[1]) == 3
+
+
+def test_gopher_rules_boundaries(spark):
+    """Each rule flips the keep verdict independently."""
+    from lakehouse_plumber_spark.llm.text import gopher_rules
+
+    good = " ".join(["the", "of", "and", "word"] * 15)        # 60 words, stopwords, alpha
+    too_short = "the of and word"                              # < min_words
+    symbols = " ".join(["the", "of"] + ["###"] * 58)           # symbol ratio high
+    no_stop = " ".join(["zzz", "qqq"] * 30)                    # no stopwords
+    df = spark.createDataFrame(
+        [(1, good), (2, too_short), (3, symbols), (4, no_stop)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].n_words == 4
+    assert not out[3].keep and out[3].symbol_word_ratio > 0.1
+    assert not out[4].keep and out[4].n_stopwords == 0
+
+
+def test_pack_sequences_tiles_exactly(spark):
+    """Fragments reconstruct every document's token count, never overlap,
+    and fill each non-final sequence of a shard completely."""
+    from lakehouse_plumber_spark.llm.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 1 + (i * 37) % 97) for i in range(200)], "doc_id long, n_tokens int"
+    )
+    L = 64
+    out = pack_sequences(docs, seq_len=L, shards=4)
+    rows = out.collect()
+    # per-doc: fragments sum to n_tokens
+    per_doc = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.frag_len
+    truth = {r.doc_id: r.n_tokens for r in docs.collect()}
+    assert per_doc == truth
+    # per-sequence: fragments tile [0, L) contiguously; only each shard's
+    # LAST sequence may be partially filled
+    seqs = {}
+    for r in rows:
+        seqs.setdefault((r.shard, r.seq), []).append((r.frag_start, r.frag_len))
+    last = {}
+    for (sh, sq) in seqs:
+        last[sh] = max(last.get(sh, -1), sq)
+    for (sh, sq), frags in seqs.items():
+        frags.sort()
+        pos = 0
+        for start, ln in frags:
+            assert start == pos and ln > 0
+            pos += ln
+        assert pos <= L
+        if sq != last[sh]:
+            assert pos == L, f"non-final sequence ({sh},{sq}) not full: {pos}"
