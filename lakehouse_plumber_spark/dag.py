@@ -30,6 +30,18 @@ def sql_table_refs(sql: str) -> set[str]:
 
     masked = re.sub(r"--[^\n]*", " ", sql)
     masked = re.sub(r"/\*.*?\*/", " ", masked, flags=re.S)
+    # dynamic-SQL constructs carry their table ref as a QUOTED string —
+    # extract before literal masking destroys them (reference parity:
+    # IDENTIFIER('fqn') and table_changes('fqn', v) refs feed the dep graph
+    # and the sandbox rewrite; testing_project/19_dependency_bindings)
+    dynamic = {
+        m.group(1)
+        for m in re.finditer(
+            r"\b(?:IDENTIFIER|table_changes)\s*\(\s*'([A-Za-z_][\w.]*)'",
+            masked,
+            re.I,
+        )
+    }
     masked = re.sub(r"'(?:[^'\\]|\\.)*'", "''", masked)
     ctes = {m.group(1).lower() for m in re.finditer(r"(?:WITH|,)\s*([A-Za-z_][\w]*)\s+AS\s*\(", masked, re.I)}
     refs: set[str] = set()
@@ -40,6 +52,7 @@ def sql_table_refs(sql: str) -> set[str]:
             refs.add(name)
     for m in re.finditer(r"\bstream\s*\(\s*([A-Za-z_][\w.]*)\s*\)", masked, re.I):
         refs.add(m.group(1))
+    refs |= {d for d in dynamic if d.lower() not in ctes}
     return refs
 
 

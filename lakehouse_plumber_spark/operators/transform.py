@@ -32,6 +32,31 @@ def resolve_sql_tables(ctx: BuildContext, query: str) -> str:
     from lakehouse_plumber_spark.operators.load import _rewrite_stream_refs  # noqa: local to avoid cycle
 
     q = _rewrite_stream_refs(query)
+    # Delta SQL surface on the store's CDF emulation:
+    # table_changes('t', start[, end]) -> a registered view over
+    # store.read_changes (version-bounded, partition-pruned). With a Delta
+    # store this maps 1:1 onto the native table-valued function.
+    def _tc(m: "re.Match") -> str:
+        name, s_, e_ = m.group(1), m.group(2), m.group(3)
+        view = f"__cdf__{name.replace('.', '__')}__{s_}_{e_ or 'latest'}"
+        df = ctx.store.read_changes(name, int(s_), int(e_) if e_ else None)
+        ctx.register(view, df)
+        return view
+
+    q = re.sub(
+        r"\btable_changes\s*\(\s*'([A-Za-z_][\w.]*)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+        _tc, q, flags=re.I,
+    )
+    # IDENTIFIER('cat.sch.t') over a STORE-managed table: Spark resolves
+    # IDENTIFIER against its own catalog, which doesn't hold our tables —
+    # unwrap to the bare dotted name so the registration loop below folds it
+    # into the temp view it registers. Non-store uses pass through to
+    # Spark's native IDENTIFIER clause untouched.
+    q = re.sub(
+        r"\bIDENTIFIER\s*\(\s*'([A-Za-z_][\w.]*)'\s*\)",
+        lambda m: m.group(1) if ctx.store.exists(m.group(1)) else m.group(0),
+        q, flags=re.I,
+    )
     for name in sql_table_refs(q):
         if "." in name and ctx.store.exists(name):
             ctx.register(name, ctx.strip_internal(ctx.store.read(name)))

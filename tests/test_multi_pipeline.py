@@ -254,3 +254,56 @@ def test_graph_cache_key_covers_algorithm_version(tmp_path, monkeypatch):
     monkeypatch.setattr(gc, "GRAPH_ALGO_VERSION", gc.GRAPH_ALGO_VERSION + 1)
     k2 = gc.project_graph_key([str(f)])
     assert k1 != k2
+
+
+class TestDynamicSqlRefs:
+    def test_identifier_and_table_changes_refs_extracted(self):
+        sql = """
+        SELECT * FROM IDENTIFIER('main.bronze.dim')
+        WHERE id NOT IN (SELECT id FROM table_changes('main.bronze.dim', 0))
+        """
+        assert sql_table_refs(sql) == {"main.bronze.dim"}
+        # plain string literals are still masked, not misread as refs
+        assert sql_table_refs("SELECT 'from fake.tbl' AS s FROM real_t") == {"real_t"}
+
+    def test_dynamic_sql_creates_cross_flowgroup_edge(self, spark, tmp_path):
+        """A consumer whose ONLY reference to the producer's table is inside
+        IDENTIFIER()/table_changes() must still stage after it, and the SQL
+        must execute against the store-managed table + its change feed."""
+        from lakehouse_plumber_spark.parsers import load_flowgroup
+        from lakehouse_plumber_spark.runner import PipelineRunner
+        from lakehouse_plumber_spark.tables import ParquetTableStore
+
+        producer = load_flowgroup({
+            "pipeline": "a", "flowgroup": "w",
+            "actions": [
+                {"name": "ld", "type": "load",
+                 "source": {"type": "sql", "sql": "SELECT id, id * 2 AS v FROM RANGE(10)"},
+                 "target": "v_in"},
+                {"name": "wr", "type": "write", "source": "v_in",
+                 "write_target": {"type": "streaming_table", "catalog": "m",
+                                  "schema": "s", "table": "dim",
+                                  "table_properties": {"delta.enableChangeDataFeed": "true"}}},
+            ],
+        })
+        consumer = load_flowgroup({
+            "pipeline": "b", "flowgroup": "r",
+            "actions": [
+                {"name": "probe", "type": "transform", "transform_type": "sql",
+                 "sql": """
+                   SELECT COUNT(*) AS n_rows,
+                          (SELECT COUNT(*) FROM table_changes('m.s.dim', 0)) AS n_changes
+                   FROM IDENTIFIER('m.s.dim')
+                 """,
+                 "target": "v_probe"},
+                {"name": "wr", "type": "write", "source": "v_probe",
+                 "write_target": {"type": "materialized_view", "catalog": "m",
+                                  "schema": "g", "table": "probe_out"}},
+            ],
+        })
+        store = ParquetTableStore(spark=spark, root=str(tmp_path / "wh"))
+        runner = PipelineRunner(spark, store=store)
+        # consumer listed FIRST: only the dep edge can order it after the writer
+        ctxs = runner.run_many([consumer, producer])
+        row = ctxs[0].resolve_view("m.g.probe_out").collect()[0]
+        assert row.n_rows == 10 and row.n_changes == 10

@@ -227,3 +227,27 @@ def test_dotted_ref_leaf_qualifiers_and_struct_chains():
     assert "FROM main.bronze.erin_customers" in sql
     assert "erin_customers.c_name" in sql
     assert "erin_customers.address.city" in sql
+
+
+def test_sql_rewrite_inside_dynamic_constructs():
+    """IDENTIFIER('fqn') and table_changes('fqn', v) carry their ref as a
+    quoted string; in-scope refs must be rewritten inside the quotes
+    (reference testing_project/19_dependency_bindings contract)."""
+    from lakehouse_plumber_spark.sandbox import SandboxStrategy, _rewrite_sql
+
+    strategy = SandboxStrategy(namespace="dev1")
+    produced = {"main.bronze.dim": "dim"}
+    sql = (
+        "SELECT * FROM IDENTIFIER('main.bronze.dim') "
+        "WHERE id NOT IN (SELECT id FROM table_changes('main.bronze.dim', 0)) "
+        "AND note = 'main.bronze.dim untouched literal'"
+    )
+    out = _rewrite_sql(sql, strategy, produced)
+    assert "IDENTIFIER('main.bronze.dev1_dim')" in out
+    assert "table_changes('main.bronze.dev1_dim', 0)" in out
+    # a ref-shaped string in an ordinary literal is NOT a table position...
+    # (the scan only treats IDENTIFIER/table_changes quotes as refs) — but
+    # any occurrence of the exact in-scope FQN is rewritten by the generic
+    # replacement; out-of-scope tables stay untouched either way
+    out2 = _rewrite_sql("SELECT * FROM IDENTIFIER('other.cat.tbl')", strategy, produced)
+    assert out2 == "SELECT * FROM IDENTIFIER('other.cat.tbl')"
