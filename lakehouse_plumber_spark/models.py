@@ -210,6 +210,11 @@ class WriteTarget(BaseModel):
     spark_conf: dict[str, Any] = Field(default_factory=dict)
     table_schema: Optional[Any] = None  # inline YAML schema dict or DDL string
     schema_file: Optional[str] = None
+    # Unity Catalog tagging (reference _action.py:28-31, _uc_tagging.py):
+    # inline `tags` = table tags only; `tags_file` = unified schema/tags
+    # sidecar supplying BOTH table and column tags. At most one of the two.
+    tags: Optional[dict[str, Optional[str]]] = None
+    tags_file: Optional[str] = None
     row_filter: Optional[str] = None
     temporary: bool = False
     path: Optional[str] = None
@@ -229,6 +234,15 @@ class WriteTarget(BaseModel):
     batch_handler_callable: Optional[Callable] = Field(default=None, exclude=True)
     module_path: Optional[str] = None
     custom_sink_class: Optional[str] = None
+
+    @model_validator(mode="after")
+    def _tags_exclusive(self) -> "WriteTarget":
+        if self.tags is not None and self.tags_file is not None:
+            raise ValueError(
+                "write target declares both tags and tags_file; a tags_file "
+                "is the sole source of table AND column tags — drop one"
+            )
+        return self
 
     @property
     def full_name(self) -> str:

@@ -99,7 +99,54 @@ def write_streaming_table(ctx: BuildContext, action: Action) -> Optional[DataFra
     cdf = _cdf_enabled(wt)
 
     with _with_spark_conf(ctx.spark, wt.spark_conf):
-        return _write_streaming_table_inner(ctx, action, wt, target, cdf)
+        out = _write_streaming_table_inner(ctx, action, wt, target, cdf)
+    _apply_uc_tags(ctx, action, wt, target)
+    return out
+
+
+def _apply_uc_tags(ctx: BuildContext, action: Action, wt: WriteTarget, target: str) -> None:
+    """Unity Catalog tagging (reference uc_tagging_hook_generator.py +
+    tags_file_parser.py), mapped onto the store's meta sidecar: with a
+    UC-backed store these become `ALTER TABLE ... SET TAGS`; here the tag
+    state is persisted per table (`uc_tags`, `uc_column_tags`) and applied
+    ADDITIVELY (the reference's default, remove_undeclared_tags=False).
+
+    A tags_file is the SOLE source of both table and column tags; inline
+    `tags` supplies table tags only (validation forbids declaring both).
+    A sidecar whose declared identifier differs from the write target's
+    table logs a mismatch event and proceeds with the target's name."""
+    if wt.tags is None and not wt.tags_file:
+        return
+    from lakehouse_plumber_spark.schema_parser import parse_tags_file
+
+    if wt.tags_file:
+        ident, table_tags, column_tags = parse_tags_file(ctx.resolve_path(wt.tags_file))
+        if ident and wt.table and str(ident).lower() != str(wt.table).lower():
+            ctx.log(
+                action.name, "tags_file_identifier_mismatch",
+                declared=str(ident), actual=str(wt.table),
+            )
+    else:
+        table_tags = {str(k): "" if v is None else str(v) for k, v in (wt.tags or {}).items()}
+        column_tags = {}
+    if table_tags is not None:
+        cur = dict(ctx.store.get_meta(target, "uc_tags", {}) or {})
+        cur.update(table_tags)
+        ctx.store.set_meta(target, "uc_tags", cur)
+    if column_tags:
+        cur_c = {
+            k: dict(v)
+            for k, v in (ctx.store.get_meta(target, "uc_column_tags", {}) or {}).items()
+        }
+        for col, t in column_tags.items():
+            cur_c.setdefault(col, {}).update(t)
+        ctx.store.set_meta(target, "uc_column_tags", cur_c)
+    if table_tags is not None or column_tags:
+        ctx.log(
+            action.name, "tags_applied", target=target,
+            n_table_tags=len(table_tags or {}),
+            n_column_tags=sum(len(v) for v in column_tags.values()),
+        )
 
 
 def _write_streaming_table_inner(
@@ -375,6 +422,7 @@ def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
                 ctx.store, target, state, cfg.group_by, cfg.aggs, wt.partition_columns
             )
         ctx.log(action.name, "mv_incremental_refreshed", target=target)
+        _apply_uc_tags(ctx, action, wt, target)
         return _register_read(ctx, action, target)
     query = wt.sql or action.sql
     if not query and (wt.sql_path or action.sql_path):
@@ -393,6 +441,7 @@ def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
     if _cdf_enabled(wt):
         ctx.store.log_changes(target, df, "insert")
     ctx.log(action.name, "mv_refreshed", target=target)
+    _apply_uc_tags(ctx, action, wt, target)
     return _register_read(ctx, action, target)
 
 

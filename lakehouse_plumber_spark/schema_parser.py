@@ -105,3 +105,49 @@ def coerce_schema(spec: Any) -> T.StructType:
             return schema_from_file(spec)
         return T._parse_datatype_string(spec)
     raise TypeError(f"cannot coerce {type(spec)} to StructType")
+
+
+def parse_tags_file(path: str) -> tuple[Any, Any, dict[str, dict[str, str]]]:
+    """Read UC tags from a unified schema/tags file (reference
+    tags_file_parser.py / unified_schema_format.py: the SAME file can serve
+    as both ``table_schema`` and ``tags_file`` — this reader consumes only
+    the top-level ``tags:`` block and per-column ``tags:`` under
+    ``columns:``, ignoring the DDL-only fields).
+
+    Returns ``(identifier, table_tags, column_tags)``:
+
+    - ``identifier``: the file's declared ``table`` (or its alias ``name``;
+      ``table`` wins on conflict), or None — used only for a mismatch
+      warning against the write target.
+    - ``table_tags``: ``None`` when the ``tags:`` key is ABSENT, ``{}`` for
+      an explicit empty set (absent != empty, reference contract), else the
+      normalized mapping.
+    - ``column_tags``: column -> normalized tag mapping, only for columns
+      that carry a ``tags:`` key; a file with no tags anywhere is a no-op,
+      not an error.
+
+    Tag values normalize like the reference's coercions: ``None`` (a bare
+    ``key:``) and ``''`` both become the empty string; everything else is
+    its string form.
+    """
+    with open(path) as f:
+        spec = yaml.safe_load(f) or {}
+    if not isinstance(spec, dict):
+        raise ValueError(f"tags file {path!r} must hold a YAML mapping")
+
+    def _norm(tags: Any, where: str) -> dict[str, str]:
+        if not isinstance(tags, dict):
+            raise ValueError(f"{where} tags in {path!r} must be a mapping")
+        return {str(k): "" if v is None else str(v) for k, v in tags.items()}
+
+    identifier = spec.get("table") or spec.get("name")
+    table_tags = None
+    if "tags" in spec:
+        table_tags = _norm(spec.get("tags") or {}, "table")
+    column_tags: dict[str, dict[str, str]] = {}
+    for col in spec.get("columns") or []:
+        if isinstance(col, dict) and "tags" in col and col.get("name"):
+            column_tags[str(col["name"])] = _norm(
+                col.get("tags") or {}, f"column {col.get('name')!r}"
+            )
+    return identifier, table_tags, column_tags
