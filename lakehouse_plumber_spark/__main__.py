@@ -90,6 +90,11 @@ def cmd_validate(args) -> int:
     for problem in validate_streaming_compaction(fgs):
         print(f"FAIL  {problem}")
         rc = 1
+    from lakehouse_plumber_spark.dag import validate_job_names
+
+    for problem in validate_job_names(fgs):
+        print(f"FAIL  {problem}")
+        rc = 1
     return rc
 
 
@@ -384,28 +389,69 @@ def cmd_jobs(args) -> int:
     def _key(i: int) -> str:
         return f"{fgs[i].pipeline}__{fgs[i].flowgroup}"
 
-    doc = {
-        "job": {
-            "name": f"{os.path.basename(os.path.abspath(args.project_root))}_master",
-            "max_concurrent_runs": 1,
-        },
-        "stages": [
-            {
-                "stage": n,
-                "parallel": len(s) > 1,
-                "tasks": [
-                    {
-                        "task_key": _key(i),
-                        "pipeline": fgs[i].pipeline,
-                        "flowgroup": fgs[i].flowgroup,
-                        "depends_on": sorted(_key(j) for j in deps[i]),
-                    }
-                    for i in sorted(s, key=_key)
-                ],
-            }
-            for n, s in enumerate(stages, 1)
-        ],
-    }
+    def _stages_doc(members: list[int]) -> list[dict]:
+        """Stage list restricted to `members`, renumbered 1..k — the SAME
+        assignment run_many computes, filtered to the group's tasks."""
+        mset = set(members)
+        out = []
+        for s in stages:
+            tasks = [i for i in s if i in mset]
+            if tasks:
+                out.append({
+                    "stage": len(out) + 1,
+                    "parallel": len(tasks) > 1,
+                    "tasks": [
+                        {
+                            "task_key": _key(i),
+                            "pipeline": fgs[i].pipeline,
+                            "flowgroup": fgs[i].flowgroup,
+                            "depends_on": sorted(_key(j) for j in deps[i]),
+                        }
+                        for i in sorted(tasks, key=_key)
+                    ],
+                })
+        return out
+
+    master = f"{os.path.basename(os.path.abspath(args.project_root))}_master"
+    from lakehouse_plumber_spark.dag import validate_job_names
+
+    problems = validate_job_names(fgs)
+    if problems:
+        for p in problems:
+            print(f"ERROR: {p}", file=sys.stderr)
+        return 1
+    if any(fg.job_name for fg in fgs):
+        # multi-job mode (reference job_builder.py): flowgroups group into
+        # named jobs; cross-job flowgroup edges lift to job-level depends_on
+        groups: dict[str, list[int]] = {}
+        for i, fg in enumerate(fgs):
+            groups.setdefault(fg.job_name, []).append(i)
+        job_of = {i: fg.job_name for i, fg in enumerate(fgs)}
+        job_deps = {
+            name: sorted({
+                job_of[j]
+                for i in members
+                for j in deps[i]
+                if job_of[j] != name
+            })
+            for name, members in groups.items()
+        }
+        doc = {
+            "job": {"name": master, "max_concurrent_runs": 1},
+            "jobs": [
+                {
+                    "name": name,
+                    "depends_on": job_deps[name],
+                    "stages": _stages_doc(members),
+                }
+                for name, members in sorted(groups.items())
+            ],
+        }
+    else:
+        doc = {
+            "job": {"name": master, "max_concurrent_runs": 1},
+            "stages": _stages_doc(list(range(len(fgs)))),
+        }
     if getattr(args, "format", "yaml") == "json":
         text = json.dumps(doc, indent=2, sort_keys=True) + "\n"
     else:

@@ -8,6 +8,7 @@ networkx needed at this scope.
 
 from __future__ import annotations
 
+import re
 from collections import defaultdict, deque
 
 from lakehouse_plumber_spark.models import Action, ActionType
@@ -289,6 +290,41 @@ def validate_cdc_schema(action: Action) -> list[str]:
                 f"with the sequence_by type (reference cdc_schema.py:18-26)"
             )
     return errors
+
+
+def validate_job_names(flowgroups: list) -> list[str]:
+    """Multi-job grouping rules (reference validators/pipeline/job_name.py):
+    `job_name` is optional, but its use is ALL-OR-NOTHING across the project
+    (a scheduler can't mix grouped and ungrouped flowgroups in one export),
+    the format is [A-Za-z0-9_-]+, and every flowgroup of one pipeline must
+    land in the same job (the pipeline is the orchestration unit the job
+    export lifts edges through)."""
+    problems: list[str] = []
+    with_name = [fg for fg in flowgroups if fg.job_name]
+    for fg in with_name:
+        if not re.fullmatch(r"[A-Za-z0-9_-]+", fg.job_name):
+            problems.append(
+                f"{fg.pipeline}/{fg.flowgroup}: job_name {fg.job_name!r} may "
+                "only contain letters, digits, underscores, and hyphens"
+            )
+    if with_name and len(with_name) != len(flowgroups):
+        missing = ", ".join(
+            f"{fg.pipeline}/{fg.flowgroup}" for fg in flowgroups if not fg.job_name
+        )
+        problems.append(
+            "job_name usage is all-or-nothing: "
+            f"{len(with_name)} flowgroup(s) declare one but these do not: {missing}"
+        )
+    by_pipeline: dict[str, set[str]] = {}
+    for fg in with_name:
+        by_pipeline.setdefault(fg.pipeline, set()).add(fg.job_name)
+    for pipeline, jobs in sorted(by_pipeline.items()):
+        if len(jobs) > 1:
+            problems.append(
+                f"pipeline {pipeline!r} is split across jobs {sorted(jobs)}; "
+                "all flowgroups of one pipeline must share a job_name"
+            )
+    return problems
 
 
 def execution_stages(deps: dict[int, set[int]], n: int) -> list[list[int]]:

@@ -389,6 +389,10 @@ class FlowGroup(BaseModel):
 
     pipeline: str
     flowgroup: str
+    # multi-job orchestration grouping (reference _flowgroup.py:15 +
+    # validators/pipeline/job_name.py): optional, all-or-nothing across the
+    # project, [A-Za-z0-9_-]+ format — see dag.validate_job_names
+    job_name: Optional[str] = None
     presets: list[str] = Field(default_factory=list)
     use_template: Optional[str] = None
     template_parameters: dict[str, Any] = Field(default_factory=dict)

@@ -439,3 +439,72 @@ def test_cli_jobs_exports_staged_plan_matching_run_many(capsys, monkeypatch):
     assert sorted(order) == sorted(stage_of)  # same task set
     seen = [stage_of[k] for k in order]
     assert seen == sorted(seen), "run_many must execute in exported stage order"
+
+
+def test_cli_jobs_multi_job_grouping(tmp_path, capsys):
+    """job_name groups flowgroups into named jobs; cross-job flowgroup edges
+    lift to job-level depends_on (reference job_builder semantics), and
+    validate enforces the all-or-nothing / one-job-per-pipeline rules."""
+    import json as _json
+
+    import yaml
+
+    proj = tmp_path / "proj"
+    (proj / "pipelines").mkdir(parents=True)
+    writer = {
+        "pipeline": "a", "flowgroup": "w", "job_name": "j_ingest",
+        "actions": [
+            {"name": "ld", "type": "load",
+             "source": {"type": "sql", "sql": "SELECT 1 AS id"}, "target": "v"},
+            {"name": "wr", "type": "write", "source": "v",
+             "write_target": {"type": "materialized_view", "catalog": "m",
+                              "schema": "s", "table": "t"}},
+        ],
+    }
+    reader = {
+        "pipeline": "b", "flowgroup": "r", "job_name": "j_serve",
+        "actions": [
+            {"name": "wr", "type": "write", "source": "m.s.t",
+             "write_target": {"type": "materialized_view", "catalog": "m",
+                              "schema": "g", "table": "agg",
+                              "sql": "SELECT COUNT(*) AS n FROM m.s.t"}},
+        ],
+    }
+    (proj / "pipelines" / "w.yaml").write_text(yaml.safe_dump(writer))
+    (proj / "pipelines" / "r.yaml").write_text(yaml.safe_dump(reader))
+
+    rc = main(["jobs", str(proj), "--format", "json"])
+    doc = _json.loads(capsys.readouterr().out)
+    assert rc == 0
+    jobs = {j["name"]: j for j in doc["jobs"]}
+    assert set(jobs) == {"j_ingest", "j_serve"}
+    assert jobs["j_ingest"]["depends_on"] == []
+    assert jobs["j_serve"]["depends_on"] == ["j_ingest"]
+    assert jobs["j_ingest"]["stages"][0]["tasks"][0]["task_key"] == "a__w"
+
+    # all-or-nothing: dropping one job_name fails validate AND jobs
+    reader2 = dict(reader)
+    reader2.pop("job_name")
+    (proj / "pipelines" / "r.yaml").write_text(yaml.safe_dump(reader2))
+    rc = main(["validate", str(proj)])
+    out = capsys.readouterr().out
+    assert rc == 1 and "all-or-nothing" in out
+    rc = main(["jobs", str(proj)])
+    capsys.readouterr()
+    assert rc == 1
+
+    # a pipeline split across two jobs is rejected
+    writer2 = dict(writer)
+    writer2.update({"flowgroup": "w2", "job_name": "j_other"})
+    writer2["actions"] = [
+        {"name": "ld", "type": "load",
+         "source": {"type": "sql", "sql": "SELECT 2 AS id"}, "target": "v2"},
+        {"name": "wr", "type": "write", "source": "v2",
+         "write_target": {"type": "materialized_view", "catalog": "m",
+                          "schema": "s", "table": "t2"}},
+    ]
+    (proj / "pipelines" / "r.yaml").write_text(yaml.safe_dump(reader))
+    (proj / "pipelines" / "w2.yaml").write_text(yaml.safe_dump(writer2))
+    rc = main(["validate", str(proj)])
+    out = capsys.readouterr().out
+    assert rc == 1 and "split across jobs" in out
