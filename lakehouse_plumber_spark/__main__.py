@@ -41,18 +41,31 @@ def _load_tokens(project_root: str, env: str | None) -> dict:
 
 
 def _discover(args) -> list:
-    from lakehouse_plumber_spark.parsers import discover_flowgroups
+    from lakehouse_plumber_spark.parsers import discover_flowgroups, load_project_config
 
     fgs = discover_flowgroups(args.project_root, tokens=_load_tokens(args.project_root, args.env))
     if not fgs:
         raise SystemExit(f"no flowgroups under {args.project_root}/pipelines/")
     if getattr(args, "sandbox", None):
         # per-developer rename pass (reference --sandbox, core/sandbox/):
-        # every produced table and every read of it gets the namespace prefix
+        # every produced table and every read of it gets the namespace prefix.
+        # lhp.yaml's sandbox: block is the TEAM policy (table_pattern +
+        # allowed_envs); the namespace is always the developer's own.
         from lakehouse_plumber_spark.sandbox import SandboxConfigError, apply_sandbox
 
+        cfg = load_project_config(args.project_root)
+        policy = (cfg.sandbox or {}) if cfg is not None else {}
+        allowed = policy.get("allowed_envs")
+        if allowed is not None and args.env not in allowed:
+            raise SystemExit(
+                f"sandbox runs are not allowed against env {args.env!r} "
+                f"(lhp.yaml sandbox.allowed_envs: {allowed})"
+            )
         try:
-            fgs = apply_sandbox(fgs, args.sandbox)
+            fgs = apply_sandbox(
+                fgs, args.sandbox,
+                table_pattern=policy.get("table_pattern", "{namespace}_{table}"),
+            )
         except SandboxConfigError as e:
             raise SystemExit(f"bad --sandbox config: {e}")
     return fgs
@@ -102,10 +115,15 @@ def cmd_run(args) -> int:
     from lakehouse_plumber_spark import get_spark
     from lakehouse_plumber_spark.runner import PipelineRunner
 
+    from lakehouse_plumber_spark.parsers import load_project_config
+
     fgs = _discover(args)
     spark = get_spark("lhp_cli")
     spark.sparkContext.setLogLevel("WARN")
-    runner = PipelineRunner(spark, base_dir=args.project_root)
+    runner = PipelineRunner(
+        spark, base_dir=args.project_root,
+        project_config=load_project_config(args.project_root),
+    )
     from lakehouse_plumber_spark.models import ActionType
 
     contexts = runner.run_many(fgs)

@@ -32,6 +32,13 @@ class BuildContext:
     # actions so no registered DataFrame's file index is invalidated mid-build
     pending_compactions: dict[str, tuple] = field(default_factory=dict)
     conf: dict[str, Any] = field(default_factory=dict)
+    # project-level (lhp.yaml) operational_metadata columns, {name: sql_expr}
+    # — extend the audit-column vocabulary available to every action
+    metadata_columns: dict[str, str] = field(default_factory=dict)
+    # project-level (lhp.yaml) test_reporting block — the fallback when the
+    # flowgroup declares none; test operators consult it to decide whether
+    # collecting full violation counts is worth paying for
+    test_reporting_default: Optional[dict] = None
 
     def resolve_path(self, p: str) -> str:
         if os.path.isabs(p):

@@ -63,3 +63,35 @@ def apply_metadata(
             col = F.expr(expr)
         df = df.withColumn(name, col)
     return df
+
+
+def project_expression(expr: str) -> str:
+    """Translate a project-config metadata expression into SQL.
+
+    lhp.yaml expressions in the reference are PYTHON snippets destined for
+    generated code (``F.col('_metadata.file_path')``,
+    ``F.current_timestamp()``); this engine evaluates SQL via F.expr. Plain
+    SQL passes through verbatim; the common pyspark forms translate;
+    anything else is refused loudly (a silently-dropped audit column is
+    worse than a validate-time error).
+    """
+    import re
+
+    from lakehouse_plumber_spark.models import SpecError
+
+    e = expr.strip()
+    if not e.startswith("F."):
+        return e
+    m = re.fullmatch(r"F\.col\(\s*['\"]([^'\"]+)['\"]\s*\)", e)
+    if m:
+        return m.group(1)
+    m = re.fullmatch(r"F\.lit\(\s*(.+?)\s*\)", e)
+    if m:
+        return m.group(1)
+    m = re.fullmatch(r"F\.(\w+)\(\s*\)", e)
+    if m:
+        return f"{m.group(1)}()"
+    raise SpecError(
+        f"unsupported operational_metadata expression {expr!r}: use a SQL "
+        "expression, or one of the F.col('...')/F.lit(...)/F.<fn>() forms"
+    )

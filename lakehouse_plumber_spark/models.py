@@ -382,6 +382,46 @@ class Action(BaseModel):
         return None
 
 
+class ProjectConfig(BaseModel):
+    """Project-level configuration from ``lhp.yaml`` (reference
+    src/lhp/models/_project.py:20-45). The engine consumes the subset that
+    affects execution/discovery: ``include`` globs scope flowgroup
+    discovery, ``operational_metadata.columns`` declares project-wide audit
+    columns, ``test_reporting`` is the project default for the post-run DQ
+    hook, ``sandbox`` carries the team rename policy (``table_pattern``,
+    ``allowed_envs``), and ``uc_tagging.enabled`` gates tag application.
+    Unknown keys (wheel packaging, monitoring job configs, version pins)
+    pass through untouched — they configure platform tooling this engine
+    deliberately doesn't own."""
+
+    model_config = ConfigDict(extra="allow")
+
+    name: str
+    version: str = "1.0"
+    description: Optional[str] = None
+    author: Optional[str] = None
+    created_date: Optional[str] = None
+    include: Optional[list[str]] = None
+    blueprint_include: Optional[list[str]] = None
+    operational_metadata: Optional[dict[str, Any]] = None
+    test_reporting: Optional[dict[str, Any]] = None
+    sandbox: Optional[dict[str, Any]] = None
+    uc_tagging: Optional[dict[str, Any]] = None
+    required_lhp_version: Optional[str] = None
+
+    def metadata_columns(self) -> dict[str, str]:
+        """Project-declared audit columns as {name: sql_expression}."""
+        from lakehouse_plumber_spark.metadata import project_expression
+
+        cols = (self.operational_metadata or {}).get("columns") or {}
+        out: dict[str, str] = {}
+        for name, spec in cols.items():
+            expr = spec.get("expression") if isinstance(spec, dict) else spec
+            if expr:
+                out[str(name)] = project_expression(str(expr))
+        return out
+
+
 class FlowGroup(BaseModel):
     """Unit of compilation (reference: src/lhp/models/_flowgroup.py:12-21)."""
 

@@ -91,8 +91,10 @@ def validate_cloudfiles_options(options: dict[str, Any], action_name: str) -> li
 def _meta(ctx: BuildContext, action: Action, df: DataFrame, file_source: bool) -> DataFrame:
     from lakehouse_plumber_spark.metadata import apply_metadata, resolve_selection, DEFAULT_COLUMNS
 
+    # project-level lhp.yaml columns extend the built-in audit vocabulary
+    available = {**DEFAULT_COLUMNS, **ctx.metadata_columns}
     cols = resolve_selection(
-        action.operational_metadata, ctx.flowgroup.operational_metadata, DEFAULT_COLUMNS
+        action.operational_metadata, ctx.flowgroup.operational_metadata, available
     )
     if not cols:
         return df
@@ -102,6 +104,7 @@ def _meta(ctx: BuildContext, action: Action, df: DataFrame, file_source: bool) -
         pipeline=ctx.flowgroup.pipeline,
         flowgroup=ctx.flowgroup.flowgroup,
         run_id=ctx.run_id,
+        custom_columns=ctx.metadata_columns,
         has_file_source=file_source,
     )
 

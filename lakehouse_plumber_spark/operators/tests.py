@@ -23,7 +23,7 @@ class DataQualityTestFailed(AssertionError):
 
 
 def _enforce(ctx: BuildContext, action: Action, violations: DataFrame) -> DataFrame:
-    reporting = getattr(ctx.flowgroup, "test_reporting", None)
+    reporting = getattr(ctx.flowgroup, "test_reporting", None) or ctx.test_reporting_default
     # a full count is only paid when a reporter consumes it; the gate itself
     # needs just existence (limit(1))
     n = violations.count() if reporting else violations.limit(1).count()

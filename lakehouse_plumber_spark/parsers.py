@@ -124,7 +124,7 @@ def _expand_template(
             elif p.get("required", False):
                 missing.append(p["name"])
         if missing:
-            raise ValueError(
+            raise SpecError(
                 f"template {name!r}: missing required parameters {sorted(missing)}"
             )
     try:
@@ -212,6 +212,25 @@ def load_flowgroup_file(
     )
 
 
+def load_project_config(project_root: str):
+    """Read lhp.yaml at the project root, or None when absent (reference
+    ProjectConfig, src/lhp/models/_project.py). Defects are SpecErrors."""
+    from lakehouse_plumber_spark.models import ProjectConfig
+
+    path = os.path.join(project_root, "lhp.yaml")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        try:
+            spec = yaml.safe_load(f) or {}
+        except yaml.YAMLError as e:
+            raise SpecError(f"lhp.yaml: {e}") from e
+    try:
+        return ProjectConfig.model_validate(spec)
+    except PydanticValidationError as e:
+        raise SpecError(f"lhp.yaml: {e}") from e
+
+
 def discover_flowgroups(
     project_root: str,
     tokens: Optional[Mapping[str, Any]] = None,
@@ -233,10 +252,20 @@ def discover_flowgroups(
         looks_like_instance,
     )
 
+    project_cfg = load_project_config(project_root)
+    if include is None and project_cfg is not None and project_cfg.include:
+        # lhp.yaml include globs scope discovery, relative to pipelines/
+        # (reference flowgroup_discoverer honors ProjectConfig.include)
+        include = [os.path.join("pipelines", pat) for pat in project_cfg.include]
     patterns = include or ["pipelines/**/*.yaml", "pipelines/**/*.yml"]
     paths: list[str] = []
     for pat in patterns:
-        paths.extend(glob.glob(os.path.join(project_root, pat), recursive=True))
+        paths.extend(
+            p for p in glob.glob(os.path.join(project_root, pat), recursive=True)
+            # include globs like "one/**" also match directories and
+            # non-YAML files; discovery only reads flowgroup YAML
+            if os.path.isfile(p) and p.endswith((".yaml", ".yml"))
+        )
     bp_dir = _find_dir(project_root, "blueprints")
     bp_paths = sorted(glob.glob(os.path.join(bp_dir, "*.yaml"))) if bp_dir else []
 

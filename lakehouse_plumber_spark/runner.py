@@ -32,11 +32,19 @@ class PipelineRunner:
         spark: SparkSession,
         store: Optional[ParquetTableStore] = None,
         base_dir: str = ".",
+        project_config=None,
     ):
         self.spark = spark
         self.store = store or new_store(spark)
         self.base_dir = base_dir
         self.event_log: list[dict] = []
+        # lhp.yaml project config (models.ProjectConfig): supplies the
+        # project-wide audit-column vocabulary and the test_reporting
+        # default a flowgroup without its own block falls back to
+        self.project_config = project_config
+        self.metadata_columns: dict = (
+            project_config.metadata_columns() if project_config is not None else {}
+        )
 
     def run(
         self,
@@ -52,6 +60,10 @@ class PipelineRunner:
             flowgroup=fg,
             base_dir=self.base_dir,
             conf=conf or {},
+            metadata_columns=self.metadata_columns,
+            test_reporting_default=(
+                self.project_config.test_reporting if self.project_config else None
+            ),
         )
         from lakehouse_plumber_spark.reporting import publish_test_results
 
@@ -86,12 +98,18 @@ class PipelineRunner:
             # the reference hook publishes at EVERY terminal state incl.
             # FAILED (hook.py.j2:36-44) — collected results must survive a
             # failing test action
-            publish_test_results(ctx, "FAILED")
+            publish_test_results(ctx, "FAILED", reporting_cfg=self._reporting_cfg(fg))
             self.event_log.extend(ctx.event_log)
             raise
-        publish_test_results(ctx, "COMPLETED")
+        publish_test_results(ctx, "COMPLETED", reporting_cfg=self._reporting_cfg(fg))
         self.event_log.extend(ctx.event_log)
         return ctx
+
+    def _reporting_cfg(self, fg: FlowGroup):
+        """Flowgroup test_reporting block, falling back to the project's."""
+        if fg.test_reporting is not None:
+            return fg.test_reporting
+        return self.project_config.test_reporting if self.project_config else None
 
     def run_many(self, flowgroups: list[FlowGroup]) -> list[BuildContext]:
         """Run multiple flowgroups in dependency-stage order.
