@@ -143,6 +143,23 @@ def cmd_run(args) -> int:
         for r in log.groupBy("event").count().withColumnRenamed("count", "n").collect()
     }
     print(f"event log: {json.dumps(summary, sort_keys=True)}")
+    cfg = runner.project_config
+    if cfg is not None and cfg.event_log:
+        # declarative event-log table (reference lhp.yaml `event_log:` ->
+        # per-pipeline DLT event-log tables; the engine persists its own
+        # first-party event rows to one project table)
+        from lakehouse_plumber_spark.monitoring import persist_event_log
+        from lakehouse_plumber_spark.substitution import substitute
+
+        el = substitute(dict(cfg.event_log),
+                        tokens=_load_tokens(args.project_root, args.env),
+                        strict=False)
+        leaf = el.get("name") or f"{cfg.name}{el.get('name_suffix', '_event_log')}"
+        table = ".".join(
+            str(p) for p in (el.get("catalog"), el.get("schema", "_meta"), leaf) if p
+        )
+        persist_event_log(runner, table)
+        print(f"event log persisted to {table}")
     if getattr(args, "perf", False):
         _print_perf_report(fgs, runner.event_log)
     return 0

@@ -405,6 +405,7 @@ class ProjectConfig(BaseModel):
     blueprint_include: Optional[list[str]] = None
     operational_metadata: Optional[dict[str, Any]] = None
     test_reporting: Optional[dict[str, Any]] = None
+    event_log: Optional[dict[str, Any]] = None
     sandbox: Optional[dict[str, Any]] = None
     uc_tagging: Optional[dict[str, Any]] = None
     required_lhp_version: Optional[str] = None

@@ -153,3 +153,17 @@ def test_sandbox_policy_from_lhp_yaml(tmp_path, capsys):
     with pytest.raises(SystemExit, match="allowed_envs"):
         main(["compile", str(proj), "--env", "prod", "--sandbox", "alice",
               "-o", str(tmp_path / "gen2")])
+
+
+def test_cli_run_persists_event_log_table(spark, tmp_path, capsys):
+    proj = tmp_path / "proj"
+    (proj / "pipelines").mkdir(parents=True)
+    (proj / "pipelines" / "a.yaml").write_text(_fg_yaml("a", "w", "t"))
+    (proj / "lhp.yaml").write_text(yaml.safe_dump({
+        "name": "myproj",
+        "event_log": {"catalog": "main", "schema": "_meta"},
+    }))
+    rc = main(["run", str(proj)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "event log persisted to main._meta.myproj_event_log" in out
