@@ -236,3 +236,20 @@ def test_corpus_stats_single_exchange(spark, q):
     plan = _spark_plan(q["text_corpus_stats"](spark, SF))
     assert plan.count("Exchange") == 2
     assert plan.count("HashAggregate") >= 4
+
+
+def test_gopher_rules_single_narrow_scan(spark, q):
+    df = q["text_gopher_rules"](spark, SF)
+    plan = _spark_plan(df)
+    for node in ("Exchange", "Window", "Join", "Generate"):
+        assert node not in plan, f"gopher rules must be one narrow scan, saw {node}"
+
+
+def test_sequence_pack_one_exchange_bounded_explode(spark, q):
+    df = q["sample_sequence_pack"](spark, SF)
+    plan = _spark_plan(df)
+    # one hash exchange (by shard) feeds the running-sum window; the explode
+    # (Generate) is per-row bounded; nothing else shuffles
+    # (formatted mode double-lists nodes: tree + details)
+    assert plan.count("Exchange") <= 2
+    assert "Generate" in plan and "Join" not in plan
