@@ -120,7 +120,7 @@ def transform_schema(ctx: BuildContext, action: Action) -> DataFrame:
     if spec is None:
         raise ValueError(f"schema transform {action.name!r} missing schema")
 
-    columns = spec.get("columns", []) if isinstance(spec, dict) else spec
+    columns = _normalize_schema_columns(spec)
     renames: dict[str, str] = {}
     casts: dict[str, str] = {}
     ordered: list[str] = []
@@ -143,6 +143,48 @@ def transform_schema(ctx: BuildContext, action: Action) -> DataFrame:
             raise ValueError(f"schema transform {action.name!r}: missing columns {missing}")
         df = df.select(*ordered)
     return df
+
+
+def _normalize_schema_columns(spec) -> list[dict]:
+    """Normalize the reference's THREE schema-transform file shapes to one
+    canonical column list (reference schema_transforms/ fixtures):
+
+    1. dicts: ``columns: [{name, type, rename_from}]`` (the engine's native
+       form);
+    2. arrow strings: ``columns: ["l_orderkey -> order_id: BIGINT",
+       "last_modified_dt: TIMESTAMP"]``;
+    3. block maps: ``column_mapping: {old: new}`` + ``type_casting:
+       {col: TYPE}``.
+    """
+    if not isinstance(spec, dict):
+        spec = {"columns": spec}
+    cols: list[dict] = []
+    for col in spec.get("columns") or []:
+        if isinstance(col, str):
+            left, _, typ = col.partition(":")
+            entry: dict = {"name": left.strip()}
+            if "->" in left:
+                old, _, new = left.partition("->")
+                entry = {"name": new.strip(), "rename_from": old.strip()}
+            if typ.strip():
+                entry["type"] = typ.strip()
+            cols.append(entry)
+        else:
+            cols.append(col)
+    casting = dict(spec.get("type_casting") or {})
+    seen = {c["name"] for c in cols}
+    for old, new in (spec.get("column_mapping") or {}).items():
+        if new in seen:
+            continue
+        entry = {"name": str(new), "rename_from": str(old)}
+        if new in casting:
+            entry["type"] = str(casting.pop(new))
+        cols.append(entry)
+        seen.add(str(new))
+    for name, typ in casting.items():
+        if name not in seen:
+            cols.append({"name": str(name), "type": str(typ)})
+    return cols
 
 
 def coerce_schema_type(t: str):

@@ -499,3 +499,57 @@ class TestTableReadEdges:
             ],
         }).actions[0]
         assert a.table_reads() == ["t"]
+
+
+class TestSchemaTransformFileShapes:
+    """The reference's schema_transforms/ files come in three shapes; all
+    normalize to the same rename->cast->enforce flow (reference
+    tests/e2e/fixtures/testing_project/schema_transforms/)."""
+
+    def _run(self, spark, spec):
+        from lakehouse_plumber_spark.parsers import load_flowgroup
+        from lakehouse_plumber_spark.runner import PipelineRunner
+
+        fg = load_flowgroup({
+            "pipeline": "p", "flowgroup": "f",
+            "actions": [
+                {"name": "ld", "type": "load",
+                 "source": {"type": "sql",
+                            "sql": "SELECT 7 AS l_orderkey, '9.5' AS l_quantity, 'x' AS extra"},
+                 "target": "v"},
+                {"name": "sc", "type": "transform", "transform_type": "schema",
+                 "source": "v", "target": "v2", "enforcement": "strict",
+                 "schema_inline": spec},
+                {"name": "wr", "type": "write", "source": "v2",
+                 "write_target": {"type": "materialized_view", "catalog": "m",
+                                  "schema": "s", "table": "t"}},
+            ],
+        })
+        runner = PipelineRunner(spark)
+        return runner.run(fg).resolve_view("m.s.t")
+
+    def test_arrow_string_shape(self, spark):
+        out = self._run(spark, {"columns": [
+            "l_orderkey -> order_id: BIGINT",
+            "l_quantity -> quantity: DECIMAL(18,2)",
+        ]})
+        assert out.columns == ["order_id", "quantity"]
+        row = out.collect()[0]
+        assert row.order_id == 7 and float(row.quantity) == 9.5
+
+    def test_mapping_and_casting_blocks(self, spark):
+        out = self._run(spark, {
+            "column_mapping": {"l_orderkey": "order_id", "l_quantity": "quantity"},
+            "type_casting": {"quantity": "DOUBLE"},
+        })
+        assert out.columns == ["order_id", "quantity"]
+        row = out.collect()[0]
+        assert row.order_id == 7 and row.quantity == 9.5
+
+    def test_cast_only_string_entry(self, spark):
+        out = self._run(spark, {"columns": [
+            "l_orderkey: STRING",
+            "l_quantity -> quantity: DOUBLE",
+        ]})
+        row = out.collect()[0]
+        assert row.l_orderkey == "7" and row.quantity == 9.5
