@@ -60,20 +60,36 @@ class PyDepsResult:
     warnings: list[str] = field(default_factory=list)
 
 
-def _const_str(node: ast.expr, bindings: dict[str, str]) -> Optional[str]:
+def _const_str(
+    node: ast.expr,
+    bindings: dict[str, str],
+    param_vals: Optional[dict] = None,
+    param_aliases: frozenset = frozenset(),
+) -> Optional[str]:
     """Resolve a node to a static string if possible (constants, bound names,
-    f-strings / ``+`` / ``.format`` / ``%`` over static parts)."""
+    f-strings / ``+`` / ``.format`` / ``%`` over static parts, and
+    YAML-parameter subscripts like ``parameters["key"]`` — the reference's
+    parameter-binding resolution, _static_resolution.py)."""
     if isinstance(node, ast.Constant) and isinstance(node.value, str):
         return node.value
     if isinstance(node, ast.Name):
         return bindings.get(node.id)
+    if (
+        isinstance(node, ast.Subscript)
+        and isinstance(node.value, ast.Name)
+        and node.value.id in param_aliases
+        and param_vals is not None
+    ):
+        key = _const_str(node.slice, bindings, param_vals, param_aliases)
+        val = param_vals.get(key) if isinstance(key, str) else None
+        return val if isinstance(val, str) else None
     if isinstance(node, ast.JoinedStr):
         parts = []
         for v in node.values:
             if isinstance(v, ast.Constant):
                 parts.append(str(v.value))
             elif isinstance(v, ast.FormattedValue):
-                s = _const_str(v.value, bindings)
+                s = _const_str(v.value, bindings, param_vals, param_aliases)
                 if s is None:
                     return None
                 parts.append(s)
@@ -81,16 +97,17 @@ def _const_str(node: ast.expr, bindings: dict[str, str]) -> Optional[str]:
                 return None
         return "".join(parts)
     if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
-        a, b = _const_str(node.left, bindings), _const_str(node.right, bindings)
+        a, b = (_const_str(node.left, bindings, param_vals, param_aliases),
+                _const_str(node.right, bindings, param_vals, param_aliases))
         return a + b if a is not None and b is not None else None
     if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Mod):
-        a = _const_str(node.left, bindings)
+        a = _const_str(node.left, bindings, param_vals, param_aliases)
         if a is None:
             return None
         args: list[str] = []
         elts = node.right.elts if isinstance(node.right, ast.Tuple) else [node.right]
         for e in elts:
-            s = _const_str(e, bindings)
+            s = _const_str(e, bindings, param_vals, param_aliases)
             if s is None:
                 return None
             args.append(s)
@@ -103,17 +120,17 @@ def _const_str(node: ast.expr, bindings: dict[str, str]) -> Optional[str]:
         and isinstance(node.func, ast.Attribute)
         and node.func.attr == "format"
     ):
-        base = _const_str(node.func.value, bindings)
+        base = _const_str(node.func.value, bindings, param_vals, param_aliases)
         if base is None:
             return None
         args, kwargs = [], {}
         for a in node.args:
-            s = _const_str(a, bindings)
+            s = _const_str(a, bindings, param_vals, param_aliases)
             if s is None:
                 return None
             args.append(s)
         for kw in node.keywords:
-            s = _const_str(kw.value, bindings) if kw.arg else None
+            s = _const_str(kw.value, bindings, param_vals, param_aliases) if kw.arg else None
             if s is None:
                 return None
             kwargs[kw.arg] = s
@@ -156,22 +173,88 @@ def _reader_format(node: ast.expr, bindings: dict[str, str]) -> Optional[str]:
 
 
 class _Extractor(ast.NodeVisitor):
-    def __init__(self) -> None:
+    def __init__(
+        self,
+        parameters: Optional[dict] = None,
+        function_name: Optional[str] = None,
+    ) -> None:
         self.result = PyDepsResult()
         self.bindings: dict[str, str] = {}
+        # YAML-declared action parameters bind into the body (reference
+        # _static_resolution.py parameter binding): subscripts like
+        # parameters["key"] resolve to their declared values, and iterating
+        # a declared list statically unrolls one edge per element
+        self.param_vals: dict = parameters or {}
+        self.param_aliases: set[str] = {"parameters", "params"}
+        self.function_name = function_name
+
+    def _resolve(self, node: ast.expr) -> Optional[str]:
+        return _const_str(
+            node, self.bindings, self.param_vals, frozenset(self.param_aliases)
+        )
+
+    def visit_FunctionDef(self, node: ast.FunctionDef) -> None:
+        # the declared entry function's LAST positional arg receives the
+        # action's parameters dict (call shapes f(df, spark, params) /
+        # f([dfs], spark, params) / f(spark, params))
+        if (
+            self.param_vals
+            and self.function_name is not None
+            and node.name == self.function_name
+            and len(node.args.args) >= 2
+        ):
+            self.param_aliases.add(node.args.args[-1].arg)
+        self.generic_visit(node)
+
+    def _static_iterable(self, node: ast.expr) -> Optional[list[str]]:
+        """A for-loop iterable whose elements are statically known strings."""
+        if (
+            isinstance(node, ast.Subscript)
+            and isinstance(node.value, ast.Name)
+            and node.value.id in self.param_aliases
+        ):
+            key = self._resolve(node.slice)
+            val = self.param_vals.get(key) if isinstance(key, str) else None
+            if isinstance(val, list) and all(isinstance(x, str) for x in val):
+                return list(val)
+        if isinstance(node, (ast.List, ast.Tuple)):
+            vals = [self._resolve(e) for e in node.elts]
+            if vals and all(v is not None for v in vals):
+                return vals  # type: ignore[return-value]
+        return None
+
+    def visit_For(self, node: ast.For) -> None:
+        # static loop unrolling (reference dep_bindings fixture): iterating a
+        # declared parameter list visits the body once per element with the
+        # loop variable bound — one dependency edge per configured table
+        vals = self._static_iterable(node.iter)
+        if vals is not None and isinstance(node.target, ast.Name):
+            saved = self.bindings.get(node.target.id)
+            for v in vals:
+                self.bindings[node.target.id] = v
+                for stmt in node.body:
+                    self.visit(stmt)
+            if saved is None:
+                self.bindings.pop(node.target.id, None)
+            else:
+                self.bindings[node.target.id] = saved
+            for stmt in node.orelse:
+                self.visit(stmt)
+            return
+        self.generic_visit(node)
 
     # --- constant bindings (one scope-wide dict: good enough for the
     # helper-module shapes python actions take; reassignment overwrites) ---
     def visit_Assign(self, node: ast.Assign) -> None:
         if len(node.targets) == 1 and isinstance(node.targets[0], ast.Name):
-            val = _const_str(node.value, self.bindings)
+            val = self._resolve(node.value)
             if val is not None:
                 self.bindings[node.targets[0].id] = val
         self.generic_visit(node)
 
     def visit_AnnAssign(self, node: ast.AnnAssign) -> None:
         if node.value is not None and isinstance(node.target, ast.Name):
-            val = _const_str(node.value, self.bindings)
+            val = self._resolve(node.value)
             if val is not None:
                 self.bindings[node.target.id] = val
         self.generic_visit(node)
@@ -186,7 +269,7 @@ class _Extractor(ast.NodeVisitor):
             # fabricate dependency edges (and with the runner's view-name
             # folding, even cycles) out of unrelated APIs
             if func.attr == "sql" and node.args and _spark_rooted(chain):
-                sql = _const_str(node.args[0], self.bindings)
+                sql = self._resolve(node.args[0])
                 if sql is not None:
                     self.result.tables |= sql_table_refs(sql)
                 else:
@@ -198,7 +281,7 @@ class _Extractor(ast.NodeVisitor):
                 # not counted as an edge, but don't drop it SILENTLY: if the
                 # argument is a constant with table refs, surface an advisory
                 # so a renamed session variable is diagnosable
-                sql = _const_str(node.args[0], self.bindings)
+                sql = self._resolve(node.args[0])
                 refs = sql_table_refs(sql) if sql else set()
                 if refs:
                     recv = ".".join(chain[:-1]) or "?"
@@ -226,7 +309,7 @@ class _Extractor(ast.NodeVisitor):
                     # .format("cloudFiles").table(...) etc: external root
                     internal = fmt.lower() in _INTERNAL_TABLE_FORMATS
                 if internal:
-                    name = _const_str(node.args[0], self.bindings)
+                    name = self._resolve(node.args[0])
                     if name is not None:
                         if func.attr == "load":
                             # a path, not a table name — only count dotted
@@ -243,13 +326,17 @@ class _Extractor(ast.NodeVisitor):
         self.generic_visit(node)
 
 
-def extract_python_table_refs(code: str) -> PyDepsResult:
+def extract_python_table_refs(
+    code: str,
+    parameters: Optional[dict] = None,
+    function_name: Optional[str] = None,
+) -> PyDepsResult:
     """Internal-table reads (+ opaque-read advisories) from one python body."""
     try:
         tree = ast.parse(code)
     except SyntaxError:
         return PyDepsResult(warnings=["unparseable python source"])
-    ex = _Extractor()
+    ex = _Extractor(parameters=parameters, function_name=function_name)
     ex.visit(tree)
     return ex.result
 
@@ -293,4 +380,11 @@ def action_python_refs(action, base_dir: str = ".") -> PyDepsResult:
                 return PyDepsResult()
     if code is None:
         return PyDepsResult()
-    return extract_python_table_refs(code)
+    parameters = getattr(action, "parameters", None)
+    function_name = getattr(action, "function_name", None)
+    if isinstance(getattr(action, "source", None), dict):
+        parameters = parameters or action.source.get("parameters")
+        function_name = function_name or action.source.get("function_name")
+    return extract_python_table_refs(
+        code, parameters=parameters, function_name=function_name
+    )

@@ -307,3 +307,101 @@ class TestDynamicSqlRefs:
         ctxs = runner.run_many([consumer, producer])
         row = ctxs[0].resolve_view("m.g.probe_out").collect()[0]
         assert row.n_rows == 10 and row.n_changes == 10
+
+
+class TestParameterBoundPythonRefs:
+    """YAML parameters bind into python bodies for dependency extraction
+    (reference testing_project/19_dependency_bindings): subscript reads
+    resolve, declared lists statically unroll one edge per element."""
+
+    def test_loop_unrolled_parameter_reads(self):
+        from lakehouse_plumber_spark.pydeps import extract_python_table_refs
+
+        code = (
+            "def union_configured_tables(df, spark, parameters):\n"
+            "    result = df\n"
+            "    for t in parameters['tables']:\n"
+            "        result = result.unionByName(spark.read.table(t))\n"
+            "    return result\n"
+        )
+        out = extract_python_table_refs(
+            code,
+            parameters={"tables": ["main.bronze.alpha", "main.bronze.beta"]},
+            function_name="union_configured_tables",
+        )
+        assert out.tables == {"main.bronze.alpha", "main.bronze.beta"}
+        assert not out.warnings
+
+    def test_subscript_parameter_read_and_custom_arg_name(self):
+        from lakehouse_plumber_spark.pydeps import extract_python_table_refs
+
+        code = (
+            "def f(df, spark, cfg):\n"
+            "    return df.join(spark.table(cfg['dim_table']), 'k')\n"
+        )
+        out = extract_python_table_refs(
+            code, parameters={"dim_table": "main.silver.dim"}, function_name="f"
+        )
+        assert out.tables == {"main.silver.dim"}
+
+    def test_unknown_parameter_stays_opaque_warning(self):
+        from lakehouse_plumber_spark.pydeps import extract_python_table_refs
+
+        code = (
+            "def f(df, spark, parameters):\n"
+            "    return spark.table(parameters['nope'])\n"
+        )
+        out = extract_python_table_refs(code, parameters={"other": "x"},
+                                        function_name="f")
+        assert out.tables == set()
+        assert any("runtime-only" in w for w in out.warnings)
+
+    def test_parameter_loop_creates_cross_flowgroup_edge(self, spark, tmp_path):
+        """End-to-end: the ONLY link from consumer to producer is a table
+        name inside parameters['tables']; run_many must still stage the
+        producer first."""
+        from lakehouse_plumber_spark.parsers import load_flowgroup
+        from lakehouse_plumber_spark.runner import PipelineRunner
+        from lakehouse_plumber_spark.tables import ParquetTableStore
+
+        mod = tmp_path / "union_mod.py"
+        mod.write_text(
+            "def union_tables(df, spark, parameters):\n"
+            "    out = df\n"
+            "    for t in parameters['tables']:\n"
+            "        out = out.unionByName(spark.table(t))\n"
+            "    return out\n"
+        )
+        producer = load_flowgroup({
+            "pipeline": "a", "flowgroup": "w",
+            "actions": [
+                {"name": "ld", "type": "load",
+                 "source": {"type": "sql", "sql": "SELECT id FROM RANGE(5)"},
+                 "target": "v"},
+                {"name": "wr", "type": "write", "source": "v",
+                 "write_target": {"type": "materialized_view", "catalog": "m",
+                                  "schema": "s", "table": "alpha"}},
+            ],
+        })
+        consumer = load_flowgroup({
+            "pipeline": "b", "flowgroup": "r",
+            "actions": [
+                {"name": "seed", "type": "load",
+                 "source": {"type": "sql", "sql": "SELECT id + 100 AS id FROM RANGE(5)"},
+                 "target": "v_seed"},
+                {"name": "u", "type": "transform", "transform_type": "python",
+                 "source": "v_seed", "target": "v_all",
+                 "module_path": "union_mod.py", "function_name": "union_tables",
+                 # folded temp-view spelling — how python bodies read another
+                 # flowgroup's table at runtime; the dep graph reconciles it
+                 # to the dotted writer (cross_flowgroup_deps)
+                 "parameters": {"tables": ["m__s__alpha"]}},
+                {"name": "wr", "type": "write", "source": "v_all",
+                 "write_target": {"type": "materialized_view", "catalog": "m",
+                                  "schema": "g", "table": "all_rows"}},
+            ],
+        })
+        store = ParquetTableStore(spark=spark, root=str(tmp_path / "wh"))
+        runner = PipelineRunner(spark, store=store, base_dir=str(tmp_path))
+        ctxs = runner.run_many([consumer, producer])  # consumer listed first
+        assert ctxs[0].resolve_view("m.g.all_rows").count() == 10
