@@ -111,3 +111,27 @@ def test_streaming_table_tags_file(spark, tmp_path):
     runner.run(load_flowgroup(spec))
     assert store.get_meta("m.s.st", "uc_tags") == {"owner": "me"}
     assert store.get_meta("m.s.st", "uc_column_tags") == {"id": {"key": "primary"}}
+
+
+def test_compiled_script_emits_uc_tags_artifact(spark, tmp_path):
+    """compile-to-source resolves tags at compile time and the generated
+    build() writes one _uc_tags.json artifact per run — the standalone
+    analogue of the reference's generated tagging hook."""
+    import json
+
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+
+    sidecar = tmp_path / "t.yaml"
+    sidecar.write_text(yaml.safe_dump({
+        "table": "t", "tags": {"team": "x"},
+        "columns": [{"name": "id", "tags": {"key": "primary"}}],
+    }))
+    fg = load_flowgroup(_mv_spec(tags_file="t.yaml"))
+    src = compile_flowgroup(fg, base_dir=str(tmp_path))
+    ns: dict = {}
+    exec(compile(src, "<gen>", "exec"), ns)
+    out = tmp_path / "gen"
+    ns["build"](spark, str(out))
+    doc = json.loads((out / "_uc_tags.json").read_text())
+    assert doc == {"m.s.t": {"table_tags": {"team": "x"},
+                             "column_tags": {"id": {"key": "primary"}}}}
