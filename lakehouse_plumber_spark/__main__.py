@@ -245,6 +245,17 @@ def cmd_compile(args) -> int:
     rc = 0
     written: set[str] = set()
     fgs = _discover(args)
+    # generated scripts are standalone files: no runtime can see that a
+    # SIBLING script streams from a table this one compacts, so the
+    # streaming/compaction hazard must be refused statically here (the
+    # engine path refuses it at runtime too — write.py)
+    from lakehouse_plumber_spark.dag import validate_streaming_compaction
+
+    problems = validate_streaming_compaction(fgs)
+    if problems:
+        for p in problems:
+            print(f"FAIL  {p}")
+        return 2
     jobs = getattr(args, "jobs", 1)
     if jobs == 0:
         jobs = max(2, int(0.8 * (os.cpu_count() or 4)))
@@ -424,10 +435,14 @@ def cmd_jobs(args) -> int:
     def _key(i: int) -> str:
         return f"{fgs[i].pipeline}__{fgs[i].flowgroup}"
 
-    def _stages_doc(members: list[int]) -> list[dict]:
+    def _stages_doc(members: list[int], dep_scope: set[int] | None = None) -> list[dict]:
         """Stage list restricted to `members`, renumbered 1..k — the SAME
-        assignment run_many computes, filtered to the group's tasks."""
+        assignment run_many computes, filtered to the group's tasks.
+        `dep_scope` restricts each task's depends_on to task keys defined in
+        the same document (multi-job mode: cross-job edges lift to job-level
+        depends_on instead)."""
         mset = set(members)
+        scope = dep_scope if dep_scope is not None else mset
         out = []
         for s in stages:
             tasks = [i for i in s if i in mset]
@@ -440,7 +455,7 @@ def cmd_jobs(args) -> int:
                             "task_key": _key(i),
                             "pipeline": fgs[i].pipeline,
                             "flowgroup": fgs[i].flowgroup,
-                            "depends_on": sorted(_key(j) for j in deps[i]),
+                            "depends_on": sorted(_key(j) for j in deps[i] if j in scope),
                         }
                         for i in sorted(tasks, key=_key)
                     ],
@@ -471,13 +486,16 @@ def cmd_jobs(args) -> int:
             })
             for name, members in groups.items()
         }
+        members_of = {name: set(m) for name, m in groups.items()}
         doc = {
             "job": {"name": master, "max_concurrent_runs": 1},
             "jobs": [
                 {
                     "name": name,
                     "depends_on": job_deps[name],
-                    "stages": _stages_doc(members),
+                    # task depends_on stays WITHIN the job (schedulers require
+                    # it); cross-job ordering is the job-level depends_on
+                    "stages": _stages_doc(members, members_of[name]),
                 }
                 for name, members in sorted(groups.items())
             ],

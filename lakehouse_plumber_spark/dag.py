@@ -371,29 +371,48 @@ def validate_streaming_compaction(flowgroups: list) -> list[str]:
     if not compacted:
         return []
     problems: list[str] = []
+
+    def _flag(fg, a, name: str) -> None:
+        problems.append(
+            f"{fg.pipeline}/{fg.flowgroup}/{a.name} streams from table "
+            f"{name!r}, but {compacted[name]} declares "
+            "lhp.autoOptimize.maxFiles on it: compaction renames every "
+            "data file, so this consumer's streaming checkpoint would "
+            "re-ingest the table in full — drop the property or read "
+            "the table in batch mode"
+        )
+
     for fg in flowgroups:
         for a in fg.actions:
-            if a.type != ActionType.LOAD or (a.readMode or "batch") != "stream":
-                continue
-            src = a.source if isinstance(a.source, dict) else {}
-            if src.get("type") != "delta" or not src.get("table"):
-                continue
-            name = ".".join(
-                p for p in (
-                    src.get("catalog"),
-                    src.get("database") or src.get("schema"),
-                    src.get("table"),
-                ) if p
-            )
-            if name in compacted:
-                problems.append(
-                    f"{fg.pipeline}/{fg.flowgroup}/{a.name} streams from table "
-                    f"{name!r}, but {compacted[name]} declares "
-                    "lhp.autoOptimize.maxFiles on it: compaction renames every "
-                    "data file, so this consumer's streaming checkpoint would "
-                    "re-ingest the table in full — drop the property or read "
-                    "the table in batch mode"
-                )
+            # streaming delta loads of a compacted table
+            if a.type == ActionType.LOAD and (a.readMode or "batch") == "stream":
+                src = a.source if isinstance(a.source, dict) else {}
+                if src.get("type") == "delta" and src.get("table"):
+                    name = ".".join(
+                        p for p in (
+                            src.get("catalog"),
+                            src.get("database") or src.get("schema"),
+                            src.get("table"),
+                        ) if p
+                    )
+                    if name in compacted:
+                        _flag(fg, a, name)
+            # stream(table) refs inside SQL text are consumers too
+            sqls = [a.sql]
+            if isinstance(a.source, dict):
+                sqls.append(a.source.get("sql"))
+            if a.write_target is not None:
+                sqls.append(a.write_target.sql)
+            for sql in sqls:
+                if not sql:
+                    continue
+                masked = re.sub(r"--[^\n]*", " ", sql)
+                for m in re.finditer(
+                    r"\bstream\s*\(\s*([A-Za-z_][\w.]*)\s*\)", masked, re.I
+                ):
+                    name = m.group(1)
+                    if name in compacted:
+                        _flag(fg, a, name)
     return problems
 
 

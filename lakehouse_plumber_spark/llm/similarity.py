@@ -177,8 +177,9 @@ def centroid_argmin_expr(cents: list[tuple[int, list[float]]], v_col: str = "v")
     return f"array_min({centroid_distances_expr(cents, v_col)}).cid"
 
 
-def _collect_centroids(df, id_col: str) -> list[tuple[int, list[float]]]:
-    """Bounded collect (n_centroids rows) sorted by cid for stable expr text."""
+def _collect_centroids(df) -> list[tuple[int, list[float]]]:
+    """Bounded collect (n_centroids rows) of (id, vector) rows, sorted by id
+    for stable expr text. Positional: callers select (id, vector) in order."""
     return sorted((r[0], list(r[1])) for r in df.collect())
 
 
@@ -203,7 +204,7 @@ def ivf_build_and_search(
     """
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     cents = _collect_centroids(
-        base.orderBy(id_col).limit(n_centroids).select(id_col, "v"), id_col
+        base.orderBy(id_col).limit(n_centroids).select(id_col, "v")
     )
     dim = len(cents[0][1]) if cents else 0
     for _ in range(max_iter):
@@ -285,6 +286,12 @@ def ivfpq_search(
         for r in base.orderBy(id_col).limit(n_seeds).select(id_col, "v").collect()
     ]
     seeds.sort()
+    if len(seeds) < n_seeds:
+        raise ValueError(
+            f"ivfpq_search needs at least max(n_centroids, n_codes)={n_seeds} "
+            f"vectors to seed its quantizers; the table has {len(seeds)} — "
+            "lower n_centroids/n_codes for tiny collections"
+        )
     dim = len(seeds[0][1])
     if dim % m_subvectors:
         raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
@@ -432,7 +439,7 @@ def semantic_dedup(
     """
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     cents = _collect_centroids(
-        base.orderBy(id_col).limit(n_centroids).select(id_col, "v"), id_col
+        base.orderBy(id_col).limit(n_centroids).select(id_col, "v")
     )
     assigned = base.select(
         id_col, "v", F.expr(centroid_argmin_expr(cents)).alias("list_id")

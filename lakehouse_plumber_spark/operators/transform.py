@@ -38,6 +38,11 @@ def resolve_sql_tables(ctx: BuildContext, query: str) -> str:
     # store this maps 1:1 onto the native table-valued function.
     def _tc(m: "re.Match") -> str:
         name, s_, e_ = m.group(1), m.group(2), m.group(3)
+        if not ctx.store.has_changes(name):
+            # no change log for this name: leave the text verbatim (it may
+            # be inside a comment/string, which this scan can't see; a real
+            # executed ref then gets Spark's own resolution error)
+            return m.group(0)
         view = f"__cdf__{name.replace('.', '__')}__{s_}_{e_ or 'latest'}"
         df = ctx.store.read_changes(name, int(s_), int(e_) if e_ else None)
         ctx.register(view, df)
@@ -172,9 +177,14 @@ def _normalize_schema_columns(spec) -> list[dict]:
         else:
             cols.append(col)
     casting = dict(spec.get("type_casting") or {})
-    seen = {c["name"] for c in cols}
+    by_name = {c["name"]: c for c in cols}
+    seen = set(by_name)
     for old, new in (spec.get("column_mapping") or {}).items():
         if new in seen:
+            # the rename's target is also declared under columns: merge the
+            # mapping INTO that entry (dropping it would silently lose the
+            # rename and break the later cast/strict-select)
+            by_name[new].setdefault("rename_from", str(old))
             continue
         entry = {"name": str(new), "rename_from": str(old)}
         if new in casting:

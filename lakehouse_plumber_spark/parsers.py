@@ -212,23 +212,34 @@ def load_flowgroup_file(
     )
 
 
+_project_config_cache: dict[tuple, object] = {}
+
+
 def load_project_config(project_root: str):
     """Read lhp.yaml at the project root, or None when absent (reference
-    ProjectConfig, src/lhp/models/_project.py). Defects are SpecErrors."""
+    ProjectConfig, src/lhp/models/_project.py). Defects are SpecErrors.
+    Cached on (path, mtime): one CLI invocation touches this up to three
+    times (discovery, sandbox policy, runner wiring)."""
     from lakehouse_plumber_spark.models import ProjectConfig
 
     path = os.path.join(project_root, "lhp.yaml")
     if not os.path.exists(path):
         return None
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    if key in _project_config_cache:
+        return _project_config_cache[key]
     with open(path) as f:
         try:
             spec = yaml.safe_load(f) or {}
         except yaml.YAMLError as e:
             raise SpecError(f"lhp.yaml: {e}") from e
     try:
-        return ProjectConfig.model_validate(spec)
+        cfg = ProjectConfig.model_validate(spec)
     except PydanticValidationError as e:
         raise SpecError(f"lhp.yaml: {e}") from e
+    _project_config_cache.clear()  # keep exactly one entry (tests mutate files)
+    _project_config_cache[key] = cfg
+    return cfg
 
 
 def discover_flowgroups(
@@ -296,10 +307,14 @@ def discover_flowgroups(
     cache = cache_for(project_root)
 
     def _read_yaml(p: str) -> dict:
-        if cache is not None:
-            return cache.load_yaml(p) or {}
-        with open(p) as f:
-            return yaml.safe_load(f) or {}
+        try:
+            if cache is not None:
+                return cache.load_yaml(p) or {}
+            with open(p) as f:
+                return yaml.safe_load(f) or {}
+        except yaml.YAMLError as e:
+            # malformed user YAML is a spec defect, not an engine traceback
+            raise SpecError(f"{p}: {e}") from e
 
     for p in bp_paths:
         try:

@@ -201,6 +201,14 @@ class ParquetTableStore:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
+        # a dropped table has no files any checkpoint has seen, so the
+        # streaming-consumer marker must not outlive it — otherwise a
+        # rebuilt table is permanently refused compaction. The REST of the
+        # sidecar (CDF, versions, cdc meta) deliberately survives: stale
+        # markers there are real operational traps the engine must handle
+        # (see test_incremental_mv's epoch-marker replay test).
+        if self.get_meta(name, "streaming_consumed"):
+            self.set_meta(name, "streaming_consumed", False)
 
     def _data_file_count(self, name: str) -> int:
         n = 0

@@ -481,6 +481,13 @@ def test_cli_jobs_multi_job_grouping(tmp_path, capsys):
     assert jobs["j_ingest"]["depends_on"] == []
     assert jobs["j_serve"]["depends_on"] == ["j_ingest"]
     assert jobs["j_ingest"]["stages"][0]["tasks"][0]["task_key"] == "a__w"
+    # task-level depends_on stays WITHIN each job (schedulers reject dangling
+    # task keys); the cross-job edge above is expressed at the job level only
+    for j in doc["jobs"]:
+        own_keys = {t["task_key"] for s in j["stages"] for t in s["tasks"]}
+        for s in j["stages"]:
+            for t in s["tasks"]:
+                assert set(t["depends_on"]) <= own_keys
 
     # all-or-nothing: dropping one job_name fails validate AND jobs
     reader2 = dict(reader)

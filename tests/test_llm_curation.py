@@ -487,3 +487,14 @@ def test_pack_sequences_tiles_exactly(spark):
         assert pos <= L
         if sq != last[sh]:
             assert pos == L, f"non-final sequence ({sh},{sq}) not full: {pos}"
+
+
+def test_ivfpq_refuses_undersized_collection(spark):
+    from lakehouse_plumber_spark.llm.similarity import ivfpq_search
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="at least"):
+        ivfpq_search(df, [0], n_centroids=16, n_codes=16)

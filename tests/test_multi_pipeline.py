@@ -405,3 +405,22 @@ class TestParameterBoundPythonRefs:
         runner = PipelineRunner(spark, store=store, base_dir=str(tmp_path))
         ctxs = runner.run_many([consumer, producer])  # consumer listed first
         assert ctxs[0].resolve_view("m.g.all_rows").count() == 10
+
+
+def test_table_changes_in_comment_or_without_log_left_verbatim(spark, runner):
+    """A table_changes ref with no change log (e.g. commented-out legacy SQL)
+    must not break the action at registration time."""
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    fg = load_flowgroup({
+        "pipeline": "p", "flowgroup": "f",
+        "actions": [
+            {"name": "t", "type": "transform", "transform_type": "sql",
+             "sql": "SELECT 1 AS x -- old: table_changes('legacy.gone', 0)",
+             "target": "v"},
+            {"name": "wr", "type": "write", "source": "v",
+             "write_target": {"type": "materialized_view", "catalog": "m",
+                              "schema": "s", "table": "t"}},
+        ],
+    })
+    assert runner.run(fg).resolve_view("m.s.t").collect()[0].x == 1

@@ -553,3 +553,13 @@ class TestSchemaTransformFileShapes:
         ]})
         row = out.collect()[0]
         assert row.l_orderkey == "7" and row.quantity == 9.5
+
+    def test_mapping_conflicting_with_columns_entry_merges(self, spark):
+        """A column_mapping rename whose target is also declared under
+        columns must merge (rename preserved), not be dropped."""
+        out = self._run(spark, {
+            "columns": [{"name": "order_id", "type": "BIGINT"}],
+            "column_mapping": {"l_orderkey": "order_id"},
+        })
+        assert out.columns == ["order_id"]
+        assert out.collect()[0].order_id == 7

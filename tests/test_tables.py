@@ -334,3 +334,48 @@ def test_validate_streaming_compaction_flags_conflict(spark):
         ],
     })
     assert validate_streaming_compaction([writer, batch]) == []
+
+
+def test_drop_clears_streaming_consumer_marker(spark, tmp_path):
+    """A dropped table has no files any checkpoint has seen: the rebuilt
+    table must be compactable again (review r5: the marker must not outlive
+    the table it describes)."""
+    st = _store(spark, tmp_path)
+    t = "main.s.dropped"
+    st.append(t, spark.range(5))
+    st.read_stream(t)
+    st.drop(t)
+    for i in range(3):
+        st.append(t, spark.range(i * 5, i * 5 + 5))
+    res = st.compact(t)  # must NOT raise
+    assert res["files_after"] == 1
+
+
+def test_validate_streaming_compaction_catches_sql_stream_refs(spark):
+    """stream(table) inside SQL text is a streaming consumer too."""
+    from lakehouse_plumber_spark.dag import validate_streaming_compaction
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    writer = load_flowgroup({
+        "pipeline": "a", "flowgroup": "w",
+        "actions": [
+            {"name": "ld", "type": "load",
+             "source": {"type": "sql", "sql": "SELECT 1 AS id"}, "target": "v"},
+            {"name": "wr", "type": "write", "source": "v",
+             "write_target": {"type": "streaming_table", "catalog": "m",
+                              "schema": "s", "table": "t",
+                              "table_properties": {"lhp.autoOptimize.maxFiles": "4"}}},
+        ],
+    })
+    consumer = load_flowgroup({
+        "pipeline": "b", "flowgroup": "r",
+        "actions": [
+            {"name": "tx", "type": "transform", "transform_type": "sql",
+             "sql": "SELECT * FROM stream(m.s.t)", "target": "v2"},
+            {"name": "wr", "type": "write", "source": "v2",
+             "write_target": {"type": "streaming_table", "catalog": "m",
+                              "schema": "s", "table": "u"}},
+        ],
+    })
+    problems = validate_streaming_compaction([writer, consumer])
+    assert len(problems) == 1 and "m.s.t" in problems[0]
