@@ -214,8 +214,7 @@ def ivf_build_and_search(
         cents = _collect_centroids(
             asg.groupBy("cid").agg(
                 F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
-            ),
-            id_col,
+            )
         )
     assigned = base.select(
         id_col, "v", F.expr(centroid_argmin_expr(cents)).alias("list_id")
