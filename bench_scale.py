@@ -40,6 +40,8 @@ NAMES = [
     "sample_hash_split",
     "sample_mixture",
     "knn_ivfpq",
+    "text_gopher_rules",
+    "sample_sequence_pack",
 ]
 
 
