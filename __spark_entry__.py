@@ -3789,6 +3789,45 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSTRAT_K = 20
+
+
+def _quality_strat_duck() -> str:
+    h = md5int_duck("'sample:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH q AS (SELECT * FROM ({_quality_duck()}) x),
+    b AS (SELECT doc_id, quality_score,
+                 CAST(least(floor(quality_score * 10), 9) AS INT) AS q_bucket
+          FROM q),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_bucket
+                                       ORDER BY {h} % 1000000, doc_id) AS rk
+          FROM b)
+    SELECT doc_id, q_bucket, quality_score FROM r WHERE rk <= {_QSTRAT_K}
+    """
+
+
+@_register("sample_quality_stratified", _quality_strat_duck())
+def sample_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/quality-bucket sampling: quality-score deciles as strata,
+    deterministic k-per-bucket smallest-hash sample — the "sample uniformly
+    across the quality spectrum" job an annotation or eval-set build runs.
+    Composition of two verified operators (quality_score_expr narrow scan +
+    per_stratum_smallest_hash single stratum exchange); decile assignment is
+    one multiply+floor on the already-rounded score, so the DuckDB oracle
+    reproduces bucket membership and the sampled set exactly."""
+    from lakehouse_plumber_spark.llm import sampling as SP
+
+    _prep(spark, sf_dir)
+    docs = TX.with_quality_score(spark.table("documents"))
+    docs = docs.select(
+        "doc_id", "quality_score",
+        F.least(F.floor(F.col("quality_score") * 10), F.lit(9)).cast("int").alias("q_bucket"),
+    )
+    return SP.per_stratum_smallest_hash(docs, "q_bucket", _QSTRAT_K).select(
+        "doc_id", "q_bucket", "quality_score"
+    )
+
+
 def _mixture_stats_duck() -> str:
     samp = _mixture_duck(False)
     rel = (
