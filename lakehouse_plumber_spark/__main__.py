@@ -435,14 +435,13 @@ def cmd_jobs(args) -> int:
     def _key(i: int) -> str:
         return f"{fgs[i].pipeline}__{fgs[i].flowgroup}"
 
-    def _stages_doc(members: list[int], dep_scope: set[int] | None = None) -> list[dict]:
+    def _stages_doc(members: list[int]) -> list[dict]:
         """Stage list restricted to `members`, renumbered 1..k — the SAME
-        assignment run_many computes, filtered to the group's tasks.
-        `dep_scope` restricts each task's depends_on to task keys defined in
-        the same document (multi-job mode: cross-job edges lift to job-level
-        depends_on instead)."""
+        assignment run_many computes, filtered to the group's tasks. Each
+        task's depends_on is restricted to task keys in the SAME document
+        (multi-job mode: cross-job edges lift to job-level depends_on)."""
         mset = set(members)
-        scope = dep_scope if dep_scope is not None else mset
+        scope = mset
         out = []
         for s in stages:
             tasks = [i for i in s if i in mset]
@@ -486,16 +485,13 @@ def cmd_jobs(args) -> int:
             })
             for name, members in groups.items()
         }
-        members_of = {name: set(m) for name, m in groups.items()}
         doc = {
             "job": {"name": master, "max_concurrent_runs": 1},
             "jobs": [
                 {
                     "name": name,
                     "depends_on": job_deps[name],
-                    # task depends_on stays WITHIN the job (schedulers require
-                    # it); cross-job ordering is the job-level depends_on
-                    "stages": _stages_doc(members, members_of[name]),
+                    "stages": _stages_doc(members),
                 }
                 for name, members in sorted(groups.items())
             ],

@@ -406,7 +406,11 @@ def validate_streaming_compaction(flowgroups: list) -> list[str]:
             for sql in sqls:
                 if not sql:
                     continue
+                # same masking as sql_table_refs: block comments and string
+                # literals must not fabricate (or refuse) consumers
                 masked = re.sub(r"--[^\n]*", " ", sql)
+                masked = re.sub(r"/\*.*?\*/", " ", masked, flags=re.S)
+                masked = re.sub(r"'(?:[^'\\]|\\.)*'", "''", masked)
                 for m in re.finditer(
                     r"\bstream\s*\(\s*([A-Za-z_][\w.]*)\s*\)", masked, re.I
                 ):

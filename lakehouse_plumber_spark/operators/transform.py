@@ -178,21 +178,24 @@ def _normalize_schema_columns(spec) -> list[dict]:
             cols.append(col)
     casting = dict(spec.get("type_casting") or {})
     by_name = {c["name"]: c for c in cols}
-    seen = set(by_name)
     for old, new in (spec.get("column_mapping") or {}).items():
-        if new in seen:
-            # the rename's target is also declared under columns: merge the
-            # mapping INTO that entry (dropping it would silently lose the
-            # rename and break the later cast/strict-select)
-            by_name[new].setdefault("rename_from", str(old))
-            continue
-        entry = {"name": str(new), "rename_from": str(old)}
+        new = str(new)
+        if new in by_name:
+            # the rename's target already has an entry (declared under
+            # columns, or synthesized by an earlier mapping): merge INTO it —
+            # dropping the rename would silently break the cast/strict-select
+            entry = by_name[new]
+            entry.setdefault("rename_from", str(old))
+        else:
+            entry = {"name": new, "rename_from": str(old)}
+            cols.append(entry)
+            by_name[new] = entry
         if new in casting:
-            entry["type"] = str(casting.pop(new))
-        cols.append(entry)
-        seen.add(str(new))
+            # the type_casting for a mapped column applies regardless of
+            # which branch created the entry (a columns-declared type wins)
+            entry.setdefault("type", str(casting.pop(new)))
     for name, typ in casting.items():
-        if name not in seen:
+        if str(name) not in by_name:
             cols.append({"name": str(name), "type": str(typ)})
     return cols
 

@@ -225,14 +225,19 @@ def load_project_config(project_root: str):
     path = os.path.join(project_root, "lhp.yaml")
     if not os.path.exists(path):
         return None
-    key = (os.path.abspath(path), os.path.getmtime(path))
+    import hashlib
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    # content-hash key (not mtime: coarse filesystem timestamps would serve
+    # a stale config after a same-second rewrite)
+    key = hashlib.sha256(raw).hexdigest()
     if key in _project_config_cache:
         return _project_config_cache[key]
-    with open(path) as f:
-        try:
-            spec = yaml.safe_load(f) or {}
-        except yaml.YAMLError as e:
-            raise SpecError(f"lhp.yaml: {e}") from e
+    try:
+        spec = yaml.safe_load(raw) or {}
+    except yaml.YAMLError as e:
+        raise SpecError(f"lhp.yaml: {e}") from e
     try:
         cfg = ProjectConfig.model_validate(spec)
     except PydanticValidationError as e:

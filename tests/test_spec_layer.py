@@ -563,3 +563,18 @@ class TestSchemaTransformFileShapes:
         })
         assert out.columns == ["order_id"]
         assert out.collect()[0].order_id == 7
+
+    def test_duplicate_mapping_targets_and_cast_on_merge(self, spark):
+        from lakehouse_plumber_spark.operators.transform import _normalize_schema_columns
+
+        # two mappings to one target: no crash, first rename wins
+        out = _normalize_schema_columns({"column_mapping": {"a": "x", "b": "x"}})
+        assert out == [{"name": "x", "rename_from": "a"}]
+        # mapping merged into a columns entry keeps its type_casting
+        out = _normalize_schema_columns({
+            "columns": [{"name": "order_id"}],
+            "column_mapping": {"l_orderkey": "order_id"},
+            "type_casting": {"order_id": "BIGINT"},
+        })
+        assert out == [{"name": "order_id", "rename_from": "l_orderkey",
+                        "type": "BIGINT"}]

@@ -379,3 +379,35 @@ def test_validate_streaming_compaction_catches_sql_stream_refs(spark):
     })
     problems = validate_streaming_compaction([writer, consumer])
     assert len(problems) == 1 and "m.s.t" in problems[0]
+
+
+def test_streaming_compaction_validator_ignores_comments_and_strings(spark):
+    """stream() refs inside block comments or string literals are not
+    consumers; the validator must not refuse the project over them."""
+    from lakehouse_plumber_spark.dag import validate_streaming_compaction
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    writer = load_flowgroup({
+        "pipeline": "a", "flowgroup": "w",
+        "actions": [
+            {"name": "ld", "type": "load",
+             "source": {"type": "sql", "sql": "SELECT 1 AS id"}, "target": "v"},
+            {"name": "wr", "type": "write", "source": "v",
+             "write_target": {"type": "streaming_table", "catalog": "m",
+                              "schema": "s", "table": "t",
+                              "table_properties": {"lhp.autoOptimize.maxFiles": "4"}}},
+        ],
+    })
+    consumer = load_flowgroup({
+        "pipeline": "b", "flowgroup": "r",
+        "actions": [
+            {"name": "tx", "type": "transform", "transform_type": "sql",
+             "sql": "SELECT 1 AS x, 'docs: stream(m.s.t)' AS note "
+                    "/* legacy: SELECT * FROM stream(m.s.t) */",
+             "target": "v2"},
+            {"name": "wr", "type": "write", "source": "v2",
+             "write_target": {"type": "materialized_view", "catalog": "m",
+                              "schema": "g", "table": "u"}},
+        ],
+    })
+    assert validate_streaming_compaction([writer, consumer]) == []
