@@ -4025,6 +4025,9 @@ _PRIORITY: list[str] = [
     "pipe_sink_foreachbatch",
     "pipe_sink_custom",
     # the nine data-quality test operators
+    # (pipe_test_custom_sql rotated below the prefix in r6 — its 0-row
+    # output was the weakest signal in the prefix, and
+    # pipe_test_custom_expectations keeps the user-supplied-check class green)
     "pipe_test_row_count",
     "pipe_test_uniqueness",
     "pipe_test_referential",
@@ -4032,7 +4035,6 @@ _PRIORITY: list[str] = [
     "pipe_test_range",
     "pipe_test_schema_match",
     "pipe_test_all_lookups",
-    "pipe_test_custom_sql",
     "pipe_test_custom_expectations",
     # LLM-data: dedup family.  Four r4-rotations (VERDICT r4 item #1): the
     # round-4 curation operators take the prefix slots of rows whose plan
@@ -4042,10 +4044,19 @@ _PRIORITY: list[str] = [
     # replaces knn_int8 (same broadcast+window shape as knn_bruteforce), and
     # dedup_decontaminate replaces multimodal_bytes (the binary-asset read is
     # exercised by multimodal_features on the same asset table).
+    # r6 rotation (VERDICT r5 item #1): the round-5 operators take the
+    # prefix slots of rows whose plan shape is already proven by a sibling —
+    # knn_ivfpq replaces knn_ivf (ivfpq runs the same coarse k-means
+    # quantizer and adds the PQ/ADC code scan on top), text_gopher_rules
+    # joins text_metrics_all in the text family (pipe_test_custom_sql's
+    # 0-row output freed the slot), sample_sequence_pack replaces
+    # dedup_ngram_jaccard (minhash proves the shingle-inverted-index join
+    # shape), and sample_quality_stratified replaces sample_stratified
+    # (quality deciles IS stratified sampling composed with an ntile-style
+    # bucket assignment — a strict superset of the rotated-out row).
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_edit_distance",
     "dedup_clusters",
     "dedup_span_removal",
@@ -4053,22 +4064,28 @@ _PRIORITY: list[str] = [
     # LLM-data: similarity search ladder
     "knn_bruteforce",
     "knn_lsh",
-    "knn_ivf",
+    "knn_ivfpq",
     # LLM-data: multimodal plumbing
     "multimodal_features",
     "multimodal_frame_sample",
     # LLM-data: sampling (mixture_stats composes mixture_weighted_sample +
-    # corpus_stats in one row; it replaces sample_per_source_topk, whose
-    # per-stratum window is the same shape as sample_stratified's)
-    "sample_stratified",
+    # corpus_stats in one row; quality_stratified composes quality scoring
+    # with per-stratum sampling; sequence_pack is the fixed-length packing op)
+    "sample_quality_stratified",
     "sample_hash_split",
     "sample_mixture_stats",
-    # LLM-data: the whole text/PII family in one composite row
+    "sample_sequence_pack",
+    # LLM-data: text family — the composite row plus the Gopher rule battery
     "text_metrics_all",
+    "text_gopher_rules",
     # custom stateful streaming
     "pipe_stateful_sessionize",
     "pipe_stream_dedup",
     # --- 50 entries above this line ---
+    "knn_ivf",
+    "pipe_test_custom_sql",
+    "sample_stratified",
+    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "knn_int8",
     "multimodal_bytes",

@@ -378,7 +378,11 @@ class ParquetTableStore:
                 if v <= up_to_version:
                     shutil.rmtree(os.path.join(p, d), ignore_errors=True)
                     removed += 1
-        self.spark.catalog.clearCache()
+        if removed:
+            # invalidate cached file listings for the CDF dir only — a
+            # session-wide clearCache() would evict every unrelated cached
+            # table/plan in the session (same fix as overwrite/append above)
+            self.spark.catalog.refreshByPath(p)
         return removed
 
     def has_changes(self, name: str) -> bool:

@@ -72,27 +72,30 @@ def test_driver_prefix_covers_every_operator_class():
         "sink:kafka": {"pipe_sink_kafka"},
         "sink:foreachbatch": {"pipe_sink_foreachbatch"},
         "sink:custom": {"pipe_sink_custom"},
+        # pipe_test_custom_sql rotated below the prefix in r6 (0-row output;
+        # pipe_test_custom_expectations keeps the user-supplied-check class)
         "tests": {
             "pipe_test_row_count", "pipe_test_uniqueness", "pipe_test_referential",
             "pipe_test_completeness", "pipe_test_range", "pipe_test_schema_match",
-            "pipe_test_all_lookups", "pipe_test_custom_sql",
-            "pipe_test_custom_expectations",
+            "pipe_test_all_lookups", "pipe_test_custom_expectations",
         },
-        # r5 rotation (VERDICT r4 item #1): the round-4 curation operators
-        # hold prefix slots; the rotated-out siblings stay in the local sweep
+        # r6 rotation (VERDICT r5 item #1): the round-5 operators hold prefix
+        # slots; rotated-out siblings (knn_ivf, sample_stratified,
+        # dedup_ngram_jaccard, pipe_test_custom_sql) stay in the local sweep
         "llm:dedup": {
             "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-            "dedup_ngram_jaccard", "dedup_edit_distance", "dedup_clusters",
+            "dedup_edit_distance", "dedup_clusters",
             "dedup_span_removal", "dedup_decontaminate",
         },
-        "llm:knn": {"knn_bruteforce", "knn_lsh", "knn_ivf"},
+        "llm:knn": {"knn_bruteforce", "knn_lsh", "knn_ivfpq"},
         "llm:multimodal": {
             "multimodal_features", "multimodal_frame_sample",
         },
         "llm:sampling": {
-            "sample_stratified", "sample_hash_split", "sample_mixture_stats",
+            "sample_quality_stratified", "sample_hash_split",
+            "sample_mixture_stats", "sample_sequence_pack",
         },
-        "llm:text": {"text_metrics_all"},
+        "llm:text": {"text_metrics_all", "text_gopher_rules"},
         "streaming:stateful": {"pipe_stateful_sessionize", "pipe_stream_dedup"},
     }
     prefix_set = set(prefix)
