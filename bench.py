@@ -37,6 +37,19 @@ HEADLINE = [
     "sample_hash_split",
 ]
 
+# Round-5/6 operators benched as a SEPARATE subtotal so the 20-query
+# headline series stays comparable across rounds (BASELINE.md tracks it
+# since r1). Timed with the same min-of-N protocol; reported under
+# "extended" / "extended_sec" in the JSON line.
+EXTENDED = [
+    "knn_ivfpq",
+    "text_gopher_rules",
+    "sample_sequence_pack",
+    "dedup_span_removal",
+    "dedup_edit_distance",
+    "sample_quality_stratified",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,7 +88,7 @@ def main() -> None:
     STREAMING_WARM_TWICE = {
         "pipe_cdc_scd2", "pipe_streaming_fanin", "pipe_stateful_sessionize",
     }
-    for name in HEADLINE:
+    def time_one(name: str) -> float:
         fn = qs[name]
         fn(spark, sf_dir).count()
         if name in STREAMING_WARM_TWICE:
@@ -86,12 +99,16 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             samples.append(time.time() - t0)
-        timings[name] = round(min(samples), 3)
+        best = round(min(samples), 3)
         spread = (max(samples) - min(samples)) / min(samples) if min(samples) else 0.0
-        print(
-            f"# {name}: {timings[name]}s rows={n} spread={spread:.0%}",
-            file=sys.stderr,
-        )
+        print(f"# {name}: {best}s rows={n} spread={spread:.0%}", file=sys.stderr)
+        return best
+
+    for name in HEADLINE:
+        timings[name] = time_one(name)
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        extended[name] = time_one(name)
 
     total = round(sum(timings.values()), 3)
     # the six untouched TPC-H queries are the box-state control group:
@@ -109,6 +126,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
+                "extended_sec": round(sum(extended.values()), 3),
                 "controls_sec": round(sum(timings[c] for c in controls), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
