@@ -424,14 +424,257 @@ class ParquetTableStore:
         return p
 
 
+@dataclass
+class DeltaTableStore(ParquetTableStore):
+    """Delta-OSS-backed store: the production path the parquet store emulates.
+
+    Same interface and logical semantics as ``ParquetTableStore``; every
+    hand-rolled mechanism maps onto the native Delta feature it imitates
+    (reference targets exactly these via DLT templates, e.g.
+    src/lhp/templates/transform/data_quality_quarantine.py.j2:39-177):
+
+    - shadow-dir atomic swap        -> transactional ``mode("overwrite")``
+    - dynamic-partition overwrite   -> native ``partitionOverwriteMode=dynamic``
+    - ``compact()`` shadow rewrite  -> ``OPTIMIZE`` (``dataChange=false``, so
+      streaming checkpoints survive: no ``streaming_consumed`` refusal needed)
+    - keyed upsert via bucket rewrite -> ``DeltaTable.merge`` (``merge_keyed``)
+    - parquet ``__cdf`` feed dirs   -> a Delta feed table (ACID appends), or
+      the target's own ``readChangeFeed`` via ``read_table_changes``
+    - ``prune_changes`` rmtree      -> transactional ``DELETE`` on the feed
+
+    The change-feed COLUMNS are identical in both stores by construction
+    (``_change_type``/``_commit_version``/``_commit_timestamp`` are Delta
+    CDF's own schema), so operators never branch on the backend. The tiny
+    ``_meta.json``/``_version`` sidecars are shared with the base class:
+    they are driver-local control-plane state, not data.
+
+    Requires ``delta-spark`` on the classpath AND a session built with the
+    Delta SQL extension + catalog; ``new_store`` selects this class
+    automatically when both hold. Not installable on this image — covered by
+    tests/test_delta_store.py, which skips without ``import delta``.
+    """
+
+    FMT = "delta"
+
+    # -- data plane -----------------------------------------------------
+
+    def exists(self, name: str) -> bool:  # pragma: no cover - needs delta
+        from delta.tables import DeltaTable
+
+        return DeltaTable.isDeltaTable(self.spark, self.path(name))
+
+    def read(self, name: str) -> DataFrame:  # pragma: no cover - needs delta
+        return self.spark.read.format(self.FMT).load(self.path(name))
+
+    def read_stream(self, name: str) -> DataFrame:  # pragma: no cover
+        # Delta streaming checkpoints track LOG VERSIONS, not file paths, so
+        # compaction (dataChange=false) never invalidates them — the
+        # parquet store's streaming_consumed marker is unnecessary here.
+        return self.spark.readStream.format(self.FMT).load(self.path(name))
+
+    def append(self, name: str, df: DataFrame, partition_columns: Optional[list[str]] = None) -> None:  # pragma: no cover
+        w = df.write.format(self.FMT).mode("append")
+        if partition_columns:
+            w = w.partitionBy(*partition_columns)
+        w.save(self.path(name))
+
+    def overwrite(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_columns: Optional[list[str]] = None,
+        order_within_files: Optional[list[str]] = None,
+    ) -> None:  # pragma: no cover - needs delta
+        # single transactional commit: readers see old or new, never a mix,
+        # and zero-row frames are fine (the commit log carries the schema),
+        # so neither the shadow swap nor the empty-footer rewrite is needed
+        out = df
+        if partition_columns:
+            from pyspark.sql import functions as F
+
+            out = out.repartition(*[F.col(c) for c in partition_columns])
+        if order_within_files:
+            out = out.sortWithinPartitions(*order_within_files)
+        w = out.write.format(self.FMT).mode("overwrite").option("overwriteSchema", "true")
+        if partition_columns:
+            w = w.partitionBy(*partition_columns)
+        w.save(self.path(name))
+
+    def overwrite_partitions(
+        self, name: str, df: DataFrame, partition_columns: list[str]
+    ) -> None:  # pragma: no cover - needs delta
+        from pyspark.sql import functions as F
+
+        df = df.repartition(*[F.col(c) for c in partition_columns])
+        (
+            df.write.format(self.FMT)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_columns)
+            .save(self.path(name))
+        )
+
+    def merge_keyed(
+        self,
+        name: str,
+        updates: DataFrame,
+        keys: list[str],
+        delete_on: Optional[str] = None,
+    ) -> None:  # pragma: no cover - needs delta
+        """Keyed upsert via a real ACID ``DeltaTable.merge`` — the native
+        form of the bucket-pruned rewrite the parquet CDC writer hand-rolls
+        (operators/cdc.py). Work scales with the files holding matched keys
+        (Delta data skipping on the join keys), as bucket pruning does."""
+        from delta.tables import DeltaTable
+
+        if not self.exists(name):
+            self.append(name, updates)
+            return
+        tgt = DeltaTable.forPath(self.spark, self.path(name))
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        m = tgt.alias("t").merge(updates.alias("s"), cond)
+        if delete_on:
+            m = m.whenMatchedDelete(condition=delete_on)
+        m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+
+    def compact(
+        self,
+        name: str,
+        target_rows_per_file: int = 4_000_000,
+        order_within_files: Optional[list[str]] = None,
+        force: bool = False,
+    ) -> dict:  # pragma: no cover - needs delta
+        """Native ``OPTIMIZE``: rewrites small files with ``dataChange=false``
+        so streaming consumers' checkpoints stay valid — no refusal path."""
+        from delta.tables import DeltaTable
+
+        before = self._data_file_count(name)
+        tgt = DeltaTable.forPath(self.spark, self.path(name))
+        if order_within_files:
+            tgt.optimize().executeZOrderBy(*order_within_files)
+        else:
+            tgt.optimize().executeCompaction()
+        return {
+            "files_before": before,
+            "files_after": self._data_file_count(name),
+            "partition_columns": self._partition_columns_on_disk(name),
+        }
+
+    def _data_file_count(self, name: str) -> int:  # pragma: no cover
+        # live files only: parquet files under a Delta dir include
+        # tombstoned (vacuum-pending) ones, so ask the snapshot instead
+        from delta.tables import DeltaTable
+
+        tgt = DeltaTable.forPath(self.spark, self.path(name))
+        return int(tgt.detail().select("numFiles").head()[0])
+
+    # -- change feed ----------------------------------------------------
+
+    def log_changes(self, name: str, df: DataFrame, change_type: str, version: Optional[int] = None) -> int:  # pragma: no cover
+        """Engine-computed change rows land in a Delta FEED table (ACID
+        appends; safe under concurrent writers where the parquet feed is
+        single-writer). Columns match Delta CDF's own schema exactly."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.next_version(name)
+        out = (
+            df.withColumn("_change_type", F.lit(change_type))
+            .withColumn("_commit_version", F.lit(version).cast("long"))
+            .withColumn("_commit_timestamp", F.current_timestamp())
+        )
+        out.write.format(self.FMT).mode("append").partitionBy("_commit_version").save(
+            os.path.join(self._cdf_dir(name), "data")
+        )
+        return version
+
+    def read_changes(
+        self,
+        name: str,
+        starting_version: int = 0,
+        ending_version: Optional[int] = None,
+    ) -> DataFrame:  # pragma: no cover - needs delta
+        from pyspark.sql import functions as F
+
+        p = os.path.join(self._cdf_dir(name), "data")
+        df = self.spark.read.format(self.FMT).load(p)
+        df = df.withColumn("_commit_version", F.col("_commit_version").cast("long"))
+        df = df.filter(F.col("_commit_version") >= starting_version)
+        if ending_version is not None:
+            df = df.filter(F.col("_commit_version") <= ending_version)
+        return df
+
+    def read_table_changes(
+        self,
+        name: str,
+        starting_version: int = 0,
+        ending_version: Optional[int] = None,
+    ) -> DataFrame:  # pragma: no cover - needs delta
+        """The REAL Delta CDF of the target table (requires the table to have
+        ``delta.enableChangeDataFeed=true``): what ``read_changes`` emulates,
+        for tables written through ``merge_keyed``/``overwrite`` rather than
+        explicit ``log_changes``."""
+        r = (
+            self.spark.read.format(self.FMT)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", starting_version)
+        )
+        if ending_version is not None:
+            r = r.option("endingVersion", ending_version)
+        return r.load(self.path(name))
+
+    def prune_changes(self, name: str, up_to_version: int) -> int:  # pragma: no cover
+        from delta.tables import DeltaTable
+        from pyspark.sql import functions as F
+
+        p = os.path.join(self._cdf_dir(name), "data")
+        if not os.path.isdir(p):
+            return 0
+        feed = DeltaTable.forPath(self.spark, p)
+        removed = (
+            feed.toDF()
+            .filter(F.col("_commit_version") <= up_to_version)
+            .select("_commit_version")
+            .distinct()
+            .count()
+        )
+        if removed:
+            # transactional partition-aligned DELETE (drops whole files:
+            # the feed is partitioned by _commit_version); physical removal
+            # follows the table's VACUUM retention policy
+            feed.delete(F.col("_commit_version") <= up_to_version)
+        return removed
+
+    def has_changes(self, name: str) -> bool:  # pragma: no cover - needs delta
+        p = os.path.join(self._cdf_dir(name), "data")
+        if not os.path.isdir(p):
+            return False
+        return not self.spark.read.format(self.FMT).load(p).isEmpty()
+
+
 def new_store(spark: SparkSession, root: Optional[str] = None) -> ParquetTableStore:
-    """Build the best available store (Delta when on classpath, else parquet)."""
+    """Build the best available store: Delta when `import delta` succeeds and
+    the session has the Delta extension loaded (override with
+    LHP_STORE=parquet|delta), parquet + atomic swap otherwise."""
     if root is None:
         root = os.path.join(
             os.environ.get("LHP_SPARK_WAREHOUSE", "/tmp/lhp_spark_warehouse"),
             f"run_{int(time.time())}_{uuid.uuid4().hex[:6]}",
         )
     os.makedirs(root, exist_ok=True)
-    # Delta-backed store would subclass with DeltaTable.merge; parquet store
-    # implements the same logical operations for this image.
+    choice = os.environ.get("LHP_STORE", "").lower()
+    if choice == "parquet":
+        return ParquetTableStore(spark=spark, root=root)
+    if HAVE_DELTA and (choice == "delta" or _delta_session_ready(spark)):
+        return DeltaTableStore(spark=spark, root=root)  # pragma: no cover
     return ParquetTableStore(spark=spark, root=root)
+
+
+def _delta_session_ready(spark: SparkSession) -> bool:
+    """True when the session was built with the Delta SQL extension — having
+    the Python package alone is not enough to plan a delta scan."""
+    try:
+        exts = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:  # pragma: no cover
+        return False
+    return "DeltaSparkSessionExtension" in exts
