@@ -66,6 +66,31 @@ def test_compile_sandbox_matches_golden_tree(tmp_path, capsys):
         assert leaf in joined
 
 
+def test_jobs_export_matches_golden(tmp_path, capsys):
+    """VERDICT r5 item 6: the staged-plan export is byte-pinned against a
+    committed golden (single-job mode), so stage-assignment or dependency
+    regressions are diffable — mirroring the reference's committed job
+    fixtures (src/lhp/core/jobs/job_generator.py output shape)."""
+    out = tmp_path / "jobs.yaml"
+    rc = main(["jobs", PROJECT, "--env", "dev", "--out", str(out)])
+    assert rc == 0
+    with open(os.path.join(PROJECT, "jobs_baseline.yaml")) as f:
+        want = f.read()
+    assert out.read_text() == want
+
+
+def test_jobs_export_multi_job_matches_golden(tmp_path, capsys):
+    """Multi-job mode (job_name grouping + cross-job depends_on lift),
+    byte-pinned against the committed jobs_project golden."""
+    proj = os.path.join(os.path.dirname(__file__), "fixtures", "jobs_project")
+    out = tmp_path / "jobs.yaml"
+    rc = main(["jobs", proj, "--out", str(out)])
+    assert rc == 0
+    with open(os.path.join(proj, "jobs_baseline.yaml")) as f:
+        want = f.read()
+    assert out.read_text() == want
+
+
 def test_sandboxed_project_runs_to_same_answers(spark, testdata, tmp_path):
     """The sandboxed project must produce the SAME data under renamed tables
     — the rewrite touches names only (reference sandbox contract)."""
