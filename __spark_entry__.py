@@ -3489,6 +3489,66 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.gopher_rules(spark.table("documents"))
 
 
+def _c4_duck() -> str:
+    from lakehouse_plumber_spark.llm.text import (
+        C4_MIN_KEPT_LINES,
+        C4_MIN_WORDS_PER_LINE,
+        C4_TERMINAL_PUNCT,
+    )
+
+    nl = "chr(10)"
+    prep = (
+        "replace(replace(replace(text,"
+        f" ' batch ', '.' || {nl}),"
+        " ' vector ', ' lorem ipsum '),"
+        " ' hash ', ' {{ ')"
+    ).format()
+    return f"""
+    WITH t AS (SELECT doc_id, {prep} AS text FROM documents),
+    s AS (SELECT doc_id, text, string_split(text, {nl}) AS ls FROM t),
+    g AS (
+      SELECT doc_id,
+             len(ls) AS n_lines,
+             len(list_filter(ls, l ->
+                 len(list_filter(string_split_regex(trim(l), ' +'), w -> w != '')) >= {C4_MIN_WORDS_PER_LINE}
+                 AND regexp_matches(trim(l), '{C4_TERMINAL_PUNCT}')
+                 AND NOT contains(lower(l), 'javascript'))) AS n_kept_lines,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{{') AS has_brace
+      FROM s)
+    SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+           CAST(n_kept_lines AS INT) AS n_kept_lines,
+           round(n_kept_lines / CAST(greatest(n_lines, 1) AS DOUBLE), 6) AS kept_frac,
+           has_lorem, has_brace,
+           (n_kept_lines >= {C4_MIN_KEPT_LINES}
+            AND NOT has_lorem AND NOT has_brace) AS keep
+    FROM g
+    """
+
+
+@_register("text_c4_rules", _c4_duck())
+def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style line-level boilerplate filter (Raffel et al. 2020
+    §2.2): terminal-punctuation + min-words-per-line + javascript line drops,
+    lorem-ipsum / curly-brace / min-kept-lines document drops. The synthetic
+    documents corpus has no newlines, so BOTH engines first apply the same
+    deterministic rewrite (' batch '->'.\\n', ' vector '->' lorem ipsum ',
+    ' hash '->' { ') to give every rule real signal; the operator itself
+    (llm/text.py:c4_rules) is one narrow let-bound line-split scan — no
+    shuffle, no UDF."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").withColumn(
+        "text",
+        F.expr(
+            "replace(replace(replace(text,"
+            " ' batch ', '.\\n'),"
+            " ' vector ', ' lorem ipsum '),"
+            " ' hash ', ' { ')"
+        ),
+    )
+    return TX.c4_rules(docs)
+
+
 def _decontaminate_duck() -> str:
     from lakehouse_plumber_spark.llm.dedup import SHINGLE_N
 

@@ -372,3 +372,76 @@ def gopher_rules(
             ).alias("keep"),
         )
     )
+
+
+# C4 (Raffel et al. 2020, §2.2) line-level cleaning rules; RefinedWeb
+# (Penedo et al. 2023) applies the same family. Callers tune per corpus.
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_KEPT_LINES = 3
+C4_TERMINAL_PUNCT = '[.!?"]$'
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+) -> DataFrame:
+    """C4/RefinedWeb-style line-level boilerplate filter (Raffel et al.
+    2020): a line survives only if it ends in terminal punctuation, has at
+    least `min_words_per_line` words, and does not mention "javascript"
+    (the cookies/JS-notice drop); the document survives only if at least
+    `min_kept_lines` lines survive, it contains no "lorem ipsum", and no
+    curly brace (code markers). The standard web-text cleanup run before
+    Gopher-style scoring.
+
+    Pure narrow per-row expressions over one line-split (let-bound so the
+    split happens once) — no shuffle, no UDF; a single codegen'd scan at
+    100 TB, same shape as `gopher_rules`. Counts and the kept-fraction are
+    integer arithmetic, so a DuckDB oracle reproduces the keep verdict
+    bit-for-bit.
+
+    Returns (id, n_lines, n_kept_lines, kept_frac, has_lorem, has_brace,
+    keep).
+    """
+    from lakehouse_plumber_spark.llm.hashing import let_spark
+
+    kept = (
+        "filter(ls, l -> "
+        f"size(filter(split(trim(l), ' +'), w -> w != '')) >= {min_words_per_line} "
+        f"AND trim(l) rlike '{C4_TERMINAL_PUNCT}' "
+        "AND NOT contains(lower(l), 'javascript'))"
+    )
+    body = (
+        "named_struct("
+        "'n_lines', size(ls), "
+        f"'n_kept_lines', size({kept})"
+        ")"
+    )
+    g = let_spark(f"split({text_col}, '\\n')", "ls", body)
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr(g).alias("g"),
+            F.col(text_col).contains("{").alias("has_brace"),
+            F.lower(F.col(text_col)).contains("lorem ipsum").alias("has_lorem"),
+        )
+        .select(
+            id_col,
+            F.col("g.n_lines").cast("int").alias("n_lines"),
+            F.col("g.n_kept_lines").cast("int").alias("n_kept_lines"),
+            F.round(
+                F.col("g.n_kept_lines")
+                / F.greatest(F.col("g.n_lines"), F.lit(1)).cast("double"),
+                6,
+            ).alias("kept_frac"),
+            "has_lorem",
+            "has_brace",
+            (
+                (F.col("g.n_kept_lines") >= min_kept_lines)
+                & ~F.col("has_lorem")
+                & ~F.col("has_brace")
+            ).alias("keep"),
+        )
+    )

@@ -453,6 +453,37 @@ def test_gopher_rules_boundaries(spark):
     assert not out[4].keep and out[4].n_stopwords == 0
 
 
+def test_c4_rules_line_and_doc_verdicts(spark):
+    """Each C4 rule fires independently on real multi-line input."""
+    from lakehouse_plumber_spark.llm.text import c4_rules
+
+    sent = "this is a fine sentence with plenty of words."
+    good = "\n".join([sent] * 4)
+    few_lines = "\n".join([sent] * 2)                     # < min_kept_lines
+    no_punct = "\n".join([sent[:-1]] * 4)                 # no terminal punct
+    short_lines = "\n".join(["too short."] * 5)           # < min words/line
+    js = "\n".join([sent] * 3 + ["enable JavaScript to view this page."])
+    lorem = good + "\nLorem Ipsum dolor sit amet filler."
+    brace = good + "\nfunction f() { return 1; }"
+    df = spark.createDataFrame(
+        [(1, good), (2, few_lines), (3, no_punct), (4, short_lines),
+         (5, js), (6, lorem), (7, brace)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_rules(df).collect()}
+    assert out[1].keep and out[1].n_kept_lines == 4
+    assert not out[2].keep and out[2].n_kept_lines == 2
+    assert not out[3].keep and out[3].n_kept_lines == 0
+    assert not out[4].keep and out[4].n_kept_lines == 0
+    # the javascript LINE is dropped but the doc survives on the other three
+    assert out[5].keep and out[5].n_kept_lines == 3
+    assert not out[6].keep and out[6].has_lorem
+    assert not out[7].keep and out[7].has_brace
+    # single narrow scan: no exchange in the plan
+    plan = c4_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_pack_sequences_tiles_exactly(spark):
     """Fragments reconstruct every document's token count, never overlap,
     and fill each non-final sequence of a shard completely."""
