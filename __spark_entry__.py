@@ -3549,6 +3549,68 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.c4_rules(docs)
 
 
+# Deterministic synthetic URL for the documents table (it has no url column):
+# modular flags give every rule signal — www prefixes, an '-ads' blocked
+# term, path collisions for dedup (doc_id % 400), trailing slashes, and
+# fragments. The SAME expression runs in both engines.
+_URL_BLOCKED_DOMAINS = ("src1.example.com",)
+_URL_BLOCKED_TERMS = ("-ads",)
+
+
+def _url_expr(dialect: str) -> str:
+    s = "CAST(doc_id % 400 AS " + ("STRING" if dialect == "spark" else "VARCHAR") + ")"
+    return (
+        "'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END || "
+        "source || CASE WHEN doc_id % 11 = 0 THEN '-ads' ELSE '' END || "
+        f"'.example.com/page/' || {s} || "
+        "CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END || "
+        "CASE WHEN doc_id % 17 = 0 THEN '#frag' ELSE '' END"
+    )
+
+
+def _url_filter_duck() -> str:
+    doms = ", ".join(f"'{d}'" for d in _URL_BLOCKED_DOMAINS)
+    terms = " OR ".join(
+        f"contains(lower(url), '{t}')" for t in _URL_BLOCKED_TERMS
+    )
+    return f"""
+    WITH u AS (SELECT doc_id, {_url_expr('duck')} AS url FROM documents),
+    b AS (
+      SELECT doc_id,
+             lower(regexp_replace(regexp_replace(url, '#.*$', ''), '/$', '')) AS norm_url,
+             regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)), '^www\\.', '') AS domain,
+             ({terms}) AS term_blocked
+      FROM u),
+    c AS (
+      SELECT doc_id, domain,
+             domain IN ({doms}) AS domain_blocked,
+             term_blocked,
+             doc_id = MIN(doc_id) OVER (PARTITION BY norm_url) AS is_canonical
+      FROM b)
+    SELECT doc_id, domain, domain_blocked, term_blocked, is_canonical,
+           (NOT domain_blocked AND NOT term_blocked AND is_canonical) AS keep
+    FROM c
+    """
+
+
+@_register("text_url_filter", _url_filter_duck())
+def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/C4-style URL curation (llm/text.py:url_filter): domain
+    blocklist, blocked URL terms, and one-survivor-per-normalized-URL exact
+    dedup — the `dedupe by URL` + blocklist step every web-corpus build runs
+    before content filtering. Narrow flag expressions plus ONE hash exchange
+    on the normalized URL (the minimal shuffle URL dedup needs)."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_url_expr("spark")).alias("url")
+    )
+    return TX.url_filter(
+        docs,
+        blocked_domains=_URL_BLOCKED_DOMAINS,
+        blocked_url_terms=_URL_BLOCKED_TERMS,
+    )
+
+
 def _decontaminate_duck() -> str:
     from lakehouse_plumber_spark.llm.dedup import SHINGLE_N
 

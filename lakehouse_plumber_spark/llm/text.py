@@ -445,3 +445,75 @@ def c4_rules(
             ).alias("keep"),
         )
     )
+
+
+def url_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocked_domains: tuple[str, ...] = (),
+    blocked_url_terms: tuple[str, ...] = (),
+) -> DataFrame:
+    """RefinedWeb/C4-style URL curation (Penedo et al. 2023 §3.1; Raffel et
+    al. 2020 dedupe-by-URL): drop documents whose domain is on a blocklist
+    or whose URL contains a blocked term, and keep only ONE document per
+    normalized URL (the smallest id — a deterministic survivor, same
+    convention as exact_dedup).
+
+    Scale shape: domain/term checks are narrow per-row expressions; the
+    canonical-per-URL bit is a min(id) window partitioned by the normalized
+    URL — ONE hash exchange on the URL, the minimal shuffle any URL dedup
+    needs, with map-side partial aggregation. Blocklists broadcast as IN
+    literals (they are small by construction).
+
+    Returns (id, domain, domain_blocked, term_blocked, is_canonical, keep).
+    """
+    from pyspark.sql import Window
+
+    # strip the fragment first, THEN any trailing slash — sequential single
+    # replaces keep the semantics identical in Spark and DuckDB oracles
+    norm = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(F.col(url_col), r"#.*$", ""), r"/$", ""
+        )
+    )
+    domain = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    term_hit = (
+        F.lit(False)
+        if not blocked_url_terms
+        else F.exists(
+            F.array(*[F.lit(t) for t in blocked_url_terms]),
+            lambda t: F.contains(F.lower(F.col(url_col)), t),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        norm.alias("_norm_url"),
+        domain.alias("domain"),
+        domain.isin(*blocked_domains).alias("domain_blocked")
+        if blocked_domains
+        else F.lit(False).alias("domain_blocked"),
+        term_hit.alias("term_blocked"),
+    )
+    w = Window.partitionBy("_norm_url")
+    return (
+        base.withColumn(
+            "is_canonical", F.col(id_col) == F.min(id_col).over(w)
+        )
+        .select(
+            id_col,
+            "domain",
+            "domain_blocked",
+            "term_blocked",
+            "is_canonical",
+            (
+                ~F.col("domain_blocked")
+                & ~F.col("term_blocked")
+                & F.col("is_canonical")
+            ).alias("keep"),
+        )
+    )

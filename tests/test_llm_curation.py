@@ -484,6 +484,40 @@ def test_c4_rules_line_and_doc_verdicts(spark):
     assert "Exchange" not in plan
 
 
+def test_url_filter_blocklist_terms_and_dedup(spark):
+    """Domain blocklist, URL-term block, and one-survivor-per-normalized-URL
+    dedup each fire independently; normalization folds case, fragments, and
+    trailing slashes."""
+    from lakehouse_plumber_spark.llm.text import url_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://good.example.com/a"),
+            (2, "https://GOOD.example.com/a/"),        # same URL after norm
+            (3, "https://good.example.com/a#frag"),    # same URL after norm
+            (4, "https://www.bad.example.com/x"),      # blocked domain (www-stripped)
+            (5, "https://good.example.com/casino-night"),  # blocked term
+            (6, "https://other.example.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r for r in url_filter(
+        df,
+        blocked_domains=("bad.example.com",),
+        blocked_url_terms=("casino",),
+    ).collect()}
+    assert out[1].keep and out[1].is_canonical
+    assert not out[2].keep and not out[2].is_canonical  # dup of 1
+    assert not out[3].keep and not out[3].is_canonical  # dup of 1
+    assert not out[4].keep and out[4].domain_blocked
+    assert out[4].domain == "bad.example.com"
+    assert not out[5].keep and out[5].term_blocked
+    assert out[6].keep
+    # exactly ONE exchange: the hash shuffle on the normalized URL
+    plan = url_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_pack_sequences_tiles_exactly(spark):
     """Fragments reconstruct every document's token count, never overlap,
     and fill each non-final sequence of a shard completely."""
