@@ -3611,6 +3611,50 @@ def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _line_dedup_duck() -> str:
+    nl = "chr(10)"
+    footer = "subscribe to our newsletter now."
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      replace(text, ' batch ', '.' || {nl})
+                        || {nl} || '{footer}' AS text
+               FROM documents),
+    s AS (SELECT doc_id, string_split(text, {nl}) AS ls FROM t),
+    l AS (SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos,
+                 unnest(ls) AS line FROM s),
+    n AS (SELECT doc_id, pos, line,
+                 md5(regexp_replace(lower(trim(line)), '\\s+', ' ', 'g')) AS lh
+          FROM l),
+    f AS (SELECT lh, count(DISTINCT doc_id) AS ndocs FROM n GROUP BY lh),
+    j AS (SELECT n.doc_id, n.pos, n.line, f.ndocs > 1 AS dup
+          FROM n JOIN f USING (lh))
+    SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS INT) AS n_removed,
+           coalesce(string_agg(CASE WHEN NOT dup THEN line END, {nl} ORDER BY pos), '') AS cleaned_text
+    FROM j GROUP BY doc_id
+    """
+
+
+@_register("dedup_lines", _line_dedup_duck())
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style corpus-wide repeated-line removal
+    (llm/dedup.py:line_dedup): lines whose normalized form appears in more
+    than one document are boilerplate and are stripped from every document,
+    which is reassembled in original order. The synthetic corpus gets the
+    same deterministic line rewrite as text_c4_rules plus a universal
+    newsletter footer, so every document has guaranteed boilerplate to
+    remove alongside whatever lines collide naturally."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").withColumn(
+        "text",
+        F.expr(
+            "replace(text, ' batch ', '.\\n')"
+            " || '\\n' || 'subscribe to our newsletter now.'"
+        ),
+    )
+    return D.line_dedup(docs)
+
+
 def _decontaminate_duck() -> str:
     from lakehouse_plumber_spark.llm.dedup import SHINGLE_N
 

@@ -42,6 +42,9 @@ NAMES = [
     "knn_ivfpq",
     "text_gopher_rules",
     "sample_sequence_pack",
+    "text_c4_rules",
+    "text_url_filter",
+    "dedup_lines",
 ]
 
 

@@ -442,6 +442,66 @@ def crossdoc_dup_ngram_fraction(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Corpus-wide repeated-line removal (RefinedWeb, Penedo et al. 2023
+    §3.2 line-wise dedup; CCNet does the same at paragraph level): a line
+    whose NORMALIZED form (lowercased, whitespace-collapsed) appears in
+    more than `max_docs` distinct documents is boilerplate (nav bars,
+    cookie banners, footers) and is removed from EVERY document; surviving
+    lines are reassembled in original order.
+
+    Plan: posexplode lines -> distinct-doc frequency per normalized line
+    (shuffle keyed on the line hash — high cardinality, map-side
+    combinable) -> equi-join the frequency back on the same key (no second
+    shape) -> per-doc reassembly (shuffle keyed on doc_id). Two well-keyed
+    exchanges plus one same-key join; no driver-side state, no UDFs — the
+    same shape as crossdoc_dup_ngram_fraction, so the 100x measurements
+    there transfer.
+
+    Returns (id, n_lines, n_removed, cleaned_text) — one row per input
+    document, including documents whose every line was removed
+    (cleaned_text = '').
+    """
+    lines = spread_for_compute(df, [id_col, text_col]).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    lines = lines.withColumn(
+        "__lh", F.md5(F.regexp_replace(F.lower(F.trim("line")), r"\s+", " "))
+    )
+    freq = lines.groupBy("__lh").agg(
+        F.countDistinct(id_col).alias("__ndocs")
+    )
+    flagged = lines.join(freq, on="__lh").withColumn(
+        "__dup", F.col("__ndocs") > max_docs
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum(F.col("__dup").cast("int")).cast("int").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__dup"), F.struct("pos", "line")
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
 def remove_duplicated_spans(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 8, min_docs: int = 2,

@@ -484,6 +484,31 @@ def test_c4_rules_line_and_doc_verdicts(spark):
     assert "Exchange" not in plan
 
 
+def test_line_dedup_strips_boilerplate_everywhere(spark):
+    """A line repeated across documents is removed from EVERY document
+    (normalization folds case/whitespace); unique lines survive in order,
+    and a fully-boilerplate document still yields a row."""
+    from lakehouse_plumber_spark.llm.dedup import line_dedup
+
+    footer = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha unique one\n{footer}\nbeta unique two"),
+            (2, f"gamma unique three\n  SUBSCRIBE   to our Newsletter "),
+            (3, footer),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert len(out) == 3
+    assert out[1].n_lines == 3 and out[1].n_removed == 1
+    assert out[1].cleaned_text == "alpha unique one\nbeta unique two"
+    assert out[2].n_removed == 1
+    assert out[2].cleaned_text == "gamma unique three"
+    assert out[3].n_lines == 1 and out[3].n_removed == 1
+    assert out[3].cleaned_text == ""
+
+
 def test_url_filter_blocklist_terms_and_dedup(spark):
     """Domain blocklist, URL-term block, and one-survivor-per-normalized-URL
     dedup each fire independently; normalization folds case, fragments, and
