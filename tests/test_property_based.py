@@ -388,3 +388,80 @@ def test_mixture_sample_matches_python_model(spark, rows, parts):
 
     want = sorted(i for i, s in rows if s in thr and bucket(i) < thr[s])
     assert got == want
+
+
+# --- r6 curation operators vs in-memory reference models ---------------
+
+_words_st = st.sampled_from(
+    ["alpha", "beta", "Gamma", "the", "of", "delta", "JavaScript",
+     "lorem", "ipsum", "brace{y", "words", "enough", "here"]
+)
+_line_st = st.tuples(
+    st.lists(_words_st, min_size=0, max_size=8),
+    st.sampled_from(["", ".", "?", '"', "!"]),
+).map(lambda t: " ".join(t[0]) + t[1])
+_doc_st = st.lists(_line_st, min_size=0, max_size=6).map("\n".join)
+
+
+def _norm_line(line: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", line.strip().lower())
+
+
+@given(texts=st.lists(_doc_st, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_line_dedup_matches_python_model(spark, texts):
+    from lakehouse_plumber_spark.llm.dedup import line_dedup
+
+    rows = list(enumerate(texts))
+    # reference: a normalized line in >1 distinct docs is removed everywhere
+    docs_of: dict[str, set[int]] = {}
+    for i, t in rows:
+        for l in t.split("\n"):
+            docs_of.setdefault(_norm_line(l), set()).add(i)
+    want = {}
+    for i, t in rows:
+        lines = t.split("\n")
+        kept = [l for l in lines if len(docs_of[_norm_line(l)]) <= 1]
+        want[i] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.cleaned_text)
+        for r in line_dedup(df).collect()
+    }
+    assert got == want
+
+
+@given(texts=st.lists(_doc_st, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_c4_rules_matches_python_model(spark, texts):
+    import re
+
+    from lakehouse_plumber_spark.llm.text import c4_rules
+
+    rows = list(enumerate(texts))
+
+    def model(t: str):
+        lines = t.split("\n")
+        kept = [
+            l for l in lines
+            if len([w for w in l.strip().split(" ") if w]) >= 5
+            and re.search(r'[.!?"]$', l.strip())
+            and "javascript" not in l.lower()
+        ]
+        has_lorem = "lorem ipsum" in t.lower()
+        has_brace = "{" in t
+        return (
+            len(lines), len(kept), has_lorem, has_brace,
+            len(kept) >= 3 and not has_lorem and not has_brace,
+        )
+
+    want = {i: model(t) for i, t in rows}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept_lines, r.has_lorem, r.has_brace, r.keep)
+        for r in c4_rules(df).collect()
+    }
+    assert got == want
