@@ -3611,6 +3611,33 @@ def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_TOPK_N, _NGRAM_TOPK_K = 3, 25
+
+
+def _ngram_topk_duck() -> str:
+    grams = word_ngrams_duck("text", _NGRAM_TOPK_N)
+    return f"""
+    WITH g AS (SELECT unnest({grams}) AS ngram FROM documents),
+    c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs FROM g GROUP BY ngram),
+    r AS (SELECT ngram, n_docs,
+                 row_number() OVER (ORDER BY n_docs DESC, ngram) AS rank
+          FROM c)
+    SELECT ngram, n_docs, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {_NGRAM_TOPK_K}
+    """
+
+
+@_register("text_ngram_topk", _ngram_topk_duck())
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-audit report: top-k word n-grams by document frequency
+    (llm/text.py:ngram_doc_topk) — one exploded hash aggregation plus a
+    TakeOrderedAndProject top-k, deterministic tie-break on the n-gram."""
+    _prep(spark, sf_dir)
+    return TX.ngram_doc_topk(
+        spark.table("documents"), n=_NGRAM_TOPK_N, k=_NGRAM_TOPK_K
+    )
+
+
 def _line_dedup_duck() -> str:
     nl = "chr(10)"
     footer = "subscribe to our newsletter now."

@@ -447,6 +447,43 @@ def c4_rules(
     )
 
 
+def ngram_doc_topk(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k word n-grams by DOCUMENT frequency — the "what boilerplate is
+    my corpus full of" audit report run before choosing line-dedup /
+    decontamination rules (Lee et al. 2022 inspect exactly this table).
+
+    Plan: explode per-document DISTINCT n-grams (one let-bound
+    tokenization), ONE map-side-combinable hash aggregation keyed on the
+    n-gram, then a global top-k that Spark executes as TakeOrderedAndProject
+    — per-partition heaps of size k merged on the driver, never a full
+    sort, so the k rows are the only driver traffic at any corpus size.
+    Ties break on the n-gram string for a deterministic report.
+
+    Returns (ngram, n_docs, rank) with rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    from lakehouse_plumber_spark.llm.hashing import word_ngrams_spark
+
+    grams = df.select(
+        F.explode(F.expr(word_ngrams_spark(text_col, n))).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    topk = counts.orderBy(F.desc("n_docs"), F.asc("ngram")).limit(k)
+    # rank over k rows only — the window's single partition is k-bounded
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n_docs"), F.asc("ngram"))),
+    )
+
+
 def url_filter(
     df: DataFrame,
     url_col: str = "url",

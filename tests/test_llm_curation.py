@@ -509,6 +509,30 @@ def test_line_dedup_strips_boilerplate_everywhere(spark):
     assert out[3].cleaned_text == ""
 
 
+def test_ngram_doc_topk_counts_and_scalable_topk(spark):
+    """Doc-frequency counting (distinct per doc), deterministic tie-break,
+    and a TakeOrderedAndProject top-k (never a global sort)."""
+    from lakehouse_plumber_spark.llm.text import ngram_doc_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),     # "a b c" twice in ONE doc -> counts once
+            (2, "a b c x y z"),
+            (3, "x y z p q r"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_doc_topk(df, n=3, k=3)
+    rows = out.collect()
+    by_gram = {r.ngram: r for r in rows}
+    assert by_gram["a b c"].n_docs == 2 and by_gram["x y z"].n_docs == 2
+    # ties: "a b c" < "x y z" lexically -> ranks 1, 2
+    assert by_gram["a b c"].rank == 1 and by_gram["x y z"].rank == 2
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_url_filter_blocklist_terms_and_dedup(spark):
     """Domain blocklist, URL-term block, and one-survivor-per-normalized-URL
     dedup each fire independently; normalization folds case, fragments, and
