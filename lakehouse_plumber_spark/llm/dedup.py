@@ -467,9 +467,13 @@ def line_dedup(
     document, including documents whose every line was removed
     (cleaned_text = '').
     """
+    # coalesce: a NULL text must still yield its output row (split(NULL)
+    # is NULL and posexplode would silently drop the document)
     lines = spread_for_compute(df, [id_col, text_col]).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     lines = lines.withColumn(
         "__lh", F.md5(F.regexp_replace(F.lower(F.trim("line")), r"\s+", " "))

@@ -71,6 +71,11 @@ class ParquetTableStore:
     root: str
     _schemas: dict = field(default_factory=dict)
 
+    # I/O format for the data plane; methods that differ between backends
+    # ONLY in the storage format go through this (DeltaTableStore overrides
+    # it and inherits those bodies unchanged)
+    FMT = "parquet"
+
     def path(self, name: str) -> str:
         return os.path.join(self.root, _safe_name(name))
 
@@ -81,7 +86,7 @@ class ParquetTableStore:
         )
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(name))
+        return self.spark.read.format(self.FMT).load(self.path(name))
 
     def read_stream(self, name: str) -> DataFrame:
         schema = self.read(name).schema
@@ -119,10 +124,10 @@ class ParquetTableStore:
             # probing isEmpty(), which would evaluate the frame once extra
             self.overwrite(name, df, partition_columns=partition_columns)
             return
-        w = df.write.mode("append")
+        w = df.write.format(self.FMT).mode("append")
         if partition_columns:
             w = w.partitionBy(*partition_columns)
-        w.parquet(self.path(name))
+        w.save(self.path(name))
 
     def overwrite(
         self,
@@ -338,9 +343,9 @@ class ParquetTableStore:
             .withColumn("_commit_version", F.lit(version).cast("long"))
             .withColumn("_commit_timestamp", F.current_timestamp())
         )
-        out.write.mode("append").partitionBy("_commit_version").parquet(
-            os.path.join(self._cdf_dir(name), "data")
-        )
+        out.write.format(self.FMT).mode("append").partitionBy(
+            "_commit_version"
+        ).save(os.path.join(self._cdf_dir(name), "data"))
         return version
 
     def read_changes(
@@ -352,7 +357,7 @@ class ParquetTableStore:
         from pyspark.sql import functions as F
 
         p = os.path.join(self._cdf_dir(name), "data")
-        df = self.spark.read.parquet(p)
+        df = self.spark.read.format(self.FMT).load(p)
         # partition column: normalize to long, filters below prune partitions
         df = df.withColumn("_commit_version", F.col("_commit_version").cast("long"))
         df = df.filter(F.col("_commit_version") >= starting_version)
@@ -463,20 +468,16 @@ class DeltaTableStore(ParquetTableStore):
 
         return DeltaTable.isDeltaTable(self.spark, self.path(name))
 
-    def read(self, name: str) -> DataFrame:  # pragma: no cover - needs delta
-        return self.spark.read.format(self.FMT).load(self.path(name))
-
     def read_stream(self, name: str) -> DataFrame:  # pragma: no cover
         # Delta streaming checkpoints track LOG VERSIONS, not file paths, so
         # compaction (dataChange=false) never invalidates them — the
         # parquet store's streaming_consumed marker is unnecessary here.
         return self.spark.readStream.format(self.FMT).load(self.path(name))
 
-    def append(self, name: str, df: DataFrame, partition_columns: Optional[list[str]] = None) -> None:  # pragma: no cover
-        w = df.write.format(self.FMT).mode("append")
-        if partition_columns:
-            w = w.partitionBy(*partition_columns)
-        w.save(self.path(name))
+    # read / append / log_changes / read_changes are inherited: they differ
+    # from the parquet store only in FMT. A Delta append is transactional
+    # even for empty frames, so the base append's create-via-overwrite
+    # routing is merely unnecessary, not wrong.
 
     def overwrite(
         self,
@@ -526,8 +527,14 @@ class DeltaTableStore(ParquetTableStore):
         (operators/cdc.py). Work scales with the files holding matched keys
         (Delta data skipping on the join keys), as bucket pruning does."""
         from delta.tables import DeltaTable
+        from pyspark.sql import functions as F
 
         if not self.exists(name):
+            # first write: delete-marked rows must not materialize as live
+            # data (the merge below would route them to whenMatchedDelete;
+            # with no target they simply have nothing to delete)
+            if delete_on:
+                updates = updates.alias("s").filter(~F.expr(delete_on))
             self.append(name, updates)
             return
         tgt = DeltaTable.forPath(self.spark, self.path(name))
@@ -569,40 +576,12 @@ class DeltaTableStore(ParquetTableStore):
         return int(tgt.detail().select("numFiles").head()[0])
 
     # -- change feed ----------------------------------------------------
-
-    def log_changes(self, name: str, df: DataFrame, change_type: str, version: Optional[int] = None) -> int:  # pragma: no cover
-        """Engine-computed change rows land in a Delta FEED table (ACID
-        appends; safe under concurrent writers where the parquet feed is
-        single-writer). Columns match Delta CDF's own schema exactly."""
-        from pyspark.sql import functions as F
-
-        if version is None:
-            version = self.next_version(name)
-        out = (
-            df.withColumn("_change_type", F.lit(change_type))
-            .withColumn("_commit_version", F.lit(version).cast("long"))
-            .withColumn("_commit_timestamp", F.current_timestamp())
-        )
-        out.write.format(self.FMT).mode("append").partitionBy("_commit_version").save(
-            os.path.join(self._cdf_dir(name), "data")
-        )
-        return version
-
-    def read_changes(
-        self,
-        name: str,
-        starting_version: int = 0,
-        ending_version: Optional[int] = None,
-    ) -> DataFrame:  # pragma: no cover - needs delta
-        from pyspark.sql import functions as F
-
-        p = os.path.join(self._cdf_dir(name), "data")
-        df = self.spark.read.format(self.FMT).load(p)
-        df = df.withColumn("_commit_version", F.col("_commit_version").cast("long"))
-        df = df.filter(F.col("_commit_version") >= starting_version)
-        if ending_version is not None:
-            df = df.filter(F.col("_commit_version") <= ending_version)
-        return df
+    # log_changes / read_changes are inherited via FMT: engine-computed
+    # change rows land in a Delta FEED table (ACID appends; safe under
+    # concurrent writers where the parquet feed is single-writer), with
+    # Delta CDF's exact column schema. has_changes / prune_changes ARE
+    # overridden: a Delta DELETE leaves tombstoned files on disk until
+    # VACUUM, so directory listings lie about logical content.
 
     def read_table_changes(
         self,
@@ -665,7 +644,18 @@ def new_store(spark: SparkSession, root: Optional[str] = None) -> ParquetTableSt
     choice = os.environ.get("LHP_STORE", "").lower()
     if choice == "parquet":
         return ParquetTableStore(spark=spark, root=root)
-    if HAVE_DELTA and (choice == "delta" or _delta_session_ready(spark)):
+    if choice == "delta":
+        # an explicit override the environment cannot honor must fail loudly
+        # — silently handing back shadow-swap parquet while the user expects
+        # ACID Delta semantics is the worst of both worlds
+        if not HAVE_DELTA:
+            raise RuntimeError(
+                "LHP_STORE=delta but delta-spark is not importable; install "
+                "delta-spark and build the session with the Delta SQL "
+                "extension, or unset LHP_STORE"
+            )
+        return DeltaTableStore(spark=spark, root=root)  # pragma: no cover
+    if HAVE_DELTA and _delta_session_ready(spark):
         return DeltaTableStore(spark=spark, root=root)  # pragma: no cover
     return ParquetTableStore(spark=spark, root=root)
 

@@ -502,6 +502,11 @@ def test_line_dedup_strips_boilerplate_everywhere(spark):
     out = {r.doc_id: r for r in line_dedup(df).collect()}
     assert len(out) == 3
     assert out[1].n_lines == 3 and out[1].n_removed == 1
+    # NULL text must still yield its row (review finding: posexplode over
+    # split(NULL) would silently drop the document without the coalesce)
+    nd = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    nrow = line_dedup(nd).collect()
+    assert len(nrow) == 1 and nrow[0].n_lines == 1
     assert out[1].cleaned_text == "alpha unique one\nbeta unique two"
     assert out[2].n_removed == 1
     assert out[2].cleaned_text == "gamma unique three"

@@ -394,7 +394,11 @@ def test_mixture_sample_matches_python_model(spark, rows, parts):
 
 _words_st = st.sampled_from(
     ["alpha", "beta", "Gamma", "the", "of", "delta", "JavaScript",
-     "lorem", "ipsum", "brace{y", "words", "enough", "here"]
+     "lorem", "ipsum", "brace{y", "words", "enough", "here",
+     # whitespace beyond plain spaces: Spark's trim() strips SPACES only,
+     # while \s+ collapsing covers tabs/CR — the models below must agree
+     # with that exact combination, so the generator must reach it
+     "tab\there", "\t", "end\r"]
 )
 _line_st = st.tuples(
     st.lists(_words_st, min_size=0, max_size=8),
@@ -406,7 +410,10 @@ _doc_st = st.lists(_line_st, min_size=0, max_size=6).map("\n".join)
 def _norm_line(line: str) -> str:
     import re
 
-    return re.sub(r"\s+", " ", line.strip().lower())
+    # strip(' '): Spark F.trim removes ASCII spaces only, NOT tabs/CR —
+    # a leading '\t' survives the trim and the \s+ collapse turns it into
+    # a leading single space, and the model must reproduce exactly that
+    return re.sub(r"\s+", " ", line.strip(" ").lower())
 
 
 @given(texts=st.lists(_doc_st, min_size=1, max_size=8))
@@ -445,10 +452,12 @@ def test_c4_rules_matches_python_model(spark, texts):
 
     def model(t: str):
         lines = t.split("\n")
+        # strip(' ') mirrors Spark's space-only trim(); split(' ') mirrors
+        # the ' +' regex split (tab-joined tokens stay one "word")
         kept = [
             l for l in lines
-            if len([w for w in l.strip().split(" ") if w]) >= 5
-            and re.search(r'[.!?"]$', l.strip())
+            if len([w for w in l.strip(" ").split(" ") if w]) >= 5
+            and re.search(r'[.!?"]$', l.strip(" "))
             and "javascript" not in l.lower()
         ]
         has_lorem = "lorem ipsum" in t.lower()

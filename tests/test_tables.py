@@ -411,3 +411,19 @@ def test_streaming_compaction_validator_ignores_comments_and_strings(spark):
         ],
     })
     assert validate_streaming_compaction([writer, consumer]) == []
+
+
+def test_new_store_delta_override_fails_loudly_without_delta(spark, tmp_path, monkeypatch):
+    """An explicit LHP_STORE=delta the environment cannot honor must raise,
+    not silently hand back parquet semantics (review finding)."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark import tables as T
+
+    monkeypatch.setenv("LHP_STORE", "delta")
+    if T.HAVE_DELTA:
+        _pytest.skip("delta-spark installed; override is honored")
+    with _pytest.raises(RuntimeError, match="LHP_STORE=delta"):
+        T.new_store(spark, str(tmp_path))
+    monkeypatch.setenv("LHP_STORE", "parquet")
+    assert type(T.new_store(spark, str(tmp_path))) is T.ParquetTableStore
