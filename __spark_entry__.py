@@ -2578,6 +2578,88 @@ def pipe_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.resolve_view("main.bronze.user_sessions")
 
 
+_STREAM_JOIN_ORACLE = """
+    SELECT c.user_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+"""
+
+
+@_register("pipe_stream_stream_join", _STREAM_JOIN_ORACLE)
+def pipe_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchase attribution): click
+    and purchase streams (a self-join of one ingested stream) joined on
+    user_id with `purchase.ts in [click.ts, click.ts + 24 h]`. Both sides
+    carry watermarks, so at scale the join state holds only events inside
+    the watermark+interval horizon — Spark evicts click state once no
+    purchase within the attribution window can still arrive, exactly the bounded-state
+    contract a 100 TB attribution stream needs. Inner join in append mode:
+    matches emit immediately and deterministically, so the DuckDB interval
+    join reproduces the result exactly."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema_ddl, ts_expr = _events_stream_schema(sf_dir)
+
+    def attribute(df, spark_, params):
+        typed = df.withColumn("ts", F.expr(ts_expr))
+        clicks = (
+            typed.filter(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "10 minutes")
+        )
+        purchases = (
+            typed.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        return (
+            clicks.join(
+                purchases,
+                (F.col("user_id") == F.col("p_user_id"))
+                & (F.col("p_ts") >= F.col("c_ts"))
+                & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS")),
+                "inner",
+            )
+            .select(
+                "user_id",
+                F.unix_micros(F.col("c_ts").cast("timestamp")).alias("click_us"),
+                F.unix_micros(F.col("p_ts").cast("timestamp")).alias("purchase_us"),
+                "purchase_value",
+            )
+        )
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "attribution_join",
+            "actions": [
+                {"name": "ingest", "type": "load", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": events_path, "format": "parquet",
+                            "schema": schema_ddl},
+                 "target": "v_raw"},
+                {"name": "attr", "type": "transform", "transform_type": "python",
+                 "source": "v_raw", "target": "v_attr"},
+                {"name": "st", "type": "write", "source": "v_attr",
+                 "write_target": {"type": "streaming_table", "catalog": "main",
+                                  "schema": "bronze", "table": "attributed"}},
+            ],
+        }
+    )
+    fg.actions[1].callable_fn = attribute
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.bronze.attributed")
+
+
 _STREAM_DEDUP_ORACLE = """
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
            round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
