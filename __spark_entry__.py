@@ -2660,6 +2660,54 @@ def pipe_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.resolve_view("main.bronze.attributed")
 
 
+_STREAM_STATIC_ORACLE = """
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.event_type, e.value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+"""
+
+
+@_register("pipe_stream_static_join", _STREAM_STATIC_ORACLE)
+def pipe_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the static
+    customer dimension on user_id, dimension BROADCAST so each micro-batch
+    enriches map-side with no shuffle of the stream (the standard
+    fact-stream x dim pattern; at 100 TB/day the stream never exchanges and
+    the dim re-reads per micro-batch, picking up dim updates). No watermark
+    needed — stream-static inner joins are stateless."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema_ddl, _ = _events_stream_schema(sf_dir)
+
+    def enrich(df, spark_, params):
+        dim = F.broadcast(
+            spark_.table("customer").select("c_custkey", "c_mktsegment")
+        )
+        return df.join(
+            dim, dim["c_custkey"] == df["user_id"], "inner"
+        ).select("event_id", "user_id", "c_mktsegment", "event_type", "value")
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "stream_enrich",
+            "actions": [
+                {"name": "ingest", "type": "load", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": events_path, "format": "parquet",
+                            "schema": schema_ddl},
+                 "target": "v_raw"},
+                {"name": "enrich", "type": "transform", "transform_type": "python",
+                 "source": "v_raw", "target": "v_enriched"},
+                {"name": "st", "type": "write", "source": "v_enriched",
+                 "write_target": {"type": "streaming_table", "catalog": "main",
+                                  "schema": "bronze", "table": "enriched_events"}},
+            ],
+        }
+    )
+    fg.actions[1].callable_fn = enrich
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.bronze.enriched_events")
+
+
 _STREAM_DEDUP_ORACLE = """
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
            round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
