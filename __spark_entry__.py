@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 
 from lakehouse_plumber_spark import load_flowgroup, register_testdata
 from lakehouse_plumber_spark.llm import dedup as D
+from lakehouse_plumber_spark.llm import search as SRCH
 from lakehouse_plumber_spark.llm import similarity as S
+from lakehouse_plumber_spark.llm import sketches as SK
 from lakehouse_plumber_spark.llm import text as TX
 from lakehouse_plumber_spark.llm.hashing import (
     md5int_duck,
@@ -4310,6 +4312,79 @@ def pipe_codegen_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").cast("int").alias("seq"),
         F.col("__start_at").cast("int").alias("start_at"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continuation: retrieval, chunking, and sketch operators
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+@_register(
+    "sketch_kmv_distinct",
+    SK.kmv_distinct_duck("events", "event_type", "user_id", k=_KMV_K),
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV cardinality sketch (llm/sketches.py): per-event-type
+    distinct-user estimate from the k smallest md5 hash values — the
+    cross-engine-reproducible alternative to approx_count_distinct.  Built
+    as a TWO-LEVEL exact k-min (groupBy(stratum, h % fanout) partials, then
+    a fanout-bounded merge) so per-task state never holds a group's full
+    distinct set; sketches merge associatively (property-tested)."""
+    _prep(spark, sf_dir)
+    return SK.kmv_distinct(
+        spark.table("events"), "event_type", "user_id", k=_KMV_K
+    )
+
+
+_CHUNK_TOKENS, _CHUNK_STRIDE = 64, 48
+
+
+def _doc_chunk_duck() -> str:
+    toks = tokens_duck("coalesce(text, '')")
+    n_chunks = f"1 + (greatest(nt - {_CHUNK_TOKENS}, 0) + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks,
+                 unnest(range(0, {n_chunks})) AS chunk_idx
+          FROM n),
+    s AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                 list_slice(toks, chunk_idx * {_CHUNK_STRIDE} + 1,
+                            chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}) AS ct
+          FROM c)
+    SELECT doc_id, chunk_idx, CAST(len(ct) AS INT) AS n_chunk_tokens,
+           array_to_string(ct, ' ') AS chunk_text,
+           md5(array_to_string(ct, ' ')) AS chunk_hash
+    FROM s
+    """
+
+
+@_register("doc_chunk_fixed", _doc_chunk_duck())
+def doc_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunk table (llm/text.py:chunk_documents): fixed 64-token
+    windows at stride 48 with per-chunk md5 — entirely narrow (tokenize once,
+    bounded sequence explode, no shuffle at any scale)."""
+    _prep(spark, sf_dir)
+    return TX.chunk_documents(
+        spark.table("documents"),
+        chunk_tokens=_CHUNK_TOKENS,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+_BM25_TERMS = ["spark", "window", "merge", "vector"]
+
+
+@_register("search_bm25", SRCH.bm25_topk_duck("documents", _BM25_TERMS, k=20))
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 retrieval (llm/search.py): the lexical retriever /
+    hard-negative miner next to the ANN family.  Postings pruned to the
+    query's terms at the scan, term stats broadcast, distributed
+    TakeOrderedAndProject top-k — the corpus itself is never shuffled."""
+    _prep(spark, sf_dir)
+    return SRCH.bm25_topk(spark.table("documents"), _BM25_TERMS, k=20)
 
 
 # Explicit ordering for `queries()`: the correctness driver checks a prefix of

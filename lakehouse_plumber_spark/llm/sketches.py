@@ -1,0 +1,132 @@
+"""Mergeable cardinality sketches (K-minimum-values) over DataFrames.
+
+A KMV sketch (Bar-Yossef et al. 2002; Beyer et al. 2007 "distinct sampling")
+keeps the k smallest distinct hash values of a column; the kth minimum
+estimates the distinct count as `(k-1) * H / kth_min` for a hash range H.
+Unlike HyperLogLog it is *exactly reproducible* across engines when the hash
+is deterministic — here the 60-bit md5-derived hash from `llm/hashing.py`,
+which evaluates identically in Spark SQL and DuckDB, so the correctness
+oracle can check the sketch bit-for-bit (estimates included), something no
+`approx_count_distinct` implementation pair allows.
+
+Scale design (100 TB): the sketch is built as a TWO-LEVEL exact k-min —
+first `groupBy(group, h % fanout)` collects per-subbucket min-k arrays
+(map-side partial `collect_set`, each subbucket holds ~distinct/fanout
+hashes), then `groupBy(group)` merges `fanout` arrays of ≤k values.  Peak
+per-task state is `max(distinct/fanout, fanout*k)` hashes instead of the
+full distinct set — the same two-phase shape `skew.py` uses for hot-key
+aggregation.  Sketches are mergeable (`kmv_merge_expr`): union the min
+arrays, dedup, keep the k smallest — so per-partition / per-day sketches
+roll up without re-reading data, the property that makes KMV usable as a
+materialized corpus statistic.
+
+Reference anchor: Lakehouse Plumber ships no sketch primitives; this extends
+the engine's corpus-statistics family (`llm/text.py:corpus_stats`) with the
+cardinality report a training-data pipeline needs at scales where exact
+COUNT(DISTINCT) is a full shuffle of every key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import md5int_duck, md5int_spark
+
+HASH_RANGE = 1 << 60  # md5int yields a uniform value in [0, 2^60)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    fanout: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch: `(stratum, mins)` with `mins` the sorted array of
+    the ≤k smallest distinct hashes of `value_col`.
+
+    Two exchanges, both map-side combined; per-task memory is bounded by
+    `max(distinct/fanout, fanout*k)` hashes (see module docstring).
+    """
+    if k < 2:
+        raise ValueError(f"kmv_sketch needs k >= 2, got {k}")
+    hashed = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("stratum"),
+        F.expr(md5int_spark(f"cast({value_col} as string)")).alias("h"),
+    )
+    partial = (
+        hashed.withColumn("sub", F.pmod(F.col("h"), F.lit(fanout)))
+        .groupBy("stratum", "sub")
+        .agg(F.expr(f"slice(array_sort(collect_set(h)), 1, {k})").alias("part_mins"))
+    )
+    return partial.groupBy("stratum").agg(
+        F.expr(
+            f"slice(array_sort(array_distinct(flatten(collect_list(part_mins)))), 1, {k})"
+        ).alias("mins")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge two sketch DataFrames (full outer on stratum): union the min
+    arrays, dedup, keep the k smallest.  sketch(A ∪ B) == merge(sketch(A),
+    sketch(B)) exactly — property-tested in tests/test_sketches.py."""
+    left = a.withColumnRenamed("mins", "mins_a")
+    right = b.withColumnRenamed("mins", "mins_b")
+    joined = left.join(right, "stratum", "full_outer")
+    merged = (
+        "slice(array_sort(array_distinct(concat("
+        "coalesce(mins_a, array()), coalesce(mins_b, array())"
+        f"))), 1, {k})"
+    )
+    return joined.select("stratum", F.expr(merged).alias("mins"))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count report from a sketch: when the sketch saturated
+    (n_mins == k) the estimator is `(k-1) * 2^60 / kth_min`; below k every
+    distinct hash was kept, so the count is exact (collisions at 60 bits are
+    negligible at any k a sketch would use)."""
+    return sketch.select(
+        "stratum",
+        F.expr("cast(size(mins) as int)").alias("n_mins"),
+        F.expr("element_at(mins, -1)").alias("kth_min"),
+        F.expr(
+            f"cast(case when size(mins) >= {k} then "
+            f"round(({k} - 1) * cast({HASH_RANGE} as double) / element_at(mins, -1)) "
+            "else size(mins) end as bigint)"
+        ).alias("est_distinct"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    fanout: int = 64,
+) -> DataFrame:
+    """End-to-end per-group distinct-count estimate via a KMV sketch."""
+    return kmv_estimate(kmv_sketch(df, group_col, value_col, k, fanout), k)
+
+
+def kmv_distinct_duck(
+    table: str, group_col: str, value_col: str, k: int = 64
+) -> str:
+    """DuckDB oracle for `kmv_distinct` — rank-select formulation of the same
+    exact k-min (the two-level Spark plan computes the identical set)."""
+    h = md5int_duck(f"cast({value_col} as varchar)")
+    return f"""
+    WITH h AS (SELECT DISTINCT {group_col} AS stratum, {h} AS h FROM {table}
+               WHERE {value_col} IS NOT NULL),
+    r AS (SELECT stratum, h,
+                 row_number() OVER (PARTITION BY stratum ORDER BY h) AS rn
+          FROM h),
+    m AS (SELECT stratum, CAST(count(*) AS INT) AS n_mins, max(h) AS kth_min
+          FROM r WHERE rn <= {k} GROUP BY stratum)
+    SELECT stratum, n_mins, kth_min,
+           CAST(CASE WHEN n_mins >= {k}
+                THEN round(({k} - 1) * CAST({HASH_RANGE} AS DOUBLE) / kth_min)
+                ELSE n_mins END AS BIGINT) AS est_distinct
+    FROM m
+    """

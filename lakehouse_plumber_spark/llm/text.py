@@ -554,3 +554,58 @@ def url_filter(
             ).alias("keep"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-prep chunking: split each document into fixed-size overlapping
+    token windows (`chunk_tokens` wide, advancing by `stride`), emitting
+    `(doc_id, chunk_idx, n_chunk_tokens, chunk_text, chunk_hash)` — the
+    chunk table an embedding/indexing pipeline consumes.  Empty/NULL
+    documents produce no chunks; the final window may be shorter than
+    `chunk_tokens`.
+
+    Plan/scale: entirely NARROW — tokenize once (let-bound), a bounded
+    `explode(sequence(...))` of ceil((n_tokens-chunk)/stride)+1 per row, and
+    per-chunk slicing/hashing; no shuffle at any size.  The md5 chunk hash
+    keys downstream chunk-level exact dedup without re-reading text.
+    """
+    from lakehouse_plumber_spark.llm.hashing import let_spark
+
+    if chunk_tokens < 1 or stride < 1 or stride > chunk_tokens:
+        raise ValueError(
+            f"need 1 <= stride <= chunk_tokens, got stride={stride}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(tokens_spark(f"coalesce({text_col}, '')")).alias("__toks"),
+    ).withColumn("__nt", F.expr("size(__toks)"))
+    n_chunks = f"1 + (greatest(__nt - {chunk_tokens}, 0) + {stride} - 1) DIV {stride}"
+    exploded = base.where("__nt > 0").selectExpr(
+        "doc_id",
+        "__toks",
+        f"explode(sequence(0, {n_chunks} - 1)) AS chunk_idx",
+    )
+    chunk = let_spark(
+        f"array_join(slice(__toks, chunk_idx * {stride} + 1, {chunk_tokens}), ' ')",
+        "s",
+        "named_struct('text', s, 'hash', md5(s), "
+        f"'n', size(slice(__toks, chunk_idx * {stride} + 1, {chunk_tokens})))",
+    )
+    return exploded.selectExpr(
+        "doc_id",
+        "cast(chunk_idx AS int) AS chunk_idx",
+        f"{chunk} AS __c",
+    ).selectExpr(
+        "doc_id",
+        "chunk_idx",
+        "cast(__c.n AS int) AS n_chunk_tokens",
+        "__c.text AS chunk_text",
+        "__c.hash AS chunk_hash",
+    )

@@ -1,0 +1,177 @@
+"""KMV sketch, document chunking, and BM25 retrieval unit tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_plumber_spark.llm.search import bm25_topk
+from lakehouse_plumber_spark.llm.sketches import (
+    kmv_distinct,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+from lakehouse_plumber_spark.llm.text import chunk_documents
+
+
+# --------------------------------------------------------------------------
+# KMV sketch
+# --------------------------------------------------------------------------
+
+
+def _values_df(spark, n, groups=2):
+    return spark.range(n).select(
+        (F.col("id") % groups).cast("string").alias("g"),
+        # duplicate every value 3x so distinct != row count
+        (F.col("id") % (n // 3 + 1)).alias("v"),
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    df = _values_df(spark, 90, groups=1)  # 31 distinct values
+    out = kmv_distinct(df, "g", "v", k=64).collect()
+    assert len(out) == 1
+    row = out[0]
+    exact = df.select("v").distinct().count()
+    assert row.n_mins == exact
+    assert row.est_distinct == exact
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    # 10k distinct values, k=256 -> relative error concentrated around
+    # 1/sqrt(k-2) ~ 6.3%; assert a generous 4-sigma band
+    df = spark.range(10_000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    row = kmv_distinct(df, "g", "v", k=256).collect()[0]
+    assert row.n_mins == 256
+    assert abs(row.est_distinct - 10_000) / 10_000 < 0.25
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    df = spark.range(5_000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    a = df.where("v % 2 = 0")
+    b = df.where("v % 2 = 1")
+    merged = kmv_merge(kmv_sketch(a, "g", "v", k=32), kmv_sketch(b, "g", "v", k=32), k=32)
+    direct = kmv_sketch(df, "g", "v", k=32)
+    lhs = {r.stratum: r.mins for r in merged.collect()}
+    rhs = {r.stratum: r.mins for r in direct.collect()}
+    assert lhs == rhs
+    # estimates therefore agree too
+    est_m = {r.stratum: r.est_distinct for r in kmv_estimate(merged, k=32).collect()}
+    est_d = {r.stratum: r.est_distinct for r in kmv_estimate(direct, k=32).collect()}
+    assert est_m == est_d
+
+
+def test_kmv_fanout_invariance(spark):
+    df = spark.range(2_000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    a = kmv_sketch(df, "g", "v", k=16, fanout=4).collect()[0].mins
+    b = kmv_sketch(df, "g", "v", k=16, fanout=128).collect()[0].mins
+    assert a == b
+
+
+def test_kmv_ignores_nulls_and_rejects_tiny_k(spark):
+    df = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 2)], "g string, v int"
+    )
+    row = kmv_distinct(df, "g", "v", k=8).collect()[0]
+    assert row.n_mins == 2 and row.est_distinct == 2
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "g", "v", k=1)
+
+
+# --------------------------------------------------------------------------
+# chunking
+# --------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, "a b c")]), chunk_tokens=8, stride=4
+    ).collect()
+    assert len(out) == 1
+    assert out[0].chunk_idx == 0
+    assert out[0].n_chunk_tokens == 3
+    assert out[0].chunk_text == "a b c"
+
+
+def test_chunk_empty_and_null_docs_dropped(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, ""), (2, None), (3, "   "), (4, "x")]),
+        chunk_tokens=4,
+        stride=2,
+    ).collect()
+    assert [r.doc_id for r in out] == [4]
+
+
+def test_chunk_windows_cover_all_tokens_in_order(spark):
+    toks = [f"t{i}" for i in range(23)]
+    out = chunk_documents(
+        _docs(spark, [(7, " ".join(toks))]), chunk_tokens=8, stride=5
+    ).collect()
+    out.sort(key=lambda r: r.chunk_idx)
+    # ceil((23-8)/5)+1 = 4 chunks
+    assert [r.chunk_idx for r in out] == [0, 1, 2, 3]
+    for r in out:
+        start = r.chunk_idx * 5
+        expect = toks[start : start + 8]
+        assert r.chunk_text.split(" ") == expect
+        assert r.n_chunk_tokens == len(expect)
+    # every token appears in some chunk
+    seen = set()
+    for r in out:
+        seen.update(r.chunk_text.split(" "))
+    assert seen == set(toks)
+
+
+def test_chunk_rejects_bad_stride(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a")]), chunk_tokens=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a")]), chunk_tokens=0, stride=0)
+
+
+# --------------------------------------------------------------------------
+# BM25
+# --------------------------------------------------------------------------
+
+
+def test_bm25_ranks_matching_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark spark fast engine"),
+            (2, "spark is ok"),
+            (3, "nothing relevant here at all"),
+            (4, "pandas pandas pandas"),
+        ],
+    )
+    out = bm25_topk(docs, ["spark"], k=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]  # only matching docs, tf order
+    assert [r.rank for r in out] == [1, 2]
+    assert out[0].score > out[1].score > 0
+    assert out[0].n_terms_hit == 1
+
+
+def test_bm25_multi_term_and_length_normalization(spark):
+    # same tf, shorter doc should win under b>0 length normalization
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta"),
+            (2, "alpha beta " + " ".join(["filler"] * 50)),
+        ],
+    )
+    out = bm25_topk(docs, ["alpha", "beta"], k=5).collect()
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0].n_terms_hit == 2 and out[1].n_terms_hit == 2
+
+
+def test_bm25_rejects_empty_query(spark):
+    with pytest.raises(ValueError):
+        bm25_topk(_docs(spark, [(1, "a")]), [])
