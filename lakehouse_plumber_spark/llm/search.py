@@ -6,17 +6,23 @@ with idf(t) = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1).  This is the lexical
 half of every retrieval pipeline (and the hard-negative miner for embedding
 training); the engine's ANN family (`llm/similarity.py`) is the dense half.
 
-Scale design (100 TB corpus, small query): only postings for the |Q| query
-terms ever leave the scan — explode → `isin(Q)` prunes at the source, so
-the shuffled volume is O(matching doc-term pairs), not the corpus.  Both
-corpus statistics (N, total token count) and per-term document frequencies
-are metadata-sized and BROADCAST to the scorer; the final top-k is a
-distributed `TakeOrderedAndProject` (orderBy+limit), never a global sort.
+Scale design (100 TB corpus, keyword-sized query): per-term frequencies are
+UNROLLED as |Q| narrow `size(filter(tokens, ...))` expressions — no explode,
+no per-(doc,term) rows, no join.  Pass 1 reduces the corpus to ONE scalar
+row (N, Σdl, df per term) via a map-side-combined aggregate; pass 2
+broadcasts that row and scores each document in a single codegen'd
+projection, finishing with a distributed `TakeOrderedAndProject` top-k.
+Two column-pruned scans total — the BM25 floor (corpus statistics must be
+complete before any document can be scored) without materializing a
+tokenized copy of the corpus.  For query sets too large to unroll
+(thousands of terms), the classic explode → prune-at-scan → broadcast-stats
+postings plan is the right shape instead; this module targets the
+interactive keyword/hard-negative case.
 
-Cross-engine determinism: per-(doc,term) score parts are double expressions
-written identically in the DuckDB oracle, each cast to DECIMAL(18,6) before
-summing (order-independent exact sum per the repo-wide recipe), ranked by
-the rounded score with doc_id tie-break.
+Cross-engine determinism: per-term score parts are double expressions
+written identically in the DuckDB oracle, each cast to DECIMAL(18,6) and
+added in fixed term order (exact decimal sum), ranked by the resulting
+score with doc_id tie-break.
 """
 
 from __future__ import annotations
@@ -26,16 +32,36 @@ from pyspark.sql import functions as F
 
 from .hashing import tokens_duck, tokens_spark
 
+_DEC = "DECIMAL(18,6)"
 
-def _part_expr(k1: float, b: float) -> str:
-    """The per-(doc,term) BM25 contribution — IDENTICAL text in both engines
-    (all inputs are exact integers; one double expression tree).  avgdl is
-    folded in as dl·N/total_dl so the only division points are explicit."""
+
+def _tf_expr(term: str, i: int, dialect: str) -> str:
+    """Occurrences of `term` in the let-bound token array — narrow, no explode."""
+    lit = term.replace("'", "''")
+    if dialect == "spark":
+        return f"'tf_{i}', cast(size(filter(toks, x -> x = '{lit}')) AS bigint)"
+    return f"CAST(len(list_filter(toks, x -> x = '{lit}')) AS BIGINT) AS tf_{i}"
+
+
+def _part_expr(i: int, k1: float, b: float) -> str:
+    """The term-i BM25 contribution — IDENTICAL text in both engines (all
+    inputs are exact integers; one double expression tree; tf=0 → exactly
+    0.0, so non-matching terms add exact-decimal zeros)."""
     return (
-        f"ln((cast(n_docs AS double) - dfreq + 0.5) / (dfreq + 0.5) + 1.0)"
-        f" * (tf * (1.0 + {k1})) / "
-        f"(tf + {k1} * (1.0 - {b} + {b} * dl * cast(n_docs AS double) / total_dl))"
+        f"ln((cast(n_docs AS double) - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * (1.0 + {k1})) / "
+        f"(tf_{i} + {k1} * (1.0 - {b} + {b} * dl * cast(n_docs AS double) / total_dl))"
     )
+
+
+def _score_exprs(nq: int, k1: float, b: float, dialect: str) -> tuple[str, str]:
+    """(n_terms_hit, score) expression pair from tf_i/df_i/dl/n_docs/total_dl."""
+    hits = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(nq)
+    )
+    dec = _DEC if dialect == "duck" else "decimal(18,6)"
+    parts = " + ".join(f"CAST({_part_expr(i, k1, b)} AS {dec})" for i in range(nq))
+    return f"CAST({hits} AS INT)", f"CAST({parts} AS DOUBLE)"
 
 
 def bm25_topk(
@@ -52,33 +78,39 @@ def bm25_topk(
     candidates."""
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(tokens_spark(f"lower(coalesce({text_col}, ''))")).alias("__toks"),
-    ).withColumn("dl", F.expr("cast(size(__toks) AS bigint)"))
+    from .hashing import let_spark
+
+    nq = len(query_terms)
+    # dl + all per-term tfs inside ONE let-bound lambda: tokenization runs
+    # once per row no matter how many terms reference the token array, and
+    # projection collapse cannot duplicate it (hashing.let_spark).
+    fields = ", ".join(
+        ["'dl', cast(size(toks) AS bigint)"]
+        + [_tf_expr(t, i, "spark") for i, t in enumerate(query_terms)]
+    )
+    s_expr = let_spark(
+        tokens_spark(f"lower(coalesce({text_col}, ''))"),
+        "toks",
+        f"named_struct({fields})",
+    )
+    base = docs.selectExpr(f"{id_col} AS doc_id", f"{s_expr} AS s").select(
+        "doc_id", "s.*"
+    )
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("double").alias("total_dl"),
+        *[
+            F.expr(f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)")
+            .cast("long")
+            .alias(f"df_{i}")
+            for i in range(nq)
+        ],
     )
-    postings = base.select(
-        "doc_id", "dl", F.explode("__toks").alias("term")
-    ).where(F.col("term").isin(query_terms))
-    tf = postings.groupBy("doc_id", "term", "dl").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dfreq"))
+    hits, score = _score_exprs(nq, k1, b, "spark")
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .selectExpr(
-            "doc_id",
-            f"cast({_part_expr(k1, b)} AS decimal(18,6)) AS part",
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
-            F.expr("cast(sum(part) AS double)").alias("score"),
-        )
+        base.crossJoin(F.broadcast(stats))
+        .selectExpr("doc_id", f"{hits} AS n_terms_hit", f"{score} AS score")
+        .where("n_terms_hit > 0")
     )
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     from pyspark.sql import Window
@@ -98,32 +130,31 @@ def bm25_topk_duck(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
-    """DuckDB oracle for `bm25_topk` — same expressions, same decimal-sum
-    determinism recipe, same (score desc, doc_id) rank order."""
-    terms = ", ".join(f"'{t}'" for t in query_terms)
+    """DuckDB oracle for `bm25_topk` — same unrolled expressions, same
+    fixed-order exact-decimal sum, same (score desc, doc_id) rank order."""
+    nq = len(query_terms)
     toks = tokens_duck(f"lower(coalesce({text_col}, ''))")
+    tfs = ",\n             ".join(_tf_expr(t, i, "duck") for i, t in enumerate(query_terms))
+    dfs = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(nq)
+    )
+    hits, score = _score_exprs(nq, k1, b, "duck")
     return f"""
-    WITH base AS (
-      SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}),
-    d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base),
+    WITH t AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}),
+    d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             {tfs}
+          FROM t),
     stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(dl) AS DOUBLE) AS total_dl FROM d),
-    p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
-    tf AS (SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
-           FROM p WHERE term IN ({terms}) GROUP BY doc_id, term, dl),
-    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq
-              FROM tf GROUP BY term),
-    parts AS (
-      SELECT doc_id,
-             CAST({_part_expr(k1, b)} AS DECIMAL(18,6)) AS part
-      FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+             CAST(sum(dl) AS DOUBLE) AS total_dl,
+             {dfs}
+          FROM d),
     scored AS (
-      SELECT doc_id, CAST(count(*) AS INT) AS n_terms_hit,
-             CAST(sum(part) AS DOUBLE) AS score
-      FROM parts GROUP BY doc_id),
+      SELECT doc_id, {hits} AS n_terms_hit, {score} AS score
+      FROM d CROSS JOIN stats),
     ranked AS (
       SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
-      FROM scored)
+      FROM scored WHERE n_terms_hit > 0)
     SELECT CAST(rn AS INT) AS rank, doc_id, n_terms_hit, score
     FROM ranked WHERE rn <= {k}
     """
