@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_plumber_spark import load_flowgroup, register_testdata
+from lakehouse_plumber_spark.functions.features import (
+    rolling_features_duck as _rolling_features_duck,
+)
 from lakehouse_plumber_spark.llm import dedup as D
 from lakehouse_plumber_spark.llm import search as SRCH
 from lakehouse_plumber_spark.llm import similarity as S
@@ -4385,6 +4388,64 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-k — the corpus itself is never shuffled."""
     _prep(spark, sf_dir)
     return SRCH.bm25_topk(spark.table("documents"), _BM25_TERMS, k=20)
+
+
+_WPS_FRACTION = 0.3
+
+
+def _weighted_poisson_duck() -> str:
+    h = md5int_duck("'wps:' || cast(doc_id AS VARCHAR)")
+    p = f"least(1.0, {_WPS_FRACTION} * n * wv / sw)"
+    return f"""
+    WITH w AS (SELECT doc_id, text, lang, source, n_chars,
+                      CAST(n_chars AS DOUBLE) AS wv FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(wv AS DECIMAL(28,6))) AS DOUBLE) AS sw FROM w)
+    SELECT doc_id, text, lang, source, n_chars,
+           round({p}, 6) AS include_prob
+    FROM w CROSS JOIN tot
+    WHERE {h} < {p} * 1152921504606846976.0
+    """
+
+
+@_register("sample_weighted_poisson", _weighted_poisson_duck())
+def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Poisson sampling
+    (llm/sampling.py:weighted_poisson_sample): per-document inclusion
+    probability ∝ weight (here n_chars) with expected fraction 0.3 —
+    the document-level reweighting primitive next to the stratum-level
+    mixture sampler.  ONE metadata aggregate broadcast + a narrow filter;
+    the corpus is never shuffled."""
+    from lakehouse_plumber_spark.llm.sampling import weighted_poisson_sample
+
+    _prep(spark, sf_dir)
+    return weighted_poisson_sample(
+        spark.table("documents"), "n_chars", target_fraction=_WPS_FRACTION
+    )
+
+
+@_register(
+    "features_rolling_spend",
+    _rolling_features_duck(
+        "orders", "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    ),
+)
+def features_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free point-in-time features per customer order
+    (functions/features.py:rolling_features): lag-1 spend, rolling-3 mean,
+    days-since-previous, sequence number, exact lifetime prior spend — all
+    frames end at `1 PRECEDING`, so no feature sees its own row.  ONE hash
+    exchange on the entity serves every window."""
+    from lakehouse_plumber_spark.functions.features import rolling_features
+
+    _prep(spark, sf_dir)
+    return rolling_features(
+        spark.table("orders"),
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
 
 
 # Explicit ordering for `queries()`: the correctness driver checks a prefix of

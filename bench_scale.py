@@ -45,6 +45,9 @@ NAMES = [
     "text_c4_rules",
     "text_url_filter",
     "dedup_lines",
+    "sketch_kmv_distinct",
+    "doc_chunk_fixed",
+    "search_bm25",
 ]
 
 

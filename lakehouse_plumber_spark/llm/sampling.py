@@ -294,3 +294,57 @@ def pack_sequences(
             ).cast("int").alias("frag_len"),
         )
     )
+
+
+def weighted_poisson_sample(
+    df: DataFrame,
+    weight_expr: str,
+    target_fraction: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-proportional Poisson sampling: row i is kept with probability
+    p_i = min(1, c·w_i) where c = target_fraction·N / Σw — so the expected
+    sample size is target_fraction·N and inclusion odds scale with the
+    weight (quality score, token count, dup-cluster size…).  This is the
+    reweighting primitive behind quality-upsampled corpus mixes
+    (`mixture_weighted_sample` reweights whole strata; this reweights
+    individual documents).
+
+    Deterministic: inclusion tests the row's salted md5 hash against
+    p_i·2^60 — a pure function of (row id, weight, corpus totals), so the
+    sample is stable across runs, engines, partitionings, and retries, and
+    the DuckDB oracle reproduces it row-for-row.  The hash-vs-threshold
+    comparison flips only within one double ulp of the boundary (~2^-53
+    relative), which no realistic corpus hits.
+
+    Scale: ONE metadata-sized aggregate (N, Σw — map-side combined to a
+    single row, broadcast) followed by a narrow codegen'd filter; the corpus
+    is never shuffled.  Negative/NULL weights are rejected loudly rather
+    than silently dropped.
+    """
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError(f"target_fraction must be in (0, 1], got {target_fraction}")
+    w = df.selectExpr("*", f"CAST({weight_expr} AS DOUBLE) AS __w")
+    bad = w.where("__w IS NULL OR __w < 0").limit(1).count()
+    if bad:
+        raise ValueError(f"weight expression {weight_expr!r} produced NULL/negative values")
+    totals = w.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.expr("CAST(SUM(CAST(__w AS DECIMAL(28,6))) AS DOUBLE)").alias("__sum_w"),
+    )
+    salted = f"concat('wps:', cast({id_col} as string))"
+    keep = (
+        f"{md5int_spark(salted)} < "
+        f"least(1.0, {target_fraction} * __n * __w / __sum_w) * 1152921504606846976.0"
+    )
+    return (
+        w.crossJoin(F.broadcast(totals))
+        .where(keep)
+        .withColumn(
+            "include_prob",
+            F.expr(
+                f"round(least(1.0, {target_fraction} * __n * __w / __sum_w), 6)"
+            ),
+        )
+        .drop("__w", "__n", "__sum_w")
+    )

@@ -253,3 +253,56 @@ def test_sequence_pack_one_exchange_bounded_explode(spark, q):
     # (formatted mode double-lists nodes: tree + details)
     assert plan.count("Exchange") <= 2
     assert "Generate" in plan and "Join" not in plan
+
+
+def test_kmv_sketch_two_mapside_combined_exchanges(spark, q):
+    df = q["sketch_kmv_distinct"](spark, SF)
+    plan = _spark_plan(df)
+    # two-level exact k-min: subbucket partials + stratum merge, both with
+    # map-side combine — and nothing else (formatted double-lists nodes)
+    assert plan.count("Exchange") == 4
+    assert plan.count("ObjectHashAggregate") >= 8  # partial+final at each level
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_doc_chunk_entirely_narrow(spark, q):
+    df = q["doc_chunk_fixed"](spark, SF)
+    plan = _spark_plan(df)
+    assert "Exchange" not in plan  # chunking must never shuffle
+    assert plan.count("Generate") == 2  # ONE bounded explode (tree + details)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_bm25_two_pruned_scans_broadcast_stats_distributed_topk(spark, q):
+    df = q["search_bm25"](spark, SF)
+    plan = _spark_plan(df)
+    # pass 1 (corpus stats) + pass 2 (scoring) — the BM25 floor; no postings
+    # explode, no per-term join
+    assert plan.count("Scan parquet") == 4  # two scans (tree + details)
+    assert "Generate" not in plan  # unrolled tf expressions, not explode
+    assert plan.count("BroadcastExchange") == 2  # the 1-row stats broadcast
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
+    assert "SortMergeJoin" not in plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "lang" not in m.group(1) and "n_chars" not in m.group(1)
+
+
+def test_weighted_poisson_one_metadata_agg_then_narrow_filter(spark, q):
+    df = q["sample_weighted_poisson"](spark, SF)
+    plan = _spark_plan(df)
+    # one scalar totals aggregate (its exchange + the 1-row broadcast) and a
+    # narrow keep-filter — the corpus is never hash-shuffled
+    assert plan.count("BroadcastExchange") == 2  # tree + details
+    assert plan.count("Exchange") <= 6  # totals agg + broadcast, doubled
+    assert "SortMergeJoin" not in plan and "Generate" not in plan
+
+
+def test_rolling_features_single_exchange_single_window(spark, q):
+    df = q["features_rolling_spend"](spark, SF)
+    plan = _spark_plan(df)
+    # every frame shares the (entity, order, id) sort: ONE exchange, ONE
+    # sort, ONE Window node (formatted mode double-lists)
+    assert plan.count("Exchange") == 2
+    assert plan.count("Window") == 2
+    assert plan.count("Sort") == 2

@@ -175,3 +175,84 @@ def test_bm25_multi_term_and_length_normalization(spark):
 def test_bm25_rejects_empty_query(spark):
     with pytest.raises(ValueError):
         bm25_topk(_docs(spark, [(1, "a")]), [])
+
+
+# --------------------------------------------------------------------------
+# weighted Poisson sampling
+# --------------------------------------------------------------------------
+
+
+def test_weighted_poisson_expected_size_and_monotone_weights(spark):
+    from lakehouse_plumber_spark.llm.sampling import weighted_poisson_sample
+
+    df = spark.range(4000).selectExpr(
+        "id AS doc_id", "CAST(1 + id % 10 AS DOUBLE) AS w"
+    )
+    out = weighted_poisson_sample(df, "w", target_fraction=0.25, id_col="doc_id")
+    rows = out.collect()
+    # expected size 1000; 4-sigma band on a Poisson-binomial
+    assert 800 < len(rows) < 1200
+    # higher weight -> higher empirical inclusion rate at the extremes
+    kept = {r.doc_id for r in rows}
+    lo = sum(1 for i in range(4000) if i % 10 == 0 and i in kept)
+    hi = sum(1 for i in range(4000) if i % 10 == 9 and i in kept)
+    assert hi > lo
+    # include_prob matches the formula for a kept row
+    r0 = rows[0]
+    w0 = 1 + r0.doc_id % 10
+    expect = min(1.0, 0.25 * 4000 * w0 / sum(1 + i % 10 for i in range(4000)))
+    assert abs(r0.include_prob - expect) < 1e-6
+
+
+def test_weighted_poisson_deterministic_and_validates(spark):
+    from lakehouse_plumber_spark.llm.sampling import weighted_poisson_sample
+
+    df = spark.range(500).selectExpr("id AS doc_id", "CAST(id AS DOUBLE) + 1 AS w")
+    a = sorted(r.doc_id for r in weighted_poisson_sample(df, "w", 0.5).collect())
+    b = sorted(
+        r.doc_id
+        for r in weighted_poisson_sample(df.repartition(7), "w", 0.5).collect()
+    )
+    assert a == b  # partitioning-invariant
+    with pytest.raises(ValueError):
+        weighted_poisson_sample(df, "w", 0.0)
+    with pytest.raises(ValueError):
+        weighted_poisson_sample(
+            spark.range(3).selectExpr("id AS doc_id", "CAST(id - 1 AS DOUBLE) AS w"),
+            "w",
+            0.5,
+        ).collect()
+
+
+# --------------------------------------------------------------------------
+# rolling features
+# --------------------------------------------------------------------------
+
+
+def test_rolling_features_leakage_free_frames(spark):
+    from lakehouse_plumber_spark.functions.features import rolling_features
+
+    rows = [
+        (1, 10, "2024-01-01", 100.0),
+        (1, 11, "2024-01-04", 200.0),
+        (1, 12, "2024-01-10", 300.0),
+        (1, 13, "2024-01-11", 400.0),
+        (2, 20, "2024-02-01", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "cust long, oid long, d string, amt double"
+    ).selectExpr("cust", "oid", "CAST(d AS TIMESTAMP) AS d", "amt")
+    out = {
+        r.oid: r
+        for r in rolling_features(df, "cust", "d", "oid", "amt", window_rows=2).collect()
+    }
+    assert out[10].prev_amount is None and out[10].rolling_avg is None
+    assert out[10].seq_no == 1 and out[10].lifetime_amount == 0.0
+    assert out[11].prev_amount == 100.0 and out[11].rolling_avg == 100.0
+    assert out[11].days_since_prev == 3
+    # rolling-2 at row 4: mean(200, 300), current row excluded
+    assert out[13].rolling_avg == 250.0
+    assert out[13].lifetime_amount == 600.0 and out[13].seq_no == 4
+    assert out[20].seq_no == 1 and out[20].prev_amount is None
+    with pytest.raises(ValueError):
+        rolling_features(df, "cust", "d", "oid", "amt", window_rows=0)
