@@ -28,6 +28,9 @@ from lakehouse_plumber_spark import load_flowgroup, register_testdata
 from lakehouse_plumber_spark.functions.features import (
     rolling_features_duck as _rolling_features_duck,
 )
+from lakehouse_plumber_spark.functions.ranges import (
+    peak_concurrency_duck as _peak_concurrency_duck,
+)
 from lakehouse_plumber_spark.llm import dedup as D
 from lakehouse_plumber_spark.llm import search as SRCH
 from lakehouse_plumber_spark.llm import similarity as S
@@ -4446,6 +4449,22 @@ def features_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
+
+
+@_register(
+    "events_peak_concurrency",
+    _peak_concurrency_duck("events", "ts", 300),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval analytics (functions/ranges.py:peak_concurrency):
+    peak simultaneous 5-minute sessions per day, midnight-crossing intervals
+    clipped to both days.  ONE hash exchange on the day key; the running sum
+    is a frame-bounded window — the capacity-planning report no plain
+    groupBy can express."""
+    from lakehouse_plumber_spark.functions import peak_concurrency
+
+    _prep(spark, sf_dir)
+    return peak_concurrency(spark.table("events"), "ts", 300)
 
 
 # Explicit ordering for `queries()`: the correctness driver checks a prefix of

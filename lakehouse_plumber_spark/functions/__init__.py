@@ -8,6 +8,6 @@ keep everything as equi-join + window — single shuffle, cluster-scale.
 """
 
 from lakehouse_plumber_spark.functions.asof import asof_join
-from lakehouse_plumber_spark.functions.ranges import interval_self_join
+from lakehouse_plumber_spark.functions.ranges import interval_self_join, peak_concurrency
 
-__all__ = ["asof_join", "interval_self_join"]
+__all__ = ["asof_join", "interval_self_join", "peak_concurrency"]

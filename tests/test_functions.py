@@ -91,3 +91,43 @@ def test_interval_join_plan_is_hash_join(spark):
     out = interval_self_join(df, keys=["k"], ts_col="t", window=10)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_peak_concurrency_sweep_line(spark):
+    from lakehouse_plumber_spark.functions import peak_concurrency
+
+    rows = [
+        # three overlapping 60s sessions -> peak 3
+        (1, "2024-03-01 10:00:00"),
+        (2, "2024-03-01 10:00:30"),
+        (3, "2024-03-01 10:00:50"),
+        # isolated session later the same day
+        (4, "2024-03-01 18:00:00"),
+        # touching boundary: starts exactly when #4 ends -> counts as overlap
+        (5, "2024-03-01 18:01:00"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string").selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    out = {r.day: r for r in peak_concurrency(df, "ts", 60).collect()}
+    assert out["2024-03-01"].peak_concurrent == 3
+    assert out["2024-03-01"].n_started == 5
+
+
+def test_peak_concurrency_midnight_clipping(spark):
+    from lakehouse_plumber_spark.functions import peak_concurrency
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 23:59:00"), (2, "2024-03-02 00:00:30")],
+        "event_id long, ts string",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {r.day: r for r in peak_concurrency(df, "ts", 120).collect()}
+    # session 1 runs 23:59..00:01, overlapping session 2 on day 2
+    assert out["2024-03-01"].peak_concurrent == 1
+    assert out["2024-03-01"].n_started == 1
+    assert out["2024-03-02"].peak_concurrent == 2
+    assert out["2024-03-02"].n_started == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        peak_concurrency(df, "ts", 0)
