@@ -4451,6 +4451,41 @@ def features_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _anomaly_sql(hour_expr: str) -> str:
+    """Per-event-type hourly volume anomalies by population z-score.
+
+    All statistics (count, Σn, Σn²) stay exact integers; mean/variance/z are
+    one double expression tree written identically in both dialects, so the
+    rounded z-scores agree bit-for-bit.  Plan: one hash aggregate on
+    (type, hour), then a window over the (tiny) hourly aggregate — the raw
+    events are shuffled once.
+    """
+    var = "(CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / c) / c"
+    z = f"(n - CAST(s AS DOUBLE) / c) / sqrt({var})"
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, {hour_expr} AS hour, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, {hour_expr}),
+    st AS (
+      SELECT event_type, hour, n,
+             CAST(count(*) OVER w AS BIGINT) AS c,
+             CAST(sum(n) OVER w AS BIGINT) AS s,
+             CAST(sum(n * n) OVER w AS BIGINT) AS sq
+      FROM hourly WINDOW w AS (PARTITION BY event_type))
+    SELECT event_type, hour, n,
+           CASE WHEN {var} > 0 THEN round({z}, 6) END AS zscore,
+           CASE WHEN {var} > 0 THEN abs({z}) > 2.0 ELSE FALSE END AS is_anomaly
+    FROM st
+    """
+
+
+_sql_query(
+    "events_hourly_anomaly",
+    _anomaly_sql("date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:00')"),
+    _anomaly_sql("strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')"),
+)
+
+
 @_register(
     "events_peak_concurrency",
     _peak_concurrency_duck("events", "ts", 300),
