@@ -256,3 +256,16 @@ def test_rolling_features_leakage_free_frames(spark):
     assert out[20].seq_no == 1 and out[20].prev_amount is None
     with pytest.raises(ValueError):
         rolling_features(df, "cust", "d", "oid", "amt", window_rows=0)
+
+
+def test_kmv_merge_disjoint_strata(spark):
+    # a stratum present in only one side must survive the full-outer merge
+    # (exercises the coalesce(mins, array()) empty-side branch)
+    a = spark.range(100).select(F.lit("only_a").alias("g"), F.col("id").alias("v"))
+    b = spark.range(50).select(F.lit("only_b").alias("g"), (F.col("id") + 1000).alias("v"))
+    m = kmv_merge(kmv_sketch(a, "g", "v", k=8), kmv_sketch(b, "g", "v", k=8), k=8)
+    rows = {r.stratum: r.mins for r in m.collect()}
+    assert sorted(rows) == ["only_a", "only_b"]
+    assert all(len(v) == 8 for v in rows.values())
+    one_sided = {r.stratum: r.mins for r in kmv_sketch(a, "g", "v", k=8).collect()}
+    assert rows["only_a"] == one_sided["only_a"]
