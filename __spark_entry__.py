@@ -32,6 +32,7 @@ from lakehouse_plumber_spark.functions.ranges import (
     peak_concurrency_duck as _peak_concurrency_duck,
 )
 from lakehouse_plumber_spark.llm import dedup as D
+from lakehouse_plumber_spark.llm import sampling as SMP
 from lakehouse_plumber_spark.llm import search as SRCH
 from lakehouse_plumber_spark.llm import similarity as S
 from lakehouse_plumber_spark.llm import sketches as SK
@@ -4347,27 +4348,12 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_TOKENS, _CHUNK_STRIDE = 64, 48
 
 
-def _doc_chunk_duck() -> str:
-    toks = tokens_duck("coalesce(text, '')")
-    n_chunks = f"1 + (greatest(nt - {_CHUNK_TOKENS}, 0) + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}"
-    return f"""
-    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-    n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
-    c AS (SELECT doc_id, toks,
-                 unnest(range(0, {n_chunks})) AS chunk_idx
-          FROM n),
-    s AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-                 list_slice(toks, chunk_idx * {_CHUNK_STRIDE} + 1,
-                            chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}) AS ct
-          FROM c)
-    SELECT doc_id, chunk_idx, CAST(len(ct) AS INT) AS n_chunk_tokens,
-           array_to_string(ct, ' ') AS chunk_text,
-           md5(array_to_string(ct, ' ')) AS chunk_hash
-    FROM s
-    """
-
-
-@_register("doc_chunk_fixed", _doc_chunk_duck())
+@_register(
+    "doc_chunk_fixed",
+    TX.chunk_documents_duck(
+        "documents", chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
+    ),
+)
 def doc_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-prep chunk table (llm/text.py:chunk_documents): fixed 64-token
     windows at stride 48 with per-chunk md5 — entirely narrow (tokenize once,
@@ -4396,28 +4382,22 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WPS_FRACTION = 0.3
 
 
-def _weighted_poisson_duck() -> str:
-    h = md5int_duck("'wps:' || cast(doc_id AS VARCHAR)")
-    p = f"least(1.0, {_WPS_FRACTION} * n * wv / sw)"
-    return f"""
-    WITH w AS (SELECT doc_id, text, lang, source, n_chars,
-                      CAST(n_chars AS DOUBLE) AS wv FROM documents),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                   CAST(SUM(CAST(wv AS DECIMAL(28,6))) AS DOUBLE) AS sw FROM w)
-    SELECT doc_id, text, lang, source, n_chars,
-           round({p}, 6) AS include_prob
-    FROM w CROSS JOIN tot
-    WHERE {h} < {p} * 1152921504606846976.0
-    """
-
-
-@_register("sample_weighted_poisson", _weighted_poisson_duck())
+@_register(
+    "sample_weighted_poisson",
+    SMP.weighted_poisson_sample_duck(
+        "documents",
+        "n_chars",
+        _WPS_FRACTION,
+        cols=["doc_id", "text", "lang", "source", "n_chars"],
+    ),
+)
 def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional Poisson sampling
     (llm/sampling.py:weighted_poisson_sample): per-document inclusion
     probability ∝ weight (here n_chars) with expected fraction 0.3 —
     the document-level reweighting primitive next to the stratum-level
-    mixture sampler.  ONE metadata aggregate broadcast + a narrow filter;
+    mixture sampler.  ONE metadata aggregate (collected to literals, the
+    mixture-sampler pattern) + a narrow filter;
     the corpus is never shuffled."""
     from lakehouse_plumber_spark.llm.sampling import weighted_poisson_sample
 

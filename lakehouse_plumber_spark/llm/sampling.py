@@ -317,34 +317,72 @@ def weighted_poisson_sample(
     comparison flips only within one double ulp of the boundary (~2^-53
     relative), which no realistic corpus hits.
 
-    Scale: ONE metadata-sized aggregate (N, Σw — map-side combined to a
-    single row, broadcast) followed by a narrow codegen'd filter; the corpus
-    is never shuffled.  Negative/NULL weights are rejected loudly rather
-    than silently dropped.
+    Scale: ONE metadata-sized aggregate (N, Σw, bad-weight count — map-side
+    combined to a single collected row, the same pattern as
+    `mixture_weighted_sample`'s per-stratum counts) followed by a narrow
+    codegen'd filter with the totals shipped back as literals; the corpus is
+    never shuffled and never joined.  NULL/negative/NaN/Infinity weights are
+    rejected loudly in that same single pass rather than silently dropped.
     """
     if not 0.0 < target_fraction <= 1.0:
         raise ValueError(f"target_fraction must be in (0, 1], got {target_fraction}")
     w = df.selectExpr("*", f"CAST({weight_expr} AS DOUBLE) AS __w")
-    bad = w.where("__w IS NULL OR __w < 0").limit(1).count()
-    if bad:
-        raise ValueError(f"weight expression {weight_expr!r} produced NULL/negative values")
-    totals = w.agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.expr("CAST(SUM(CAST(__w AS DECIMAL(28,6))) AS DOUBLE)").alias("__sum_w"),
+    bad_w = (
+        "__w IS NULL OR __w < 0 OR isnan(__w) OR __w = CAST('Infinity' AS DOUBLE)"
     )
-    salted = f"concat('wps:', cast({id_col} as string))"
-    keep = (
-        f"{md5int_spark(salted)} < "
-        f"least(1.0, {target_fraction} * __n * __w / __sum_w) * 1152921504606846976.0"
-    )
-    return (
-        w.crossJoin(F.broadcast(totals))
-        .where(keep)
-        .withColumn(
-            "include_prob",
-            F.expr(
-                f"round(least(1.0, {target_fraction} * __n * __w / __sum_w), 6)"
-            ),
+    n, sum_w, n_bad = w.agg(
+        F.count(F.lit(1)).cast("long"),
+        F.expr("CAST(SUM(CAST(__w AS DECIMAL(28,6))) AS DOUBLE)"),
+        F.expr(f"SUM(CASE WHEN {bad_w} THEN 1 ELSE 0 END)").cast("long"),
+    ).collect()[0]
+    if n_bad:
+        raise ValueError(
+            f"weight expression {weight_expr!r} produced {n_bad} "
+            "NULL/negative/NaN/Infinity values"
         )
-        .drop("__w", "__n", "__sum_w")
+    if not n:
+        return (
+            w.where(F.lit(False))
+            .withColumn("include_prob", F.expr("CAST(NULL AS DOUBLE)"))
+            .drop("__w")
+        )
+    if not sum_w:
+        raise ValueError(f"weight expression {weight_expr!r} sums to zero")
+    salted = f"concat('wps:', cast({id_col} as string))"
+    # repr() round-trips doubles exactly; string->double parse is correctly
+    # rounded, so the literal is the same double the aggregate produced
+    p = f"least(1.0, {target_fraction} * {n} * __w / CAST('{sum_w!r}' AS DOUBLE))"
+    keep = f"{md5int_spark(salted)} < {p} * 1152921504606846976.0"
+    return (
+        w.where(keep)
+        .withColumn("include_prob", F.expr(f"round({p}, 6)"))
+        .drop("__w")
     )
+
+
+def weighted_poisson_sample_duck(
+    table: str,
+    weight_expr: str,
+    target_fraction: float,
+    cols: list[str],
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for `weighted_poisson_sample` over the given passthrough
+    columns — same salted hash, same decimal-exact Σw, same threshold
+    expression.  Kept next to the Spark implementation so the two can only
+    drift together."""
+    from lakehouse_plumber_spark.llm.hashing import md5int_duck
+
+    h = md5int_duck(f"'wps:' || cast({id_col} AS VARCHAR)")
+    col_list = ", ".join(cols)
+    p = f"least(1.0, {target_fraction} * n * wv / sw)"
+    return f"""
+    WITH w AS (SELECT {col_list},
+                      CAST({weight_expr} AS DOUBLE) AS wv FROM {table}),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(wv AS DECIMAL(28,6))) AS DOUBLE) AS sw FROM w)
+    SELECT {col_list},
+           round({p}, 6) AS include_prob
+    FROM w CROSS JOIN tot
+    WHERE {h} < {p} * 1152921504606846976.0
+    """

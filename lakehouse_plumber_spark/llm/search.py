@@ -35,11 +35,19 @@ from .hashing import tokens_duck, tokens_spark
 _DEC = "DECIMAL(18,6)"
 
 
+def _norm_terms(query_terms: list[str]) -> list[str]:
+    """Document text is matched lowercased, so terms must be too — a
+    mixed-case query term would otherwise silently match nothing."""
+    return [t.lower() for t in query_terms]
+
+
 def _tf_expr(term: str, i: int, dialect: str) -> str:
     """Occurrences of `term` in the let-bound token array — narrow, no explode."""
-    lit = term.replace("'", "''")
     if dialect == "spark":
+        # Spark string literals treat backslash as an escape; DuckDB does not
+        lit = term.replace("\\", "\\\\").replace("'", "''")
         return f"'tf_{i}', cast(size(filter(toks, x -> x = '{lit}')) AS bigint)"
+    lit = term.replace("'", "''")
     return f"CAST(len(list_filter(toks, x -> x = '{lit}')) AS BIGINT) AS tf_{i}"
 
 
@@ -80,6 +88,7 @@ def bm25_topk(
         raise ValueError("bm25_topk needs at least one query term")
     from .hashing import let_spark
 
+    query_terms = _norm_terms(query_terms)
     nq = len(query_terms)
     # dl + all per-term tfs inside ONE let-bound lambda: tokenization runs
     # once per row no matter how many terms reference the token array, and
@@ -132,6 +141,7 @@ def bm25_topk_duck(
 ) -> str:
     """DuckDB oracle for `bm25_topk` — same unrolled expressions, same
     fixed-order exact-decimal sum, same (score desc, doc_id) rank order."""
+    query_terms = _norm_terms(query_terms)
     nq = len(query_terms)
     toks = tokens_duck(f"lower(coalesce({text_col}, ''))")
     tfs = ",\n             ".join(_tf_expr(t, i, "duck") for i, t in enumerate(query_terms))

@@ -70,7 +70,7 @@ def kmv_sketch(
 def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
     """Merge two sketch DataFrames (full outer on stratum): union the min
     arrays, dedup, keep the k smallest.  sketch(A ∪ B) == merge(sketch(A),
-    sketch(B)) exactly — property-tested in tests/test_sketches.py."""
+    sketch(B)) exactly — property-tested in tests/test_retrieval_sketches.py."""
     left = a.withColumnRenamed("mins", "mins_a")
     right = b.withColumnRenamed("mins", "mins_b")
     joined = left.join(right, "stratum", "full_outer")

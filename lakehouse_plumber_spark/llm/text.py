@@ -592,11 +592,16 @@ def chunk_documents(
         "__toks",
         f"explode(sequence(0, {n_chunks} - 1)) AS chunk_idx",
     )
+    # nested lets: the slice (c) and its joined string (s) are each computed
+    # exactly once per chunk
     chunk = let_spark(
-        f"array_join(slice(__toks, chunk_idx * {stride} + 1, {chunk_tokens}), ' ')",
-        "s",
-        "named_struct('text', s, 'hash', md5(s), "
-        f"'n', size(slice(__toks, chunk_idx * {stride} + 1, {chunk_tokens})))",
+        f"slice(__toks, chunk_idx * {stride} + 1, {chunk_tokens})",
+        "c",
+        let_spark(
+            "array_join(c, ' ')",
+            "s",
+            "named_struct('text', s, 'hash', md5(s), 'n', size(c))",
+        ),
     )
     return exploded.selectExpr(
         "doc_id",
@@ -609,3 +614,36 @@ def chunk_documents(
         "__c.text AS chunk_text",
         "__c.hash AS chunk_hash",
     )
+
+
+def chunk_documents_duck(
+    table: str = "documents",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for `chunk_documents` — same integer window arithmetic,
+    same slicing, same md5 chunk hash.  Kept next to the Spark
+    implementation so the two can only drift together."""
+    from lakehouse_plumber_spark.llm.hashing import tokens_duck
+
+    toks = tokens_duck(f"coalesce({text_col}, '')")
+    n_chunks = (
+        f"1 + (greatest(nt - {chunk_tokens}, 0) + {stride} - 1) // {stride}"
+    )
+    return f"""
+    WITH t AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}),
+    n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks,
+                 unnest(range(0, {n_chunks})) AS chunk_idx
+          FROM n),
+    s AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                 list_slice(toks, chunk_idx * {stride} + 1,
+                            chunk_idx * {stride} + {chunk_tokens}) AS ct
+          FROM c)
+    SELECT doc_id, chunk_idx, CAST(len(ct) AS INT) AS n_chunk_tokens,
+           array_to_string(ct, ' ') AS chunk_text,
+           md5(array_to_string(ct, ' ')) AS chunk_hash
+    FROM s
+    """

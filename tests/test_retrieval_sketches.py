@@ -269,3 +269,30 @@ def test_kmv_merge_disjoint_strata(spark):
     assert all(len(v) == 8 for v in rows.values())
     one_sided = {r.stratum: r.mins for r in kmv_sketch(a, "g", "v", k=8).collect()}
     assert rows["only_a"] == one_sided["only_a"]
+
+
+def test_weighted_poisson_rejects_nan_and_inf(spark):
+    from lakehouse_plumber_spark.llm.sampling import weighted_poisson_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("inf")), (3, float("nan"))], "doc_id long, w double"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        weighted_poisson_sample(df, "w", 0.5)
+    with pytest.raises(ValueError, match="sums to zero"):
+        weighted_poisson_sample(
+            spark.createDataFrame([(1, 0.0)], "doc_id long, w double"), "w", 0.5
+        )
+    # empty input -> empty output, no error
+    empty = spark.createDataFrame([], "doc_id long, w double")
+    assert weighted_poisson_sample(empty, "w", 0.5).count() == 0
+
+
+def test_bm25_lowercases_query_terms(spark):
+    docs = _docs(spark, [(1, "Spark SPARK engine"), (2, "irrelevant")])
+    out = bm25_topk(docs, ["Spark"], k=5).collect()
+    assert [r.doc_id for r in out] == [1]
+    # and the oracle normalizes identically
+    from lakehouse_plumber_spark.llm.search import bm25_topk_duck
+
+    assert "'spark'" in bm25_topk_duck("documents", ["Spark"]) 
