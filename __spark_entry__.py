@@ -4431,6 +4431,18 @@ def features_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("text_bigram_logprob", TX.bigram_logprob_duck("documents"))
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical-LM quality filter
+    (llm/text.py:bigram_logprob): per-document mean add-k bigram
+    log2-probability under a model trained on the corpus itself.  Counts are
+    map-side-combined aggregates; the log term attaches to the
+    DISTINCT-bigram model table (model-sized, not occurrence-sized) before
+    the scoring join; V ships as a collected literal."""
+    _prep(spark, sf_dir)
+    return TX.bigram_logprob(spark.table("documents"))
+
+
 def _anomaly_sql(hour_expr: str) -> str:
     """Per-event-type hourly volume anomalies by population z-score.
 

@@ -647,3 +647,111 @@ def chunk_documents_duck(
            md5(array_to_string(ct, ' ')) AS chunk_hash
     FROM s
     """
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """CCNet-style statistical-LM quality filter (Wenzek et al. 2020), with
+    the KenLM 5-gram model replaced by an add-k-smoothed corpus bigram model
+    — the relational analogue that needs no external model artifact: train
+    on the corpus itself, score each document by its mean bigram
+    log2-probability; low scores flag gibberish/boilerplate, high scores
+    flag degenerate repetition.  Output: (doc_id, n_bigrams, mean_logprob)
+    for documents with ≥1 bigram.
+
+    p(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V),  V = corpus vocabulary size.
+
+    Scale design: counts build as two hash aggregates over exploded grams
+    (map-side combined); the per-bigram log-probability is attached to the
+    DISTINCT-bigram model table (model-sized work, not occurrence-sized),
+    which then equi-joins the document bigrams — broadcast when the model
+    fits, AQE's call otherwise; scoring re-aggregates on doc_id.  V ships
+    as a collected literal (one scalar, the mixture-sampler pattern).
+
+    Determinism: every count is an exact integer; each bigram's log2 term
+    is one double expression from identical integers, cast to
+    DECIMAL(18,6); per-document sums are exact decimal, so the DuckDB
+    oracle reproduces scores bit-for-bit.
+    """
+    from lakehouse_plumber_spark.llm.hashing import word_ngrams_all_spark
+
+    toks = tokens_spark(f"lower({text_col})")
+    uni = (
+        df.select(F.explode(F.expr(toks)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    vocab = uni.count()
+    if not vocab:
+        raise ValueError(f"no tokens in {text_col!r}; cannot train a bigram model")
+    big = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(word_ngrams_all_spark(f"lower({text_col})", 2))).alias("g"),
+    ).where("g LIKE '% %'")  # docs with one token emit a degenerate 1-gram
+    model = (
+        big.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+        .withColumn("w1", F.expr("substring_index(g, ' ', 1)"))
+        .join(uni, F.col("w1") == F.col("w"))
+        .selectExpr(
+            "g",
+            # cast to double BEFORE dividing: decimal/decimal division
+            # rounds differently across engines
+            f"CAST(log2((CAST(cb AS DOUBLE) + {k_smooth}) / "
+            f"(CAST(cu AS DOUBLE) + {k_smooth} * {vocab})) "
+            "AS DECIMAL(18,6)) AS logp",
+        )
+    )
+    return (
+        big.join(model, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.expr(
+                "round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6)"
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+def bigram_logprob_duck(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+) -> str:
+    """DuckDB oracle for `bigram_logprob` — same counts, same smoothed
+    log2 expression, same exact-decimal per-document sum."""
+    from lakehouse_plumber_spark.llm.hashing import (
+        tokens_duck,
+        word_ngrams_all_duck,
+    )
+
+    toks = tokens_duck(f"lower({text_col})")
+    grams = word_ngrams_all_duck(f"lower({text_col})", 2)
+    return f"""
+    WITH uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cu
+      FROM (SELECT unnest({toks}) AS w FROM {table}) GROUP BY w),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni),
+    big AS (
+      SELECT {id_col} AS doc_id, g
+      FROM (SELECT {id_col}, unnest({grams}) AS g FROM {table})
+      WHERE g LIKE '% %'),
+    model AS (
+      SELECT b.g,
+             CAST(log2((CAST(b.cb AS DOUBLE) + {k_smooth}) /
+                       (CAST(uni.cu AS DOUBLE) + {k_smooth} * v.vocab))
+                  AS DECIMAL(18,6)) AS logp
+      FROM (SELECT g, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY g) b
+      JOIN uni ON split_part(b.g, ' ', 1) = uni.w
+      CROSS JOIN v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+    FROM big JOIN model USING (g)
+    GROUP BY doc_id
+    """

@@ -296,3 +296,46 @@ def test_bm25_lowercases_query_terms(spark):
     from lakehouse_plumber_spark.llm.search import bm25_topk_duck
 
     assert "'spark'" in bm25_topk_duck("documents", ["Spark"]) 
+
+
+# --------------------------------------------------------------------------
+# bigram LM filter
+# --------------------------------------------------------------------------
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from lakehouse_plumber_spark.llm.text import bigram_logprob
+
+    docs = _docs(spark, [(1, "a b"), (2, "a b a"), (3, "c")])
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    # uni: a=3 b=2 c=1, V=3; cb: 'a b'=2, 'b a'=1
+    p_ab = (2 + 0.5) / (3 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (2 + 0.5 * 3)
+    assert 3 not in out  # single-token doc has no bigrams
+    assert out[1].n_bigrams == 1
+    assert abs(out[1].mean_logprob - math.log2(p_ab)) < 1e-5
+    assert out[2].n_bigrams == 2
+    expect2 = (math.log2(p_ab) + math.log2(p_ba)) / 2
+    assert abs(out[2].mean_logprob - expect2) < 1e-5
+
+
+def test_bigram_logprob_flags_gibberish_below_natural(spark):
+    from lakehouse_plumber_spark.llm.text import bigram_logprob
+
+    natural = "the cat sat on the mat and the cat ran to the mat"
+    docs = _docs(
+        spark,
+        [(i, natural) for i in range(10)]
+        + [(99, "zqx wvu zqx mat cat qqq on wvu the zzz")],
+    )
+    out = {r.doc_id: r.mean_logprob for r in bigram_logprob(docs).collect()}
+    assert out[99] < out[0]  # unseen-bigram doc scores below the natural one
+
+
+def test_bigram_logprob_empty_corpus_raises(spark):
+    from lakehouse_plumber_spark.llm.text import bigram_logprob
+
+    with pytest.raises(ValueError):
+        bigram_logprob(_docs(spark, [(1, "   "), (2, None)]))
