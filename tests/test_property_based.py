@@ -474,3 +474,59 @@ def test_c4_rules_matches_python_model(spark, texts):
         for r in c4_rules(df).collect()
     }
     assert got == want
+
+
+texts_chunk_st = st.lists(
+    st.text(alphabet="ab \t\n", min_size=0, max_size=60),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=texts_chunk_st, chunk=st.integers(1, 9), stride_off=st.integers(0, 8))
+@settings(**_SETTINGS)
+def test_chunk_documents_matches_python_model(spark, texts, chunk, stride_off):
+    from lakehouse_plumber_spark.llm.text import chunk_documents
+
+    stride = max(1, chunk - stride_off)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    }
+    expected = {}
+    for i, t in rows:
+        toks = t.split()
+        if not toks:
+            continue
+        n_chunks = 1 + -(-max(len(toks) - chunk, 0) // stride)
+        for c in range(n_chunks):
+            piece = toks[c * stride : c * stride + chunk]
+            expected[(i, c)] = (len(piece), " ".join(piece))
+    assert got == expected
+
+
+kmv_vals_st = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=1, max_size=80
+)
+
+
+@given(vals=kmv_vals_st, k=st.integers(2, 12))
+@settings(**_SETTINGS)
+def test_kmv_sketch_matches_python_model(spark, vals, k):
+    import hashlib
+
+    from lakehouse_plumber_spark.llm.sketches import kmv_sketch
+
+    df = spark.createDataFrame(vals, "g int, v int")
+    got = {r.stratum: r.mins for r in kmv_sketch(df, "g", "v", k=k, fanout=8).collect()}
+
+    def h(x: int) -> int:
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    expected: dict[int, list[int]] = {}
+    for g in {g for g, _ in vals}:
+        hashes = sorted({h(v) for gg, v in vals if gg == g})
+        expected[g] = hashes[:k]
+    assert got == expected
