@@ -48,6 +48,16 @@ EXTENDED = [
     "dedup_span_removal",
     "dedup_edit_distance",
     "sample_quality_stratified",
+    # r6-continuation additions (extended_sec grew here — compare per-query,
+    # or the first six as the pre-continuation subtotal)
+    "sketch_kmv_distinct",
+    "doc_chunk_fixed",
+    "search_bm25",
+    "sample_weighted_poisson",
+    "features_rolling_spend",
+    "events_peak_concurrency",
+    "events_hourly_anomaly",
+    "text_bigram_logprob",
 ]
 
 
