@@ -306,3 +306,13 @@ def test_rolling_features_single_exchange_single_window(spark, q):
     assert plan.count("Exchange") == 2
     assert plan.count("Window") == 2
     assert plan.count("Sort") == 2
+
+
+def test_bigram_logprob_no_cartesian_bounded_exchanges(spark, q):
+    df = q["text_bigram_logprob"](spark, SF)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    # two count builds + model join + scoring join + doc re-aggregate; the
+    # model/uni sides broadcast at this size (AQE may upgrade at runtime)
+    assert plan.count("Exchange") <= 14  # formatted double-lists nodes
+    assert "Generate" in plan  # gram explode, not per-row python
