@@ -253,6 +253,7 @@ def ivfpq_search(
     n_codes: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine: int = 0,
 ) -> DataFrame:
     """IVF-PQ: coarse inverted lists + product-quantized codes with ADC
     scoring (Jégou et al. 2011) — the memory-compression rung of the ANN
@@ -260,6 +261,14 @@ def ivfpq_search(
     (8 bytes here vs 512 for the float64 pipeline, a 64x reduction), so at
     100 TB the candidate scan reads codes only and never touches the raw
     vectors.
+
+    `refine > 0` adds the standard exact re-ranking stage (IVFADC+R, Jégou
+    et al. 2011 §V): the ADC scan shortlists `refine*k` candidates per
+    query, whose RAW vectors are then fetched (broadcast-join of the tiny
+    shortlist against the collection — one pruned scan of the vector column
+    for shortlist rows only) and re-ranked by exact distance.  Recall
+    approaches the IVF rung's at the cost of `refine*k*|Q|` full-vector
+    reads; the code scan itself still never touches raw vectors.
 
     Deterministic quantizers (lowest-id seeds for both the coarse lists and
     every per-subspace codebook) keep the whole pipeline single-pass and
@@ -343,14 +352,44 @@ def ivfpq_search(
         .withColumn("adc", F.expr(adc))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col(id_col))
+    if not refine:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id",
+                F.col(id_col).alias("neighbor_id"),
+                "rank",
+                F.round("adc", 6).alias("adc_dist"),
+            )
+        )
+    shortlist = (
+        scored.withColumn("__r0", F.row_number().over(w))
+        .where(F.col("__r0") <= refine * k)
+        .select("query_id", id_col)
+    )
+    qv_df = df.sparkSession.createDataFrame(
+        [(qid, q_rows[qid]) for qid in sorted(q_rows)],
+        "query_id long, qv array<double>",
+    )
+    exact_d = (
+        "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    refined = (
+        base.join(F.broadcast(shortlist), on=id_col)
+        .join(F.broadcast(qv_df), on="query_id")
+        .withColumn("dist", F.expr(exact_d))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        refined.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             "rank",
-            F.round("adc", 6).alias("adc_dist"),
+            F.round("dist", 6).alias("adc_dist"),
         )
     )
 
