@@ -4345,6 +4345,40 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pipe_incremental_kmv",
+    SK.kmv_distinct_duck("events", "event_type", "user_id", k=_KMV_K),
+)
+def pipe_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance: events arrive in three deterministic
+    batches; each batch is sketched (llm/sketches.py:kmv_sketch) and MERGED
+    into a persisted sketch table via the store — the mergeable-summary
+    pattern behind incremental approximate-distinct materialized views.
+    KMV mergeability makes the oracle STRONG: after any batch split, the
+    merged state equals the one-shot batch sketch, so the final estimate is
+    checked against the same DuckDB oracle as `sketch_kmv_distinct`.
+    Per-batch work is batch-sized (two bounded exchanges + a sketch-table
+    read); the raw history is never rescanned."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    store = runner.store
+    ev = spark.table("events")
+    table = "m.sketch.kmv_users"
+    for i in range(3):
+        batch_sketch = SK.kmv_sketch(
+            ev.where(F.expr(f"pmod(event_id, 3) = {i}")),
+            "event_type",
+            "user_id",
+            k=_KMV_K,
+        )
+        if store.exists(table):
+            merged = SK.kmv_merge(store.read(table), batch_sketch, k=_KMV_K)
+        else:
+            merged = batch_sketch
+        store.overwrite(table, merged)
+    return SK.kmv_estimate(store.read(table), k=_KMV_K)
+
+
 _CHUNK_TOKENS, _CHUNK_STRIDE = 64, 48
 
 
