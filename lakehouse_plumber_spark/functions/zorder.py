@@ -1,0 +1,111 @@
+"""Z-order (Morton) interleaved sort keys for multi-column data skipping.
+
+`cluster_columns` sorts rows lexicographically inside write tasks, which
+makes parquet min/max footers selective on the LEADING column only; a filter
+on the second column still touches every file.  Interleaving the bits of
+several columns into one Morton key keeps rows that are close in EVERY
+dimension close in the file order, so footer ranges stay narrow on each
+clustered column simultaneously — the layout Delta's OPTIMIZE ZORDER BY
+builds, here as a pure Spark SQL expression usable with any writer
+(`sortWithinPartitions(zorder_col)`, or the store's `order_within_files`).
+
+Construction (deterministic, two passes like every stats-shipping operator
+here): one metadata-sized min/max aggregate per column (collected to
+literals), then a narrow projection that quantizes each column to
+`bits`-bit buckets over its range and interleaves the bits with a
+`aggregate(sequence(...))` fold — no shuffle beyond whatever the writer
+already does, no UDF.  NULLs quantize to bucket 0 (they sort first, same
+convention as Spark's NULLS FIRST).
+
+The quantization is rank-free (linear over the min/max range), so heavily
+skewed columns get uneven buckets — at 100 TB feed pre-computed range
+boundaries from a sample into `zorder_key_expr` instead of raw min/max
+(the expression is the same; only the (lo, hi) literals change).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key_expr(ranges: list[tuple[str, float, float]], bits: int = 16) -> str:
+    """Morton key expression from per-column (expr, lo, hi) ranges.
+
+    Each column is scaled to an integer bucket in [0, 2^bits) over [lo, hi]
+    (clamped; NULL → 0), then bit b of column i lands at key position
+    `b * n_cols + i`.  Total key width bits*n_cols must fit a signed 64-bit
+    int (≤ 62).
+    """
+    n = len(ranges)
+    if not n:
+        raise ValueError("zorder needs at least one column")
+    if bits < 1 or bits * n > 62:
+        raise ValueError(
+            f"bits*n_cols must be in [1, 62], got {bits}*{n} = {bits * n}"
+        )
+    top = (1 << bits) - 1
+    qs = []
+    for expr, lo, hi in ranges:
+        span = hi - lo
+        if span <= 0:
+            qs.append("0L")
+            continue
+        scaled = (
+            f"CAST(least(greatest((CAST({expr} AS DOUBLE) - {lo!r}) "
+            f"/ {span!r}, 0.0D), 1.0D) * {top} AS BIGINT)"
+        )
+        qs.append(f"coalesce({scaled}, 0L)")
+    # let-bind the quantized buckets so each is computed once per row, not
+    # once per bit of the fold
+    from lakehouse_plumber_spark.llm.hashing import let_spark
+
+    fields = ", ".join(f"'q{i}', {q}" for i, q in enumerate(qs))
+    terms = " | ".join(
+        f"shiftleft(shiftright(qq.q{i}, b) & 1, b * {n} + {i})" for i in range(n)
+    )
+    return let_spark(
+        f"named_struct({fields})",
+        "qq",
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> acc | {terms})",
+    )
+
+
+def with_zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16, out: str = "__zorder"
+) -> DataFrame:
+    """Attach a Morton key over `cols`, deriving each column's range from one
+    metadata-sized min/max aggregate (collected to literals)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.expr(f"CAST(min({c}) AS DOUBLE)"),
+            F.expr(f"CAST(max({c}) AS DOUBLE)"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    ranges = [
+        (c, row[2 * i] if row[2 * i] is not None else 0.0,
+         row[2 * i + 1] if row[2 * i + 1] is not None else 0.0)
+        for i, c in enumerate(cols)
+    ]
+    return df.withColumn(out, F.expr(zorder_key_expr(ranges, bits)))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write `df` as `n_files` parquet files range-partitioned AND sorted by
+    the Morton key over `cols` — every file covers a compact hyper-rectangle,
+    so min/max footers prune on any clustered column."""
+    keyed = with_zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, F.col("__zorder"))
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -131,3 +131,61 @@ def test_peak_concurrency_midnight_clipping(spark):
 
     with _pytest.raises(ValueError):
         peak_concurrency(df, "ts", 0)
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from lakehouse_plumber_spark.functions.zorder import with_zorder_key
+
+    rows = [(a, b) for a in range(0, 16) for b in range(0, 16)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    out = {(r.a, r.b): r["__zorder"] for r in with_zorder_key(df, ["a", "b"], bits=4).collect()}
+
+    def q(v):  # min=0 max=15 -> bucket = round-down of v/15*15 = v
+        return int(min(max(v / 15.0, 0.0), 1.0) * 15)
+
+    def morton(a, b):
+        key = 0
+        for bit in range(4):
+            key |= ((q(a) >> bit) & 1) << (bit * 2)
+            key |= ((q(b) >> bit) & 1) << (bit * 2 + 1)
+        return key
+
+    assert out == {(a, b): morton(a, b) for a, b in rows}
+    # NULLs bucket to 0
+    dfn = spark.createDataFrame([(None, 3), (2, None)], "a int, b int")
+    got = [r["__zorder"] for r in with_zorder_key(dfn, ["a", "b"], bits=4).collect()]
+    assert all(isinstance(v, int) for v in got)
+
+
+def test_zorder_layout_prunes_second_column(spark, tmp_path):
+    """The measurable benefit: after a Z-ordered 16-file write, a selective
+    predicate on the SECOND clustered column touches a small fraction of the
+    files; a lexicographic (a, b) sort spreads it across all of them."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.functions.zorder import zorder_write
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(128) for b in range(128)], "a int, b int"
+    )
+    lex = str(tmp_path / "lex")
+    (
+        df.repartitionByRange(16, F.col("a"), F.col("b"))
+        .sortWithinPartitions("a", "b")
+        .write.mode("overwrite").parquet(lex)
+    )
+    zo = str(tmp_path / "zorder")
+    zorder_write(df, zo, ["a", "b"], n_files=16)
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .where("b = 5")
+            .select(F.col("_metadata.file_path"))
+            .distinct()
+            .count()
+        )
+
+    lex_files, zo_files = files_touched(lex), files_touched(zo)
+    assert lex_files == 16          # b=5 lives in every a-range
+    assert zo_files <= lex_files // 2  # Morton locality concentrates it
