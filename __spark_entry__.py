@@ -4365,8 +4365,11 @@ def pipe_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.table("events")
     table = "m.sketch.kmv_users"
     for i in range(3):
+        # NULL event_id rows (none in the testdata, but the oracle doesn't
+        # exclude them) fall into batch 0 rather than silently vanishing
+        split = f"coalesce(pmod(event_id, 3), 0) = {i}"
         batch_sketch = SK.kmv_sketch(
-            ev.where(F.expr(f"pmod(event_id, 3) = {i}")),
+            ev.where(F.expr(split)),
             "event_type",
             "user_id",
             k=_KMV_K,

@@ -48,6 +48,11 @@ NAMES = [
     "sketch_kmv_distinct",
     "doc_chunk_fixed",
     "search_bm25",
+    "sample_weighted_poisson",
+    "features_rolling_spend",
+    "events_peak_concurrency",
+    "events_hourly_anomaly",
+    "text_bigram_logprob",
 ]
 
 

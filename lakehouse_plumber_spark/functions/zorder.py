@@ -75,18 +75,52 @@ def with_zorder_key(
     df: DataFrame, cols: list[str], bits: int = 16, out: str = "__zorder"
 ) -> DataFrame:
     """Attach a Morton key over `cols`, deriving each column's range from one
-    metadata-sized min/max aggregate (collected to literals)."""
-    aggs = []
+    metadata-sized min/max aggregate (collected to literals).  Columns must
+    be numeric or temporal (hash or dictionary-encode strings first);
+    non-finite values are excluded from the range stats and clamp to the
+    nearest bucket like any other out-of-range value."""
+    import math
+
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    nexprs = []
     for c in cols:
+        t = schema.get(c)
+        if isinstance(t, (TimestampType, TimestampNTZType)):
+            nexprs.append(f"CAST(unix_micros({c}) AS DOUBLE)")
+        elif isinstance(t, DateType):
+            nexprs.append(f"CAST(unix_date({c}) AS DOUBLE)")
+        elif t is None or isinstance(t, NumericType):
+            nexprs.append(f"CAST({c} AS DOUBLE)")
+        else:
+            raise ValueError(
+                f"zorder column {c!r} has type {t.simpleString()}; only "
+                "numeric/temporal columns can be range-quantized — hash or "
+                "dictionary-encode it first"
+            )
+    aggs = []
+    for ne in nexprs:
+        # non-finite guard: a NaN/Inf value would otherwise poison min/max
+        # and end up interpolated as an unparseable literal
+        fin = f"CASE WHEN isnan({ne}) THEN NULL ELSE {ne} END"
         aggs += [
-            F.expr(f"CAST(min({c}) AS DOUBLE)"),
-            F.expr(f"CAST(max({c}) AS DOUBLE)"),
+            F.expr(f"min(CASE WHEN {fin} = double('-Infinity') THEN NULL ELSE {fin} END)"),
+            F.expr(f"max(CASE WHEN {fin} = double('Infinity') THEN NULL ELSE {fin} END)"),
         ]
     row = df.agg(*aggs).collect()[0]
+
+    def _fin(v):
+        return v if v is not None and math.isfinite(v) else 0.0
+
     ranges = [
-        (c, row[2 * i] if row[2 * i] is not None else 0.0,
-         row[2 * i + 1] if row[2 * i + 1] is not None else 0.0)
-        for i, c in enumerate(cols)
+        (ne, _fin(row[2 * i]), _fin(row[2 * i + 1]))
+        for i, ne in enumerate(nexprs)
     ]
     return df.withColumn(out, F.expr(zorder_key_expr(ranges, bits)))
 

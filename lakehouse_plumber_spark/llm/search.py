@@ -37,8 +37,15 @@ _DEC = "DECIMAL(18,6)"
 
 def _norm_terms(query_terms: list[str]) -> list[str]:
     """Document text is matched lowercased, so terms must be too — a
-    mixed-case query term would otherwise silently match nothing."""
-    return [t.lower() for t in query_terms]
+    mixed-case query term would otherwise silently match nothing.  Dedup
+    after casefolding (order-preserving): BM25 scores a term SET, and a
+    colliding duplicate would double that term's contribution."""
+    out: list[str] = []
+    for t in query_terms:
+        low = t.lower()
+        if low not in out:
+            out.append(low)
+    return out
 
 
 def _tf_expr(term: str, i: int, dialect: str) -> str:

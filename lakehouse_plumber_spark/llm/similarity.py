@@ -287,6 +287,8 @@ def ivfpq_search(
     Returns (query_id, neighbor_id, rank, adc_dist): rank ascending by
     quantized L2 distance, ties to the lower id.
     """
+    if refine < 0:
+        raise ValueError(f"refine must be >= 0, got {refine}")
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     n_seeds = max(n_centroids, n_codes)
     seeds = [

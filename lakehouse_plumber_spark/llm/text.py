@@ -669,8 +669,12 @@ def bigram_logprob(
     (map-side combined); the per-bigram log-probability is attached to the
     DISTINCT-bigram model table (model-sized work, not occurrence-sized),
     which then equi-joins the document bigrams — broadcast when the model
-    fits, AQE's call otherwise; scoring re-aggregates on doc_id.  V ships
-    as a collected literal (one scalar, the mixture-sampler pattern).
+    fits, AQE's call otherwise; scoring re-aggregates on doc_id.  The
+    vocabulary table is CACHED (vocab-sized), so its aggregate runs once and
+    V ships as a collected literal.  The bigram explode itself runs twice —
+    once into the model counts, once into the scoring join — which is the
+    floor without materializing the occurrence-sized gram stream (same
+    two-pass shape as BM25's stats/score split).
 
     Determinism: every count is an exact integer; each bigram's log2 term
     is one double expression from identical integers, cast to
@@ -684,9 +688,11 @@ def bigram_logprob(
         df.select(F.explode(F.expr(toks)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+        .persist()
     )
-    vocab = uni.count()
+    vocab = uni.count()  # materializes the cache; the model join reuses it
     if not vocab:
+        uni.unpersist()
         raise ValueError(f"no tokens in {text_col!r}; cannot train a bigram model")
     big = df.select(
         F.col(id_col).alias("doc_id"),
@@ -711,9 +717,11 @@ def bigram_logprob(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.expr(
-                "round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6)"
-            ).alias("mean_logprob"),
+            # exact decimal sum / integer count, UNROUNDED: the division of
+            # identical inputs is one IEEE op in both engines, whereas
+            # round() near a half-boundary diverges (Spark's BigDecimal
+            # HALF_UP vs DuckDB's scaled-multiply round — hit at sf0.1)
+            F.expr("CAST(SUM(logp) AS DOUBLE) / COUNT(*)").alias("mean_logprob"),
         )
     )
 
@@ -751,7 +759,7 @@ def bigram_logprob_duck(
       JOIN uni ON split_part(b.g, ' ', 1) = uni.w
       CROSS JOIN v)
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+           CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS mean_logprob
     FROM big JOIN model USING (g)
     GROUP BY doc_id
     """

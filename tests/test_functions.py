@@ -151,10 +151,18 @@ def test_zorder_key_matches_python_interleave(spark):
         return key
 
     assert out == {(a, b): morton(a, b) for a, b in rows}
-    # NULLs bucket to 0
-    dfn = spark.createDataFrame([(None, 3), (2, None)], "a int, b int")
-    got = [r["__zorder"] for r in with_zorder_key(dfn, ["a", "b"], bits=4).collect()]
-    assert all(isinstance(v, int) for v in got)
+    # NULLs bucket to 0: with non-degenerate ranges (0..15 both columns), a
+    # NULL contributes no bits for its column and the other column's bits
+    # land at their normal interleaved positions
+    dfn = spark.createDataFrame(
+        [(None, 3), (2, None), (0, 15), (15, 0)], "a int, b int"
+    )
+    got = {
+        (r.a, r.b): r["__zorder"]
+        for r in with_zorder_key(dfn, ["a", "b"], bits=4).collect()
+    }
+    assert got[(None, 3)] == morton(0, 3)
+    assert got[(2, None)] == morton(2, 0)
 
 
 def test_zorder_layout_prunes_second_column(spark, tmp_path):
@@ -189,3 +197,34 @@ def test_zorder_layout_prunes_second_column(spark, tmp_path):
     lex_files, zo_files = files_touched(lex), files_touched(zo)
     assert lex_files == 16          # b=5 lives in every a-range
     assert zo_files <= lex_files // 2  # Morton locality concentrates it
+
+
+def test_zorder_non_finite_and_string_columns(spark):
+    from lakehouse_plumber_spark.functions.zorder import with_zorder_key
+
+    # NaN/Inf rows must not poison the range stats or crash the key expr
+    dfn = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, float("inf")), (4, 9.0)],
+        "a int, v double",
+    )
+    got = {r.a: r["__zorder"] for r in with_zorder_key(dfn, ["a", "v"], bits=4).collect()}
+    assert len(got) == 4 and all(isinstance(x, int) for x in got.values())
+    # string column -> loud error, not a cast crash
+    dfs = spark.createDataFrame([("us", 1)], "country string, x int")
+    with pytest.raises(ValueError, match="country"):
+        with_zorder_key(dfs, ["country", "x"])
+
+
+def test_zorder_temporal_columns(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.functions.zorder import with_zorder_key
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01"), ("2024-06-01 12:00:00", "2024-03-15")],
+        "ts string, d string",
+    ).select(
+        F.col("ts").cast("timestamp").alias("ts"), F.col("d").cast("date").alias("d")
+    )
+    out = [r["__zorder"] for r in with_zorder_key(df, ["ts", "d"], bits=8).collect()]
+    assert len(set(out)) == 2  # distinct temporal points get distinct keys

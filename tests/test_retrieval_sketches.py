@@ -339,3 +339,17 @@ def test_bigram_logprob_empty_corpus_raises(spark):
 
     with pytest.raises(ValueError):
         bigram_logprob(_docs(spark, [(1, "   "), (2, None)]))
+
+
+def test_bm25_dedups_casefolded_terms(spark):
+    docs = _docs(spark, [(1, "spark engine"), (2, "spark spark")])
+    a = {r.doc_id: r.score for r in bm25_topk(docs, ["Spark", "spark"], k=5).collect()}
+    b = {r.doc_id: r.score for r in bm25_topk(docs, ["spark"], k=5).collect()}
+    assert a == b
+
+
+def test_ivfpq_rejects_negative_refine(spark, testdata):
+    from lakehouse_plumber_spark.llm import similarity as S
+
+    with pytest.raises(ValueError, match="refine"):
+        S.ivfpq_search(spark.table("embeddings"), [0], k=3, refine=-1)
