@@ -31,6 +31,9 @@ from lakehouse_plumber_spark.functions.features import (
 from lakehouse_plumber_spark.functions.ranges import (
     peak_concurrency_duck as _peak_concurrency_duck,
 )
+from lakehouse_plumber_spark.functions.zorder import (
+    zorder_key_duck as _zorder_key_duck,
+)
 from lakehouse_plumber_spark.llm import dedup as D
 from lakehouse_plumber_spark.llm import sampling as SMP
 from lakehouse_plumber_spark.llm import search as SRCH
@@ -4513,6 +4516,30 @@ _sql_query(
     _anomaly_sql("date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:00')"),
     _anomaly_sql("strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')"),
 )
+
+
+@_register(
+    "layout_zorder_key",
+    _zorder_key_duck(
+        "orders", ["o_custkey", "o_totalprice"], bits=8, id_col="o_orderkey"
+    ),
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton clustering keys (functions/zorder.py:with_zorder_key) over
+    (customer, order value) — the multi-column data-skipping layout.  Range
+    stats collected to literals, then one narrow let-bound projection; the
+    oracle replicates the clamp-scale-interleave bit-for-bit (flooring
+    where Spark's bigint cast truncates)."""
+    from lakehouse_plumber_spark.functions.zorder import with_zorder_key
+
+    _prep(spark, sf_dir)
+    keyed = with_zorder_key(
+        spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        ["o_custkey", "o_totalprice"],
+        bits=8,
+        out="zkey",
+    )
+    return keyed.select("o_orderkey", "o_custkey", "o_totalprice", "zkey")
 
 
 @_register(

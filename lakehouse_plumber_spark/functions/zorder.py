@@ -143,3 +143,46 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_key_duck(
+    table: str,
+    cols: list[str],
+    bits: int = 8,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for `with_zorder_key` over numeric columns: the same
+    min/max range stats (computed in-query), the same clamp-scale
+    quantization, the same bit interleave (unrolled — DuckDB has no lambda
+    fold over integers worth using here).  One cross-engine trap is made
+    explicit: Spark's CAST(double AS BIGINT) TRUNCATES while DuckDB's
+    rounds, so the oracle floors before casting (values are non-negative,
+    floor == truncate)."""
+    n = len(cols)
+    top = (1 << bits) - 1
+    stats = ", ".join(
+        f"CAST(min({c}) AS DOUBLE) AS lo{i}, CAST(max({c}) AS DOUBLE) AS hi{i}"
+        for i, c in enumerate(cols)
+    )
+    qs = []
+    for i, c in enumerate(cols):
+        scaled = (
+            f"CAST(floor(least(greatest((CAST({c} AS DOUBLE) - lo{i}) "
+            f"/ (hi{i} - lo{i}), 0.0), 1.0) * {top}) AS BIGINT)"
+        )
+        qs.append(
+            f"CASE WHEN hi{i} - lo{i} <= 0 THEN 0 ELSE coalesce({scaled}, 0) END AS q{i}"
+        )
+    terms = " | ".join(
+        f"(((q{i} >> {b}) & 1) << ({b} * {n} + {i}))"
+        for b in range(bits)
+        for i in range(n)
+    )
+    col_list = ", ".join(cols)
+    return f"""
+    WITH s AS (SELECT {stats} FROM {table}),
+    q AS (SELECT {id_col}, {col_list}, {', '.join(qs)}
+          FROM {table} CROSS JOIN s)
+    SELECT {id_col}, {col_list}, CAST({terms} AS BIGINT) AS zkey
+    FROM q
+    """
