@@ -530,3 +530,142 @@ def test_kmv_sketch_matches_python_model(spark, vals, k):
         hashes = sorted({h(v) for gg, v in vals if gg == g})
         expected[g] = hashes[:k]
     assert got == expected
+
+
+bm25_docs_st = st.lists(
+    st.lists(st.sampled_from(["apple", "banana", "cherry", "date", "kiwi"]),
+             min_size=0, max_size=12),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=bm25_docs_st)
+@settings(**_SETTINGS)
+def test_bm25_matches_python_model(spark, docs):
+    import math
+
+    from lakehouse_plumber_spark.llm.search import bm25_topk
+
+    terms, k1, b = ["apple", "cherry"], 1.2, 0.75
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.doc_id, r.n_terms_hit, r.score)
+           for r in bm25_topk(df, terms, k=20, k1=k1, b=b).collect()]
+
+    n = len(docs)
+    total_dl = sum(len(t) for t in docs)
+    dfreq = {t: sum(1 for d in docs if t in d) for t in terms}
+    expect = {}
+    for i, toks in enumerate(docs):
+        dl, parts, hits = len(toks), 0.0, 0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            part = idf * (tf * (1.0 + k1)) / (
+                tf + k1 * (1.0 - b + b * dl * float(n) / total_dl))
+            parts += round(part, 6)  # the DECIMAL(18,6) cast
+        if hits:
+            expect[i] = (hits, parts)
+    assert {g[0] for g in got} == set(expect)
+    for doc_id, hits, score in got:
+        eh, es = expect[doc_id]
+        assert hits == eh
+        assert abs(score - es) < 1e-9
+    # rank order: score desc, doc_id asc
+    keys = [(-s, d) for d, _, s in got]
+    assert keys == sorted(keys)
+
+
+conc_events_st = st.lists(
+    st.tuples(st.integers(0, 5000), st.integers(30, 7200)),  # (offset_s, dur_s)
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(events=conc_events_st)
+@settings(**_SETTINGS)
+def test_peak_concurrency_matches_python_sweep(spark, events):
+    import datetime as dt
+
+    from lakehouse_plumber_spark.functions import peak_concurrency
+
+    base = dt.datetime(2024, 3, 1, 22, 0, 0)  # near midnight to force clipping
+    rows = [(i, base + dt.timedelta(seconds=off)) for i, (off, _) in enumerate(events)]
+    dur = events[0][1]  # one shared duration (the operator takes a scalar)
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {r.day: (r.peak_concurrent, r.n_started)
+           for r in peak_concurrency(df, "ts", dur).collect()}
+
+    # python sweep: clip per day, (+1 before -1, then id) at equal instants
+    per_day: dict[str, list] = {}
+    starts: dict[str, int] = {}
+    for i, (off, _) in enumerate(events):
+        s = base + dt.timedelta(seconds=off)
+        e = s + dt.timedelta(seconds=dur)
+        day = s.date()
+        starts[str(day)] = starts.get(str(day), 0) + 1
+        d = s.date()
+        while d <= e.date():
+            lo = max(s, dt.datetime.combine(d, dt.time.min))
+            hi = min(e, dt.datetime.combine(d, dt.time.min) + dt.timedelta(days=1))
+            if lo < hi:
+                per_day.setdefault(str(d), []).extend(
+                    [(lo, 0, i, 1), (hi, 1, i, -1)])  # 0 sorts +1 first
+            d += dt.timedelta(days=1)
+    for day, evs in per_day.items():
+        evs.sort()
+        acc = peak = 0
+        for _, _, _, delta in evs:
+            acc += delta
+            peak = max(peak, acc)
+        assert got[day] == (peak, starts.get(day, 0)), day
+    assert set(got) == set(per_day)
+
+
+lm_texts_st = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=lm_texts_st)
+@settings(**_SETTINGS)
+def test_bigram_logprob_matches_python_model(spark, texts):
+    import math
+    from collections import Counter
+
+    from lakehouse_plumber_spark.llm.text import bigram_logprob
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = Counter(w for t in texts for w in t)
+    if not uni:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            bigram_logprob(df)
+        return
+    bigrams = Counter((t[j], t[j + 1]) for t in texts for j in range(len(t) - 1))
+    V, k = len(uni), 0.5
+    got = {r.doc_id: (r.n_bigrams, r.mean_logprob)
+           for r in bigram_logprob(df).collect()}
+    expect = {}
+    for i, t in enumerate(texts):
+        bgs = [(t[j], t[j + 1]) for j in range(len(t) - 1)]
+        if not bgs:
+            continue
+        total = sum(
+            round(math.log2((bigrams[g] + k) / (uni[g[0]] + k * V)), 6)
+            for g in bgs
+        )
+        expect[i] = (len(bgs), total / len(bgs))
+    assert set(got) == set(expect)
+    for i, (nb, mean) in got.items():
+        assert nb == expect[i][0]
+        assert abs(mean - expect[i][1]) < 1e-9
