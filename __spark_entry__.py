@@ -4518,6 +4518,26 @@ _sql_query(
 )
 
 
+_STATS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+_STATS_NUMERIC = ["o_orderkey", "o_custkey"]
+
+
+@_register(
+    "pipe_table_stats",
+    __import__("lakehouse_plumber_spark.stats", fromlist=["table_stats_duck"])
+    .table_stats_duck("orders", _STATS_COLS, _STATS_NUMERIC),
+)
+def pipe_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style statistics (stats.py:table_stats): per-column nulls,
+    numeric ranges, and KMV-sketch NDV estimates — one melt + one two-level
+    sketch pass for every column's distinct count, one map-side-combined
+    aggregate for the rest; never an exact COUNT(DISTINCT)."""
+    from lakehouse_plumber_spark.stats import table_stats
+
+    _prep(spark, sf_dir)
+    return table_stats(spark.table("orders"), _STATS_COLS)
+
+
 @_register(
     "layout_zorder_key",
     _zorder_key_duck(

@@ -353,3 +353,28 @@ def test_ivfpq_rejects_negative_refine(spark, testdata):
 
     with pytest.raises(ValueError, match="refine"):
         S.ivfpq_search(spark.table("embeddings"), [0], k=3, refine=-1)
+
+
+# --------------------------------------------------------------------------
+# table stats
+# --------------------------------------------------------------------------
+
+
+def test_table_stats_exact_fields_and_ndv_accuracy(spark):
+    from lakehouse_plumber_spark.stats import table_stats
+
+    df = spark.range(1000).selectExpr(
+        "id",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 37 END AS grp",
+        "concat('s', id % 5) AS tag",
+    )
+    out = {r.col_name: r for r in table_stats(df, ["id", "grp", "tag"], k=64).collect()}
+    assert out["id"].n_rows == 1000 and out["id"].n_nulls == 0
+    assert out["id"].min_num == 0.0 and out["id"].max_num == 999.0
+    # 1000 distinct with k=64: estimate within 4-sigma (~50%)
+    assert 500 < out["id"].ndv_est < 2000
+    assert out["grp"].n_nulls == 100
+    assert out["grp"].ndv_est == 37  # below k -> exact
+    assert out["tag"].ndv_est == 5 and out["tag"].min_num is None
+    with pytest.raises(ValueError):
+        table_stats(df, [])
