@@ -34,6 +34,7 @@ from lakehouse_plumber_spark.functions.ranges import (
 from lakehouse_plumber_spark.functions.zorder import (
     zorder_key_duck as _zorder_key_duck,
 )
+from lakehouse_plumber_spark.stats import table_stats_duck as _table_stats_duck
 from lakehouse_plumber_spark.llm import dedup as D
 from lakehouse_plumber_spark.llm import sampling as SMP
 from lakehouse_plumber_spark.llm import search as SRCH
@@ -4524,8 +4525,7 @@ _STATS_NUMERIC = ["o_orderkey", "o_custkey"]
 
 @_register(
     "pipe_table_stats",
-    __import__("lakehouse_plumber_spark.stats", fromlist=["table_stats_duck"])
-    .table_stats_duck("orders", _STATS_COLS, _STATS_NUMERIC),
+    _table_stats_duck("orders", _STATS_COLS, _STATS_NUMERIC),
 )
 def pipe_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style statistics (stats.py:table_stats): per-column nulls,
