@@ -4484,6 +4484,44 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_logprob(spark.table("documents"))
 
 
+_sql_query(
+    "events_transition_matrix",
+    # per-user event-type Markov transitions + row-normalized probability —
+    # the session-path analysis behind funnel optimization.  One window
+    # exchange on user, one aggregate on the (prev, next) pair, one window
+    # over the tiny matrix; probability is exact-integer / exact-integer in
+    # double, unrounded (identical single IEEE op in both engines).
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    m AS (
+      SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type)
+    SELECT prev, next, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY prev) AS p_next
+    FROM m
+    """,
+)
+
+_sql_query(
+    "events_value_histogram",
+    # fixed-width distribution report (width 25, clamped at 0): floor() and
+    # integer bucket arithmetic are engine-identical; ONE aggregate exchange
+    """
+    SELECT event_type,
+           CAST(floor(greatest(value, 0.0) / 25.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(value) AS DOUBLE) AS lo_seen,
+           CAST(max(value) AS DOUBLE) AS hi_seen
+    FROM events
+    GROUP BY event_type, CAST(floor(greatest(value, 0.0) / 25.0) AS BIGINT)
+    """,
+)
+
+
 def _anomaly_sql(hour_expr: str) -> str:
     """Per-event-type hourly volume anomalies by population z-score.
 
