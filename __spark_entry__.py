@@ -32,9 +32,13 @@ from lakehouse_plumber_spark.functions.ranges import (
     peak_concurrency_duck as _peak_concurrency_duck,
 )
 from lakehouse_plumber_spark.functions.zorder import (
+    with_zorder_key as _with_zorder_key,
     zorder_key_duck as _zorder_key_duck,
 )
-from lakehouse_plumber_spark.stats import table_stats_duck as _table_stats_duck
+from lakehouse_plumber_spark.stats import (
+    table_stats as _table_stats,
+    table_stats_duck as _table_stats_duck,
+)
 from lakehouse_plumber_spark.llm import dedup as D
 from lakehouse_plumber_spark.llm import sampling as SMP
 from lakehouse_plumber_spark.llm import search as SRCH
@@ -4494,7 +4498,8 @@ _sql_query(
     """
     WITH s AS (
       SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev
       FROM events),
     m AS (
       SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n_transitions
@@ -4570,10 +4575,8 @@ def pipe_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric ranges, and KMV-sketch NDV estimates — one melt + one two-level
     sketch pass for every column's distinct count, one map-side-combined
     aggregate for the rest; never an exact COUNT(DISTINCT)."""
-    from lakehouse_plumber_spark.stats import table_stats
-
     _prep(spark, sf_dir)
-    return table_stats(spark.table("orders"), _STATS_COLS)
+    return _table_stats(spark.table("orders"), _STATS_COLS)
 
 
 @_register(
@@ -4588,10 +4591,8 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats collected to literals, then one narrow let-bound projection; the
     oracle replicates the clamp-scale-interleave bit-for-bit (flooring
     where Spark's bigint cast truncates)."""
-    from lakehouse_plumber_spark.functions.zorder import with_zorder_key
-
     _prep(spark, sf_dir)
-    keyed = with_zorder_key(
+    keyed = _with_zorder_key(
         spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice"),
         ["o_custkey", "o_totalprice"],
         bits=8,

@@ -160,10 +160,20 @@ def zorder_key_duck(
     floor == truncate)."""
     n = len(cols)
     top = (1 << bits) - 1
-    stats = ", ".join(
-        f"CAST(min({c}) AS DOUBLE) AS lo{i}, CAST(max({c}) AS DOUBLE) AS hi{i}"
-        for i, c in enumerate(cols)
-    )
+    # mirror with_zorder_key's non-finite handling: NaN excluded from both
+    # bounds, -Inf from the min, +Inf from the max, and a still-non-finite
+    # (or empty) bound falls back to 0.0
+    stats_parts = []
+    for i, c in enumerate(cols):
+        v = f"CAST({c} AS DOUBLE)"
+        fin = f"CASE WHEN isnan({v}) THEN NULL ELSE {v} END"
+        mn = f"min(CASE WHEN {fin} = '-Infinity'::DOUBLE THEN NULL ELSE {fin} END)"
+        mx = f"max(CASE WHEN {fin} = 'Infinity'::DOUBLE THEN NULL ELSE {fin} END)"
+        stats_parts.append(
+            f"coalesce(CASE WHEN isfinite({mn}) THEN {mn} END, 0.0) AS lo{i}, "
+            f"coalesce(CASE WHEN isfinite({mx}) THEN {mx} END, 0.0) AS hi{i}"
+        )
+    stats = ", ".join(stats_parts)
     qs = []
     for i, c in enumerate(cols):
         scaled = (

@@ -18,8 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lakehouse_plumber_spark.llm.hashing import md5int_duck
-from lakehouse_plumber_spark.llm.sketches import HASH_RANGE, kmv_distinct
+from lakehouse_plumber_spark.llm.sketches import kmv_distinct
 
 
 def table_stats(df: DataFrame, cols: list[str], k: int = 64) -> DataFrame:
@@ -82,10 +81,14 @@ def table_stats_duck(table: str, cols: list[str], numeric_cols: list[str], k: in
     same exact aggregates.  `numeric_cols` must list the columns whose
     min/max the Spark side emits (schema knowledge the SQL text can't
     introspect)."""
+    from lakehouse_plumber_spark.llm.sketches import kmv_distinct_duck
+
     melt = " UNION ALL ".join(
         f"SELECT '{c}' AS col, cast({c} AS VARCHAR) AS v FROM {table}" for c in cols
     )
-    h = md5int_duck("v")
+    # one source of truth for the KMV rank-select/estimator SQL — a hand
+    # copy here would silently drift from the sketch module
+    kmv = kmv_distinct_duck(f"(SELECT * FROM ({melt}))", "col", "v", k=k)
     per_col = []
     for c in cols:
         mn = f"CAST(min({c}) AS DOUBLE)" if c in numeric_cols else "CAST(NULL AS DOUBLE)"
@@ -97,17 +100,7 @@ def table_stats_duck(table: str, cols: list[str], numeric_cols: list[str], k: in
         )
     base = " UNION ALL ".join(per_col)
     return f"""
-    WITH m AS ({melt}),
-    h AS (SELECT DISTINCT col, {h} AS h FROM m WHERE v IS NOT NULL),
-    r AS (SELECT col, h, row_number() OVER (PARTITION BY col ORDER BY h) AS rn
-          FROM h),
-    ndv AS (SELECT col, CAST(count(*) AS INT) AS n_mins, max(h) AS kth
-            FROM r WHERE rn <= {k} GROUP BY col),
-    est AS (SELECT col,
-                   CAST(CASE WHEN n_mins >= {k}
-                        THEN round(({k} - 1) * CAST({HASH_RANGE} AS DOUBLE) / kth)
-                        ELSE n_mins END AS BIGINT) AS ndv_est
-            FROM ndv),
+    WITH est AS (SELECT stratum AS col, est_distinct AS ndv_est FROM ({kmv})),
     b AS ({base})
     SELECT b.col_name, b.n_rows, b.n_nulls, b.min_num, b.max_num, est.ndv_est
     FROM b LEFT JOIN est ON b.col_name = est.col
