@@ -4417,9 +4417,10 @@ _BM25_TERMS = ["spark", "window", "merge", "vector"]
 @_register("search_bm25", SRCH.bm25_topk_duck("documents", _BM25_TERMS, k=20))
 def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 retrieval (llm/search.py): the lexical retriever /
-    hard-negative miner next to the ANN family.  Postings pruned to the
-    query's terms at the scan, term stats broadcast, distributed
-    TakeOrderedAndProject top-k — the corpus itself is never shuffled."""
+    hard-negative miner next to the ANN family.  Two column-pruned scans
+    (stats pass + score pass) with unrolled per-term tf expressions, the
+    1-row corpus stats broadcast, distributed TakeOrderedAndProject top-k —
+    the corpus itself is never shuffled."""
     _prep(spark, sf_dir)
     return SRCH.bm25_topk(spark.table("documents"), _BM25_TERMS, k=20)
 

@@ -712,6 +712,15 @@ def bigram_logprob(
             "AS DECIMAL(18,6)) AS logp",
         )
     )
+    # materialize the model-sized table eagerly and drop the vocab cache
+    # NOW: without this, the returned lazy plan keeps `uni` referenced and
+    # repeated calls in a long-lived session accumulate cached vocab tables
+    # in executor storage.  The checkpointed model blocks are freed by the
+    # ContextCleaner once the caller drops the result.
+    try:
+        model = model.localCheckpoint(eager=True)
+    finally:
+        uni.unpersist()
     return (
         big.join(model, "g")
         .groupBy("doc_id")

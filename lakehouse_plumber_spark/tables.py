@@ -532,9 +532,14 @@ class DeltaTableStore(ParquetTableStore):
         if not self.exists(name):
             # first write: delete-marked rows must not materialize as live
             # data (the merge below would route them to whenMatchedDelete;
-            # with no target they simply have nothing to delete)
+            # with no target they simply have nothing to delete). NULL
+            # delete conditions mean "not a delete" on the merge path
+            # (whenMatchedDelete only fires on TRUE), so coalesce to FALSE
+            # here too — a bare ~expr would drop NULL-condition rows.
             if delete_on:
-                updates = updates.alias("s").filter(~F.expr(delete_on))
+                updates = updates.alias("s").filter(
+                    ~F.coalesce(F.expr(delete_on), F.lit(False))
+                )
             self.append(name, updates)
             return
         tgt = DeltaTable.forPath(self.spark, self.path(name))
@@ -653,6 +658,16 @@ def new_store(spark: SparkSession, root: Optional[str] = None) -> ParquetTableSt
                 "LHP_STORE=delta but delta-spark is not importable; install "
                 "delta-spark and build the session with the Delta SQL "
                 "extension, or unset LHP_STORE"
+            )
+        if not _delta_session_ready(spark):
+            # the package imports but the running session lacks the Delta
+            # SQL extension — the store would hand back raw planner errors
+            # on first use; fail here with the actionable message instead
+            raise RuntimeError(
+                "LHP_STORE=delta but the SparkSession was not built with "
+                "io.delta.sql.DeltaSparkSessionExtension "
+                "(spark.sql.extensions); rebuild the session with the "
+                "Delta extension and catalog, or unset LHP_STORE"
             )
         return DeltaTableStore(spark=spark, root=root)  # pragma: no cover
     if HAVE_DELTA and _delta_session_ready(spark):
