@@ -67,36 +67,47 @@ def test_driver_prefix_covers_every_operator_class():
         "transform:temp_table": {"pipe_temp_table"},
         "write:streaming_table": {"pipe_streaming_fanin"},
         "write:cdc": {"pipe_cdc_scd1", "pipe_cdc_scd2"},
-        "write:snapshot_cdc": {"pipe_snapshot_cdc_scd1", "pipe_snapshot_cdc_scd2"},
+        # r7: snapshot_cdc_scd1 below the prefix — scd2 proves the
+        # snapshot-diff machinery, cdc_scd1 the SCD1 merge semantics
+        "write:snapshot_cdc": {"pipe_snapshot_cdc_scd2"},
         "write:mv": {"pipe_mv_revenue_by_region", "pipe_mv_incremental"},
         "sink:kafka": {"pipe_sink_kafka"},
         "sink:foreachbatch": {"pipe_sink_foreachbatch"},
         "sink:custom": {"pipe_sink_custom"},
         # pipe_test_custom_sql rotated below the prefix in r6 (0-row output;
-        # pipe_test_custom_expectations keeps the user-supplied-check class)
+        # pipe_test_custom_expectations keeps the user-supplied-check class);
+        # r7: pipe_test_range (completeness keeps the bound-check class) and
+        # pipe_test_all_lookups (referential keeps the anti-join lookup
+        # shape) rotated below per the r6 VERDICT trade list
         "tests": {
             "pipe_test_row_count", "pipe_test_uniqueness", "pipe_test_referential",
-            "pipe_test_completeness", "pipe_test_range", "pipe_test_schema_match",
-            "pipe_test_all_lookups", "pipe_test_custom_expectations",
+            "pipe_test_completeness", "pipe_test_schema_match",
+            "pipe_test_custom_expectations",
         },
-        # r6 rotation (VERDICT r5 item #1): the round-5 operators hold prefix
-        # slots; rotated-out siblings (knn_ivf, sample_stratified,
-        # dedup_ngram_jaccard, pipe_test_custom_sql) stay in the local sweep
+        # r7 rotation (VERDICT r6 item #1): continuation operators hold
+        # prefix slots; rotated-out siblings (dedup_simhash, knn_lsh,
+        # multimodal_frame_sample, sample_hash_split, pipe_stream_dedup)
+        # stay in the local sweep
         "llm:dedup": {
-            "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+            "dedup_exact", "dedup_minhash_lsh",
             "dedup_edit_distance", "dedup_clusters",
             "dedup_span_removal", "dedup_decontaminate",
         },
-        "llm:knn": {"knn_bruteforce", "knn_lsh", "knn_ivfpq"},
-        "llm:multimodal": {
-            "multimodal_features", "multimodal_frame_sample",
-        },
+        "llm:knn": {"knn_bruteforce", "knn_ivfpq"},
+        "llm:retrieval": {"search_bm25"},
+        "llm:sketches": {"sketch_kmv_distinct"},
+        "llm:multimodal": {"multimodal_features"},
         "llm:sampling": {
-            "sample_quality_stratified", "sample_hash_split",
+            "sample_quality_stratified", "sample_weighted_poisson",
             "sample_mixture_stats", "sample_sequence_pack",
         },
-        "llm:text": {"text_metrics_all", "text_gopher_rules"},
-        "streaming:stateful": {"pipe_stateful_sessionize", "pipe_stream_dedup"},
+        "llm:text": {
+            "text_metrics_all", "text_gopher_rules", "text_c4_rules",
+            "doc_chunk_fixed",
+        },
+        "features:events": {"features_rolling_spend", "events_peak_concurrency"},
+        "streaming:stateful": {"pipe_stateful_sessionize"},
+        "streaming:join": {"pipe_stream_stream_join"},
     }
     prefix_set = set(prefix)
     missing = {
