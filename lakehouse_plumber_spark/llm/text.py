@@ -669,12 +669,15 @@ def bigram_logprob(
     (map-side combined); the per-bigram log-probability is attached to the
     DISTINCT-bigram model table (model-sized work, not occurrence-sized),
     which then equi-joins the document bigrams — broadcast when the model
-    fits, AQE's call otherwise; scoring re-aggregates on doc_id.  The
-    vocabulary table is CACHED (vocab-sized), so its aggregate runs once and
-    V ships as a collected literal.  The bigram explode itself runs twice —
-    once into the model counts, once into the scoring join — which is the
-    floor without materializing the occurrence-sized gram stream (same
-    two-pass shape as BM25's stats/score split).
+    fits, AQE's call otherwise; scoring re-aggregates on doc_id.  V ships
+    as a collected literal from an eager count of the unigram aggregate;
+    that aggregate is deliberately NOT cached — it recomputes once inside
+    the scoring job, which measures cheaper than either caching it (leaks
+    executor storage until unpersist) or checkpointing the model (pays a
+    materialization write).  The bigram explode itself runs twice — once
+    into the model counts, once into the scoring join — which is the floor
+    without materializing the occurrence-sized gram stream (same two-pass
+    shape as BM25's stats/score split).
 
     Determinism: every count is an exact integer; each bigram's log2 term
     is one double expression from identical integers, cast to
@@ -688,11 +691,9 @@ def bigram_logprob(
         df.select(F.explode(F.expr(toks)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cu"))
-        .persist()
     )
-    vocab = uni.count()  # materializes the cache; the model join reuses it
+    vocab = uni.count()  # V as a literal; uni recomputes once in the job
     if not vocab:
-        uni.unpersist()
         raise ValueError(f"no tokens in {text_col!r}; cannot train a bigram model")
     big = df.select(
         F.col(id_col).alias("doc_id"),
@@ -712,15 +713,6 @@ def bigram_logprob(
             "AS DECIMAL(18,6)) AS logp",
         )
     )
-    # materialize the model-sized table eagerly and drop the vocab cache
-    # NOW: without this, the returned lazy plan keeps `uni` referenced and
-    # repeated calls in a long-lived session accumulate cached vocab tables
-    # in executor storage.  The checkpointed model blocks are freed by the
-    # ContextCleaner once the caller drops the result.
-    try:
-        model = model.localCheckpoint(eager=True)
-    finally:
-        uni.unpersist()
     return (
         big.join(model, "g")
         .groupBy("doc_id")
