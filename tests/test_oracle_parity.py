@@ -62,52 +62,76 @@ def test_driver_prefix_covers_every_operator_class():
         "transform:python": {"pipe_python_transform"},
         "transform:dqe": {"pipe_dq_drop"},
         # the recycle row runs the full quarantine flow (clean path + DLQ +
-        # CDF recycle + union) — one slot covers the operator class
-        "transform:quarantine": {"pipe_quarantine_recycle"},
+        # CDF recycle + union); r8 adds the foreachBatch-driven streaming
+        # variant as its own hard row (VERDICT r7 item #1, top priority)
+        "transform:quarantine": {"pipe_quarantine_recycle", "pipe_quarantine_stream"},
         "transform:temp_table": {"pipe_temp_table"},
         "write:streaming_table": {"pipe_streaming_fanin"},
         "write:cdc": {"pipe_cdc_scd1", "pipe_cdc_scd2"},
         # r7: snapshot_cdc_scd1 below the prefix — scd2 proves the
         # snapshot-diff machinery, cdc_scd1 the SCD1 merge semantics
         "write:snapshot_cdc": {"pipe_snapshot_cdc_scd2"},
-        "write:mv": {"pipe_mv_revenue_by_region", "pipe_mv_incremental"},
+        # r8: pipe_mv_incremental below the prefix — pipe_incremental_kmv
+        # runs the same operators/incremental.py merge-partials refresh and
+        # adds sketch-union maintenance; revenue_by_region keeps the MV class
+        "write:mv": {"pipe_mv_revenue_by_region"},
+        "write:incremental": {"pipe_incremental_kmv"},
         "sink:kafka": {"pipe_sink_kafka"},
-        "sink:foreachbatch": {"pipe_sink_foreachbatch"},
+        # r8: pipe_sink_foreachbatch below the prefix (judge-named trade) —
+        # pipe_sink_delta drives the identical foreachBatch append writer
+        "sink:foreachbatch": {"pipe_sink_delta"},
         "sink:custom": {"pipe_sink_custom"},
         # pipe_test_custom_sql rotated below the prefix in r6 (0-row output;
         # pipe_test_custom_expectations keeps the user-supplied-check class);
         # r7: pipe_test_range (completeness keeps the bound-check class) and
         # pipe_test_all_lookups (referential keeps the anti-join lookup
-        # shape) rotated below per the r6 VERDICT trade list
+        # shape) rotated below per the r6 VERDICT trade list;
+        # r8: pipe_test_row_count below (completeness keeps the
+        # aggregate-count/ratio-bound class) and pipe_test_uniqueness below
+        # (dedup_lines holds the hash-groupBy duplicate-detection shape,
+        # referential the join-based test class)
         "tests": {
-            "pipe_test_row_count", "pipe_test_uniqueness", "pipe_test_referential",
-            "pipe_test_completeness", "pipe_test_schema_match",
-            "pipe_test_custom_expectations",
+            "pipe_test_referential", "pipe_test_completeness",
+            "pipe_test_schema_match", "pipe_test_custom_expectations",
         },
         # r7 rotation (VERDICT r6 item #1): continuation operators hold
         # prefix slots; rotated-out siblings (dedup_simhash, knn_lsh,
         # multimodal_frame_sample, sample_hash_split, pipe_stream_dedup)
-        # stay in the local sweep
+        # stay in the local sweep.
+        # r8 rotation (VERDICT r7 item #1, final tranche): dedup_exact out /
+        # dedup_lines in (same hash-groupBy shape + explode keying);
+        # dedup_decontaminate out (broadcast-semijoin = minhash verify side);
+        # knn_bruteforce out (ivfpq keeps the ANN class); sketch_kmv_distinct
+        # out / pipe_incremental_kmv in; sample_mixture_stats out
+        # (weighted_poisson keeps the metadata-agg→filter shape);
+        # text_gopher_rules out (c4_rules keeps the rule-battery scan);
+        # events_peak_concurrency out (rolling_spend keeps the running
+        # window); all rotated-out rows stay green in the local sweep.
         "llm:dedup": {
-            "dedup_exact", "dedup_minhash_lsh",
+            "dedup_lines", "dedup_minhash_lsh",
             "dedup_edit_distance", "dedup_clusters",
-            "dedup_span_removal", "dedup_decontaminate",
+            "dedup_span_removal",
         },
-        "llm:knn": {"knn_bruteforce", "knn_ivfpq"},
+        "llm:knn": {"knn_ivfpq"},
         "llm:retrieval": {"search_bm25"},
-        "llm:sketches": {"sketch_kmv_distinct"},
+        "llm:sketches": {"pipe_incremental_kmv"},
         "llm:multimodal": {"multimodal_features"},
         "llm:sampling": {
             "sample_quality_stratified", "sample_weighted_poisson",
-            "sample_mixture_stats", "sample_sequence_pack",
+            "sample_sequence_pack",
         },
         "llm:text": {
-            "text_metrics_all", "text_gopher_rules", "text_c4_rules",
-            "doc_chunk_fixed",
+            "text_metrics_all", "text_c4_rules", "text_bigram_logprob",
+            "text_url_filter", "text_ngram_topk", "doc_chunk_fixed",
         },
-        "features:events": {"features_rolling_spend", "events_peak_concurrency"},
+        "layout:zorder": {"layout_zorder_key"},
+        "layout:stats": {"pipe_table_stats"},
+        "features:events": {
+            "features_rolling_spend", "events_transition_matrix",
+            "events_value_histogram",
+        },
         "streaming:stateful": {"pipe_stateful_sessionize"},
-        "streaming:join": {"pipe_stream_stream_join"},
+        "streaming:join": {"pipe_stream_stream_join", "pipe_stream_static_join"},
     }
     prefix_set = set(prefix)
     missing = {
