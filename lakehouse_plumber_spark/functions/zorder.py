@@ -125,6 +125,42 @@ def with_zorder_key(
     return df.withColumn(out, F.expr(zorder_key_expr(ranges, bits)))
 
 
+def morton_layout(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int | None = None,
+    bits: int = 16,
+) -> DataFrame:
+    """Lay `df` out by the Morton key over `cols`: range-repartition (to
+    `n_files` partitions, or spark.sql.shuffle.partitions when None) and sort
+    on the interleaved key, then drop it — every output file covers a compact
+    hyper-rectangle, so min/max footers prune on EACH clustered column.
+
+    This is the reusable write-path shape behind `zorder_write`, the YAML
+    `cluster_by_auto` layout (operators/write.py:_apply_cluster_layout), and
+    morton-preserving compaction (tables.py:compact).  String columns are
+    xxhash64-encoded before quantization: equal values still share a bucket
+    (equality-predicate skipping survives) but hashing has no range
+    locality — range predicates on string keys don't prune.
+    """
+    from pyspark.sql.types import StringType
+
+    types = {f.name: f.dataType for f in df.schema.fields}
+    enc: dict[str, str] = {}
+    out = df
+    for c in cols:
+        if isinstance(types.get(c), StringType):
+            enc[c] = f"__zenc_{c}"
+            out = out.withColumn(enc[c], F.xxhash64(F.col(c)))
+    keyed = with_zorder_key(out, [enc.get(c, c) for c in cols], bits)
+    parts: list = [n_files] if n_files else []
+    return (
+        keyed.repartitionByRange(*parts, F.col("__zorder"))
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder", *enc.values())
+    )
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -135,14 +171,7 @@ def zorder_write(
     """Write `df` as `n_files` parquet files range-partitioned AND sorted by
     the Morton key over `cols` — every file covers a compact hyper-rectangle,
     so min/max footers prune on any clustered column."""
-    keyed = with_zorder_key(df, cols, bits)
-    (
-        keyed.repartitionByRange(n_files, F.col("__zorder"))
-        .sortWithinPartitions("__zorder")
-        .drop("__zorder")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    morton_layout(df, cols, n_files, bits).write.mode("overwrite").parquet(path)
 
 
 def zorder_key_duck(

@@ -296,13 +296,25 @@ def ngram_jaccard_pairs(
 
 def embedding_near_dup_pairs(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
-    threshold: float = 0.95,
+    threshold: float = 0.95, max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force with block-broadcast).
 
     Correct baseline at small N; the scale path reuses the hyperplane-LSH
     bucketing from llm.similarity (same bucketing, pair join inside buckets).
+    The pair join is O(n^2): above `max_rows` input vectors this raises
+    loudly instead of launching a quadratic shuffle (100k vectors is already
+    5e9 candidate pairs) — switch to the LSH path, or raise the cap
+    explicitly if the quadratic cost is intended.
     """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs is a brute-force O(n^2) baseline and "
+            f"got {n} vectors (cap {max_rows}); use the LSH-bucketed path "
+            "(llm.similarity hyperplane buckets + within-bucket pair join) "
+            "at this size, or pass max_rows= explicitly to override"
+        )
     # per-vector norms are hoisted out of the O(n^2) pair loop: each pair then
     # costs one dot product, not a dot product plus two norm re-aggregations
     norm = spread_for_compute(df, [id_col, vec_col]).select(

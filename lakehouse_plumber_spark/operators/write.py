@@ -21,12 +21,30 @@ from lakehouse_plumber_spark.schema_parser import coerce_schema
 def _apply_cluster_layout(df: DataFrame, wt: WriteTarget) -> DataFrame:
     """`cluster_columns` / `cluster_by_auto` (reference _action.py:33-34 ->
     Delta liquid clustering / OPTIMIZE ZORDER). Parquet-store analogue:
-    sort rows within write tasks on the cluster keys so parquet min/max
-    footer stats give readers the same data-skipping z-order approximates."""
+
+    - ``cluster_columns`` alone: sort rows within write tasks on the keys, so
+      parquet min/max footers skip on the LEADING column — free (no extra
+      shuffle), but a filter on the second key still touches every file.
+    - ``cluster_by_auto: true`` with >= 2 ``cluster_columns``: Morton
+      (Z-order) layout — interleave the columns' quantized bits into one key
+      (functions/zorder.py), range-repartition + sort on it, so every file
+      covers a compact hyper-rectangle and footers prune on EACH clustered
+      column.  Costs one range shuffle per write (the same rewrite OPTIMIZE
+      ZORDER performs); on a streaming table it applies per micro-batch, so
+      pair it with lhp.autoOptimize.maxFiles compaction for many small
+      batches.  String keys are xxhash64-encoded first: hashing keeps
+      equality-predicate skipping (equal values share a bucket) but not
+      range locality.  With one column, Morton degenerates to the plain
+      sort, so the stats pass is skipped.
+    """
     cols = wt.cluster_columns or []
-    if cols and not df.isStreaming:
-        df = df.sortWithinPartitions(*cols)
-    return df
+    if not cols or df.isStreaming:
+        return df
+    if wt.cluster_by_auto and len(cols) >= 2:
+        from lakehouse_plumber_spark.functions.zorder import morton_layout
+
+        return morton_layout(df, cols)
+    return df.sortWithinPartitions(*cols)
 
 
 def _cdf_enabled(wt: WriteTarget) -> bool:
@@ -266,7 +284,13 @@ def _maybe_auto_compact(ctx: BuildContext, action: Action, wt: WriteTarget, targ
     raw = props.get("lhp.autoOptimize.maxFiles")
     if raw is None:
         return
-    entry = (action.name, int(raw), list(wt.cluster_columns or []))
+    ccols = list(wt.cluster_columns or [])
+    entry = (
+        action.name,
+        int(raw),
+        ccols,
+        bool(wt.cluster_by_auto and len(ccols) >= 2),
+    )
     cur = ctx.pending_compactions.get(target)
     if cur is not None:
         # sibling flows into the same target WITHIN one flowgroup merge by
@@ -277,15 +301,16 @@ def _maybe_auto_compact(ctx: BuildContext, action: Action, wt: WriteTarget, targ
 
 
 def _merge_compaction(a: tuple, b: tuple) -> tuple:
-    """Merge two (action_name, max_files, cluster_cols) registrations for one
-    target: the strictest (smallest) max_files decides the bound, cluster
-    ordering survives from whichever side declared one, and the action name
-    follows the ordering (the logged event must name the flow whose layout
-    is applied) — falling back to the stricter side when neither orders."""
-    ccols = a[2] or b[2]
+    """Merge two (action_name, max_files, cluster_cols, morton) registrations
+    for one target: the strictest (smallest) max_files decides the bound,
+    cluster ordering survives from whichever side declared one (the morton
+    flag travels with its ordering), and the action name follows the ordering
+    (the logged event must name the flow whose layout is applied) — falling
+    back to the stricter side when neither orders."""
+    ordered = a if a[2] else b
     strict = a if a[1] <= b[1] else b
     name = (a if a[2] else b if b[2] else strict)[0]
-    return (name, strict[1], ccols)
+    return (name, strict[1], ordered[2], ordered[3] if ordered[2] else False)
 
 
 def run_pending_compactions(ctxs: list, forward_log=None) -> None:
@@ -305,20 +330,20 @@ def run_pending_compactions(ctxs: list, forward_log=None) -> None:
     """
     agg: dict[str, tuple] = {}
     for ctx in ctxs:
-        for target, (action_name, max_files, ccols) in ctx.pending_compactions.items():
+        for target, (action_name, max_files, ccols, morton) in ctx.pending_compactions.items():
             cur = agg.get(target)
             if cur is None:
-                agg[target] = (action_name, max_files, ccols, ctx)
+                agg[target] = (action_name, max_files, ccols, morton, ctx)
             else:
                 # merge sibling registrations across contexts with the same
                 # rule as within one (_merge_compaction): strictest bound
                 # wins, a declared cluster ordering must survive no matter
                 # which sibling declared it, and the logged action name
                 # follows the ordering actually applied
-                merged = _merge_compaction(cur[:3], (action_name, max_files, ccols))
-                agg[target] = (*merged, ctx if max_files < cur[1] else cur[3])
+                merged = _merge_compaction(cur[:4], (action_name, max_files, ccols, morton))
+                agg[target] = (*merged, ctx if max_files < cur[1] else cur[4])
     compacted: list[str] = []
-    for target, (action_name, max_files, ccols, ctx) in agg.items():
+    for target, (action_name, max_files, ccols, morton, ctx) in agg.items():
         if ctx.store.get_meta(target, "streaming_consumed"):
             # ADVICE r4 high: compaction renames every data file, and a
             # parquet FileStreamSource checkpoint tracks file PATHS — a
@@ -337,7 +362,7 @@ def run_pending_compactions(ctxs: list, forward_log=None) -> None:
             continue
         if ctx.store._data_file_count(target) <= max_files:
             continue
-        res = ctx.store.compact(target, order_within_files=ccols or None)
+        res = ctx.store.compact(target, order_within_files=ccols or None, morton=morton)
         compacted.append(target)
         ctx.log(
             action_name,

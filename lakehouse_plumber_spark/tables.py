@@ -242,6 +242,7 @@ class ParquetTableStore:
         target_rows_per_file: int = 4_000_000,
         order_within_files: Optional[list[str]] = None,
         force: bool = False,
+        morton: bool = False,
     ) -> dict:
         """Small-file compaction — the parquet analogue of Delta ``OPTIMIZE``
         (the reference delegates this to the platform; an executing engine
@@ -281,11 +282,23 @@ class ParquetTableStore:
         # readers data skipping): a compaction that interleaved rows would
         # silently destroy it. overwrite applies it after its co-location
         # shuffle, so the repartition cannot undo the sort.
+        # `morton` (cluster_by_auto tables): rebuild the interleaved-key
+        # range layout instead, so multi-column skipping survives the
+        # rewrite — the parquet analogue of re-running OPTIMIZE ZORDER.
+        # On a partitioned table the partition dirs already own their key;
+        # morton degrades to within-partition lexicographic ordering there
+        # (the range re-shuffle would fight the partition co-location).
         if part_cols:
             self.overwrite(
                 name, df, partition_columns=part_cols,
                 order_within_files=order_within_files,
             )
+        elif morton and order_within_files and len(order_within_files) >= 2:
+            from lakehouse_plumber_spark.functions.zorder import morton_layout
+
+            rows = df.count()
+            nfiles = max(1, -(-rows // target_rows_per_file))
+            self.overwrite(name, morton_layout(df, order_within_files, nfiles))
         else:
             rows = df.count()
             nfiles = max(1, -(-rows // target_rows_per_file))
@@ -555,9 +568,12 @@ class DeltaTableStore(ParquetTableStore):
         target_rows_per_file: int = 4_000_000,
         order_within_files: Optional[list[str]] = None,
         force: bool = False,
+        morton: bool = False,
     ) -> dict:  # pragma: no cover - needs delta
         """Native ``OPTIMIZE``: rewrites small files with ``dataChange=false``
-        so streaming consumers' checkpoints stay valid — no refusal path."""
+        so streaming consumers' checkpoints stay valid — no refusal path.
+        ``morton`` is accepted for signature parity; ``executeZOrderBy``
+        already IS the multi-column interleaved layout."""
         from delta.tables import DeltaTable
 
         before = self._data_file_count(name)

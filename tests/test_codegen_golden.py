@@ -94,6 +94,22 @@ SPECS = {
                               "options": {"simulate_path": "out/kafka"}}},
         ],
     },
+    # cluster_by_auto + >=2 cluster_columns: the Morton (Z-order) layout is
+    # reachable from the YAML surface (reference _action.py:33-34); the
+    # generated script carries the standalone _zorder_layout helper
+    "zorder_mv": {
+        "pipeline": "gold", "flowgroup": "zo",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v_e",
+             "source": {"type": "sql",
+                        "sql": "SELECT id % 97 AS a, id % 89 AS b FROM range(5000) t(id)"}},
+            {"name": "wr", "type": "write", "source": "v_e",
+             "write_target": {"type": "materialized_view", "database": "m.z", "table": "t",
+                              "sql": "SELECT a, b FROM v_e",
+                              "cluster_columns": ["a", "b"],
+                              "cluster_by_auto": True}},
+        ],
+    },
 }
 
 

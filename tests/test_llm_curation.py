@@ -650,3 +650,19 @@ class TestANNRecallLadder:
         # raw ADC ranking is crude on this tiny fixture (codebooks from 16
         # seeds) — the exact-refine stage (IVFADC+R) is what must recover it
         assert r_pqr >= max(r_pq, 0.5)
+
+
+def test_embedding_near_dup_size_guard(spark):
+    """The brute-force O(n^2) baseline refuses inputs above max_rows with a
+    message pointing at the LSH path (VERDICT r7 item #4 / r6 task 6)."""
+    import pytest
+
+    from lakehouse_plumber_spark.llm.dedup import embedding_near_dup_pairs
+
+    df = spark.range(10).selectExpr(
+        "id AS vec_id", "array(cast(id AS float), 1.0F) AS embedding"
+    )
+    with pytest.raises(ValueError, match=r"O\(n\^2\)"):
+        embedding_near_dup_pairs(df, max_rows=5)
+    # under the cap (or with the cap raised) it still computes
+    assert embedding_near_dup_pairs(df, threshold=-1.0).count() == 45

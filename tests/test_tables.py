@@ -213,13 +213,16 @@ def test_merge_compaction_rule():
     from lakehouse_plumber_spark.operators.write import _merge_compaction
 
     # ordering on the loose side: bound from strict, ccols+name from orderer
-    assert _merge_compaction(("strict", 1, []), ("ordered", 9, ["c"])) == ("ordered", 1, ["c"])
+    assert _merge_compaction(("strict", 1, [], False), ("ordered", 9, ["c"], False)) == ("ordered", 1, ["c"], False)
     # ordering on the strict side: everything from it
-    assert _merge_compaction(("s", 1, ["k"]), ("loose", 9, [])) == ("s", 1, ["k"])
+    assert _merge_compaction(("s", 1, ["k"], False), ("loose", 9, [], False)) == ("s", 1, ["k"], False)
     # neither orders: stricter side names the event
-    assert _merge_compaction(("a", 5, []), ("b", 2, [])) == ("b", 2, [])
+    assert _merge_compaction(("a", 5, [], False), ("b", 2, [], False)) == ("b", 2, [], False)
     # both order: first registration's ordering wins (stable), strictest bound
-    assert _merge_compaction(("a", 5, ["x"]), ("b", 2, ["y"])) == ("a", 2, ["x"])
+    assert _merge_compaction(("a", 5, ["x"], False), ("b", 2, ["y"], True)) == ("a", 2, ["x"], False)
+    # the morton flag travels with the ordering that survives
+    assert _merge_compaction(("a", 5, ["x", "y"], True), ("b", 2, [], False)) == ("a", 2, ["x", "y"], True)
+    assert _merge_compaction(("a", 5, [], False), ("b", 2, ["x", "y"], True)) == ("b", 2, ["x", "y"], True)
 
 
 def test_compact_refuses_streaming_consumed_table(spark, tmp_path):
