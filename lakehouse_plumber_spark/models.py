@@ -179,6 +179,13 @@ class IncrementalConfig(BaseModel):
 
     group_by: list[str]
     aggs: dict[str, str]  # alias -> "sum(expr)"|"count(*)"|"min(e)"|"max(e)"|"avg(e)"
+    # non-mergeable aggregates (exact distinct, medians, percentiles):
+    #   "error" (default) — reject at spec-validation time;
+    #   "recompute" — accept them and maintain the MV by FULL RECOMPUTE over
+    #   an engine-kept base table of the streamed rows (correctness over an
+    #   error; work per refresh ∝ table, not batch — logged loudly as
+    #   imv_full_recompute so the cost is visible)
+    on_non_mergeable: str = "error"
 
     @model_validator(mode="after")
     def _check(self) -> "IncrementalConfig":
@@ -186,7 +193,13 @@ class IncrementalConfig(BaseModel):
 
         if not self.group_by:
             raise ValueError("incremental_config.group_by must be non-empty")
-        parse_aggs(self.aggs)  # raises on non-mergeable aggregates
+        if self.on_non_mergeable not in ("error", "recompute"):
+            raise ValueError(
+                "incremental_config.on_non_mergeable must be 'error' or "
+                f"'recompute', got {self.on_non_mergeable!r}"
+            )
+        if self.on_non_mergeable == "error":
+            parse_aggs(self.aggs)  # raises on non-mergeable aggregates
         return self
 
 

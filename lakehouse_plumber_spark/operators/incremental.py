@@ -32,6 +32,14 @@ from pyspark.sql import functions as F
 from lakehouse_plumber_spark.tables import ParquetTableStore
 
 _AGG = re.compile(r"^\s*(sum|count|min|max|avg)\s*\((.+)\)\s*$", re.IGNORECASE | re.DOTALL)
+# count(DISTINCT x) matches the shape above but is NOT mergeable: summing
+# per-batch distinct counts double-counts values seen in several batches
+_DISTINCT = re.compile(r"^\s*distinct\b", re.IGNORECASE)
+
+
+def _match_mergeable(spec: str):
+    m = _AGG.match(spec)
+    return None if m is None or _DISTINCT.match(m.group(2)) else m
 BUCKET_COL = "__gb"
 
 import os as _os
@@ -54,14 +62,20 @@ def parse_aggs(aggs: dict[str, str]) -> list[tuple[str, str, str]]:
     -> [(alias, fn, expr)]. Anything non-mergeable is an error."""
     out = []
     for alias, spec in aggs.items():
-        m = _AGG.match(spec)
+        m = _match_mergeable(spec)
         if not m:
             raise ValueError(
                 f"incremental MV aggregate {alias}={spec!r} is not a mergeable "
-                "aggregate (supported: sum/count/min/max/avg)"
+                "aggregate (supported: sum/count/min/max/avg, without DISTINCT)"
             )
         out.append((alias, m.group(1).lower(), m.group(2)))
     return out
+
+
+def non_mergeable_aggs(aggs: dict[str, str]) -> dict[str, str]:
+    """The subset of `aggs` parse_aggs would reject — what routes an MV to
+    the full-recompute fallback when on_non_mergeable='recompute'."""
+    return {a: s for a, s in aggs.items() if not _match_mergeable(s)}
 
 
 def _partial_cols(parsed: list[tuple[str, str, str]]) -> list[str]:

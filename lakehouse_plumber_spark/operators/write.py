@@ -386,6 +386,57 @@ def _register_read(ctx: BuildContext, action: Action, target: str) -> DataFrame:
     return out
 
 
+def _write_mv_full_recompute(
+    ctx: BuildContext, action: Action, wt: WriteTarget, target: str, cfg,
+    df: DataFrame, bad: dict[str, str],
+) -> DataFrame:
+    """`on_non_mergeable: recompute` fallback for incremental MVs: the
+    streamed rows are appended (checkpointed, epoch-deduped) into
+    `{target}__base`, and the MV is recomputed IN FULL from the base per
+    refresh — exact distinct / medians / percentiles stay correct at the
+    price of refresh work ∝ table size.  The incremental path's state-merge
+    algebra can't express these; a sketch (e.g. KMV for distinct counts) is
+    the scalable fix, and the logged event names the offending aggregates so
+    the user can see exactly what to replace."""
+    base = f"{target}__base"
+
+    def _append(batch_df: DataFrame, epoch: int) -> None:
+        # same at-least-once epoch dedup as the incremental path: a blind
+        # append is not idempotent either
+        ckpt = ctx.checkpoint("imv", action.name)
+        key = f"last_epoch:{_checkpoint_incarnation(ckpt)}"
+        last = ctx.store.get_meta(base, key)
+        if last is not None and epoch <= int(last):
+            ctx.log(action.name, "imv_epoch_skipped", epoch=epoch)
+            return
+        ctx.store.append(base, batch_df)
+        ctx.store.set_meta(base, key, int(epoch))
+
+    with _with_spark_conf(ctx.spark, wt.spark_conf):
+        q = (
+            df.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", ctx.checkpoint("imv", action.name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        full = ctx.store.read(base).groupBy(*cfg.group_by).agg(
+            *[F.expr(spec).alias(alias) for alias, spec in cfg.aggs.items()]
+        )
+        ctx.store.overwrite(
+            target, _apply_cluster_layout(full, wt),
+            partition_columns=wt.partition_columns,
+        )
+    ctx.log(
+        action.name,
+        "imv_full_recompute",
+        target=target,
+        non_mergeable=sorted(bad),
+    )
+    _apply_uc_tags(ctx, action, wt, target)
+    return _register_read(ctx, action, target)
+
+
 def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
     """Batch-recomputed table from SQL or a source view
     (reference write/materialized_view.py.j2:1-61): full overwrite refresh.
@@ -412,6 +463,17 @@ def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
                 "incremental materialized view needs a streaming source "
                 "(checkpointed incremental discovery is what bounds refresh work)"
             )
+        from lakehouse_plumber_spark.operators.incremental import non_mergeable_aggs
+
+        bad = non_mergeable_aggs(cfg.aggs)
+        if bad:
+            # only reachable with on_non_mergeable='recompute' (the config
+            # validator rejects these otherwise): correctness fallback —
+            # append the streamed rows to a base table, recompute the MV in
+            # full per refresh. Work ∝ table, not batch; the imv_full_
+            # recompute event names the aggregates that forced it so the
+            # cost is attributable (and fixable by switching to a sketch).
+            return _write_mv_full_recompute(ctx, action, wt, target, cfg, df, bad)
         state = f"{target}__state"
 
         def _update(batch_df: DataFrame, epoch: int) -> None:

@@ -131,3 +131,73 @@ def test_checkpoint_incarnation_resets_epoch_dedup(spark, tmp_path, runner):
     runner.run(load_flowgroup(spec))
     got = {r.k: (r.n, float(r.total)) for r in runner.store.read("m.g.kv").collect()}
     assert got == want, "replayed epochs were skipped by a stale epoch marker"
+
+
+def test_on_non_mergeable_flag_validation():
+    """'error' (default) rejects non-mergeable aggs at spec time; 'recompute'
+    accepts them; anything else is rejected."""
+    with pytest.raises(ValueError, match="mergeable"):
+        IncrementalConfig(group_by=["k"], aggs={"bad": "median(v)"})
+    cfg = IncrementalConfig(
+        group_by=["k"], aggs={"bad": "median(v)"}, on_non_mergeable="recompute"
+    )
+    assert cfg.on_non_mergeable == "recompute"
+    with pytest.raises(ValueError, match="on_non_mergeable"):
+        IncrementalConfig(group_by=["k"], aggs={"n": "count(*)"}, on_non_mergeable="full")
+
+
+def test_non_mergeable_recompute_fallback(spark, tmp_path, runner):
+    """on_non_mergeable='recompute' (VERDICT r7 item #5): exact distinct and
+    median stay CORRECT across refreshes via a checkpointed base table +
+    full recompute, and the imv_full_recompute event names the aggregates
+    that forced the fallback."""
+    from lakehouse_plumber_spark import load_flowgroup
+
+    feed = tmp_path / "feed"
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 3.0), ("b", 2.0)], "k string, v double"
+    ).coalesce(1).write.mode("append").parquet(str(feed))
+
+    spec = {
+        "pipeline": "gold", "flowgroup": "imv_fb",
+        "actions": [
+            {"name": "feed", "type": "load", "readMode": "stream",
+             "source": {"type": "cloudfiles", "path": str(feed), "format": "parquet",
+                        "schema": "k string, v double"},
+             "target": "v_feed"},
+            {"name": "mv", "type": "write", "source": "v_feed",
+             "write_target": {
+                 "type": "materialized_view", "catalog": "m", "schema": "g",
+                 "table": "kv", "refresh_policy": "incremental",
+                 "incremental_config": {
+                     "group_by": ["k"],
+                     "aggs": {"nd": "count(DISTINCT v)", "med": "median(v)",
+                              "n": "count(*)"},
+                     "on_non_mergeable": "recompute",
+                 }}},
+        ],
+    }
+    ctx = runner.run(load_flowgroup(spec))
+    got = {r.k: (r.nd, float(r.med), r.n) for r in runner.store.read("m.g.kv").collect()}
+    assert got == {"a": (2, 1.0, 3), "b": (1, 2.0, 1)}
+    ev = [e for e in ctx.event_log if e["event"] == "imv_full_recompute"]
+    assert ev and sorted(ev[0]["details"]["non_mergeable"]) == ["med", "nd"]
+
+    # a later refresh picks up only the NEW file into the base, then
+    # recomputes — exact distinct must reflect the union, not the batch
+    spark.createDataFrame(
+        [("a", 9.0), ("b", 2.0)], "k string, v double"
+    ).coalesce(1).write.mode("append").parquet(str(feed))
+    runner.run(load_flowgroup(spec))
+    got2 = {r.k: (r.nd, r.n) for r in runner.store.read("m.g.kv").collect()}
+    assert got2 == {"a": (3, 4), "b": (1, 2)}
+
+
+def test_count_distinct_classified_non_mergeable():
+    """count(DISTINCT x) matches the sum/count/min/max/avg regex SHAPE but
+    summing per-batch distinct counts double-counts — it must be rejected
+    (or routed to the recompute fallback), never merged."""
+    with pytest.raises(ValueError, match="mergeable"):
+        parse_aggs({"nd": "count(DISTINCT v)"})
+    with pytest.raises(ValueError, match="mergeable"):
+        IncrementalConfig(group_by=["k"], aggs={"nd": "count( distinct v )"})
