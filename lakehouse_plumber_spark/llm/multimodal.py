@@ -58,16 +58,75 @@ def _decode_image_stub(blob: bytes) -> list[float]:
     return [b / 255.0 for b in h[:8]]
 
 
-def extract_features(assets: DataFrame, batch_size: int = 256) -> DataFrame:
+def _load_pil():
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except Exception:
+        return None
+
+
+def _decode_image_pil(blob: bytes, Image) -> list[float]:
+    """Real decoder: 8x8 grayscale thumbnail, row-major pixels in [0, 1] —
+    the deterministic perceptual grid aHash is computed from. Swap the body
+    for a model forward pass for learned embeddings; the Arrow plumbing
+    around it is identical."""
+    if blob is None:
+        return []
+    import io
+
+    with Image.open(io.BytesIO(blob)) as im:
+        px = list(im.convert("L").resize((8, 8)).getdata())
+    return [p / 255.0 for p in px]
+
+
+def image_decoder(mode: str = "stub"):
+    """Resolve the image-decode seam — the same import-gated pattern as
+    tables.DeltaTableStore (real when the optional dep imports, honest
+    otherwise). Returns ``(name, blob -> list[float])``.
+
+    - ``"stub"``: deterministic md5 fake — what the oracle-compared registry
+      rows use, so parity never depends on which image libs an executor has.
+    - ``"pil"``: require Pillow; actionable ImportError when absent.
+    - ``"auto"``: Pillow when importable, stub fallback otherwise.
+    """
+    if mode not in ("stub", "pil", "auto"):
+        raise ValueError(f"image decoder mode must be stub|pil|auto, got {mode!r}")
+    if mode == "stub":
+        return "stub", _decode_image_stub
+    Image = _load_pil()
+    if Image is None:
+        if mode == "pil":
+            raise ImportError(
+                "image decoder mode='pil' requires Pillow on driver AND "
+                "executors (pip install Pillow); use mode='auto' to fall "
+                "back to the deterministic stub when it is absent"
+            )
+        return "stub", _decode_image_stub
+    return "pil", lambda blob: _decode_image_pil(blob, Image)
+
+
+def extract_features(
+    assets: DataFrame, batch_size: int = 256, decoder: str = "stub"
+) -> DataFrame:
     """Arrow-batched feature extraction over binary content via mapInPandas.
 
     The per-partition iterator shape is the real pattern for heavy decoders:
     load the model once per partition (outside the batch loop), stream batches
     through it. Partition count — not row count — bounds model loads.
+    `decoder` selects the image-decode seam (see image_decoder); the default
+    stub keeps registry/oracle rows environment-independent.
     """
+    # resolve 'auto' DRIVER-side and pin the outcome: an executor missing
+    # Pillow then raises loudly instead of silently mixing stub and real
+    # features within one result
+    resolved, _ = image_decoder(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # heavyweight decoder/model init would go HERE, once per partition
+        # heavyweight decoder/model init goes HERE, once per partition —
+        # the import gate re-resolves on the executor, where decode runs
+        _, decode = image_decoder(resolved)
         for pdf in batches:
             out = pd.DataFrame(
                 {
@@ -77,7 +136,7 @@ def extract_features(assets: DataFrame, batch_size: int = 256) -> DataFrame:
                     "content_sha": pdf["content"].map(
                         lambda b: __import__("hashlib").sha256(b).hexdigest() if b is not None else None
                     ),
-                    "feature": pdf["content"].map(_decode_image_stub),
+                    "feature": pdf["content"].map(decode),
                 }
             )
             yield out
@@ -85,29 +144,54 @@ def extract_features(assets: DataFrame, batch_size: int = 256) -> DataFrame:
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+def resize_images(
+    assets: DataFrame, width: int = 224, height: int = 224, decoder: str = "stub"
+) -> DataFrame:
     """Image resize over binary content via the same Arrow-batched iterator.
 
-    The pixel transform is stubbed (no image libs in this container): the
-    output carries the *target* dimensions and a deterministic content hash so
-    the plumbing is testable; a real deployment swaps the body for
-    PIL `Image.open(...).resize((width, height))` — schema, batching, and
-    partitioning are already what that needs.
+    `decoder` gates the pixel transform like extract_features: with "pil"
+    (or "auto" + Pillow importable) the content is really decoded, resized to
+    (width, height) and re-encoded as PNG; the default stub replaces the
+    bytes with a deterministic content hash so the plumbing stays testable
+    on image-lib-free containers. Schema, batching, and partitioning are
+    identical either way.
     """
+    resolved, _ = image_decoder(decoder)  # validate + pin 'auto' driver-side
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        if resolved == "pil":
+            import io
+
+            Image = _load_pil()
+            if Image is None:
+                raise ImportError(
+                    "resize_images resolved decoder='pil' on the driver but "
+                    "Pillow is missing on this executor — install it on the "
+                    "whole cluster"
+                )
+
+            def _resize(b):
+                if b is None:
+                    return None
+                with Image.open(io.BytesIO(b)) as im:
+                    out = io.BytesIO()
+                    im.resize((width, height)).save(out, format="PNG")
+                    return out.getvalue()
+
+            mime = lambda m: "image/png"  # noqa: E731 - re-encoded as PNG
+        else:
+            _resize = lambda b: None if b is None else hashlib.sha256(b).digest()  # noqa: E731
+            mime = lambda m: m  # noqa: E731
 
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
-                    "content": pdf["content"].map(
-                        # stub: real decode+resize+re-encode goes here
-                        lambda b: None if b is None else hashlib.sha256(b).digest()
-                    ),
-                    "mime_type": pdf["mime_type"],
+                    "content": pdf["content"].map(_resize),
+                    "mime_type": pdf["mime_type"].map(mime),
                     "width": width,
                     "height": height,
                     "duration_ms": pdf["duration_ms"],

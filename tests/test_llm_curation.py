@@ -666,3 +666,34 @@ def test_embedding_near_dup_size_guard(spark):
         embedding_near_dup_pairs(df, max_rows=5)
     # under the cap (or with the cap raised) it still computes
     assert embedding_near_dup_pairs(df, threshold=-1.0).count() == 45
+
+
+def test_image_decoder_seam_without_pillow(spark):
+    """On a Pillow-free container (this one): 'auto' resolves to the
+    deterministic stub, 'pil' raises an actionable ImportError, and the
+    default extract_features output is unchanged by the seam (oracle
+    stability). The real-decoder half lives in tests/test_multimodal_pil.py,
+    gated like test_delta_store.py."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.multimodal import (
+        ASSET_SCHEMA,
+        _load_pil,
+        extract_features,
+        image_decoder,
+    )
+
+    if _load_pil() is not None:
+        _pytest.skip("Pillow present; the gated module covers the real path")
+    assert image_decoder("auto")[0] == "stub"
+    with _pytest.raises(ImportError, match="Pillow"):
+        image_decoder("pil")
+    with _pytest.raises(ValueError, match="stub|pil|auto"):
+        image_decoder("torch")
+
+    assets = spark.createDataFrame(
+        [(1, "image", b"payload", "image/png", 4, 4, None)], ASSET_SCHEMA
+    )
+    default = extract_features(assets).collect()[0]
+    auto = extract_features(assets, decoder="auto").collect()[0]
+    assert default.feature == auto.feature and len(default.feature) == 8
