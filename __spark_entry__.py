@@ -4425,6 +4425,28 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SRCH.bm25_topk(spark.table("documents"), _BM25_TERMS, k=20)
 
 
+# 12-term query: the r8 width study (docs/operators.md "BM25 query width")
+# measured the unrolled plan still ahead here on sf0.1; this row keeps the
+# postings plan oracle-backed at the width where it becomes competitive
+_BM25_WIDE_TERMS = [
+    "join", "hash", "row", "batch", "scan", "column",
+    "filter", "merge", "vector", "stream", "window", "spark",
+]
+
+
+@_register(
+    "search_bm25_wide", SRCH.bm25_topk_duck("documents", _BM25_WIDE_TERMS, k=20)
+)
+def search_bm25_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a WIDE (12-term) query via the postings plan
+    (llm/search.py:bm25_topk_postings): explode pruned at the Generate,
+    per-(doc,term) tf map-side combined, term-df + corpus stats broadcast,
+    one doc_id shuffle.  Exact-decimal per-term parts make the sum order-
+    independent, so it shares bm25_topk's oracle."""
+    _prep(spark, sf_dir)
+    return SRCH.bm25_topk_postings(spark.table("documents"), _BM25_WIDE_TERMS, k=20)
+
+
 _WPS_FRACTION = 0.3
 
 

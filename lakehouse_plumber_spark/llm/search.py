@@ -14,10 +14,12 @@ broadcasts that row and scores each document in a single codegen'd
 projection, finishing with a distributed `TakeOrderedAndProject` top-k.
 Two column-pruned scans total — the BM25 floor (corpus statistics must be
 complete before any document can be scored) without materializing a
-tokenized copy of the corpus.  For query sets too large to unroll
-(thousands of terms), the classic explode → prune-at-scan → broadcast-stats
-postings plan is the right shape instead; this module targets the
-interactive keyword/hard-negative case.
+tokenized copy of the corpus.  For wider query sets the classic explode →
+prune-at-Generate → broadcast-stats postings plan (`bm25_topk_postings`) is
+the right shape: the r8 width study (docs/operators.md "BM25 query width")
+measured the crossover at ≈8 terms on sf0.1, with the unrolled plan hitting
+a Catalyst expression-size cliff at 16 (6x) and unusable analysis times by
+24 — unrolling targets the interactive keyword/hard-negative case only.
 
 Cross-engine determinism: per-term score parts are double expressions
 written identically in the DuckDB oracle, each cast to DECIMAL(18,6) and
@@ -87,12 +89,26 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_unrolled_terms: int = 12,
 ) -> DataFrame:
     """Top-k documents for `query_terms` by BM25: (rank, doc_id, n_terms_hit,
     score).  Ties rank by doc_id; only documents hitting ≥1 query term are
-    candidates."""
+    candidates.
+
+    Queries wider than `max_unrolled_terms` (post-dedup) are refused loudly:
+    the unrolled plan's Catalyst analysis cost cliffs past ~12 terms (6x at
+    16, minutes at 24 — measured, docs/operators.md "BM25 query width");
+    `bm25_topk_postings` returns identical results |Q|-flat.  Raise the cap
+    explicitly only if you've measured your width on your Spark version."""
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
+    if len(_norm_terms(query_terms)) > max_unrolled_terms:
+        raise ValueError(
+            f"bm25_topk got {len(_norm_terms(query_terms))} terms (cap "
+            f"{max_unrolled_terms}): the unrolled plan's analysis cost cliffs "
+            "past ~12 terms — use bm25_topk_postings (identical results, "
+            "|Q|-flat) or pass max_unrolled_terms= explicitly"
+        )
     from .hashing import let_spark
 
     query_terms = _norm_terms(query_terms)
@@ -175,3 +191,72 @@ def bm25_topk_duck(
     SELECT CAST(rn AS INT) AS rank, doc_id, n_terms_hit, score
     FROM ranked WHERE rn <= {k}
     """
+
+
+def bm25_topk_postings(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`bm25_topk` via the classic postings plan — the WIDE-query shape the
+    module docstring names: explode the token array, prune to query terms
+    immediately after the Generate (surviving rows ∝ term matches, not corpus
+    tokens), per-(doc, term) tf in one map-side-combined aggregate, term df
+    and the 1-row corpus stats broadcast onto it, one final shuffle on doc_id.
+
+    Work is |Q|-independent outside the pruning predicate, where the unrolled
+    plan (`bm25_topk`) evaluates |Q| filter() passes per row — the measured
+    crossover on sf0.1 documents is recorded in docs/operators.md; below it
+    (interactive keyword queries) prefer `bm25_topk`, above it this plan.
+
+    Output is IDENTICAL to `bm25_topk` (same rows, same scores): per-term
+    score parts are cast to DECIMAL(18,6) BEFORE summation here exactly as
+    they are in the unrolled fixed-order sum, and exact decimal addition is
+    order-independent, so the two plans cannot diverge on ties. Shares
+    `bm25_topk_duck` as its oracle for the same reason.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk_postings needs at least one query term")
+    query_terms = _norm_terms(query_terms)
+    dec = "decimal(18,6)"
+
+    toks_expr = tokens_spark(f"lower(coalesce({text_col}, ''))")
+    base = docs.selectExpr(
+        f"{id_col} AS doc_id", f"{toks_expr} AS toks"
+    ).select("doc_id", F.col("toks"), F.expr("cast(size(toks) AS bigint)").alias("dl"))
+    corpus = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("double").alias("total_dl"),
+    )
+    posts = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfs = posts.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    part = (
+        "ln((cast(n_docs AS double) - df + 0.5) / (df + 0.5) + 1.0)"
+        f" * (tf * (1.0 + {k1})) / "
+        f"(tf + {k1} * (1.0 - {b} + {b} * dl * cast(n_docs AS double) / total_dl))"
+    )
+    scored = (
+        posts.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+            F.expr(f"cast(sum(CAST({part} AS {dec})) AS double)").alias("score"),
+        )
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "doc_id", "n_terms_hit", "score"
+    )

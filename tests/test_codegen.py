@@ -793,3 +793,37 @@ def test_compiled_fanin_compaction_merges_strictest_bound(spark, tmp_path):
     tbl_files = _glob.glob(str(out / "m" / "s" / "fan") + "/**/*.parquet", recursive=True)
     assert len(tbl_files) == 1, "strictest bound (1) must win over the later loose bound"
     assert written["m.s.fan"].count() == 60
+
+
+def test_generated_code_applies_and_restores_spark_conf(spark, tmp_path):
+    """Per-table spark_conf (reference _action.py:35) in generated code:
+    in force during the write's jobs, restored after the action."""
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    fg = load_flowgroup({
+        "pipeline": "p", "flowgroup": "conf",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v",
+             "source": {"type": "sql",
+                        "sql": "SELECT id % 5 AS k FROM range(100)"}},
+            {"name": "wr", "type": "write", "source": "v",
+             "write_target": {"type": "materialized_view", "database": "m.s",
+                              "table": "t",
+                              "sql": "SELECT k, count(*) AS n FROM v GROUP BY k",
+                              "spark_conf": {"spark.sql.shuffle.partitions": "3"}}},
+        ],
+    })
+    src = compile_flowgroup(fg)
+    assert "spark.sql.shuffle.partitions" in src
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    written = ns["build"](spark, str(tmp_path / "out"))
+    assert written["m.s.t"].count() == 5
+    # the conf was live for the write: the overwrite parquet dir holds at
+    # most 3 data files (3 shuffle partitions), not the session default
+    import glob
+    files = glob.glob(str(tmp_path / "out" / "m/s/t" / "*.parquet"))
+    assert 0 < len(files) <= 3
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

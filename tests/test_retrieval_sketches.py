@@ -378,3 +378,41 @@ def test_table_stats_exact_fields_and_ndv_accuracy(spark):
     assert out["tag"].ndv_est == 5 and out["tag"].min_num is None
     with pytest.raises(ValueError):
         table_stats(df, [])
+
+
+def test_bm25_postings_plan_equals_unrolled(spark):
+    """The postings plan is a pure PLAN change: exact-decimal per-term parts
+    make its sum order-independent, so rows, ranks, hits, and scores must be
+    identical to bm25_topk at every query width."""
+    from lakehouse_plumber_spark.llm.search import bm25_topk, bm25_topk_postings
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [
+        (i, " ".join(words[j % len(words)] for j in range(i, i + 5 + i % 7)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for q in (["alpha"], words[:4], words):
+        a = [tuple(r) for r in bm25_topk(docs, q, k=15).collect()]
+        p = [tuple(r) for r in bm25_topk_postings(docs, q, k=15).collect()]
+        assert a == p, f"plans diverge at |Q|={len(q)}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        bm25_topk_postings(docs, [])
+
+
+def test_bm25_unrolled_width_guard(spark):
+    """The unrolled plan refuses post-dedup query widths past the measured
+    Catalyst-analysis cliff, pointing at the postings plan."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.search import bm25_topk
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    wide = [f"t{i}" for i in range(13)]
+    with _pytest.raises(ValueError, match="postings"):
+        bm25_topk(docs, wide)
+    # dedup happens before the width check; an override lifts the cap
+    assert bm25_topk(docs, ["a"] * 20, k=1).count() == 1
+    assert bm25_topk(docs, wide, k=1, max_unrolled_terms=13).count() == 0
