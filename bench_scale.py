@@ -53,6 +53,13 @@ NAMES = [
     "events_peak_concurrency",
     "events_hourly_anomaly",
     "text_bigram_logprob",
+    # r8 additions: the round's prefix promotions + the postings BM25 plan,
+    # so one consolidated table covers the 136-entry-era operator set
+    "events_transition_matrix",
+    "events_value_histogram",
+    "layout_zorder_key",
+    "pipe_table_stats",
+    "search_bm25_wide",
 ]
 
 

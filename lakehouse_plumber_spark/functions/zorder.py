@@ -137,13 +137,20 @@ def morton_layout(
     hyper-rectangle, so min/max footers prune on EACH clustered column.
 
     This is the reusable write-path shape behind `zorder_write`, the YAML
-    `cluster_by_auto` layout (operators/write.py:_apply_cluster_layout), and
+    `cluster_by_auto` layout (operators/write.py:_clustered_for_write), and
     morton-preserving compaction (tables.py:compact).  String columns are
     xxhash64-encoded before quantization: equal values still share a bucket
     (equality-predicate skipping survives) but hashing has no range
     locality — range predicates on string keys don't prune.
+
+    `bits` is auto-fitted to the column count (bits*n_cols must stay inside
+    a signed 64-bit key): 2 cols keep 16 bits, 4 cols get 15, 8 cols get 7 —
+    quantization resolution degrades gracefully instead of raising the
+    strict `with_zorder_key` error for a layout-only operation.
     """
     from pyspark.sql.types import StringType
+
+    bits = max(1, min(bits, 62 // max(1, len(cols))))
 
     types = {f.name: f.dataType for f in df.schema.fields}
     enc: dict[str, str] = {}

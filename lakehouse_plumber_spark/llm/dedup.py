@@ -307,13 +307,15 @@ def embedding_near_dup_pairs(
     5e9 candidate pairs) — switch to the LSH path, or raise the cap
     explicitly if the quadratic cost is intended.
     """
-    n = df.count()
-    if n > max_rows:
+    # bounded probe: scans at most max_rows+1 rows, never the full input
+    # (an unbounded count() would evaluate the whole upstream plan once
+    # extra on every call — the exact anti-pattern tables.overwrite avoids)
+    if df.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
             f"embedding_near_dup_pairs is a brute-force O(n^2) baseline and "
-            f"got {n} vectors (cap {max_rows}); use the LSH-bucketed path "
-            "(llm.similarity hyperplane buckets + within-bucket pair join) "
-            "at this size, or pass max_rows= explicitly to override"
+            f"got more than max_rows={max_rows} vectors; use the LSH-bucketed "
+            "path (llm.similarity hyperplane buckets + within-bucket pair "
+            "join) at this size, or pass max_rows= explicitly to override"
         )
     # per-vector norms are hoisted out of the O(n^2) pair loop: each pair then
     # costs one dot product, not a dot product plus two norm re-aggregations

@@ -126,8 +126,20 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # heavyweight decoder/model init goes HERE, once per partition —
         # the import gate re-resolves on the executor, where decode runs
-        _, decode = image_decoder(resolved)
+        name, decode = image_decoder(resolved)
         for pdf in batches:
+            if name == "pil":
+                # the real decoder is an IMAGE decoder: audio/video blobs
+                # would crash Image.open mid-stage. Non-image rows get []
+                # (no decoder), image rows the real grid. The stub is
+                # modality-agnostic (hash of any bytes) so it keeps the
+                # old all-rows behavior.
+                feature = [
+                    decode(b) if m == "image" else []
+                    for m, b in zip(pdf["modality"], pdf["content"])
+                ]
+            else:
+                feature = pdf["content"].map(decode)
             out = pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -136,7 +148,7 @@ def extract_features(
                     "content_sha": pdf["content"].map(
                         lambda b: __import__("hashlib").sha256(b).hexdigest() if b is not None else None
                     ),
-                    "feature": pdf["content"].map(decode),
+                    "feature": feature,
                 }
             )
             yield out
@@ -173,25 +185,38 @@ def resize_images(
                 )
 
             def _resize(b):
-                if b is None:
-                    return None
                 with Image.open(io.BytesIO(b)) as im:
                     out = io.BytesIO()
                     im.resize((width, height)).save(out, format="PNG")
                     return out.getvalue()
 
-            mime = lambda m: "image/png"  # noqa: E731 - re-encoded as PNG
         else:
-            _resize = lambda b: None if b is None else hashlib.sha256(b).digest()  # noqa: E731
-            mime = lambda m: m  # noqa: E731
+            _resize = None
 
         for pdf in batches:
+            if resolved == "pil":
+                # real resize touches IMAGE rows with content only; other
+                # modalities (and null blobs) pass through untouched, and
+                # only actually-re-encoded rows get the image/png mime
+                content, mime = [], []
+                for m, b, mt in zip(pdf["modality"], pdf["content"], pdf["mime_type"]):
+                    if m == "image" and b is not None:
+                        content.append(_resize(b))
+                        mime.append("image/png")
+                    else:
+                        content.append(b)
+                        mime.append(mt)
+            else:
+                content = pdf["content"].map(
+                    lambda b: None if b is None else hashlib.sha256(b).digest()
+                )
+                mime = pdf["mime_type"]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
-                    "content": pdf["content"].map(_resize),
-                    "mime_type": pdf["mime_type"].map(mime),
+                    "content": content,
+                    "mime_type": mime,
                     "width": width,
                     "height": height,
                     "duration_ms": pdf["duration_ms"],

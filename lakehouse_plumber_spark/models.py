@@ -200,6 +200,22 @@ class IncrementalConfig(BaseModel):
             )
         if self.on_non_mergeable == "error":
             parse_aggs(self.aggs)  # raises on non-mergeable aggregates
+        else:
+            # recompute mode accepts non-mergeable aggregates, but each spec
+            # must still LOOK like an aggregate call — a bare/mangled
+            # expression ('sum v') would otherwise sail through validation
+            # and die at refresh time attributed to "non-mergeable". (A
+            # typo'd FUNCTION NAME is indistinguishable from a real exotic
+            # aggregate without a live catalog; that still fails at refresh
+            # with Spark's unresolved-function error.)
+            import re as _re
+
+            for alias, spec in self.aggs.items():
+                if not _re.match(r"^\s*\w+\s*\(.*\)\s*$", spec, _re.DOTALL):
+                    raise ValueError(
+                        f"incremental MV aggregate {alias}={spec!r} is not an "
+                        "aggregate call of the form fn(...)"
+                    )
         return self
 
 

@@ -18,33 +18,55 @@ from lakehouse_plumber_spark.operators.load import _import_module
 from lakehouse_plumber_spark.schema_parser import coerce_schema
 
 
-def _apply_cluster_layout(df: DataFrame, wt: WriteTarget) -> DataFrame:
+@contextmanager
+def _clustered_for_write(df: DataFrame, wt: WriteTarget, mode: str):
     """`cluster_columns` / `cluster_by_auto` (reference _action.py:33-34 ->
-    Delta liquid clustering / OPTIMIZE ZORDER). Parquet-store analogue:
+    Delta liquid clustering / OPTIMIZE ZORDER), yielded as
+    ``(laid_df, order_within_files)`` for one store write.
 
     - ``cluster_columns`` alone: sort rows within write tasks on the keys, so
       parquet min/max footers skip on the LEADING column — free (no extra
       shuffle), but a filter on the second key still touches every file.
-    - ``cluster_by_auto: true`` with >= 2 ``cluster_columns``: Morton
-      (Z-order) layout — interleave the columns' quantized bits into one key
-      (functions/zorder.py), range-repartition + sort on it, so every file
-      covers a compact hyper-rectangle and footers prune on EACH clustered
-      column.  Costs one range shuffle per write (the same rewrite OPTIMIZE
-      ZORDER performs); on a streaming table it applies per micro-batch, so
-      pair it with lhp.autoOptimize.maxFiles compaction for many small
-      batches.  String keys are xxhash64-encoded first: hashing keeps
-      equality-predicate skipping (equal values share a bucket) but not
-      range locality.  With one column, Morton degenerates to the plain
-      sort, so the stats pass is skipped.
+    - ``cluster_by_auto: true`` with >= 2 ``cluster_columns`` on an
+      UNPARTITIONED table: Morton (Z-order) layout — interleave the columns'
+      quantized bits into one key (functions/zorder.py), range-repartition +
+      sort on it, so every file covers a compact hyper-rectangle and footers
+      prune on EACH clustered column.  Costs one range shuffle per write
+      (the same rewrite OPTIMIZE ZORDER performs); on a streaming table it
+      applies per micro-batch, so pair it with lhp.autoOptimize.maxFiles
+      compaction.  String keys are xxhash64-encoded (equality skipping
+      survives; range locality does not).  The input is persisted across the
+      Morton stats pass AND the caller's write, then unpersisted on exit —
+      without the cache an MV refresh would evaluate its whole query twice
+      (once for min/max stats, once for the write).
+    - PARTITIONED targets: morton degrades to lexicographic ordering within
+      partition files (the same rule as tables.compact — the partition dirs
+      own their leading key, and overwrite's co-location shuffle would
+      destroy any pre-shuffled layout).  For ``mode="overwrite"`` the
+      ordering is returned as ``order_within_files`` so the store applies it
+      AFTER its co-location shuffle; for ``mode="append"`` (which never
+      repartitions) a task-local pre-sort is applied instead.
     """
     cols = wt.cluster_columns or []
     if not cols or df.isStreaming:
-        return df
+        yield df, None
+        return
+    if wt.partition_columns:
+        if mode == "overwrite":
+            yield df, cols
+        else:
+            yield df.sortWithinPartitions(*cols), None
+        return
     if wt.cluster_by_auto and len(cols) >= 2:
         from lakehouse_plumber_spark.functions.zorder import morton_layout
 
-        return morton_layout(df, cols)
-    return df.sortWithinPartitions(*cols)
+        cached = df.persist()
+        try:
+            yield morton_layout(cached, cols), None
+        finally:
+            cached.unpersist()
+        return
+    yield df.sortWithinPartitions(*cols), None
 
 
 def _cdf_enabled(wt: WriteTarget) -> bool:
@@ -234,7 +256,8 @@ def _write_streaming_table_inner(
                 return _register_read(ctx, action, target)
         if df.isStreaming:
             def _append(batch_df: DataFrame, _epoch: int) -> None:
-                ctx.store.append(target, _apply_cluster_layout(batch_df, wt), wt.partition_columns)
+                with _clustered_for_write(batch_df, wt, "append") as (laid, _):
+                    ctx.store.append(target, laid, wt.partition_columns)
                 if cdf:
                     ctx.store.log_changes(target, batch_df, "insert")
 
@@ -246,7 +269,8 @@ def _write_streaming_table_inner(
             )
             q.awaitTermination()
         else:
-            ctx.store.append(target, _apply_cluster_layout(df, wt), wt.partition_columns)
+            with _clustered_for_write(df, wt, "append") as (laid, _):
+                ctx.store.append(target, laid, wt.partition_columns)
             if cdf:
                 ctx.store.log_changes(target, df, "insert")
         if action.once:
@@ -423,10 +447,12 @@ def _write_mv_full_recompute(
         full = ctx.store.read(base).groupBy(*cfg.group_by).agg(
             *[F.expr(spec).alias(alias) for alias, spec in cfg.aggs.items()]
         )
-        ctx.store.overwrite(
-            target, _apply_cluster_layout(full, wt),
-            partition_columns=wt.partition_columns,
-        )
+        with _clustered_for_write(full, wt, "overwrite") as (laid, owf):
+            ctx.store.overwrite(
+                target, laid,
+                partition_columns=wt.partition_columns,
+                order_within_files=owf,
+            )
     ctx.log(
         action.name,
         "imv_full_recompute",
@@ -524,7 +550,12 @@ def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
     if wt.row_filter:
         df = df.where(wt.row_filter)
     with _with_spark_conf(ctx.spark, wt.spark_conf):
-        ctx.store.overwrite(target, _apply_cluster_layout(df, wt), partition_columns=wt.partition_columns)
+        with _clustered_for_write(df, wt, "overwrite") as (laid, owf):
+            ctx.store.overwrite(
+                target, laid,
+                partition_columns=wt.partition_columns,
+                order_within_files=owf,
+            )
     if _cdf_enabled(wt):
         ctx.store.log_changes(target, df, "insert")
     ctx.log(action.name, "mv_refreshed", target=target)

@@ -35,6 +35,19 @@ except Exception:  # pragma: no cover
     HAVE_DELTA = False
 
 
+def _write_sort_cols(
+    partition_columns: Optional[list[str]], order_within_files: list[str]
+) -> list[str]:
+    """Task-sort columns for a clustered write: a partitionBy() writer
+    REQUIRES task rows ordered by the partition columns and inserts its own
+    (unstable) sort when they aren't — which would silently destroy the
+    cluster ordering. Sorting by (partition_cols + cluster_cols) satisfies
+    the writer's requirement, so it skips its sort and the within-file
+    cluster order survives."""
+    pre = list(partition_columns or [])
+    return pre + [c for c in order_within_files if c not in pre]
+
+
 def _safe_name(name: str) -> str:
     return name.replace(".", "/")
 
@@ -159,7 +172,9 @@ class ParquetTableStore:
 
             out = out.repartition(*[F.col(c) for c in partition_columns])
         if order_within_files:
-            out = out.sortWithinPartitions(*order_within_files)
+            out = out.sortWithinPartitions(
+                *_write_sort_cols(partition_columns, order_within_files)
+            )
         w = out.write.mode("overwrite")
         if partition_columns:
             w = w.partitionBy(*partition_columns)
@@ -508,7 +523,9 @@ class DeltaTableStore(ParquetTableStore):
 
             out = out.repartition(*[F.col(c) for c in partition_columns])
         if order_within_files:
-            out = out.sortWithinPartitions(*order_within_files)
+            out = out.sortWithinPartitions(
+                *_write_sort_cols(partition_columns, order_within_files)
+            )
         w = out.write.format(self.FMT).mode("overwrite").option("overwriteSchema", "true")
         if partition_columns:
             w = w.partitionBy(*partition_columns)

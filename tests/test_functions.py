@@ -321,3 +321,62 @@ def test_compact_morton_preserves_layout(spark, tmp_path):
     hit, total = _file_locality(spark, store.path("s.t"))
     assert total >= 8 and hit <= total // 2
     assert spark.read.parquet(store.path("s.t")).count() == 16384
+
+
+def test_morton_layout_autofits_bits_for_many_columns(spark):
+    """4+ cluster columns auto-fit the per-column bit width (62-bit key
+    budget) instead of raising — and never produce negative/corrupt keys."""
+    from lakehouse_plumber_spark.functions.zorder import morton_layout, with_zorder_key
+
+    df = spark.createDataFrame(
+        [(i, i * 2, i * 3, i % 7) for i in range(64)], "a int, b int, c int, d int"
+    )
+    out = morton_layout(df, ["a", "b", "c", "d"], n_files=4)
+    assert out.count() == 64  # no ValueError from bits*n > 62
+    # strict API still refuses the raw over-budget request
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="62"):
+        with_zorder_key(df, ["a", "b", "c", "d"], bits=16)
+
+
+def test_cluster_by_auto_partitioned_degrades_to_sorted_files(spark, tmp_path):
+    """cluster_by_auto on a PARTITIONED MV keeps within-file ordering via
+    order_within_files after the co-location shuffle (a pre-shuffled Morton
+    layout would be destroyed by overwrite's repartition — review r8)."""
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+    from lakehouse_plumber_spark.runner import PipelineRunner
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+    from pyspark.sql import functions as F
+
+    fg = {
+        "pipeline": "p", "flowgroup": "zp",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v_g",
+             "source": {"type": "sql",
+                        "sql": "SELECT CAST(id % 3 AS INT) AS p, "
+                               "CAST(id / 128 AS INT) AS a, "
+                               "CAST(pmod(id * 37, 997) AS INT) AS b "
+                               "FROM range(3000)"}},
+            {"name": "wr", "type": "write", "source": "v_g",
+             "write_target": {"type": "materialized_view", "database": "m.z",
+                              "table": "tp", "partition_columns": ["p"],
+                              "cluster_columns": ["a", "b"],
+                              "cluster_by_auto": True}},
+        ],
+    }
+    store = ParquetTableStore(spark=spark, root=str(tmp_path / "wh"))
+    PipelineRunner(spark, store=store).run(load_flowgroup(fg))
+    rd = spark.read.parquet(store.path("m.z.tp")).select(
+        "a", "b", F.col("_metadata.file_path").alias("f")
+    )
+    # within every physical file the rows are (a, b)-sorted: parquet keeps
+    # row order, so a per-file collect must come back monotone
+    import collections
+
+    per_file = collections.defaultdict(list)
+    for r in rd.collect():
+        per_file[r.f].append((r.a, r.b))
+    assert len(per_file) >= 3
+    for f, rows in per_file.items():
+        assert rows == sorted(rows), f"file {f} lost its cluster ordering"

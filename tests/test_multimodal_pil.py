@@ -28,6 +28,8 @@ def assets(spark):
         (1, "image", _png(32, 16, 0), "image/png", 32, 16, None),
         (2, "image", _png(8, 8, 255), "image/png", 8, 8, None),
         (3, "image", None, None, None, None, None),
+        # non-image payload: the real decoder must NOT try Image.open on it
+        (4, "audio", b"\x00\x01riff-ish", "audio/wav", None, None, 1200),
     ]
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
@@ -42,6 +44,7 @@ def test_pil_decoder_resolves_and_extracts_real_grid(spark, assets):
     assert [round(v, 6) for v in out[1].feature] == [0.0] * 64
     assert [round(v, 6) for v in out[2].feature] == [1.0] * 64
     assert out[3].feature == []
+    assert out[4].feature == []  # audio: no image decoder, not a crash
 
 
 def test_pil_resize_really_resizes(spark, assets):
@@ -56,4 +59,6 @@ def test_pil_resize_really_resizes(spark, assets):
             assert im.size == (4, 6)
         assert out[aid].mime_type == "image/png"
         assert (out[aid].width, out[aid].height) == (4, 6)
-    assert out[3].content is None
+    # null content keeps its (null) mime; audio passes through untouched
+    assert out[3].content is None and out[3].mime_type is None
+    assert out[4].content == b"\x00\x01riff-ish" and out[4].mime_type == "audio/wav"
