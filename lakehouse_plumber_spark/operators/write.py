@@ -19,7 +19,7 @@ from lakehouse_plumber_spark.schema_parser import coerce_schema
 
 
 @contextmanager
-def _clustered_for_write(df: DataFrame, wt: WriteTarget, mode: str):
+def _clustered_for_write(df: DataFrame, wt: WriteTarget):
     """`cluster_columns` / `cluster_by_auto` (reference _action.py:33-34 ->
     Delta liquid clustering / OPTIMIZE ZORDER), yielded as
     ``(laid_df, order_within_files)`` for one store write.
@@ -42,20 +42,18 @@ def _clustered_for_write(df: DataFrame, wt: WriteTarget, mode: str):
     - PARTITIONED targets: morton degrades to lexicographic ordering within
       partition files (the same rule as tables.compact — the partition dirs
       own their leading key, and overwrite's co-location shuffle would
-      destroy any pre-shuffled layout).  For ``mode="overwrite"`` the
-      ordering is returned as ``order_within_files`` so the store applies it
-      AFTER its co-location shuffle; for ``mode="append"`` (which never
-      repartitions) a task-local pre-sort is applied instead.
+      destroy any pre-shuffled layout).  The ordering is returned as
+      ``order_within_files`` so the store applies it where it actually
+      survives: AFTER overwrite's co-location shuffle (including the
+      creation path of append), and led by the partition columns so the
+      partitionBy writer's own unstable sort is skipped.
     """
     cols = wt.cluster_columns or []
     if not cols or df.isStreaming:
         yield df, None
         return
     if wt.partition_columns:
-        if mode == "overwrite":
-            yield df, cols
-        else:
-            yield df.sortWithinPartitions(*cols), None
+        yield df, cols
         return
     if wt.cluster_by_auto and len(cols) >= 2:
         from lakehouse_plumber_spark.functions.zorder import morton_layout
@@ -256,8 +254,8 @@ def _write_streaming_table_inner(
                 return _register_read(ctx, action, target)
         if df.isStreaming:
             def _append(batch_df: DataFrame, _epoch: int) -> None:
-                with _clustered_for_write(batch_df, wt, "append") as (laid, _):
-                    ctx.store.append(target, laid, wt.partition_columns)
+                with _clustered_for_write(batch_df, wt) as (laid, owf):
+                    ctx.store.append(target, laid, wt.partition_columns, order_within_files=owf)
                 if cdf:
                     ctx.store.log_changes(target, batch_df, "insert")
 
@@ -269,8 +267,8 @@ def _write_streaming_table_inner(
             )
             q.awaitTermination()
         else:
-            with _clustered_for_write(df, wt, "append") as (laid, _):
-                ctx.store.append(target, laid, wt.partition_columns)
+            with _clustered_for_write(df, wt) as (laid, owf):
+                ctx.store.append(target, laid, wt.partition_columns, order_within_files=owf)
             if cdf:
                 ctx.store.log_changes(target, df, "insert")
         if action.once:
@@ -447,7 +445,7 @@ def _write_mv_full_recompute(
         full = ctx.store.read(base).groupBy(*cfg.group_by).agg(
             *[F.expr(spec).alias(alias) for alias, spec in cfg.aggs.items()]
         )
-        with _clustered_for_write(full, wt, "overwrite") as (laid, owf):
+        with _clustered_for_write(full, wt) as (laid, owf):
             ctx.store.overwrite(
                 target, laid,
                 partition_columns=wt.partition_columns,
@@ -550,7 +548,7 @@ def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
     if wt.row_filter:
         df = df.where(wt.row_filter)
     with _with_spark_conf(ctx.spark, wt.spark_conf):
-        with _clustered_for_write(df, wt, "overwrite") as (laid, owf):
+        with _clustered_for_write(df, wt) as (laid, owf):
             ctx.store.overwrite(
                 target, laid,
                 partition_columns=wt.partition_columns,

@@ -129,15 +129,29 @@ class ParquetTableStore:
         else:
             os.makedirs(self.path(name), exist_ok=True)
 
-    def append(self, name: str, df: DataFrame, partition_columns: Optional[list[str]] = None) -> None:
+    def append(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_columns: Optional[list[str]] = None,
+        order_within_files: Optional[list[str]] = None,
+    ) -> None:
         if not self.exists(name):
             # route table creation through overwrite: it guarantees a
             # schema-bearing file even for zero-row frames (a partitioned/
             # multi-task empty write emits no parquet footer) without
             # probing isEmpty(), which would evaluate the frame once extra
-            self.overwrite(name, df, partition_columns=partition_columns)
+            self.overwrite(
+                name, df, partition_columns=partition_columns,
+                order_within_files=order_within_files,
+            )
             return
-        w = df.write.format(self.FMT).mode("append")
+        out = df
+        if order_within_files:
+            out = out.sortWithinPartitions(
+                *_write_sort_cols(partition_columns, order_within_files)
+            )
+        w = out.write.format(self.FMT).mode("append")
         if partition_columns:
             w = w.partitionBy(*partition_columns)
         w.save(self.path(name))

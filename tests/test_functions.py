@@ -380,3 +380,39 @@ def test_cluster_by_auto_partitioned_degrades_to_sorted_files(spark, tmp_path):
     assert len(per_file) >= 3
     for f, rows in per_file.items():
         assert rows == sorted(rows), f"file {f} lost its cluster ordering"
+
+
+def test_partitioned_append_keeps_cluster_order(spark, tmp_path):
+    """Partitioned streaming-table APPENDS also keep within-file cluster
+    ordering: the writer's own partition sort is satisfied by leading the
+    task sort with the partition columns (review r8 follow-up)."""
+    import collections
+
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+    from lakehouse_plumber_spark.runner import PipelineRunner
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+    from pyspark.sql import functions as F
+
+    fg = {
+        "pipeline": "p", "flowgroup": "ap",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v",
+             "source": {"type": "sql",
+                        "sql": "SELECT CAST(id % 2 AS INT) AS p, "
+                               "CAST(pmod(id * 37, 997) AS INT) AS a "
+                               "FROM range(2000)"}},
+            {"name": "wr", "type": "write", "source": "v",
+             "write_target": {"type": "streaming_table", "database": "m.s",
+                              "table": "ap", "partition_columns": ["p"],
+                              "cluster_columns": ["a"]}},
+        ],
+    }
+    store = ParquetTableStore(spark=spark, root=str(tmp_path / "wh"))
+    PipelineRunner(spark, store=store).run(load_flowgroup(fg))
+    rd = spark.read.parquet(store.path("m.s.ap")).select(
+        "a", F.col("_metadata.file_path").alias("f")
+    )
+    per_file = collections.defaultdict(list)
+    for r in rd.collect():
+        per_file[r.f].append(r.a)
+    assert per_file and all(v == sorted(v) for v in per_file.values())
