@@ -4511,6 +4511,17 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_logprob(spark.table("documents"))
 
 
+@_register("text_perplexity_buckets", TX.perplexity_buckets_duck("documents"))
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (llm/text.py:perplexity_buckets,
+    Wenzek et al. 2020 §4.4): bigram-LM scores + one 1-row exact-percentile
+    aggregate broadcast onto a narrow CASE labeling — no global sort, no
+    single-partition window.  New r8; below the prefix for the r9
+    rotation."""
+    _prep(spark, sf_dir)
+    return TX.perplexity_buckets(spark.table("documents"))
+
+
 _sql_query(
     "events_transition_matrix",
     # per-user event-type Markov transitions + row-normalized probability —

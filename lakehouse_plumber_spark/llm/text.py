@@ -764,3 +764,73 @@ def bigram_logprob_duck(
     FROM big JOIN model USING (g)
     GROUP BY doc_id
     """
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head: float = 0.3,
+    middle: float = 0.3,
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020 §4.4):
+    score each document with the corpus bigram LM (`bigram_logprob`), then
+    label the most-fluent `head` fraction "head", the next `middle` fraction
+    "middle", the rest "tail" — the split CCNet uses to keep/downsample/drop
+    web text by LM perplexity.  Output: (doc_id, mean_logprob, bucket).
+
+    Bucketing is by VALUE thresholds at the exact interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont` on identical doubles: an
+    interpolated cutoff lies strictly inside the gap between adjacent
+    distinct scores, so a last-ulp formula difference can never flip a
+    document's comparison; ties share a bucket, so realized fractions are
+    approximate under heavy ties — the CCNet convention).
+
+    Scale: `bigram_logprob`'s model-sized joins, then one 1-row percentile
+    aggregate over the doc-level scores broadcast onto a narrow labeling
+    projection — no global sort, no single-partition window.
+    """
+    if not (0 < head and 0 < middle and head + middle < 1):
+        raise ValueError(
+            f"head and middle must be positive with head+middle < 1, "
+            f"got head={head} middle={middle}"
+        )
+    scored = bigram_logprob(df, text_col, id_col, k_smooth).select(
+        "doc_id", "mean_logprob"
+    )
+    cuts = scored.agg(
+        F.expr(f"percentile(mean_logprob, {1.0 - head!r})").alias("t_head"),
+        F.expr(f"percentile(mean_logprob, {1.0 - head - middle!r})").alias("t_mid"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).selectExpr(
+        "doc_id",
+        "mean_logprob",
+        "CASE WHEN mean_logprob >= t_head THEN 'head' "
+        "WHEN mean_logprob >= t_mid THEN 'middle' "
+        "ELSE 'tail' END AS bucket",
+    )
+
+
+def perplexity_buckets_duck(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head: float = 0.3,
+    middle: float = 0.3,
+    k_smooth: float = 0.5,
+) -> str:
+    """DuckDB oracle for `perplexity_buckets`: the bigram-LM score CTE plus
+    `quantile_cont` cutoffs and the same value-threshold CASE."""
+    scores = bigram_logprob_duck(table, text_col, id_col, k_smooth)
+    return f"""
+    WITH scored AS (SELECT doc_id, mean_logprob FROM ({scores})),
+    cuts AS (SELECT quantile_cont(mean_logprob, {1.0 - head!r}) AS t_head,
+                    quantile_cont(mean_logprob, {1.0 - head - middle!r}) AS t_mid
+             FROM scored)
+    SELECT doc_id, mean_logprob,
+           CASE WHEN mean_logprob >= t_head THEN 'head'
+                WHEN mean_logprob >= t_mid THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored CROSS JOIN cuts
+    """

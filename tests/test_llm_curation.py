@@ -697,3 +697,33 @@ def test_image_decoder_seam_without_pillow(spark):
     default = extract_features(assets).collect()[0]
     auto = extract_features(assets, decoder="auto").collect()[0]
     assert default.feature == auto.feature and len(default.feature) == 8
+
+
+def test_perplexity_buckets_order_and_fractions(spark):
+    """CCNet bucketing: labels partition the corpus, bucket order follows
+    score order (head >= middle >= tail), realized fractions track the
+    requested ones on a tie-free corpus, and bad fractions are rejected."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.text import perplexity_buckets
+
+    # 30 docs over a shared vocabulary: doc i repeats a common phrase i times
+    # and appends one rare token, so LM scores are graded and tie-free
+    rows = [
+        (i, ("the cat sat " * (1 + i % 10)) + f"tok{i}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(docs, head=0.3, middle=0.3)
+    got = {r.doc_id: (r.bucket, r.mean_logprob) for r in out.collect()}
+    assert len(got) == 30
+    by_bucket = {}
+    for b, s in got.values():
+        by_bucket.setdefault(b, []).append(s)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+    # value-threshold semantics: fractions within one tie-group of target
+    assert 6 <= len(by_bucket["head"]) <= 12
+    with _pytest.raises(ValueError, match="head"):
+        perplexity_buckets(docs, head=0.7, middle=0.4)
