@@ -4522,6 +4522,16 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.perplexity_buckets(spark.table("documents"))
 
 
+@_register("text_tfidf_keywords", TX.tfidf_keywords_duck("documents"))
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-5 keywords (llm/text.py:tfidf_keywords):
+    doc-term hash aggregate, model-sized df join, per-document window
+    (partitioned by doc_id — no global sort).  New r8; below the prefix
+    for the r9 rotation."""
+    _prep(spark, sf_dir)
+    return TX.tfidf_keywords(spark.table("documents"))
+
+
 _sql_query(
     "events_transition_matrix",
     # per-user event-type Markov transitions + row-normalized probability —

@@ -834,3 +834,86 @@ def perplexity_buckets_duck(
                 ELSE 'tail' END AS bucket
     FROM scored CROSS JOIN cuts
     """
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_len: int = 3,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the top-`k` most
+    characteristic terms of each document — the classic summarization /
+    routing / weak-labeling primitive next to the corpus-level
+    `ngram_topk`.  Output: (doc_id, rank, term, tf, score).
+
+    score = tf · (ln((N+1)/(df+1)) + 1)  — smoothed idf, always positive so
+    corpus-universal terms still rank below distinctive ones rather than
+    zeroing out.  Terms shorter than `min_len` are dropped (articles and
+    punctuation fragments dominate tf otherwise).
+
+    Scale: one explode → (doc, term) hash aggregate (map-side combined),
+    term document-frequencies as a model-sized aggregate joined back
+    (broadcast when small, AQE otherwise), then a per-document window for
+    the top-k — partitioned by doc_id, so no global sort.  Determinism:
+    tf/df/N are exact integers; score is one double expression from them,
+    identical text in the DuckDB oracle; ties rank by term asc.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    toks = tokens_spark(f"lower({text_col})")
+    terms = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(toks)).alias("term"))
+        .where(F.length("term") >= min_len)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n")).collect()[0][0]
+    dfs = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+    scored = terms.join(dfs, "term").selectExpr(
+        "doc_id", "term", "tf",
+        f"tf * (ln(({n_docs} + 1.0) / (df_t + 1.0)) + 1.0) AS score",
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "score")
+    )
+
+
+def tfidf_keywords_duck(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_len: int = 3,
+) -> str:
+    """DuckDB oracle for `tfidf_keywords`: same counts, same smoothed-idf
+    double expression, same (score desc, term asc) per-document ranking."""
+    from lakehouse_plumber_spark.llm.hashing import tokens_duck
+
+    toks = tokens_duck(f"lower({text_col})")
+    return f"""
+    WITH terms AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table})
+      WHERE length(term) >= {min_len}
+      GROUP BY doc_id, term),
+    n AS (SELECT CAST(count(DISTINCT {id_col}) AS BIGINT) AS n_docs FROM {table}),
+    dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM terms GROUP BY term),
+    scored AS (
+      SELECT doc_id, term, tf,
+             tf * (ln((n.n_docs + 1.0) / (df_t + 1.0)) + 1.0) AS score
+      FROM terms JOIN dfs USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+      FROM scored)
+    SELECT doc_id, rank, term, tf, score FROM ranked WHERE rank <= {k}
+    """

@@ -727,3 +727,28 @@ def test_perplexity_buckets_order_and_fractions(spark):
     assert 6 <= len(by_bucket["head"]) <= 12
     with _pytest.raises(ValueError, match="head"):
         perplexity_buckets(docs, head=0.7, middle=0.4)
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    """A term unique to one doc must outrank corpus-universal fillers; ranks
+    are 1..k per doc; short tokens are dropped; k validated."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.text import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common words appear everywhere but zebra zebra lives here"),
+            (2, "common words appear everywhere and nothing else special"),
+            (3, "common words appear everywhere plus quasar quasar quasar"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, k=2)
+    got = {(r.doc_id, r.rank): r.term for r in out.collect()}
+    assert got[(1, 1)] == "zebra"
+    assert got[(3, 1)] == "quasar"
+    assert all(rank in (1, 2) for _, rank in got)
+    assert not any(len(t) < 3 for t in got.values())
+    with _pytest.raises(ValueError, match="k"):
+        tfidf_keywords(docs, k=0)

@@ -316,3 +316,24 @@ def test_bigram_logprob_no_cartesian_bounded_exchanges(spark, q):
     # model/uni sides broadcast at this size (AQE may upgrade at runtime)
     assert plan.count("Exchange") <= 14  # formatted double-lists nodes
     assert "Generate" in plan  # gram explode, not per-row python
+
+
+def test_perplexity_buckets_broadcast_cutoffs_no_global_sort(spark, q):
+    df = q["text_perplexity_buckets"](spark, SF)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    # the 1-row percentile frame joins via broadcast, and labeling is a
+    # narrow projection — no global Sort anywhere in the plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Sort [" not in plan.replace("SortAggregate", "")
+
+
+def test_tfidf_keywords_docwise_window_not_global(spark, q):
+    df = q["text_tfidf_keywords"](spark, SF)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # token explode JVM-side
+    # the ranking window is partitioned by doc_id (a partial/global sort over
+    # doc-hash partitions), never a single-partition global window
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window")[1][:400]
