@@ -60,7 +60,16 @@ NAMES = [
     "layout_zorder_key",
     "pipe_table_stats",
     "search_bm25_wide",
+    "text_perplexity_buckets",
+    "text_tfidf_keywords",
 ]
+
+# LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks
+# without re-timing the whole table)
+_only = os.environ.get("LHP_SCALE_ONLY")
+if _only:
+    _keep = {n.strip() for n in _only.split(",")}
+    NAMES = [n for n in NAMES if n in _keep]
 
 
 def _scaled_views(spark, sf_dir: str, factor: int):
