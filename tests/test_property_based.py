@@ -669,3 +669,77 @@ def test_bigram_logprob_matches_python_model(spark, texts):
     for i, (nb, mean) in got.items():
         assert nb == expect[i][0]
         assert abs(mean - expect[i][1]) < 1e-9
+
+
+docs_st = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=8),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=docs_st, k=st.integers(1, 3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_tfidf_keywords_matches_inmemory_model(spark, docs, k):
+    """tfidf_keywords == a trivially-correct python TF-IDF over random tiny
+    corpora (ties, empty docs, dense term collisions)."""
+    import math
+
+    from lakehouse_plumber_spark.llm.text import tfidf_keywords
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    out = tfidf_keywords(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=k, min_len=1
+    )
+    got = {(r.doc_id, r.rank): (r.term, r.tf) for r in out.collect()}
+
+    # reference model
+    tf = {}
+    for i, toks in enumerate(docs):
+        for t in toks:
+            tf[(i, t)] = tf.get((i, t), 0) + 1
+    df_t = {}
+    for (_, t) in tf:
+        df_t[t] = df_t.get(t, 0) + 1
+    n = len(docs)
+    want = {}
+    per_doc = {}
+    for (i, t), c in tf.items():
+        per_doc.setdefault(i, []).append(
+            (-(c * (math.log((n + 1.0) / (df_t[t] + 1.0)) + 1.0)), t, c)
+        )
+    for i, items in per_doc.items():
+        for rank, (_, t, c) in enumerate(sorted(items)[:k], start=1):
+            want[(i, rank)] = (t, c)
+    assert got == want
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=2, max_size=6),
+    min_size=4, max_size=10,
+))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_perplexity_buckets_value_threshold_invariants(spark, docs):
+    """Bucket labels are a value-threshold partition of the score axis: every
+    head score >= every middle score >= every tail score, all scored docs are
+    labeled, and equal scores always share a bucket."""
+    from lakehouse_plumber_spark.llm.text import perplexity_buckets
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    out = perplexity_buckets(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()
+    assert out  # every doc here has >= 1 bigram
+    order = {"head": 2, "middle": 1, "tail": 0}
+    by_score = {}
+    for r in out:
+        by_score.setdefault(r.mean_logprob, set()).add(r.bucket)
+    for s, buckets in by_score.items():
+        assert len(buckets) == 1, f"tied score {s} split across {buckets}"
+    ranked = sorted(out, key=lambda r: -r.mean_logprob)
+    labels = [order[r.bucket] for r in ranked]
+    assert labels == sorted(labels, reverse=True)
