@@ -3339,6 +3339,37 @@ def _clusters_duck() -> str:
     """
 
 
+def _survivors_duck() -> str:
+    """Survivor selection oracle: the clusters CTE + quality join + the same
+    (quality desc, doc_id) per-cluster ranking; non-members kept as
+    singletons via the left join."""
+    return f"""
+    WITH cl AS (SELECT * FROM ({_clusters_duck()})),
+    base AS (SELECT doc_id, n_chars AS q FROM documents),
+    ranked AS (
+      SELECT m.doc_id, m.cluster_id, m.cluster_size,
+             row_number() OVER (PARTITION BY m.cluster_id
+                                ORDER BY b.q DESC, m.doc_id) AS rn
+      FROM cl m JOIN base b USING (doc_id))
+    SELECT b.doc_id, r.cluster_id,
+           CAST(coalesce(r.cluster_size, 1) AS BIGINT) AS cluster_size,
+           coalesce(r.rn = 1, true) AS kept
+    FROM base b LEFT JOIN ranked r USING (doc_id)
+    """
+
+
+@_register("dedup_survivors", _survivors_duck())
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (llm/dedup.py:dedup_survivors): keep
+    the longest member of each transitive near-dup group (ties -> lowest
+    id), singletons pass through — the retire-list policy step after
+    clustering.  New r8; below the prefix for the r9 rotation."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = D.minhash_lsh_dedup(docs)
+    return D.dedup_survivors(docs, pairs, "n_chars")
+
+
 @_register("dedup_clusters", _clusters_duck())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> transitive duplicate groups (the retire-list step):

@@ -633,3 +633,47 @@ def decontaminate(
         F.col("m.n_shared").cast("long").alias("n_shared"),
         (F.col("m.n_shared") >= min_shared).alias("contaminated"),
     )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Survivor selection — the step AFTER clustering that every dedup
+    pipeline ends with: within each transitive near-dup group keep the
+    highest-`quality_col` member (ties -> lowest id), not blindly the
+    min-id one; documents in no group survive unchanged.  Returns the full
+    audit table (doc_id, cluster_id, cluster_size, kept) — filter
+    `kept` for the retained corpus, `NOT kept` for the retire list.
+
+    Plan: connected components over the pairs (hash-min propagation),
+    membership joined back to the corpus ids, one row_number window
+    PARTITIONED BY cluster (cluster-sized state, no global sort), and
+    non-members pass through a left join as kept singletons.  Use an
+    integer quality column (length, token count) for cross-engine
+    determinism; float scores work but inherit the usual last-ulp caveats.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_connected_components(pairs, id_a, id_b)
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("__q"))
+    members = base.join(clusters, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("__q"), F.asc("doc_id"))
+    ranked = members.withColumn("__rn", F.row_number().over(w))
+    return (
+        base.join(
+            ranked.select("doc_id", "cluster_id", "cluster_size", "__rn"),
+            "doc_id",
+            "left",
+        )
+        .selectExpr(
+            "doc_id",
+            "cluster_id",
+            "coalesce(cluster_size, 1L) AS cluster_size",
+            "coalesce(__rn = 1, true) AS kept",
+        )
+    )

@@ -752,3 +752,21 @@ def test_tfidf_keywords_ranks_distinctive_terms(spark):
     assert not any(len(t) < 3 for t in got.values())
     with _pytest.raises(ValueError, match="k"):
         tfidf_keywords(docs, k=0)
+
+
+def test_dedup_survivors_keeps_best_quality_member(spark):
+    """Within a duplicate cluster the highest-quality (longest) member is
+    kept (ties -> lowest id); singletons always survive."""
+    from lakehouse_plumber_spark.llm.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 7)], "doc_id long, quality long"
+    )
+    # {1,2,3} one transitive cluster (1-2, 2-3); 4 untouched
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.doc_id: (r.kept, r.cluster_size) for r in
+           dedup_survivors(docs, pairs, "quality").collect()}
+    assert out[2] == (True, 3)   # quality 9, lower id than 3
+    assert out[3] == (False, 3)
+    assert out[1] == (False, 3)
+    assert out[4] == (True, 1)   # singleton passes through
