@@ -152,6 +152,21 @@ def _validate_action_configs(actions: list[Action]) -> list[str]:
     during `lhp validate`, not first at generation/run time)."""
     warnings: list[str] = []
     for a in actions:
+        wt = a.write_target
+        if wt is not None and wt.cluster_by_auto:
+            ccols = wt.cluster_columns or []
+            if len(ccols) < 2:
+                warnings.append(
+                    f"{a.name}: cluster_by_auto has no effect with "
+                    f"{len(ccols)} cluster_columns — the Morton layout needs "
+                    ">= 2 keys (one key is already optimally sorted)"
+                )
+            elif wt.partition_columns:
+                warnings.append(
+                    f"{a.name}: cluster_by_auto on a partitioned table "
+                    "degrades to within-partition lexicographic ordering "
+                    "(partition dirs own their key; see docs/operators.md)"
+                )
         if a.type != ActionType.LOAD or not isinstance(a.source, dict):
             continue
         st = a.source.get("type")

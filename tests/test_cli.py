@@ -515,3 +515,32 @@ def test_cli_jobs_multi_job_grouping(tmp_path, capsys):
     rc = main(["validate", str(proj)])
     out = capsys.readouterr().out
     assert rc == 1 and "split across jobs" in out
+
+
+def test_validate_warns_on_ineffective_cluster_by_auto(tmp_path, capsys):
+    """cluster_by_auto with < 2 cluster_columns (no effect) or with
+    partition_columns (degrades to lexicographic) surfaces at validate
+    time as warnings, not silently at run time."""
+    from lakehouse_plumber_spark.dag import validate_flowgroup_graph
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    fg = load_flowgroup({
+        "pipeline": "p", "flowgroup": "f",
+        "actions": [
+            {"name": "ld", "type": "load",
+             "source": {"type": "sql", "sql": "SELECT 1 AS a, 2 AS b, 3 AS p"},
+             "target": "v"},
+            {"name": "w1", "type": "write", "source": "v",
+             "write_target": {"type": "materialized_view", "database": "m.s",
+                              "table": "t1", "cluster_by_auto": True,
+                              "cluster_columns": ["a"]}},
+            {"name": "w2", "type": "write", "source": "v",
+             "write_target": {"type": "materialized_view", "database": "m.s",
+                              "table": "t2", "cluster_by_auto": True,
+                              "partition_columns": ["p"],
+                              "cluster_columns": ["a", "b"]}},
+        ],
+    })
+    warns = validate_flowgroup_graph(fg.actions)
+    assert any("w1" in w and "no effect" in w for w in warns)
+    assert any("w2" in w and "partitioned" in w for w in warns)
