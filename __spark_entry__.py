@@ -3880,6 +3880,66 @@ def _decontaminate_duck() -> str:
     """
 
 
+def _bloom_decon_duck(m_bits: int = 1 << 20, k: int = 4) -> str:
+    """Oracle for the Bloom-filter decontamination variant: identical md5 +
+    Mersenne-61 position math, the bitmap built by a bit_or CTE, membership
+    tested via a per-position left join — every flag (false positives
+    included) reproduces exactly."""
+    from lakehouse_plumber_spark.llm.dedup import SHINGLE_N
+    from lakehouse_plumber_spark.llm.hashing import minhash_coeffs, minhash_mix
+
+    grams = word_ngrams_duck("text", SHINGLE_N)
+    pos = ", ".join(
+        f"({minhash_mix(a, b, c, 'h', 'duck')}) % {m_bits}"
+        for a, b, c in minhash_coeffs(k)
+    )
+    return f"""
+    WITH bench AS (SELECT doc_id FROM ({_topk_sample_duck()}) x),
+    bh_t AS (SELECT DISTINCT {md5int_duck('g')} AS h FROM (
+               SELECT unnest({grams}) AS g
+               FROM documents JOIN bench USING (doc_id)) t),
+    bpos AS (SELECT unnest([{pos}]) AS p FROM bh_t),
+    bloom AS (SELECT p // 64 AS w,
+                     bit_or(CASE WHEN p % 64 = 63 THEN -9223372036854775808 ELSE 1::BIGINT << CAST(p % 64 AS INT) END) AS bits
+              FROM bpos GROUP BY 1),
+    dg AS (SELECT doc_id, list_distinct(list_transform({grams},
+                 g -> {md5int_duck('g')})) AS hg
+           FROM documents),
+    dh AS (SELECT doc_id, unnest(hg) AS h FROM dg),
+    dp AS (SELECT doc_id, h, unnest([{pos}]) AS p FROM dh),
+    hit AS (SELECT doc_id, h,
+                   bool_and(coalesce(bits, 0)
+                            & (CASE WHEN p % 64 = 63 THEN -9223372036854775808
+                               ELSE 1::BIGINT << CAST(p % 64 AS INT) END) != 0) AS ok
+            FROM dp LEFT JOIN bloom ON bloom.w = dp.p // 64
+            GROUP BY doc_id, h),
+    per_doc AS (SELECT doc_id,
+                       CAST(count(*) FILTER (ok) AS BIGINT) AS n_hits
+                FROM hit GROUP BY doc_id)
+    SELECT g.doc_id, CAST(len(g.hg) AS BIGINT) AS n_grams,
+           coalesce(p.n_hits, 0) AS n_hits,
+           coalesce(p.n_hits, 0) > 0 AS contaminated
+    FROM dg g LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@_register("dedup_bloom_decontaminate", _bloom_decon_duck())
+def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (llm/dedup.py:bloom_decontaminate): the
+    fixed-footprint scale path when the eval shingle set outgrows a
+    broadcast — 128 KiB bitmap regardless of eval size, corpus never
+    shuffled; one-sided error, flags reproduced exactly by the oracle.
+    New r8; below the prefix for the r9 rotation."""
+    from lakehouse_plumber_spark.llm import sampling as SP
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    bench_ids = SP.per_stratum_smallest_hash(
+        docs.select("doc_id", "source"), "source", _TOPK_PER_SOURCE
+    ).select("doc_id")
+    return D.bloom_decontaminate(docs, docs.join(bench_ids, "doc_id"))
+
+
 @_register("dedup_decontaminate", _decontaminate_duck())
 def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: the deterministic 5-per-source sample plays

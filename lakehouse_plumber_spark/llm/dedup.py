@@ -677,3 +677,86 @@ def dedup_survivors(
             "coalesce(__rn = 1, true) AS kept",
         )
     )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter decontamination — the fixed-footprint variant of
+    `decontaminate` for eval sets too large to broadcast as an exact shingle
+    set: the benchmark's shingles fold into an `m_bits` Bloom bitmap
+    (m/64 longs — 128 KiB at the default, INDEPENDENT of eval size), and
+    each training document is flagged when any of its distinct shingles has
+    all `k_hashes` bits set.  One-sided error: every truly shared shingle is
+    always flagged (no false negatives); a clean shingle false-positives at
+    ~(1 - e^(-k·s/m))^k for s eval shingles — size m_bits to the eval set.
+
+    Deterministic cross-engine: positions derive from the same md5 shingle
+    integers + Mersenne-61 mixes as the MinHash family, so the DuckDB oracle
+    reproduces every flag, false positives included.
+
+    Output (doc_id, n_grams, n_hits, contaminated) over DISTINCT per-doc
+    shingles.  Plan: eval side collapses to <= m/64 (word, bits) rows via a
+    bit_or aggregate, collected (bitmap-bounded, never data-bounded) and
+    re-broadcast as ONE array row; corpus side is a narrow per-row
+    expression over the let-bound shingle hashes — the training corpus is
+    never shuffled, same as the exact path.
+    """
+    from lakehouse_plumber_spark.llm.hashing import (
+        let_spark,
+        minhash_coeffs,
+        minhash_mix,
+    )
+
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    coeffs = minhash_coeffs(k_hashes)
+    grams_h = (
+        f"array_distinct(transform({word_ngrams_spark(text_col, n)}, "
+        f"g -> {md5int_spark('g')}))"
+    )
+
+    def _pos(c, h):  # bit position of hash fn c over shingle-hash column h
+        a, b, cc = c
+        return f"pmod({minhash_mix(a, b, cc, h, 'spark')}, {m_bits})"
+
+    pos_arr = "array(" + ", ".join(_pos(c, "h") for c in coeffs) + ")"
+    words = (
+        benchmark.select(F.explode(F.expr(grams_h)).alias("h"))
+        .distinct()
+        .select(F.explode(F.expr(pos_arr)).alias("p"))
+        .selectExpr("CAST(p DIV 64 AS INT) AS w", "shiftleft(1L, CAST(p % 64 AS INT)) AS m")
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .collect()  # <= m_bits/64 rows — bitmap-bounded, never eval-sized
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    bloom = df.sparkSession.createDataFrame([(bitmap,)], "bloom array<bigint>")
+    hit = " AND ".join(
+        f"(element_at(bloom, CAST({_pos(c, 'h')} DIV 64 AS INT) + 1) "
+        f"& shiftleft(1L, CAST({_pos(c, 'h')} % 64 AS INT))) != 0"
+        for c in coeffs
+    )
+    body = (
+        "named_struct('n', size(gh), "
+        f"'hits', size(filter(gh, h -> {hit})))"
+    )
+    return (
+        spread_for_compute(df, [id_col, text_col])
+        .crossJoin(F.broadcast(bloom))
+        .select(F.col(id_col), F.expr(let_spark(grams_h, "gh", body)).alias("s"))
+        .selectExpr(
+            id_col,
+            "CAST(s.n AS BIGINT) AS n_grams",
+            "CAST(s.hits AS BIGINT) AS n_hits",
+            "s.hits > 0 AS contaminated",
+        )
+    )

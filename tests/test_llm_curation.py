@@ -770,3 +770,30 @@ def test_dedup_survivors_keeps_best_quality_member(spark):
     assert out[3] == (False, 3)
     assert out[1] == (False, 3)
     assert out[4] == (True, 1)   # singleton passes through
+
+
+def test_bloom_decontaminate_one_sided_error(spark):
+    """Every truly-shared shingle is ALWAYS flagged (Bloom filters have no
+    false negatives); a disjoint doc is clean at this bitmap size; m_bits
+    validated."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.dedup import bloom_decontaminate, decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different content with no overlap at all whatsoever"),
+            (3, "the quick brown fox appears here too with more text"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id = 1")
+    bl = {r.doc_id: r.contaminated for r in bloom_decontaminate(docs, bench).collect()}
+    ex = {r.doc_id: r.contaminated for r in decontaminate(docs, bench).collect()}
+    # no false negatives: everything the exact path flags, bloom flags
+    assert all(bl[d] for d, c in ex.items() if c)
+    assert bl[1] and bl[3]
+    assert not bl[2]  # 2^20 bits vs ~20 shingles: FP probability ~0
+    with _pytest.raises(ValueError, match="power of two"):
+        bloom_decontaminate(docs, bench, m_bits=100)
