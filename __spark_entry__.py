@@ -3940,6 +3940,24 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.bloom_decontaminate(docs, docs.join(bench_ids, "doc_id"))
 
 
+_CMS_MIN_COUNT = 75
+
+
+@_register(
+    "sketch_cms_heavy_hitters",
+    SK.cms_heavy_hitters_duck("events", "user_id", _CMS_MIN_COUNT),
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (llm/sketches.py:cms_heavy_hitters): users
+    whose CMS-estimated event count reaches the threshold.  The d x w
+    counter table is 64 KiB regardless of input size and mergeable by
+    summing — the frequency companion to the KMV distinct sketch; estimates
+    only overestimate, so the candidate set has no false negatives.  New
+    r8; below the prefix for the r9 rotation."""
+    _prep(spark, sf_dir)
+    return SK.cms_heavy_hitters(spark.table("events"), "user_id", _CMS_MIN_COUNT)
+
+
 @_register("dedup_decontaminate", _decontaminate_duck())
 def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: the deterministic 5-per-source sample plays

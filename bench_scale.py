@@ -62,6 +62,8 @@ NAMES = [
     "search_bm25_wide",
     "text_perplexity_buckets",
     "text_tfidf_keywords",
+    "dedup_survivors",
+    "dedup_bloom_decontaminate",
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks

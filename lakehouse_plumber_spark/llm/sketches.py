@@ -130,3 +130,128 @@ def kmv_distinct_duck(
                 ELSE n_mins END AS BIGINT) AS est_distinct
     FROM m
     """
+
+
+# Count-Min Sketch parameters: d independent rows x w counters. Error bound:
+# est - true <= 2N/w with probability 1 - (1/2)^d for stream size N.
+CMS_D = 4
+CMS_W = 4096
+
+
+def _cms_positions(d: int, w: int, h: str, dialect: str) -> list[str]:
+    from .hashing import minhash_coeffs, minhash_mix
+
+    mod = "pmod" if dialect == "spark" else None
+    out = []
+    for a, b, c in minhash_coeffs(d):
+        mix = minhash_mix(a, b, c, h, dialect)
+        out.append(f"pmod({mix}, {w})" if mod else f"(({mix}) % {w})")
+    return out
+
+
+def cms_sketch(
+    df: DataFrame, value_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of `value_col`'s
+    frequency distribution: `(r, c, cnt)` rows of the d x w counter table —
+    at most d*w rows (64 KiB of longs at the defaults) regardless of input
+    size, mergeable by summing counters (`cms_merge`), and — like KMV —
+    EXACTLY reproducible cross-engine: positions are Mersenne-61 mixes of
+    the 60-bit md5 value hash and every counter is an exact integer sum, so
+    the DuckDB oracle checks the sketch and every estimate bit-for-bit.
+
+    Plan: exact per-value counts first (one map-side-combined shuffle on the
+    value — the aggregate any frequency job pays), then a model-sized
+    explode of d positions per DISTINCT value into the counter aggregate.
+    Occurrence-sized data crosses the wire once; the d-way fan-out touches
+    only distinct values.
+    """
+    if d < 1 or w < 2:
+        raise ValueError(f"cms_sketch needs d >= 1 and w >= 2, got d={d} w={w}")
+    from .hashing import let_spark
+
+    per_value = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("string").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    entries = ", ".join(
+        f"named_struct('r', {i}, 'c', {p})"
+        for i, p in enumerate(_cms_positions(d, w, "h", "spark"))
+    )
+    pos = let_spark(md5int_spark("v"), "h", f"array({entries})")
+    return (
+        per_value.select(F.col("cnt"), F.explode(F.expr(pos)).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CMS sketches built with the same (d, w): counters sum —
+    sketch(A) + sketch(B) == sketch(A union-all B)."""
+    return a.unionByName(b).groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_count: int,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Values whose CMS frequency estimate reaches `min_count`, with the
+    estimate: `(value, est_count)`.  CMS only OVERESTIMATES (hash collisions
+    add counts, never subtract), so this candidate set has NO false
+    negatives — every truly-frequent value appears; verify exactly
+    downstream if false positives matter.  Estimate = min over the d rows of
+    the value's counter.
+    """
+    sketch = cms_sketch(df, value_col, d, w)
+    values = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(value_col).cast("string").alias("v"))
+        .distinct()
+    )
+    from .hashing import let_spark
+
+    entries = ", ".join(
+        f"named_struct('r', {i}, 'c', {p})"
+        for i, p in enumerate(_cms_positions(d, w, "h", "spark"))
+    )
+    pos = let_spark(md5int_spark("v"), "h", f"array({entries})")
+    probes = values.select(
+        F.col("v"), F.explode(F.expr(pos)).alias("p")
+    ).select("v", F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("v")
+        .agg(F.min("cnt").alias("est_count"))
+        .where(F.col("est_count") >= min_count)
+    )
+
+
+def cms_heavy_hitters_duck(
+    table: str, value_col: str, min_count: int, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    """DuckDB oracle for `cms_heavy_hitters`: same value hash, same position
+    mixes, same exact-integer counters and min-over-rows estimate."""
+    h = md5int_duck("v")
+    pos = _cms_positions(d, w, "h", "duck")
+    pos_structs = ", ".join(
+        f"{{'r': {i}, 'c': {p}}}" for i, p in enumerate(pos)
+    )
+    return f"""
+    WITH pv AS (SELECT CAST({value_col} AS VARCHAR) AS v,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1),
+    hp AS (SELECT v, cnt, {h} AS h FROM pv),
+    expl AS (SELECT v, cnt, unnest([{pos_structs}]) AS p FROM hp),
+    sketch AS (SELECT p.r AS r, p.c AS c, SUM(cnt) AS scnt
+               FROM expl GROUP BY 1, 2),
+    probes AS (SELECT v, p.r AS r, p.c AS c FROM expl),
+    est AS (SELECT v, MIN(scnt) AS est_count
+            FROM probes JOIN sketch USING (r, c) GROUP BY v)
+    SELECT v, CAST(est_count AS BIGINT) AS est_count
+    FROM est WHERE est_count >= {min_count}
+    """

@@ -416,3 +416,38 @@ def test_bm25_unrolled_width_guard(spark):
     # dedup happens before the width check; an override lifts the cap
     assert bm25_topk(docs, ["a"] * 20, k=1).count() == 1
     assert bm25_topk(docs, wide, k=1, max_unrolled_terms=13).count() == 0
+
+
+def test_cms_overestimates_and_merges(spark):
+    """CMS invariants: estimate >= exact count for every value (no false
+    negatives in heavy-hitter candidates), and sketch(A) + sketch(B) ==
+    sketch(A union-all B) counter-for-counter."""
+    from lakehouse_plumber_spark.llm.sketches import (
+        cms_heavy_hitters,
+        cms_merge,
+        cms_sketch,
+    )
+
+    rows = [(f"u{i % 7}",) for i in range(200)] + [("hot",)] * 50
+    df = spark.createDataFrame(rows, "user string")
+    exact = {r.user: r.n for r in df.groupBy("user").count().withColumnRenamed("count", "n").collect()}
+    est = {r.v: r.est_count for r in cms_heavy_hitters(df, "user", 1).collect()}
+    assert set(est) == set(exact)
+    assert all(est[v] >= exact[v] for v in exact)
+    # the hot key clears a threshold the others don't
+    hh = {r.v for r in cms_heavy_hitters(df, "user", 40).collect()}
+    assert "hot" in hh
+
+    # multiset split (subtract() is SET-difference and would drop dup copies)
+    idx = spark.createDataFrame(
+        [(i, v[0]) for i, v in enumerate(rows)], "i long, user string"
+    )
+    a, b = idx.where("i % 2 = 0"), idx.where("i % 2 = 1")
+    merged = {(r.r, r.c): r.cnt for r in cms_merge(cms_sketch(a, "user"), cms_sketch(b, "user")).collect()}
+    whole = {(r.r, r.c): r.cnt for r in cms_sketch(df, "user").collect()}
+    assert merged == whole
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cms_sketch"):
+        cms_sketch(df, "user", d=0)
