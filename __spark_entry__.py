@@ -4499,6 +4499,36 @@ def pipe_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_estimate(store.read(table), k=_KMV_K)
 
 
+@_register(
+    "pipe_incremental_cms",
+    SK.cms_heavy_hitters_duck("events", "user_id", _CMS_MIN_COUNT),
+)
+def pipe_incremental_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FREQUENCY-sketch maintenance, the CMS mirror of
+    pipe_incremental_kmv: three deterministic event batches each fold into a
+    persisted d x w counter table via cms_merge (counters sum, so merged
+    state == one-shot sketch exactly), then heavy hitters are read off the
+    maintained sketch.  Per-batch work is batch-sized; the raw history is
+    never rescanned; the oracle is the same one-shot CMS SQL.  New r8;
+    below the prefix for the r9 rotation."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    store = runner.store
+    ev = spark.table("events")
+    table = "m.sketch.cms_user_events"
+    for i in range(3):
+        split = f"coalesce(pmod(event_id, 3), 0) = {i}"
+        batch = SK.cms_sketch(ev.where(F.expr(split)), "user_id")
+        merged = SK.cms_merge(store.read(table), batch) if store.exists(table) else batch
+        store.overwrite(table, merged)
+    values = ev.where(F.col("user_id").isNotNull()).select(
+        F.col("user_id").cast("string").alias("v")
+    ).distinct()
+    return SK.cms_estimate(store.read(table), values).where(
+        F.col("est_count") >= _CMS_MIN_COUNT
+    )
+
+
 _CHUNK_TOKENS, _CHUNK_STRIDE = 64, 48
 
 

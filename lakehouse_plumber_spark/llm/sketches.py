@@ -193,6 +193,29 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
 
 
+def cms_estimate(
+    sketch: DataFrame, values: DataFrame, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Frequency estimates for `values` (one string column `v`) against a
+    CMS sketch: min over the d rows of the value's counter — `(v,
+    est_count)`.  The sketch broadcasts (it is at most d*w rows)."""
+    from .hashing import let_spark
+
+    entries = ", ".join(
+        f"named_struct('r', {i}, 'c', {p})"
+        for i, p in enumerate(_cms_positions(d, w, "h", "spark"))
+    )
+    pos = let_spark(md5int_spark("v"), "h", f"array({entries})")
+    probes = values.select(F.col("v"), F.explode(F.expr(pos)).alias("p")).select(
+        "v", F.col("p.r").alias("r"), F.col("p.c").alias("c")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("v")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     value_col: str,
@@ -213,21 +236,8 @@ def cms_heavy_hitters(
         .select(F.col(value_col).cast("string").alias("v"))
         .distinct()
     )
-    from .hashing import let_spark
-
-    entries = ", ".join(
-        f"named_struct('r', {i}, 'c', {p})"
-        for i, p in enumerate(_cms_positions(d, w, "h", "spark"))
-    )
-    pos = let_spark(md5int_spark("v"), "h", f"array({entries})")
-    probes = values.select(
-        F.col("v"), F.explode(F.expr(pos)).alias("p")
-    ).select("v", F.col("p.r").alias("r"), F.col("p.c").alias("c"))
-    return (
-        probes.join(F.broadcast(sketch), ["r", "c"])
-        .groupBy("v")
-        .agg(F.min("cnt").alias("est_count"))
-        .where(F.col("est_count") >= min_count)
+    return cms_estimate(sketch, values, d, w).where(
+        F.col("est_count") >= min_count
     )
 
 
