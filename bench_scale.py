@@ -64,6 +64,7 @@ NAMES = [
     "text_tfidf_keywords",
     "dedup_survivors",
     "dedup_bloom_decontaminate",
+    "sketch_cms_heavy_hitters",
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks
