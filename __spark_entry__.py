@@ -4529,6 +4529,60 @@ def pipe_incremental_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QKEY = ["l_orderkey", "l_linenumber"]
+
+
+@_register(
+    "sketch_kmv_quantiles",
+    SK.kmv_quantiles_duck("lineitem", "l_returnflag", "l_extendedprice", _QKEY, k=_KMV_K),
+)
+def sketch_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch (llm/sketches.py:kmv_quantiles): per-flag
+    price percentiles from the bottom-k uniform row sample — the third
+    sketch family next to KMV-distinct and CMS-frequency.  Hashing the row
+    key (not the value) samples the distribution duplicates-included;
+    nearest-rank order statistics give every quantile with O(1/sqrt(k))
+    error and, unlike approx_percentile, are exactly reproducible by the
+    DuckDB oracle.  Same two-level bounded-state plan as the KMV sketch.
+    New this session; below the prefix for the r9 rotation."""
+    _prep(spark, sf_dir)
+    return SK.kmv_quantiles(
+        spark.table("lineitem"), "l_returnflag", "l_extendedprice", _QKEY, k=_KMV_K
+    )
+
+
+@_register(
+    "pipe_incremental_quantiles",
+    SK.kmv_quantiles_duck("lineitem", "l_returnflag", "l_extendedprice", _QKEY, k=_KMV_K),
+)
+def pipe_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental quantile-sketch maintenance, completing the mergeable-
+    summary triple (pipe_incremental_kmv = distinct, pipe_incremental_cms =
+    frequency, this = quantiles): three disjoint lineitem batches each fold
+    into a persisted bottom-k sample via kmv_quantile_merge — each side
+    kept its k smallest row hashes, so the k smallest of the union survive
+    concatenation and merged state == one-shot sample EXACTLY, letting the
+    one-shot oracle check the maintained sketch bit-for-bit.  Per-batch work
+    is batch-sized; history is never rescanned.  New this session; below
+    the prefix for the r9 rotation."""
+    _prep(spark, sf_dir)
+    store = _runner(spark).store
+    li = spark.table("lineitem")
+    table = "m.sketch.price_quantiles"
+    for i in range(3):
+        split = f"coalesce(pmod(l_orderkey + l_linenumber, 3), 0) = {i}"
+        batch = SK.kmv_quantile_sketch(
+            li.where(F.expr(split)), "l_returnflag", "l_extendedprice", _QKEY, k=_KMV_K
+        )
+        merged = (
+            SK.kmv_quantile_merge(store.read(table), batch, k=_KMV_K)
+            if store.exists(table)
+            else batch
+        )
+        store.overwrite(table, merged)
+    return SK.kmv_quantile_estimate(store.read(table))
+
+
 _CHUNK_TOKENS, _CHUNK_STRIDE = 64, 48
 
 

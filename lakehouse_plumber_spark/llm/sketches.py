@@ -132,6 +132,153 @@ def kmv_distinct_duck(
     """
 
 
+def _row_hash_spark(key_cols: list[str]) -> str:
+    """60-bit md5 of the row key — '|'-joined string casts, identical text in
+    DuckDB (`_row_hash_duck`), so the bottom-k row selection is cross-engine
+    exact."""
+    joined = ", ".join(f"cast({c} as string)" for c in key_cols)
+    return md5int_spark(f"concat_ws('|', {joined})")
+
+
+def _row_hash_duck(key_cols: list[str]) -> str:
+    joined = ", ".join(key_cols)
+    return md5int_duck(f"concat_ws('|', {joined})")
+
+
+def kmv_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_cols: list[str],
+    k: int = 64,
+    fanout: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k uniform ROW sample: `(stratum, sample)` where
+    `sample` is the sorted array of `(h, v)` structs for the k smallest row
+    hashes — the quantile companion to the KMV distinct sketch.
+
+    Hashing the ROW KEY (not the value) makes this a uniform sample of the
+    value DISTRIBUTION, duplicates included — a distinct-value sample (the
+    plain KMV) would answer quantiles over distinct values, a different
+    statistic.  Nearest-rank order statistics of the sample estimate any
+    quantile with error O(1/sqrt(k)); below k rows the sample is the whole
+    group and every quantile is exact.
+
+    Mergeable over DISJOINT row sets (batches, partitions, days): each side
+    retained its k smallest row hashes, so the k smallest of the union
+    survive in the concatenation — merge == one-shot, exactly
+    (property-tested).  Same two-level plan as `kmv_sketch`: per-subbucket
+    bottom-k partials, then a fanout-bounded merge, so per-task state is
+    `max(rows/fanout, fanout*k)` structs, never a full group.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_quantile_sketch needs k >= 2, got {k}")
+    if not key_cols:
+        raise ValueError("kmv_quantile_sketch needs at least one row-key column")
+    pair = (
+        f"named_struct('h', {_row_hash_spark(key_cols)}, "
+        f"'v', cast({value_col} as double))"
+    )
+    hashed = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("stratum"), F.expr(pair).alias("p")
+    )
+    partial = (
+        hashed.withColumn("sub", F.pmod(F.col("p.h"), F.lit(fanout)))
+        .groupBy("stratum", "sub")
+        .agg(F.expr(f"slice(array_sort(collect_list(p)), 1, {k})").alias("part"))
+    )
+    return partial.groupBy("stratum").agg(
+        F.expr(
+            f"slice(array_sort(array_distinct(flatten(collect_list(part)))), 1, {k})"
+        ).alias("sample")
+    )
+
+
+def kmv_quantile_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge two quantile sketches built over DISJOINT row sets: concatenate,
+    keep the k structs with the smallest hashes.  (`array_distinct` guards a
+    replayed batch: an identical `(h, v)` pair collapses instead of biasing
+    the sample.)"""
+    left = a.withColumnRenamed("sample", "s_a")
+    right = b.withColumnRenamed("sample", "s_b")
+    joined = left.join(right, "stratum", "full_outer")
+    merged = (
+        "slice(array_sort(array_distinct(concat("
+        "coalesce(s_a, array()), coalesce(s_b, array())"
+        f"))), 1, {k})"
+    )
+    return joined.select("stratum", F.expr(merged).alias("sample"))
+
+
+def kmv_quantile_estimate(
+    sketch: DataFrame, quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
+) -> DataFrame:
+    """Nearest-rank quantiles off a sketch: value at rank `ceil(q*n)` of the
+    sample sorted by value (rank 1 floor so q=0 is the minimum).  All-integer
+    indexing over identical doubles — no interpolation, so the DuckDB oracle
+    reproduces every estimate bit-for-bit."""
+    vals = "array_sort(transform(sample, s -> s.v))"
+    cols = [
+        F.col("stratum"),
+        F.expr("cast(size(sample) as int)").alias("n_sample"),
+    ]
+    for q in quantiles:
+        name = f"q_{str(q).replace('0.', '').ljust(2, '0')}"
+        cols.append(
+            F.expr(
+                f"element_at({vals}, greatest(1, cast(ceil({q!r} * size(sample)) as int)))"
+            ).alias(name)
+        )
+    return sketch.select(*cols)
+
+
+def kmv_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_cols: list[str],
+    k: int = 64,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    fanout: int = 64,
+) -> DataFrame:
+    """End-to-end per-group quantile estimates via a bottom-k row sample."""
+    return kmv_quantile_estimate(
+        kmv_quantile_sketch(df, group_col, value_col, key_cols, k, fanout), quantiles
+    )
+
+
+def kmv_quantiles_duck(
+    table: str,
+    group_col: str,
+    value_col: str,
+    key_cols: list[str],
+    k: int = 64,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> str:
+    """DuckDB oracle for `kmv_quantiles` — rank-select bottom-k (ties on h
+    broken by v, the struct sort order Spark uses), then the same
+    nearest-rank indexing."""
+    h = _row_hash_duck(key_cols)
+    qcols = ",\n           ".join(
+        f"vals[greatest(1, CAST(ceil({q!r} * len(vals)) AS INT))]"
+        f" AS q_{str(q).replace('0.', '').ljust(2, '0')}"
+        for q in quantiles
+    )
+    return f"""
+    WITH h_t AS (SELECT {group_col} AS stratum, {h} AS h,
+                        CAST({value_col} AS DOUBLE) AS v
+                 FROM {table} WHERE {value_col} IS NOT NULL),
+    r AS (SELECT stratum, v,
+                 row_number() OVER (PARTITION BY stratum ORDER BY h, v) AS rn
+          FROM h_t),
+    s AS (SELECT stratum, list(v ORDER BY v) AS vals
+          FROM r WHERE rn <= {k} GROUP BY stratum)
+    SELECT stratum, CAST(len(vals) AS INT) AS n_sample,
+           {qcols}
+    FROM s
+    """
+
+
 # Count-Min Sketch parameters: d independent rows x w counters. Error bound:
 # est - true <= 2N/w with probability 1 - (1/2)^d for stream size N.
 CMS_D = 4

@@ -451,3 +451,79 @@ def test_cms_overestimates_and_merges(spark):
 
     with _pytest.raises(ValueError, match="cms_sketch"):
         cms_sketch(df, "user", d=0)
+
+
+# --------------------------------------------------------------------------
+# KMV quantile sketch (bottom-k uniform row sample)
+# --------------------------------------------------------------------------
+
+
+def test_kmv_quantiles_exact_below_k(spark):
+    """With fewer rows than k the sample IS the group, so nearest-rank
+    quantiles are exact: q50 of 1..9 is 5, q25 is 3 (ceil(.25*9)=3)."""
+    from lakehouse_plumber_spark.llm.sketches import kmv_quantiles
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 10)], "g string, rid long, v double"
+    )
+    row = kmv_quantiles(df, "g", "v", ["rid"], k=64).collect()[0]
+    assert row.n_sample == 9
+    assert (row.q_25, row.q_50, row.q_75, row.q_95) == (3.0, 5.0, 7.0, 9.0)
+
+
+def test_kmv_quantiles_row_sample_sees_duplicates(spark):
+    """Row-key hashing samples the DISTRIBUTION: a value occurring 90% of
+    the time must dominate the sample — a distinct-value sample would keep
+    it once and report the wrong median."""
+    from lakehouse_plumber_spark.llm.sketches import kmv_quantiles
+
+    rows = [("a", i, 100.0 if i % 10 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, rid long, v double")
+    row = kmv_quantiles(df, "g", "v", ["rid"], k=128).collect()[0]
+    assert row.q_50 == 100.0
+
+
+def test_kmv_quantile_merge_equals_one_shot(spark):
+    """Disjoint-batch merge == one-shot sketch, struct-for-struct — the
+    property that makes incremental maintenance sound."""
+    from lakehouse_plumber_spark.llm.sketches import (
+        kmv_quantile_merge,
+        kmv_quantile_sketch,
+    )
+
+    df = spark.range(3000).selectExpr(
+        "cast(id % 3 as string) as g", "id as rid", "cast(id % 97 as double) as v"
+    )
+    a, b = df.where("rid % 2 = 0"), df.where("rid % 2 = 1")
+    merged = kmv_quantile_merge(
+        kmv_quantile_sketch(a, "g", "v", ["rid"], k=32),
+        kmv_quantile_sketch(b, "g", "v", ["rid"], k=32),
+        k=32,
+    )
+    direct = kmv_quantile_sketch(df, "g", "v", ["rid"], k=32)
+    lhs = {r.stratum: [tuple(x) for x in r.sample] for r in merged.collect()}
+    rhs = {r.stratum: [tuple(x) for x in r.sample] for r in direct.collect()}
+    assert lhs == rhs
+
+
+def test_kmv_quantiles_accuracy_and_validation(spark):
+    """k=256 over uniform 0..9999: every estimated quantile within a few
+    percent of truth; nulls ignored; bad args loud."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.sketches import kmv_quantile_sketch, kmv_quantiles
+
+    df = spark.range(10_000).selectExpr(
+        "'a' as g", "id as rid", "cast(id as double) as v"
+    )
+    row = kmv_quantiles(df, "g", "v", ["rid"], k=256).collect()[0]
+    for q, got in ((0.25, row.q_25), (0.5, row.q_50), (0.75, row.q_75), (0.95, row.q_95)):
+        assert abs(got - q * 10_000) / 10_000 < 0.08, (q, got)
+
+    withnull = df.withColumn("v", F.expr("CASE WHEN rid < 5000 THEN v END"))
+    assert kmv_quantiles(withnull, "g", "v", ["rid"], k=64).collect()[0].n_sample == 64
+
+    with _pytest.raises(ValueError, match="k >= 2"):
+        kmv_quantile_sketch(df, "g", "v", ["rid"], k=1)
+    with _pytest.raises(ValueError, match="row-key"):
+        kmv_quantile_sketch(df, "g", "v", [], k=8)
