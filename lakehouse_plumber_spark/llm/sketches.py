@@ -132,6 +132,137 @@ def kmv_distinct_duck(
     """
 
 
+# HyperLogLog (Flajolet et al. 2007): p index bits -> m = 2^p registers, each
+# holding max(rho) where rho = leading-zero count of the remaining hash bits
+# + 1. All register math is INTEGER (index, rho, max), so unlike every
+# engine-native HLL the register table reproduces bit-for-bit cross-engine;
+# the two float steps (raw estimate = one literal/bigint division; linear
+# counting = a precomputed 1024-entry integer table instead of a runtime ln)
+# are deterministic too, so even the ESTIMATES oracle-check exactly.
+HLL_P = 10
+HLL_M = 1 << HLL_P
+_HLL_MAX_RHO = 60 - HLL_P + 1  # rest has 50 bits; rho in [1, 51]
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# numerator of the raw estimator alpha * m^2 / sum(2^-M_j), with the sum kept
+# as the exact integer S = sum(2^(51 - M_j)) (empty registers contribute
+# 2^51): one double literal / one exact bigint -> one IEEE division.
+_HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_MAX_RHO)
+_HLL_EMPTY_TERM = 1 << _HLL_MAX_RHO
+
+
+def _hll_linear_table() -> list[int]:
+    """round(m * ln(m / zeros)) for zeros = 1..m, precomputed so neither
+    engine evaluates ln at query time (JVM Math.log and libm may differ in
+    the last ulp; a 1024-entry integer literal cannot)."""
+    import math
+
+    return [round(HLL_M * math.log(HLL_M / z)) for z in range(1, HLL_M + 1)]
+
+
+def hll_sketch(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HLL register table `(stratum, idx, rho_max)` — only set
+    registers are materialized (at most m = 1024 rows per group, whatever
+    the input size).  One map-side-combined shuffle on (stratum, idx); the
+    partial max keeps per-task state at groups x m integers."""
+    from .hashing import let_spark
+
+    m, mr = HLL_M, _HLL_MAX_RHO
+    pair = let_spark(
+        md5int_spark(f"cast({value_col} as string)"),
+        "h",
+        f"named_struct('idx', cast(pmod(h, {m}) as int), "
+        f"'rho', cast(CASE WHEN (h div {m}) = 0 THEN {mr} "
+        f"ELSE {mr} - length(bin(h div {m})) END as int))",
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("stratum"), F.expr(pair).alias("p"))
+        .groupBy("stratum", F.col("p.idx").alias("idx"))
+        .agg(F.max("p.rho").alias("rho_max"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Registers merge by max: sketch(A) merge sketch(B) == sketch(A ∪ B)
+    register-for-register (max is idempotent — overlapping inputs are fine,
+    unlike counter sketches)."""
+    return a.unionByName(b).groupBy("stratum", "idx").agg(
+        F.max("rho_max").alias("rho_max")
+    )
+
+
+def hll_estimate(sketch: DataFrame) -> DataFrame:
+    """Cardinality report off a register table: raw HLL estimator, switched
+    to linear counting below 2.5m with empty registers (the standard
+    small-range correction), both branches exactly reproducible (see the
+    constants above).  Output: (stratum, n_registers, zeros, s_total,
+    est_distinct, method)."""
+    m, mr = HLL_M, _HLL_MAX_RHO
+    lin = ", ".join(str(v) for v in _hll_linear_table())
+    per = sketch.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("int").alias("n_registers"),
+        F.sum(F.expr(f"shiftleft(1L, {mr} - rho_max)")).alias("s_set"),
+    )
+    return per.select(
+        "stratum",
+        "n_registers",
+        F.expr(f"cast({m} - n_registers as int)").alias("zeros"),
+        F.expr(
+            f"cast(s_set + ({m} - n_registers) * {_HLL_EMPTY_TERM}L as bigint)"
+        ).alias("s_total"),
+        F.expr(
+            f"CASE WHEN {_HLL_NUM!r} / cast(s_set + ({m} - n_registers) * "
+            f"{_HLL_EMPTY_TERM}L as double) <= {2.5 * m!r} AND n_registers < {m} "
+            f"THEN element_at(array({lin}), {m} - n_registers) "
+            f"ELSE cast(round({_HLL_NUM!r} / cast(s_set + ({m} - n_registers) * "
+            f"{_HLL_EMPTY_TERM}L as double)) as bigint) END"
+        ).alias("est_distinct"),
+        F.expr(
+            f"CASE WHEN {_HLL_NUM!r} / cast(s_set + ({m} - n_registers) * "
+            f"{_HLL_EMPTY_TERM}L as double) <= {2.5 * m!r} AND n_registers < {m} "
+            "THEN 'linear' ELSE 'raw' END"
+        ).alias("method"),
+    )
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """End-to-end per-group distinct-count estimate via HLL registers."""
+    return hll_estimate(hll_sketch(df, group_col, value_col))
+
+
+def hll_distinct_duck(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB oracle for `hll_distinct`: identical integer register math
+    (same md5 hash, same idx/rho split via bin()), same literal constants,
+    same precomputed linear-counting table."""
+    m, mr = HLL_M, _HLL_MAX_RHO
+    h = md5int_duck(f"cast({value_col} as varchar)")
+    lin = ", ".join(str(v) for v in _hll_linear_table())
+    return f"""
+    WITH h_t AS (SELECT {group_col} AS stratum, {h} AS h
+                 FROM {table} WHERE {value_col} IS NOT NULL),
+    p_t AS (SELECT stratum, CAST(h % {m} AS INT) AS idx,
+                   CAST(CASE WHEN h // {m} = 0 THEN {mr}
+                        ELSE {mr} - length(bin(h // {m})) END AS INT) AS rho
+            FROM h_t),
+    regs AS (SELECT stratum, idx, MAX(rho) AS rho_max FROM p_t GROUP BY 1, 2),
+    agg AS (SELECT stratum, CAST(count(*) AS INT) AS n_registers,
+                   SUM(1::BIGINT << ({mr} - rho_max)) AS s_set
+            FROM regs GROUP BY 1),
+    tot AS (SELECT stratum, n_registers,
+                   CAST({m} - n_registers AS INT) AS zeros,
+                   CAST(s_set + ({m} - n_registers)::BIGINT * {_HLL_EMPTY_TERM} AS BIGINT) AS s_total
+            FROM agg)
+    SELECT stratum, n_registers, zeros, s_total,
+           CASE WHEN {_HLL_NUM!r} / CAST(s_total AS DOUBLE) <= {2.5 * m!r} AND zeros > 0
+                THEN ([{lin}])[zeros]
+                ELSE CAST(round({_HLL_NUM!r} / CAST(s_total AS DOUBLE)) AS BIGINT) END
+             AS est_distinct,
+           CASE WHEN {_HLL_NUM!r} / CAST(s_total AS DOUBLE) <= {2.5 * m!r} AND zeros > 0
+                THEN 'linear' ELSE 'raw' END AS method
+    FROM tot
+    """
+
+
 def _row_hash_spark(key_cols: list[str]) -> str:
     """60-bit md5 of the row key — '|'-joined string casts, identical text in
     DuckDB (`_row_hash_duck`), so the bottom-k row selection is cross-engine
