@@ -4583,6 +4583,24 @@ def pipe_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_quantile_estimate(store.read(table))
 
 
+@_register(
+    "sketch_hll_distinct",
+    SK.hll_distinct_duck("events", "event_type", "user_id"),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type
+    (llm/sketches.py:hll_distinct): m=1024 integer registers, max-merge
+    mergeable, with the raw estimator switched to linear counting below
+    2.5m — all register math integer and both float steps literal-constant,
+    so unlike any engine-native HLL the ESTIMATES oracle-check exactly.
+    Fixed m-registers-per-group state regardless of input size (KMV keeps
+    k hashes; HLL keeps 1024 six-bit maxima — the industry-standard shape
+    for billions of distincts).  One map-side-combined exchange on
+    (stratum, idx), then a register rollup."""
+    _prep(spark, sf_dir)
+    return SK.hll_distinct(spark.table("events"), "event_type", "user_id")
+
+
 _CHUNK_TOKENS, _CHUNK_STRIDE = 64, 48
 
 

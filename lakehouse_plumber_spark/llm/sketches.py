@@ -276,6 +276,24 @@ def _row_hash_duck(key_cols: list[str]) -> str:
     return md5int_duck(f"concat_ws('|', {joined})")
 
 
+def _quantile_col_names(quantiles: tuple[float, ...]) -> list[str]:
+    """Clean-identifier column names for quantile outputs: q_25, q_50, q_95.
+    Derived numerically (not from float repr, which embeds dots for q=1.0
+    and depends on formatting), validated to (0, 1) exclusive, and checked
+    for collisions so q=0.124 vs q=0.125 cannot silently share a column."""
+    names = []
+    for q in quantiles:
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"quantiles must be in (0, 1) exclusive, got {q}")
+        names.append(f"q_{round(q * 100):02d}")
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"quantiles {quantiles} collide after rounding to integer "
+            f"percents ({names}); space them at least 0.01 apart"
+        )
+    return names
+
+
 def kmv_quantile_sketch(
     df: DataFrame,
     group_col: str,
@@ -301,6 +319,13 @@ def kmv_quantile_sketch(
     (property-tested).  Same two-level plan as `kmv_sketch`: per-subbucket
     bottom-k partials, then a fanout-bounded merge, so per-task state is
     `max(rows/fanout, fanout*k)` structs, never a full group.
+
+    PRECONDITION: `key_cols` should form a unique row key.  Duplicate keys
+    collapse to one `(h, v)` struct (identical pairs land in the same
+    subbucket and are deduped at BOTH levels, mirrored by the oracle's
+    SELECT DISTINCT), so a duplicated row gets one sample slot, not many —
+    i.e. the sample is uniform over distinct keyed rows.  To weight by
+    multiplicity, pass a truly unique key.
     """
     if k < 2:
         raise ValueError(f"kmv_quantile_sketch needs k >= 2, got {k}")
@@ -316,7 +341,11 @@ def kmv_quantile_sketch(
     partial = (
         hashed.withColumn("sub", F.pmod(F.col("p.h"), F.lit(fanout)))
         .groupBy("stratum", "sub")
-        .agg(F.expr(f"slice(array_sort(collect_list(p)), 1, {k})").alias("part"))
+        .agg(
+            F.expr(
+                f"slice(array_distinct(array_sort(collect_list(p))), 1, {k})"
+            ).alias("part")
+        )
     )
     return partial.groupBy("stratum").agg(
         F.expr(
@@ -353,8 +382,7 @@ def kmv_quantile_estimate(
         F.col("stratum"),
         F.expr("cast(size(sample) as int)").alias("n_sample"),
     ]
-    for q in quantiles:
-        name = f"q_{str(q).replace('0.', '').ljust(2, '0')}"
+    for q, name in zip(quantiles, _quantile_col_names(quantiles)):
         cols.append(
             F.expr(
                 f"element_at({vals}, greatest(1, cast(ceil({q!r} * size(sample)) as int)))"
@@ -391,12 +419,11 @@ def kmv_quantiles_duck(
     nearest-rank indexing."""
     h = _row_hash_duck(key_cols)
     qcols = ",\n           ".join(
-        f"vals[greatest(1, CAST(ceil({q!r} * len(vals)) AS INT))]"
-        f" AS q_{str(q).replace('0.', '').ljust(2, '0')}"
-        for q in quantiles
+        f"vals[greatest(1, CAST(ceil({q!r} * len(vals)) AS INT))] AS {name}"
+        for q, name in zip(quantiles, _quantile_col_names(quantiles))
     )
     return f"""
-    WITH h_t AS (SELECT {group_col} AS stratum, {h} AS h,
+    WITH h_t AS (SELECT DISTINCT {group_col} AS stratum, {h} AS h,
                         CAST({value_col} AS DOUBLE) AS v
                  FROM {table} WHERE {value_col} IS NOT NULL),
     r AS (SELECT stratum, v,

@@ -527,3 +527,135 @@ def test_kmv_quantiles_accuracy_and_validation(spark):
         kmv_quantile_sketch(df, "g", "v", ["rid"], k=1)
     with _pytest.raises(ValueError, match="row-key"):
         kmv_quantile_sketch(df, "g", "v", [], k=8)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    from lakehouse_plumber_spark.llm.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    df = spark.range(8_000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    # OVERLAPPING halves: register max is idempotent, so unlike counter
+    # sketches the merge must still equal the one-shot sketch exactly
+    a = df.where("v < 5000")
+    b = df.where("v >= 3000")
+    merged = hll_merge(hll_sketch(a, "g", "v"), hll_sketch(b, "g", "v"))
+    direct = hll_sketch(df, "g", "v")
+    lhs = {(r.stratum, r.idx): r.rho_max for r in merged.collect()}
+    rhs = {(r.stratum, r.idx): r.rho_max for r in direct.collect()}
+    assert lhs == rhs
+    est_m = {r.stratum: r.est_distinct for r in hll_estimate(merged).collect()}
+    est_d = {r.stratum: r.est_distinct for r in hll_estimate(direct).collect()}
+    assert est_m == est_d
+
+
+def test_hll_linear_counting_branch_small_n(spark):
+    from lakehouse_plumber_spark.llm.sketches import hll_distinct
+
+    # 80 distinct values << 2.5m (2560): must take the linear-counting
+    # branch and land within a tight band of the truth
+    df = spark.range(240).select(
+        F.lit("g").alias("g"), (F.col("id") % 80).alias("v")
+    )
+    row = hll_distinct(df, "g", "v").collect()[0]
+    assert row.method == "linear"
+    assert abs(row.est_distinct - 80) / 80 < 0.10
+
+
+def test_hll_raw_branch_large_n(spark):
+    from lakehouse_plumber_spark.llm.sketches import hll_distinct
+
+    # 50k distinct values >> 2.5m: raw estimator branch; m=1024 gives
+    # ~3.25% standard error, assert a 4-sigma band
+    df = spark.range(50_000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    row = hll_distinct(df, "g", "v").collect()[0]
+    assert row.method == "raw"
+    assert abs(row.est_distinct - 50_000) / 50_000 < 0.13
+
+
+def test_hll_matches_duckdb_oracle_on_both_branches(spark, tmp_path):
+    import duckdb
+
+    from lakehouse_plumber_spark.llm.sketches import hll_distinct, hll_distinct_duck
+
+    # one group in each regime: 'small' stays linear, 'big' goes raw
+    df = spark.range(20_000).select(
+        F.when(F.col("id") < 400, F.lit("small")).otherwise(F.lit("big")).alias("g"),
+        F.col("id").alias("v"),
+    )
+    pq = str(tmp_path / "t.parquet")
+    df.write.parquet(pq)
+    spark_rows = {
+        r.stratum: (r.n_registers, r.zeros, r.s_total, r.est_distinct, r.method)
+        for r in hll_distinct(df, "g", "v").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    duck_rows = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5])
+        for r in con.execute(hll_distinct_duck("t", "g", "v")).fetchall()
+    }
+    assert set(spark_rows) == {"small", "big"}
+    assert spark_rows["small"][4] == "linear" and spark_rows["big"][4] == "raw"
+    assert spark_rows == duck_rows
+
+
+def test_hll_ignores_nulls(spark):
+    from lakehouse_plumber_spark.llm.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 2), ("g", 1)], "g string, v int"
+    )
+    row = hll_distinct(df, "g", "v").collect()[0]
+    assert row.method == "linear"
+    assert row.est_distinct == 2
+
+
+# --------------------------------------------------------------------------
+# quantile column naming + duplicate-key dedup (ADVICE r8)
+# --------------------------------------------------------------------------
+
+
+def test_quantile_col_names_clean_and_validated():
+    from lakehouse_plumber_spark.llm.sketches import _quantile_col_names
+
+    assert _quantile_col_names((0.25, 0.5, 0.75, 0.95)) == [
+        "q_25", "q_50", "q_75", "q_95",
+    ]
+    assert _quantile_col_names((0.05, 0.99)) == ["q_05", "q_99"]
+    with pytest.raises(ValueError):
+        _quantile_col_names((1.0,))
+    with pytest.raises(ValueError):
+        _quantile_col_names((0.0,))
+    with pytest.raises(ValueError):
+        _quantile_col_names((0.124, 0.125))  # collide after rounding
+
+
+def test_kmv_quantiles_duplicate_keys_agree_with_oracle(spark, tmp_path):
+    import duckdb
+
+    from lakehouse_plumber_spark.llm.sketches import kmv_quantiles, kmv_quantiles_duck
+
+    # rid deliberately NON-unique (rid = id % 40, each key 5x): sketch and
+    # oracle must still agree because both dedup identical (h, v) pairs
+    df = spark.range(200).select(
+        F.lit("g").alias("g"),
+        (F.col("id") % 40).alias("rid"),
+        (F.col("id") % 40).cast("double").alias("v"),
+    )
+    pq = str(tmp_path / "t.parquet")
+    df.write.parquet(pq)
+    srow = kmv_quantiles(df, "g", "v", ["rid"], k=16).collect()[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    drow = con.execute(kmv_quantiles_duck("t", "g", "v", ["rid"], k=16)).fetchone()
+    assert (srow.stratum, srow.n_sample, srow.q_25, srow.q_50, srow.q_75, srow.q_95) == drow
