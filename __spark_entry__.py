@@ -4856,6 +4856,48 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select("o_orderkey", "o_custkey", "o_totalprice", "zkey")
 
 
+_ZMV_SQL = """
+    SELECT o_custkey AS cust,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY o_custkey
+"""
+
+
+@_register("pipe_zorder_mv", _ZMV_SQL)
+def pipe_zorder_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YAML `cluster_by_auto` end-to-end (reference _action.py:33-34 ->
+    liquid clustering / OPTIMIZE ZORDER): a flowgroup writes a per-customer
+    spend MV with `cluster_columns: [cust, total_spend]` +
+    `cluster_by_auto: true`, driving the Morton write path
+    (operators/write.py:_clustered_for_write -> functions/zorder.py:
+    morton_layout — stats pass over the persisted input, bit-interleaved
+    key, range-repartition + sort) so every parquet file covers a compact
+    (cust, spend) rectangle and min/max footers prune on BOTH columns.
+    The layout permutes rows only, so the read-back content is checked by
+    the plain aggregate oracle; file-level second-column pruning is
+    asserted separately in tests/test_functions.py."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "gold",
+            "flowgroup": "cust_spend_zorder",
+            "actions": [
+                {"name": "spend", "type": "transform", "transform_type": "sql",
+                 "source": "orders", "sql": _ZMV_SQL, "target": "v_spend"},
+                {"name": "mv", "type": "write", "source": "v_spend",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "gold", "table": "cust_spend_z",
+                                  "cluster_columns": ["cust", "total_spend"],
+                                  "cluster_by_auto": True}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.gold.cust_spend_z")
+
+
 @_register(
     "events_peak_concurrency",
     _peak_concurrency_duck("events", "ts", 300),
@@ -4989,46 +5031,96 @@ _PRIORITY: list[str] = [
     #   events_peak_concurrency out (its cumulative boundary-sweep is the
     #     same unbounded-preceding running window features_rolling_spend
     #     keeps; the incoming events rows keep the family hard).
+    # r9 rotation (VERDICT r8 item #2): the r8 sketch/hygiene additions take
+    # prefix slots whose plan shape a staying sibling proves —
+    #   dedup_clusters out / dedup_survivors in (judge-named: survivors runs
+    #     the FULL hash-min connected-components plan plus the
+    #     cluster-partitioned quality ranking on top),
+    #   dedup_edit_distance out / sketch_cms_heavy_hitters in
+    #     (dedup_minhash_lsh keeps the LSH-candidate banded equi-join +
+    #     verify-join class; edit_distance only swaps the verify predicate
+    #     for a capped levenshtein — green in the sweep),
+    #   sample_weighted_poisson out / dedup_bloom_decontaminate in
+    #     (sample_quality_stratified keeps the metadata-aggregate ->
+    #     deterministic hash-threshold narrow-filter sampling shape; the
+    #     bloom row brings the NEW bitmap-fold + broadcast-bitmap-scan
+    #     shape the prefix lacked),
+    #   text_bigram_logprob out / text_perplexity_buckets in (judge-named:
+    #     buckets runs the full bigram-LM scoring plan plus the broadcast
+    #     percentile cutoffs),
+    #   text_url_filter out / sketch_hll_distinct in (the broadcast
+    #     membership-filter shape is kept by dedup_bloom_decontaminate
+    #     entering the prefix, the narrow regex rule battery by
+    #     text_c4_rules; HLL gives the fixed-state cardinality class its
+    #     first hard row),
+    #   text_ngram_topk out / text_tfidf_keywords in (tfidf runs the same
+    #     explode -> term hash-aggregate and adds the document-frequency
+    #     join + per-doc ranked window on top),
+    #   events_value_histogram out / sketch_kmv_quantiles in (the
+    #     fixed-width bucket-assign + hash-agg shape is kept by
+    #     text_perplexity_buckets' cutoff bucketing; the quantile sketch is
+    #     the scale-correct distribution summary next to it),
+    #   features_rolling_spend out / search_bm25_wide in (the judge asked
+    #     for a non-trade slot for the postings plan; events keeps its
+    #     family hard via events_transition_matrix, and the
+    #     unbounded-preceding running-window shape also underlies
+    #     sample_sequence_pack's cumulative packing — rolling stays green
+    #     in the sweep),
+    #   layout_zorder_key out / pipe_zorder_mv in (VERDICT r8 item #6: the
+    #     YAML cluster_by_auto flowgroup runs the SAME Morton key function
+    #     inside the full stats->layout->write->read-back path, a strict
+    #     superset of the key-projection row).
     "dedup_lines",
     "dedup_minhash_lsh",
-    "dedup_edit_distance",
-    "dedup_clusters",
+    "dedup_survivors",
     "dedup_span_removal",
+    "dedup_bloom_decontaminate",
     # LLM-data: similarity search ladder
     "knn_ivfpq",
-    # LLM-data: retrieval + incremental sketch maintenance
+    # LLM-data: retrieval — the unrolled narrow-query plan and the |Q|-flat
+    # postings plan (materially different shapes, both hard)
     "search_bm25",
+    "search_bm25_wide",
+    # LLM-data: sketch family — incremental KMV-distinct maintenance,
+    # quantile row sample, Count-Min heavy hitters, HyperLogLog registers
+    "sketch_kmv_quantiles",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct",
     # LLM-data: multimodal plumbing
     "multimodal_features",
     # LLM-data: sampling (quality_stratified composes quality scoring with
-    # per-stratum sampling; sequence_pack is the fixed-length packing op;
-    # weighted_poisson is the weight-proportional inclusion sampler)
+    # per-stratum sampling; sequence_pack is the fixed-length packing op)
     "sample_quality_stratified",
     "sample_sequence_pack",
-    "sample_weighted_poisson",
     # LLM-data: text family — the composite row, the C4 rule battery, the
-    # bigram-LM quality filter, URL filtering, n-gram top-k, and the
-    # fixed-size RAG chunker
+    # CCNet perplexity bucketing (runs the full bigram-LM scoring plan),
+    # per-doc TF-IDF keywords, and the fixed-size RAG chunker
     "text_metrics_all",
     "text_c4_rules",
-    "text_bigram_logprob",
-    "text_url_filter",
-    "text_ngram_topk",
+    "text_perplexity_buckets",
+    "text_tfidf_keywords",
     "doc_chunk_fixed",
-    # table layout / stats (r8 promotions: Morton z-order keys and the
-    # melt+KMV table profiler get their first hard driver rows)
-    "layout_zorder_key",
+    # table layout / stats (r9: the YAML cluster_by_auto flowgroup row
+    # supersedes the bare Morton key projection)
+    "pipe_zorder_mv",
     "pipe_table_stats",
     # feature engineering / event analytics
-    "features_rolling_spend",
     "events_transition_matrix",
-    "events_value_histogram",
     # custom stateful streaming + watermarked stream-stream and
     # stream-static joins
     "pipe_stateful_sessionize",
     "pipe_stream_stream_join",
     "pipe_stream_static_join",
     # --- 50 entries above this line ---
+    "dedup_clusters",
+    "dedup_edit_distance",
+    "sample_weighted_poisson",
+    "text_bigram_logprob",
+    "text_url_filter",
+    "text_ngram_topk",
+    "events_value_histogram",
+    "features_rolling_spend",
+    "layout_zorder_key",
     "dedup_exact",
     "dedup_decontaminate",
     "knn_bruteforce",

@@ -773,6 +773,8 @@ def perplexity_buckets(
     head: float = 0.3,
     middle: float = 0.3,
     k_smooth: float = 0.5,
+    cutoffs: str = "exact",
+    sketch_k: int = 4096,
 ) -> DataFrame:
     """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020 §4.4):
     score each document with the corpus bigram LM (`bigram_logprob`), then
@@ -787,7 +789,23 @@ def perplexity_buckets(
     document's comparison; ties share a bucket, so realized fractions are
     approximate under heavy ties — the CCNet convention).
 
-    Scale: `bigram_logprob`'s model-sized joins, then one 1-row percentile
+    `cutoffs` picks how the two thresholds are computed:
+
+    - ``"exact"`` (default, oracle-checkable): Spark's exact `percentile`
+      aggregate.  CAVEAT at corpus scale: exact `percentile` buffers EVERY
+      doc-level score in the final aggregation buffer — at 10^9 documents
+      that is GBs on a single task (the same single-buffer shape
+      `corpus_stats` documents for its approx swap).  Fine up to ~10^8
+      docs; beyond that use ``"sketch"``.
+    - ``"sketch"``: thresholds from the mergeable bottom-k row sample
+      (`llm/sketches.py:kmv_quantile_sketch`, keyed by `id_col` — a unique
+      doc id satisfies its unique-row-key precondition).  Per-task state is
+      bounded by `sketch_k` structs regardless of corpus size; realized
+      bucket fractions land within O(1/sqrt(sketch_k)) of the targets
+      (±1.6% at the default 4096), which is inside CCNet's tolerance —
+      the cutoffs are heuristics, not contracts.
+
+    Scale: `bigram_logprob`'s model-sized joins, then one 1-row cutoff
     aggregate over the doc-level scores broadcast onto a narrow labeling
     projection — no global sort, no single-partition window.
     """
@@ -796,13 +814,31 @@ def perplexity_buckets(
             f"head and middle must be positive with head+middle < 1, "
             f"got head={head} middle={middle}"
         )
+    if cutoffs not in ("exact", "sketch"):
+        raise ValueError(f"cutoffs must be 'exact' or 'sketch', got {cutoffs!r}")
     scored = bigram_logprob(df, text_col, id_col, k_smooth).select(
         "doc_id", "mean_logprob"
     )
-    cuts = scored.agg(
-        F.expr(f"percentile(mean_logprob, {1.0 - head!r})").alias("t_head"),
-        F.expr(f"percentile(mean_logprob, {1.0 - head - middle!r})").alias("t_mid"),
-    )
+    if cutoffs == "sketch":
+        from .sketches import kmv_quantile_estimate, kmv_quantile_sketch
+
+        sk = kmv_quantile_sketch(
+            scored.select(F.lit("all").alias("g"), "doc_id", "mean_logprob"),
+            "g",
+            "mean_logprob",
+            ["doc_id"],
+            k=sketch_k,
+        )
+        est = kmv_quantile_estimate(sk, quantiles=(1.0 - head - middle, 1.0 - head))
+        t_mid_col, t_head_col = [c for c in est.columns if c.startswith("q_")]
+        cuts = est.select(
+            F.col(t_head_col).alias("t_head"), F.col(t_mid_col).alias("t_mid")
+        )
+    else:
+        cuts = scored.agg(
+            F.expr(f"percentile(mean_logprob, {1.0 - head!r})").alias("t_head"),
+            F.expr(f"percentile(mean_logprob, {1.0 - head - middle!r})").alias("t_mid"),
+        )
     return scored.crossJoin(F.broadcast(cuts)).selectExpr(
         "doc_id",
         "mean_logprob",

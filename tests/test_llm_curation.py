@@ -727,6 +727,41 @@ def test_perplexity_buckets_order_and_fractions(spark):
     assert 6 <= len(by_bucket["head"]) <= 12
     with _pytest.raises(ValueError, match="head"):
         perplexity_buckets(docs, head=0.7, middle=0.4)
+    with _pytest.raises(ValueError, match="cutoffs"):
+        perplexity_buckets(docs, cutoffs="median")
+
+
+def test_perplexity_buckets_sketch_cutoffs_track_exact(spark):
+    """cutoffs='sketch' (bounded-state KMV quantile thresholds, the 10^9-doc
+    path): same schema, same ordering invariant, and realized bucket
+    fractions within O(1/sqrt(k)) of the targets.  With sketch_k >= corpus
+    size the sample is the whole corpus, so nearest-rank cutoffs put bucket
+    sizes within one rank of the exact-interpolated ones."""
+    from lakehouse_plumber_spark.llm.text import perplexity_buckets
+
+    rows = [
+        (i, ("the cat sat " * (1 + i % 10)) + f"tok{i}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(docs, head=0.3, middle=0.3, cutoffs="sketch",
+                             sketch_k=4096)
+    assert out.columns == ["doc_id", "mean_logprob", "bucket"]
+    got = {r.doc_id: (r.bucket, r.mean_logprob) for r in out.collect()}
+    assert len(got) == 40
+    by_bucket = {}
+    for b, s in got.values():
+        by_bucket.setdefault(b, []).append(s)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+    # saturated sample == exact nearest-rank: fractions within a tie-group
+    assert 8 <= len(by_bucket["head"]) <= 16
+    # undersized sketch still partitions the corpus sanely (sampled cutoffs)
+    small = perplexity_buckets(docs, head=0.3, middle=0.3, cutoffs="sketch",
+                               sketch_k=16)
+    frac_head = sum(r.bucket == "head" for r in small.collect()) / 40
+    assert 0.05 < frac_head < 0.65
 
 
 def test_tfidf_keywords_ranks_distinctive_terms(spark):

@@ -107,29 +107,50 @@ def test_driver_prefix_covers_every_operator_class():
         # text_gopher_rules out (c4_rules keeps the rule-battery scan);
         # events_peak_concurrency out (rolling_spend keeps the running
         # window); all rotated-out rows stay green in the local sweep.
+        # r9 rotation (VERDICT r8 item #2): dedup_clusters out / survivors in
+        # (survivors runs the full CC plan plus cluster-partitioned ranking);
+        # dedup_edit_distance out (minhash keeps the LSH-candidate + verify
+        # join class) / sketch_cms_heavy_hitters in; bloom_decontaminate in
+        # (new bitmap-fold + broadcast-bitmap shape) for weighted_poisson
+        # (quality_stratified keeps the metadata-agg -> hash-threshold
+        # sampling shape); all rotated-out rows stay green in the sweep.
         "llm:dedup": {
-            "dedup_lines", "dedup_minhash_lsh",
-            "dedup_edit_distance", "dedup_clusters",
-            "dedup_span_removal",
+            "dedup_lines", "dedup_minhash_lsh", "dedup_survivors",
+            "dedup_span_removal", "dedup_bloom_decontaminate",
         },
         "llm:knn": {"knn_ivfpq"},
-        "llm:retrieval": {"search_bm25"},
-        "llm:sketches": {"pipe_incremental_kmv"},
+        # both BM25 plans are hard rows: unrolled (narrow queries) and the
+        # |Q|-flat postings plan (wide queries) differ materially
+        "llm:retrieval": {"search_bm25", "search_bm25_wide"},
+        # all four sketch classes: KMV-distinct (via incremental
+        # maintenance), KMV-quantile row sample, Count-Min frequency, HLL
+        # fixed-state cardinality
+        "llm:sketches": {
+            "pipe_incremental_kmv", "sketch_kmv_quantiles",
+            "sketch_cms_heavy_hitters", "sketch_hll_distinct",
+        },
         "llm:multimodal": {"multimodal_features"},
         "llm:sampling": {
-            "sample_quality_stratified", "sample_weighted_poisson",
-            "sample_sequence_pack",
+            "sample_quality_stratified", "sample_sequence_pack",
         },
+        # r9: text_bigram_logprob out / perplexity_buckets in (judge-named:
+        # buckets runs the full scoring plan plus cutoffs); text_ngram_topk
+        # out / tfidf_keywords in (same explode+term-agg plus DF join and
+        # per-doc ranked window); text_url_filter out (broadcast-membership
+        # shape kept by bloom_decontaminate, rule battery by c4_rules)
         "llm:text": {
-            "text_metrics_all", "text_c4_rules", "text_bigram_logprob",
-            "text_url_filter", "text_ngram_topk", "doc_chunk_fixed",
+            "text_metrics_all", "text_c4_rules", "text_perplexity_buckets",
+            "text_tfidf_keywords", "doc_chunk_fixed",
         },
-        "layout:zorder": {"layout_zorder_key"},
+        # r9: the YAML cluster_by_auto flowgroup supersedes the bare Morton
+        # key projection (same key function inside the full write path)
+        "layout:zorder": {"pipe_zorder_mv"},
         "layout:stats": {"pipe_table_stats"},
-        "features:events": {
-            "features_rolling_spend", "events_transition_matrix",
-            "events_value_histogram",
-        },
+        # r9: transition_matrix keeps the events family hard;
+        # value_histogram (bucket+hash-agg) and rolling_spend (running
+        # window, also underlying sequence_pack's cumulative packing)
+        # rotate to the sweep
+        "features:events": {"events_transition_matrix"},
         "streaming:stateful": {"pipe_stateful_sessionize"},
         "streaming:join": {"pipe_stream_stream_join", "pipe_stream_static_join"},
     }
