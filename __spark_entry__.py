@@ -4645,6 +4645,37 @@ _BM25_WIDE_TERMS = [
 ]
 
 
+@_register("pipe_bm25_yaml", SRCH.bm25_topk_duck("documents", _BM25_TERMS, k=20))
+def pipe_bm25_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval as a DECLARATIVE action (engine extension, r9): a
+    flowgroup runs `transform_type: retrieval` over the documents view —
+    `plan: auto` resolves to the unrolled shape at 4 terms (below the
+    measured ≈8-term crossover) — and writes the top-k MV.  Same oracle as
+    `search_bm25`: the YAML surface must produce exactly what the Python
+    API does.  The compile-to-source path for the same spec is golden- and
+    roundtrip-tested (tests/test_codegen_golden.py, test_codegen.py)."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "retrieval", "flowgroup": "bm25",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_docs",
+                 "source": {"type": "delta", "table": "documents"}},
+                {"name": "topk", "type": "transform",
+                 "transform_type": "retrieval", "source": "v_docs",
+                 "target": "v_top",
+                 "retrieval": {"query_terms": _BM25_TERMS, "k": 20}},
+                {"name": "mv", "type": "write", "source": "v_top",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "ret", "table": "bm25_top"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.ret.bm25_top")
+
+
 @_register(
     "search_bm25_wide", SRCH.bm25_topk_duck("documents", _BM25_WIDE_TERMS, k=20)
 )

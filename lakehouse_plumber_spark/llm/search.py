@@ -260,3 +260,98 @@ def bm25_topk_postings(
     return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "rank", "doc_id", "n_terms_hit", "score"
     )
+
+
+# Measured unrolled->postings crossover on sf0.1 documents (r8 width study,
+# docs/operators.md "BM25 query width"); re-measure if the corpus' token
+# length distribution changes materially.
+BM25_CROSSOVER_TERMS = 8
+
+
+def bm25_choose_plan(query_terms: list[str], plan: str = "auto") -> str:
+    """Resolve a requested plan ("auto"|"unrolled"|"postings") to a concrete
+    one, using the measured term-count crossover for "auto".  Term count is
+    taken post-casefold-dedup — the count the plans actually execute."""
+    if plan not in ("auto", "unrolled", "postings"):
+        raise ValueError(f"plan must be auto|unrolled|postings, got {plan!r}")
+    if plan != "auto":
+        return plan
+    return (
+        "unrolled"
+        if len(_norm_terms(query_terms)) <= BM25_CROSSOVER_TERMS
+        else "postings"
+    )
+
+
+def bm25_scored_sql(
+    view: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    plan: str = "auto",
+) -> str:
+    """Spark-SQL text for the SCORED stage (doc_id, n_terms_hit, score) of
+    BM25 over `view` — the compile-time seam `codegen.py` uses so a
+    generated pipeline runs retrieval with no engine import.  Emits the
+    resolved plan's shape: unrolled (CTE per stage, |Q| filter()
+    expressions, broadcast-hinted 1-row stats) or postings (LATERAL VIEW
+    explode pruned by the term list, broadcast-hinted df/corpus joins).
+    Top-k ranking is left to the caller (orderBy().limit() compiles to a
+    distributed TakeOrderedAndProject; a SQL row_number() here would be a
+    single-partition window over every candidate).  Score expressions are
+    byte-identical to the DataFrame plans', so generated output matches
+    the engine's bit-for-bit."""
+    terms = _norm_terms(query_terms)
+    plan = bm25_choose_plan(terms, plan)
+    nq = len(terms)
+    toks = tokens_spark(f"lower(coalesce({text_col}, ''))")
+    if plan == "unrolled":
+        tfs = ",\n         ".join(
+            f"cast(size(filter(toks, x -> x = '{t.replace(chr(92), chr(92)*2).replace(chr(39), chr(39)*2)}')) AS bigint) AS tf_{i}"
+            for i, t in enumerate(terms)
+        )
+        dfs = ",\n         ".join(
+            f"cast(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS bigint) AS df_{i}"
+            for i in range(nq)
+        )
+        hits, score = _score_exprs(nq, k1, b, "spark")
+        return f"""
+    WITH t AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {view}),
+    d AS (SELECT doc_id, cast(size(toks) AS bigint) AS dl,
+         {tfs}
+       FROM t),
+    stats AS (SELECT cast(count(*) AS bigint) AS n_docs,
+         cast(sum(dl) AS double) AS total_dl,
+         {dfs}
+       FROM d)
+    SELECT /*+ BROADCAST(stats) */ doc_id,
+           {hits} AS n_terms_hit, {score} AS score
+    FROM d CROSS JOIN stats
+    WHERE {hits} > 0
+    """
+    term_list = ", ".join(
+        "'" + t.replace("\\", "\\\\").replace("'", "''") + "'" for t in terms
+    )
+    part = (
+        "ln((cast(n_docs AS double) - df + 0.5) / (df + 0.5) + 1.0)"
+        f" * (tf * (1.0 + {k1})) / "
+        f"(tf + {k1} * (1.0 - {b} + {b} * dl * cast(n_docs AS double) / total_dl))"
+    )
+    return f"""
+    WITH t AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {view}),
+    base AS (SELECT doc_id, cast(size(toks) AS bigint) AS dl, toks FROM t),
+    corpus AS (SELECT cast(count(*) AS bigint) AS n_docs,
+                      cast(sum(dl) AS double) AS total_dl FROM base),
+    posts AS (SELECT doc_id, dl, term, cast(count(*) AS bigint) AS tf
+              FROM base LATERAL VIEW explode(toks) x AS term
+              WHERE term IN ({term_list})
+              GROUP BY doc_id, dl, term),
+    dfs AS (SELECT term, cast(count(*) AS bigint) AS df FROM posts GROUP BY term)
+    SELECT /*+ BROADCAST(dfs), BROADCAST(corpus) */ doc_id,
+           cast(count(*) AS int) AS n_terms_hit,
+           cast(sum(CAST({part} AS decimal(18,6))) AS double) AS score
+    FROM posts JOIN dfs USING (term) CROSS JOIN corpus
+    GROUP BY doc_id
+    """

@@ -48,6 +48,10 @@ class TransformType(str, Enum):
     DATA_QUALITY = "data_quality"
     SCHEMA = "schema"
     TEMP_TABLE = "temp_table"
+    # engine extension: BM25 retrieval as a declarative action (the
+    # reference expresses everything users run as actions; the extension
+    # family follows suit — llm/search.py is the executor)
+    RETRIEVAL = "retrieval"
 
 
 class WriteTargetType(str, Enum):
@@ -165,6 +169,51 @@ class QuarantineConfig(BaseModel):
 
     dlq_table: str
     source_table: Optional[str] = None
+
+
+class RetrievalConfig(BaseModel):
+    """Engine extension: `transform_type: retrieval` — BM25 top-k over a
+    document view without touching the Python API (llm/search.py).
+
+    `plan` picks the physical strategy: "unrolled" (two column-pruned
+    scans, |Q| narrow filter() expressions — the interactive keyword
+    shape), "postings" (explode-prune-broadcast, |Q|-flat — the wide-query
+    shape), or "auto" (default): unrolled up to the measured ≈8-term
+    crossover (docs/operators.md "BM25 query width"), postings above it.
+    Both plans emit identical rows and scores (exact-decimal parts), so
+    the choice is purely physical.
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    query_terms: list[str]
+    k: int = 20
+    k1: float = 1.2
+    b: float = 0.75
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    plan: str = "auto"  # auto | unrolled | postings
+
+    @field_validator("query_terms")
+    @classmethod
+    def _terms_nonempty(cls, v: list[str]) -> list[str]:
+        if not v:
+            raise ValueError("retrieval needs at least one query term")
+        return v
+
+    @field_validator("plan")
+    @classmethod
+    def _plan_known(cls, v: str) -> str:
+        if v not in ("auto", "unrolled", "postings"):
+            raise ValueError(f"plan must be auto|unrolled|postings, got {v!r}")
+        return v
+
+    @field_validator("k")
+    @classmethod
+    def _k_positive(cls, v: int) -> int:
+        if v < 1:
+            raise ValueError(f"k must be >= 1, got {v}")
+        return v
 
 
 class IncrementalConfig(BaseModel):
@@ -309,6 +358,9 @@ class Action(BaseModel):
     schema_inline: Optional[Any] = None
     schema_file: Optional[str] = None
     enforcement: str = "strict"  # strict | permissive
+
+    # retrieval transform (engine extension)
+    retrieval: Optional[RetrievalConfig] = None
 
     # data-quality transform
     mode: Optional[str] = None  # dqe | quarantine

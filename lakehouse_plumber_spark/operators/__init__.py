@@ -24,6 +24,8 @@ REGISTRY = {
     ("transform", "schema"): _transform.transform_schema,
     ("transform", "temp_table"): _transform.transform_temp_table,
     ("transform", "data_quality"): _transform.transform_data_quality,
+    # engine extension: BM25 retrieval as a declarative action
+    ("transform", "retrieval"): _transform.transform_retrieval,
     ("write", "streaming_table"): _write.write_streaming_table,
     ("write", "materialized_view"): _write.write_materialized_view,
     ("write", "sink"): _write.write_sink,

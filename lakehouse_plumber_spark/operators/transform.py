@@ -109,6 +109,39 @@ def transform_python(ctx: BuildContext, action: Action) -> DataFrame:
     return df
 
 
+def transform_retrieval(ctx: BuildContext, action: Action) -> DataFrame:
+    """BM25 top-k retrieval as a declarative action (engine extension; the
+    reference expresses every user operation as an action, so the extension
+    family does too).  Spec: `retrieval: {query_terms, k, k1, b, text_col,
+    id_col, plan}`; executor is llm/search.py — "auto" resolves to the
+    unrolled plan up to the measured ≈8-term crossover, the |Q|-flat
+    postings plan above it; both emit identical rows and scores."""
+    from lakehouse_plumber_spark.llm.search import (
+        bm25_choose_plan,
+        bm25_topk,
+        bm25_topk_postings,
+    )
+
+    cfg = action.retrieval
+    if cfg is None:
+        raise ValueError(
+            f"retrieval transform {action.name!r} missing `retrieval:` config"
+        )
+    if not action.source or not isinstance(action.source, str):
+        raise ValueError(
+            f"retrieval transform {action.name!r} needs a single source view"
+        )
+    df = ctx.resolve_view(action.source)
+    plan = bm25_choose_plan(cfg.query_terms, cfg.plan)
+    fn = bm25_topk if plan == "unrolled" else bm25_topk_postings
+    out = fn(
+        df, cfg.query_terms, k=cfg.k, k1=cfg.k1, b=cfg.b,
+        text_col=cfg.text_col, id_col=cfg.id_col,
+    )
+    ctx.log(action.name, "retrieval_plan", plan=plan, n_terms=len(cfg.query_terms))
+    return out
+
+
 def transform_schema(ctx: BuildContext, action: Action) -> DataFrame:
     """Rename map -> cast map -> enforcement select (reference transform/schema.py.j2:10-47).
 

@@ -827,3 +827,107 @@ def test_generated_code_applies_and_restores_spark_conf(spark, tmp_path):
     files = glob.glob(str(tmp_path / "out" / "m/s/t" / "*.parquet"))
     assert 0 < len(files) <= 3
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_compiled_retrieval_matches_engine_both_plans(spark, runner, tmp_path):
+    """transform_type: retrieval — the generated Spark-SQL scoring must
+    reproduce the engine executor's rows and scores exactly, on BOTH
+    resolved plan shapes (unrolled and postings score parts are each cast
+    to DECIMAL(18,6) before summation, so the plans cannot diverge)."""
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    spark.sql(
+        "SELECT id AS doc_id, concat('spark window ', "
+        "repeat('merge ', cast(id % 7 AS int)), 'vector row') AS text "
+        "FROM range(200)"
+    ).createOrReplaceTempView("ret_docs")
+
+    def spec(plan):
+        return {
+            "pipeline": "p", "flowgroup": f"ret_{plan}",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_docs",
+                 "source": {"type": "sql", "sql": "SELECT * FROM ret_docs"}},
+                {"name": "topk", "type": "transform",
+                 "transform_type": "retrieval", "source": "v_docs",
+                 "target": "v_top",
+                 "retrieval": {"query_terms": ["Spark", "merge", "vector"],
+                               "k": 10, "plan": plan}},
+                {"name": "mv", "type": "write", "source": "v_top",
+                 "write_target": {"type": "materialized_view",
+                                  "database": "m.ret", "table": f"t_{plan}"}},
+            ],
+        }
+
+    results = {}
+    for plan in ("unrolled", "postings"):
+        fg = load_flowgroup(spec(plan))
+        ctx = runner.run(fg)
+        engine = [
+            tuple(r) for r in
+            ctx.resolve_view(f"m.ret.t_{plan}").orderBy("rank").collect()
+        ]
+        src = compile_flowgroup(fg)
+        assert "import lakehouse_plumber_spark" not in src
+        ns: dict = {}
+        exec(compile(src, "<generated>", "exec"), ns)
+        written = ns["build"](spark, str(tmp_path / f"out_{plan}"))
+        generated = [
+            tuple(r) for r in
+            written[f"m.ret.t_{plan}"].orderBy("rank").collect()
+        ]
+        assert generated == engine, f"plan {plan}: generated != engine"
+        results[plan] = engine
+    # and the two physical plans agree with each other
+    assert results["unrolled"] == results["postings"]
+
+
+def test_retrieval_spec_validation():
+    """Bad retrieval specs fail as clean spec errors, not tracebacks."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.parsers import SpecError, load_flowgroup
+
+    def spec(retrieval):
+        return {
+            "pipeline": "p", "flowgroup": "r",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v",
+                 "source": {"type": "sql", "sql": "SELECT 1 AS doc_id, 'x' AS text"}},
+                {"name": "t", "type": "transform", "transform_type": "retrieval",
+                 "source": "v", "target": "v2", "retrieval": retrieval},
+                {"name": "w", "type": "write", "source": "v2",
+                 "write_target": {"type": "materialized_view", "database": "m.r",
+                                  "table": "t"}},
+            ],
+        }
+
+    with _pytest.raises(SpecError, match="query term"):
+        load_flowgroup(spec({"query_terms": []}))
+    with _pytest.raises(SpecError, match="plan"):
+        load_flowgroup(spec({"query_terms": ["a"], "plan": "hash"}))
+    with _pytest.raises(SpecError, match="k"):
+        load_flowgroup(spec({"query_terms": ["a"], "k": 0}))
+    # unknown keys are rejected (extra='forbid' on RetrievalConfig)
+    with _pytest.raises(SpecError):
+        load_flowgroup(spec({"query_terms": ["a"], "topk": 5}))
+
+
+def test_bm25_choose_plan_crossover():
+    from lakehouse_plumber_spark.llm.search import (
+        BM25_CROSSOVER_TERMS,
+        bm25_choose_plan,
+    )
+
+    narrow = [f"t{i}" for i in range(BM25_CROSSOVER_TERMS)]
+    wide = [f"t{i}" for i in range(BM25_CROSSOVER_TERMS + 1)]
+    assert bm25_choose_plan(narrow) == "unrolled"
+    assert bm25_choose_plan(wide) == "postings"
+    # dedup happens before counting: 20 copies of one term stay unrolled
+    assert bm25_choose_plan(["X"] * 20) == "unrolled"
+    assert bm25_choose_plan(wide, plan="unrolled") == "unrolled"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="plan"):
+        bm25_choose_plan(["a"], plan="fastest")

@@ -94,6 +94,31 @@ SPECS = {
                               "options": {"simulate_path": "out/kafka"}}},
         ],
     },
+    # BM25 retrieval as a declarative action (engine extension): the scored
+    # stage compiles to plain Spark SQL via llm/search.py:bm25_scored_sql
+    # (no engine import in the output), top-k stays DataFrame-side; one
+    # spec per resolved plan shape (2 terms -> unrolled, forced postings)
+    "retrieval_bm25": {
+        "pipeline": "p", "flowgroup": "ret",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v_docs",
+             "source": {"type": "sql",
+                        "sql": "SELECT 1 AS doc_id, 'spark window merge' AS text"}},
+            {"name": "r1", "type": "transform", "transform_type": "retrieval",
+             "source": "v_docs", "target": "v_top",
+             "retrieval": {"query_terms": ["Spark", "window"], "k": 5}},
+            {"name": "r2", "type": "transform", "transform_type": "retrieval",
+             "source": "v_docs", "target": "v_top_wide",
+             "retrieval": {"query_terms": ["spark", "merge"], "k": 5,
+                           "plan": "postings"}},
+            {"name": "wr", "type": "write", "source": "v_top",
+             "write_target": {"type": "materialized_view", "database": "m.r",
+                              "table": "t", "sql": "SELECT * FROM v_top"}},
+            {"name": "wr2", "type": "write", "source": "v_top_wide",
+             "write_target": {"type": "materialized_view", "database": "m.r",
+                              "table": "t2", "sql": "SELECT * FROM v_top_wide"}},
+        ],
+    },
     # cluster_by_auto + >=2 cluster_columns: the Morton (Z-order) layout is
     # reachable from the YAML surface (reference _action.py:33-34); the
     # generated script carries the standalone _zorder_layout helper
