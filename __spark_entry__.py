@@ -1919,6 +1919,77 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(spark.table("embeddings"), threshold=0.99)
 
 
+# The synthetic embeddings have max pairwise cosine ~0.51 (no natural
+# near-dups), so the LSH row runs on the PLANTED-DUPLICATE corpus every
+# dedup benchmark uses: the table unioned with an id-shifted copy of
+# itself.  Each (v, v+shift) pair has cosine exactly 1.0 -> the output is
+# one verified row per source vector (plus none from the true pairs, all
+# far below threshold), a deterministic non-zero signal at every SF.
+_EMB_DUP_SHIFT = 1_000_000
+
+
+def _emb_lsh_duck() -> str:
+    """Same planted corpus, banded hyperplane signatures, candidates, and
+    exact-cosine verify as llm/dedup.py:embedding_near_dup_lsh — weights
+    are the identical md5-derived literals, so the candidate set reproduces
+    bit-for-bit."""
+    planes = D.EMB_LSH_BANDS * D.EMB_LSH_ROWS
+    weights = S.hyperplane_weights(planes, 64)
+    bucket_terms = []
+    for p, row in enumerate(weights):
+        arr = "[" + ", ".join(str(w) for w in row) + "]::DOUBLE[]"
+        bucket_terms.append(
+            f"CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << p} ELSE 0 END"
+        )
+    bucket = " + ".join(bucket_terms)
+    mask = (1 << D.EMB_LSH_ROWS) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, (sig >> {b * D.EMB_LSH_ROWS}) & {mask} AS key FROM sig_t"
+        for b in range(D.EMB_LSH_BANDS)
+    )
+    cos = (
+        "round(list_dot_product(va.v, vb.v) / "
+        "(sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_EMB_DUP_SHIFT}, embedding::DOUBLE[] FROM embeddings
+    ),
+    sig_t AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS sig FROM base),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {cos} AS cosine
+    FROM cand c
+    JOIN sig_t va ON va.vec_id = c.id_a
+    JOIN sig_t vb ON vb.vec_id = c.id_b
+    WHERE {cos} >= 0.99
+    """
+
+
+@_register("dedup_embedding_lsh", _emb_lsh_duck())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at SCALE (llm/dedup.py:embedding_near_dup_lsh):
+    banded random-hyperplane signatures -> (band, key) equi-join candidates
+    -> exact-cosine verify — the LSH path the O(n^2) baseline's size guard
+    points at, now implemented.  One narrow signature projection, one
+    bucket shuffle per side, candidate-bounded verify; never all-pairs.
+    Runs on the planted-duplicate corpus (see _EMB_DUP_SHIFT note)."""
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    planted = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + _EMB_DUP_SHIFT).alias("vec_id"), F.col("embedding")
+        )
+    )
+    return D.embedding_near_dup_lsh(planted, threshold=0.99)
+
+
 @_register(
     "pipe_quarantine_dlq",
     """

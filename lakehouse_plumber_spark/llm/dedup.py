@@ -300,8 +300,9 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force with block-broadcast).
 
-    Correct baseline at small N; the scale path reuses the hyperplane-LSH
-    bucketing from llm.similarity (same bucketing, pair join inside buckets).
+    Correct baseline at small N; the scale path is `embedding_near_dup_lsh`
+    (banded hyperplane candidates from llm.similarity's signature machinery,
+    exact-cosine verify — never all-pairs).
     The pair join is O(n^2): above `max_rows` input vectors this raises
     loudly instead of launching a quadratic shuffle (100k vectors is already
     5e9 candidate pairs) — switch to the LSH path, or raise the cap
@@ -313,9 +314,10 @@ def embedding_near_dup_pairs(
     if df.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
             f"embedding_near_dup_pairs is a brute-force O(n^2) baseline and "
-            f"got more than max_rows={max_rows} vectors; use the LSH-bucketed "
-            "path (llm.similarity hyperplane buckets + within-bucket pair "
-            "join) at this size, or pass max_rows= explicitly to override"
+            f"got more than max_rows={max_rows} vectors; use "
+            "embedding_near_dup_lsh (banded hyperplane candidates + exact "
+            "cosine verify, never all-pairs) at this size, or pass "
+            "max_rows= explicitly to override"
         )
     # per-vector norms are hoisted out of the O(n^2) pair loop: each pair then
     # costs one dot product, not a dot product plus two norm re-aggregations
@@ -334,6 +336,98 @@ def embedding_near_dup_pairs(
             F.round(F.expr(f"({dot}) / (a.nrm * b.nrm)"), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+EMB_LSH_BANDS = 4
+EMB_LSH_ROWS = 8  # hyperplanes per band; EMB_LSH_BANDS * EMB_LSH_ROWS total
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    threshold: float = 0.95, bands: int = EMB_LSH_BANDS,
+    rows_per_band: int = EMB_LSH_ROWS, max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: banded random-hyperplane
+    LSH candidates, verified by exact cosine — the LSH path
+    `embedding_near_dup_pairs`' size guard points at.
+
+    Each vector gets `bands * rows_per_band` deterministic hyperplane sign
+    bits (llm/similarity.py:hyperplane_bucket_expr — md5-derived ±1
+    weights, reproducible in any engine); a pair becomes a candidate when
+    ALL `rows_per_band` bits of ANY band agree, the same band-amplified
+    AND/OR construction as MinHash LSH.  At the defaults a cosine-0.99
+    pair survives a band with p ≈ 0.69 and at least one of 4 bands with
+    p ≈ 0.99; candidates are then verified with the exact cosine, so
+    precision is 1 — LSH only bounds WHICH pairs are examined.
+
+    Scale plan: signatures are one narrow projection (dim multiply-adds
+    per plane, no per-row hashing), candidates one equi-join shuffling
+    each side once on (band, key) — never an all-pairs join — and the
+    verify join touches candidate pairs only.  `max_bucket_size` is the
+    same clique guard as `minhash_lsh_dedup`: m near-identical vectors in
+    one band bucket contribute ~m^2/2 candidates, the one superlinear
+    shape; capped buckets drop whole.
+    """
+    from .similarity import hyperplane_bucket_expr
+
+    if bands < 1 or rows_per_band < 1 or bands * rows_per_band > 62:
+        raise ValueError(
+            f"need 1 <= bands*rows_per_band <= 62 sign bits, got "
+            f"bands={bands} rows_per_band={rows_per_band}"
+        )
+    dim = len(df.select(vec_col).first()[0])
+    planes = bands * rows_per_band
+    # signatures + hoisted norms materialized ONCE: the band explode and
+    # both verify-join sides reuse this table (the minhash convention)
+    base = (
+        spread_for_compute(df, [id_col, vec_col])
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("sig", F.expr(hyperplane_bucket_expr("v", planes, dim)))
+        .withColumn(
+            "nrm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
+        )
+        .localCheckpoint(eager=True)
+    )
+    mask = (1 << rows_per_band) - 1
+    band_entries = ", ".join(
+        f"named_struct('band', {b}, "
+        f"'key', shiftright(sig, {b * rows_per_band}) & {mask}L)"
+        for b in range(bands)
+    )
+    banded = base.select(
+        F.col(id_col), F.explode(F.expr(f"array({band_entries})")).alias("bd")
+    ).select(id_col, F.col("bd.band").alias("band"), F.col("bd.key").alias("key"))
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bn"))
+        banded = banded.join(
+            sizes.where(F.col("__bn") <= max_bucket_size), on=["band", "key"]
+        ).drop("__bn")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, on=["band", "key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = base.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = base.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(F.expr(f"({dot}) / (na * nb)"), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

@@ -832,3 +832,59 @@ def test_bloom_decontaminate_one_sided_error(spark):
     assert not bl[2]  # 2^20 bits vs ~20 shingles: FP probability ~0
     with _pytest.raises(ValueError, match="power of two"):
         bloom_decontaminate(docs, bench, m_bits=100)
+
+
+def test_embedding_lsh_pairs_subset_of_bruteforce_with_high_recall(spark):
+    """LSH pairs are verified by the SAME exact cosine as the brute-force
+    baseline, so they must be a subset of its output; at a high threshold
+    the banded-signature recall should be near-total on clustered data."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.dedup import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    # 30 clusters of 3 near-identical vectors + 60 loners
+    for c in range(30):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for _ in range(3):
+            rows.append((vid, [x + rng.gauss(0, 0.01) for x in center]))
+            vid += 1
+    for _ in range(60):
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(64)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, threshold=0.99).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh(df, threshold=0.99).collect()
+    }
+    assert lsh <= brute  # exact verify -> no false positives vs baseline
+    assert len(brute) >= 30  # the planted clusters are found by brute force
+    assert len(lsh) / len(brute) >= 0.9  # banded recall at cosine >= 0.99
+
+
+def test_embedding_lsh_hot_bucket_cap_and_validation(spark):
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.dedup import embedding_near_dup_lsh
+
+    # 12 identical vectors: one bucket per band; cap at 4 drops them whole
+    df = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(12)], "vec_id long, embedding array<double>"
+    )
+    assert embedding_near_dup_lsh(df, threshold=0.5).count() == 66  # 12C2
+    assert embedding_near_dup_lsh(df, threshold=0.5, max_bucket_size=4).count() == 0
+    with _pytest.raises(ValueError, match="bands"):
+        embedding_near_dup_lsh(df, bands=0)
+    with _pytest.raises(ValueError, match="bands"):
+        embedding_near_dup_lsh(df, bands=8, rows_per_band=8)
