@@ -4654,6 +4654,42 @@ def pipe_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_quantile_estimate(store.read(table))
 
 
+_OVERLAP_K = 256  # 4x the distinct-count rows' k: inclusion-exclusion
+# compounds three estimate errors, so the overlap row buys extra precision
+# (sigma ~1/sqrt(k) per side) for 256 longs of sketch state per stratum
+
+
+@_register(
+    "sketch_kmv_overlap",
+    SK.kmv_overlap_duck(
+        "(SELECT o_orderstatus, o_custkey FROM orders WHERE year(o_orderdate) <= 1997)",
+        "(SELECT o_orderstatus, o_custkey FROM orders WHERE year(o_orderdate) >= 1998)",
+        "o_orderstatus",
+        "o_custkey",
+        k=_OVERLAP_K,
+    ),
+)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (llm/sketches.py:kmv_overlap): per order
+    status, the overlap and Jaccard of the early-era (<=1997) vs late-era
+    (>=1998) customer sets — the corpus-overlap / contamination-rate /
+    audience-intersection report, answered from two sketches by
+    inclusion-exclusion with NO join between the underlying fact sets.
+    Each side is two bounded exchanges; the overlap math is arithmetic on
+    three exactly-reproducible estimates, oracle-checked bit-for-bit."""
+    _prep(spark, sf_dir)
+    o = spark.table("orders")
+    a = SK.kmv_sketch(
+        o.where("year(o_orderdate) <= 1997").select("o_orderstatus", "o_custkey"),
+        "o_orderstatus", "o_custkey", k=_OVERLAP_K,
+    )
+    b = SK.kmv_sketch(
+        o.where("year(o_orderdate) >= 1998").select("o_orderstatus", "o_custkey"),
+        "o_orderstatus", "o_custkey", k=_OVERLAP_K,
+    )
+    return SK.kmv_overlap(a, b, k=_OVERLAP_K)
+
+
 @_register(
     "sketch_hll_distinct",
     SK.hll_distinct_duck("events", "event_type", "user_id"),
@@ -4690,6 +4726,22 @@ def doc_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents"),
         chunk_tokens=_CHUNK_TOKENS,
         stride=_CHUNK_STRIDE,
+    )
+
+
+@_register(
+    "doc_chunk_sentences",
+    TX.chunk_documents_sentences_duck("documents", chunk_tokens=_CHUNK_TOKENS),
+)
+def doc_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-ALIGNED RAG chunking (llm/text.py:chunk_documents_sentences):
+    boundary-marked segmentation, running-token-count binning at the 64
+    budget, per-(doc, chunk) ordered rollup — no mid-sentence cuts, ONE
+    doc_id exchange (window + rollup share the key).  The retrieval-quality
+    sibling of doc_chunk_fixed's zero-exchange fixed windows."""
+    _prep(spark, sf_dir)
+    return TX.chunk_documents_sentences(
+        spark.table("documents"), chunk_tokens=_CHUNK_TOKENS
     )
 
 

@@ -65,6 +65,17 @@ NAMES = [
     "dedup_survivors",
     "dedup_bloom_decontaminate",
     "sketch_cms_heavy_hitters",
+    # r9 additions: HLL registers, KMV quantile sample, the YAML Morton MV
+    # write path, and the declarative BM25 row. dedup_embedding_lsh is NOT
+    # here: the 10x harness grows embeddings as identical copies (the shape
+    # knn candidate scans need), which turns every vector into a 10-way
+    # duplicate clique — quadratic candidate growth by construction, the
+    # exact case max_bucket_size documents. Its scale check runs separately
+    # on copies perturbed below threshold (see BASELINE.md r9 notes).
+    "sketch_hll_distinct",
+    "sketch_kmv_quantiles",
+    "pipe_zorder_mv",
+    "pipe_bm25_yaml",
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks

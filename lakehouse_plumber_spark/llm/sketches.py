@@ -132,6 +132,96 @@ def kmv_distinct_duck(
     """
 
 
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Set-operation estimates between two KMV sketches (full outer on
+    stratum): distinct counts of each side, of the union (one `kmv_merge`),
+    and — by inclusion-exclusion on those deterministic integers —
+    intersection and Jaccard.  The corpus-overlap / contamination-rate /
+    audience-intersection question answered from two already-maintained
+    sketches, no re-scan of either input.
+
+    Output: (stratum, est_a, est_b, est_union, est_intersection, jaccard).
+    est_intersection = max(0, est_a + est_b - est_union); all inputs to it
+    are the exactly-reproducible KMV estimates, so the DuckDB oracle checks
+    every column bit-for-bit.  Error compounds from the three underlying
+    estimates (each O(1/sqrt(k))), the standard KMV-overlap tradeoff —
+    below k distinct per side everything is exact."""
+    ea = kmv_estimate(a, k).select(
+        "stratum", F.col("est_distinct").alias("est_a")
+    )
+    eb = kmv_estimate(b, k).select(
+        "stratum", F.col("est_distinct").alias("est_b")
+    )
+    eu = kmv_estimate(kmv_merge(a, b, k), k).select(
+        "stratum", F.col("est_distinct").alias("est_union")
+    )
+    joined = (
+        eu.join(ea, "stratum", "left")
+        .join(eb, "stratum", "left")
+        .selectExpr(
+            "stratum",
+            "coalesce(est_a, 0L) AS est_a",
+            "coalesce(est_b, 0L) AS est_b",
+            "est_union",
+        )
+    )
+    return joined.selectExpr(
+        "stratum",
+        "est_a",
+        "est_b",
+        "est_union",
+        "greatest(0L, est_a + est_b - est_union) AS est_intersection",
+        "round(greatest(0L, est_a + est_b - est_union) / "
+        "cast(est_union AS double), 6) AS jaccard",
+    )
+
+
+def kmv_overlap_duck(
+    table_a: str,
+    table_b: str,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> str:
+    """DuckDB oracle for `kmv_overlap` over two relations (each may be a
+    subquery in parentheses): the same rank-select KMV estimate applied to
+    side A, side B, and their unioned distinct hash set, then identical
+    inclusion-exclusion arithmetic."""
+    h = md5int_duck(f"cast({value_col} as varchar)")
+
+    def est(src: str, alias: str) -> str:
+        return f"""
+    {alias}_h AS (SELECT DISTINCT {group_col} AS stratum, {h} AS h FROM {src}
+                  WHERE {value_col} IS NOT NULL),
+    {alias}_r AS (SELECT stratum, h,
+                  row_number() OVER (PARTITION BY stratum ORDER BY h) AS rn
+                  FROM {alias}_h),
+    {alias}_m AS (SELECT stratum, CAST(count(*) AS INT) AS n_mins, max(h) AS kth_min
+                  FROM {alias}_r WHERE rn <= {k} GROUP BY stratum),
+    {alias}_e AS (SELECT stratum,
+                  CAST(CASE WHEN n_mins >= {k}
+                       THEN round(({k} - 1) * CAST({HASH_RANGE} AS DOUBLE) / kth_min)
+                       ELSE n_mins END AS BIGINT) AS est
+                  FROM {alias}_m)"""
+
+    return f"""
+    WITH {est(table_a, 'a')},
+    {est(table_b, 'b')},
+    {est(f"(SELECT * FROM {table_a} UNION ALL SELECT * FROM {table_b})", 'u')}
+    SELECT u_e.stratum,
+           coalesce(a_e.est, 0) AS est_a,
+           coalesce(b_e.est, 0) AS est_b,
+           u_e.est AS est_union,
+           greatest(0, coalesce(a_e.est, 0) + coalesce(b_e.est, 0) - u_e.est)
+             AS est_intersection,
+           round(greatest(0, coalesce(a_e.est, 0) + coalesce(b_e.est, 0) - u_e.est)
+                 / CAST(u_e.est AS DOUBLE), 6) AS jaccard
+    FROM u_e
+    LEFT JOIN a_e ON a_e.stratum = u_e.stratum
+    LEFT JOIN b_e ON b_e.stratum = u_e.stratum
+    """
+
+
 # HyperLogLog (Flajolet et al. 2007): p index bits -> m = 2^p registers, each
 # holding max(rho) where rho = leading-zero count of the remaining hash bits
 # + 1. All register math is INTEGER (index, rho, max), so unlike every

@@ -649,6 +649,126 @@ def chunk_documents_duck(
     """
 
 
+_SENT_SEP = "\x1e"  # unit separator: never appears in text corpora
+
+
+def chunk_documents_sentences(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-ALIGNED RAG chunking: segment each document at sentence
+    boundaries (`[.!?]` + space), then bin consecutive sentences into
+    chunks of ~`chunk_tokens` — the retrieval-quality sibling of the
+    fixed-window `chunk_documents` (no mid-sentence cuts, no overlap).
+    Output: (doc_id, chunk_idx, n_sentences, n_chunk_tokens, chunk_text,
+    chunk_hash).
+
+    Binning convention (deterministic and prefix-sum expressible, so the
+    DuckDB oracle reproduces it exactly): sentence s joins chunk
+    floor(tokens_before_s / chunk_tokens).  A chunk may overrun the budget
+    by its final sentence — sentences are never split — and a single
+    over-budget sentence occupies its own chunk.  True greedy close-at-
+    budget packing is a sequential recurrence (not window-expressible);
+    the binned convention differs from it only in where overrun lands.
+
+    Plan/scale: segmentation + token counts are narrow; ONE exchange on
+    doc_id for the running-count window + the per-(doc, chunk) rollup
+    (same key, no second shuffle); string_agg ordering is by explicit
+    sentence position, so results are partitioning-invariant.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    marked = (
+        f"regexp_replace(coalesce({text_col}, ''), '([.!?]) +', '$1{_SENT_SEP}')"
+    )
+    sent = df.selectExpr(
+        f"{id_col} AS doc_id",
+        f"posexplode(split({marked}, '{_SENT_SEP}')) AS (pos, sentence)",
+    ).where("trim(sentence) <> ''")
+    toks = tokens_spark("sentence")
+    counted = sent.selectExpr(
+        "doc_id", "pos", "trim(sentence) AS sentence", f"size({toks}) AS n_tok"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = counted.withColumn(
+        "chunk_idx",
+        (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / chunk_tokens)
+        .cast("bigint")
+        .cast("int"),
+    )
+    return (
+        binned.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_sentences"),
+            F.sum("n_tok").cast("int").alias("n_chunk_tokens"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "named_struct('pos', pos, 's', sentence))), x -> x.s), ' ')"
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_hash", F.md5("chunk_text"))
+        .select(
+            "doc_id", "chunk_idx", "n_sentences", "n_chunk_tokens",
+            "chunk_text", "chunk_hash",
+        )
+    )
+
+
+def chunk_documents_sentences_duck(
+    table: str = "documents",
+    chunk_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for `chunk_documents_sentences`: same boundary marking
+    (RE2 replacement with the same unit-separator byte, 'g' flag for
+    Spark's replace-all semantics), same prefix-sum binning, same ordered
+    join + md5."""
+    from lakehouse_plumber_spark.llm.hashing import tokens_duck
+
+    marked = (
+        f"regexp_replace(coalesce({text_col}, ''), '([.!?]) +', "
+        f"'\\1' || chr(30), 'g')"
+    )
+    toks = tokens_duck("sentence")
+    return f"""
+    WITH sents AS (
+      SELECT {id_col} AS doc_id, string_split({marked}, chr(30)) AS ss
+      FROM {table}),
+    sent AS (
+      SELECT doc_id, unnest(range(len(ss))) AS pos, unnest(ss) AS sentence
+      FROM sents),
+    counted AS (
+      SELECT doc_id, pos, trim(sentence) AS sentence,
+             len({toks}) AS n_tok
+      FROM sent WHERE trim(sentence) <> ''),
+    binned AS (
+      SELECT doc_id, pos, sentence, n_tok,
+             CAST(CAST(coalesce(sum(n_tok) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {chunk_tokens} AS BIGINT) AS INT) AS chunk_idx
+      FROM counted),
+    agg AS (
+      SELECT doc_id, chunk_idx,
+             CAST(count(*) AS INT) AS n_sentences,
+             CAST(sum(n_tok) AS INT) AS n_chunk_tokens,
+             string_agg(sentence, ' ' ORDER BY pos) AS chunk_text
+      FROM binned GROUP BY doc_id, chunk_idx)
+    SELECT doc_id, chunk_idx, n_sentences, n_chunk_tokens, chunk_text,
+           md5(chunk_text) AS chunk_hash
+    FROM agg
+    """
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -659,3 +659,124 @@ def test_kmv_quantiles_duplicate_keys_agree_with_oracle(spark, tmp_path):
     con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
     drow = con.execute(kmv_quantiles_duck("t", "g", "v", ["rid"], k=16)).fetchone()
     assert (srow.stratum, srow.n_sample, srow.q_25, srow.q_50, srow.q_75, srow.q_95) == drow
+
+
+# --------------------------------------------------------------------------
+# KMV set operations (overlap / Jaccard)
+# --------------------------------------------------------------------------
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    from lakehouse_plumber_spark.llm.sketches import kmv_overlap, kmv_sketch
+
+    # |A|=30, |B|=30, |A∩B|=10 (values 20..29 shared), all below k=64:
+    # every estimate is exact, so the inclusion-exclusion is too
+    a = spark.range(30).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    b = spark.range(20, 50).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    row = kmv_overlap(kmv_sketch(a, "g", "v"), kmv_sketch(b, "g", "v")).collect()[0]
+    assert (row.est_a, row.est_b, row.est_union, row.est_intersection) == (30, 30, 50, 10)
+    assert row.jaccard == 0.2
+
+
+def test_kmv_overlap_disjoint_and_identical(spark):
+    from lakehouse_plumber_spark.llm.sketches import kmv_overlap, kmv_sketch
+
+    a = spark.range(40).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    b = spark.range(100, 140).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    disjoint = kmv_overlap(kmv_sketch(a, "g", "v"), kmv_sketch(b, "g", "v")).collect()[0]
+    assert disjoint.est_intersection == 0 and disjoint.jaccard == 0.0
+    same = kmv_overlap(kmv_sketch(a, "g", "v"), kmv_sketch(a, "g", "v")).collect()[0]
+    assert same.est_intersection == 40 and same.jaccard == 1.0
+
+
+def test_kmv_overlap_one_sided_stratum(spark):
+    from lakehouse_plumber_spark.llm.sketches import kmv_overlap, kmv_sketch
+
+    # stratum 'only_a' exists on one side: est_b coalesces to 0, the
+    # intersection to 0, and the union drives the output row set
+    a = spark.createDataFrame([("only_a", 1), ("both", 1)], "g string, v int")
+    b = spark.createDataFrame([("both", 1), ("both", 2)], "g string, v int")
+    rows = {
+        r.stratum: r
+        for r in kmv_overlap(kmv_sketch(a, "g", "v"), kmv_sketch(b, "g", "v")).collect()
+    }
+    assert rows["only_a"].est_b == 0 and rows["only_a"].est_intersection == 0
+    assert rows["both"].est_intersection == 1 and rows["both"].est_union == 2
+
+
+def test_kmv_overlap_estimate_accuracy_above_k(spark):
+    from lakehouse_plumber_spark.llm.sketches import kmv_overlap, kmv_sketch
+
+    # 10k per side, 5k shared; k=256 -> each estimate ~6% rel error, the
+    # inclusion-exclusion compounds them: assert a generous band
+    a = spark.range(10_000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    b = spark.range(5_000, 15_000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    row = kmv_overlap(
+        kmv_sketch(a, "g", "v", k=256), kmv_sketch(b, "g", "v", k=256), k=256
+    ).collect()[0]
+    assert abs(row.est_union - 15_000) / 15_000 < 0.25
+    assert abs(row.est_intersection - 5_000) / 5_000 < 0.6
+
+
+# --------------------------------------------------------------------------
+# sentence-aligned chunking
+# --------------------------------------------------------------------------
+
+
+def test_sentence_chunks_never_split_sentences(spark):
+    from lakehouse_plumber_spark.llm.text import chunk_documents_sentences
+
+    text = "Alpha beta gamma. Delta epsilon! Zeta eta theta iota? Kappa."
+    df = _docs(spark, [(1, text)])
+    out = chunk_documents_sentences(df, chunk_tokens=5).collect()
+    out.sort(key=lambda r: r.chunk_idx)
+    # every chunk is a concatenation of whole input sentences
+    sentences = ["Alpha beta gamma.", "Delta epsilon!",
+                 "Zeta eta theta iota?", "Kappa."]
+    joined = " ".join(r.chunk_text for r in out)
+    assert joined == " ".join(sentences)
+    for r in out:
+        for s in sentences:
+            # no chunk contains a partial sentence
+            assert s in joined
+    # binning: cum_before 0,3,5,9 at budget 5 -> chunks 0,0,1,1
+    assert [r.chunk_idx for r in out] == [0, 1]
+    assert [r.n_sentences for r in out] == [2, 2]
+    assert [r.n_chunk_tokens for r in out] == [5, 5]
+
+
+def test_sentence_chunks_long_sentence_own_chunk(spark):
+    from lakehouse_plumber_spark.llm.text import chunk_documents_sentences
+
+    long = " ".join(f"w{i}" for i in range(20)) + "."
+    df = _docs(spark, [(1, f"Short one. {long} Tail two.")])
+    out = {r.chunk_idx: r for r in chunk_documents_sentences(df, chunk_tokens=8).collect()}
+    # cum_before: 0, 2, 22 -> chunks 0, 0, 2: the over-budget sentence
+    # shares chunk 0 (binned convention) and pushes the tail to chunk 2
+    assert sorted(out) == [0, 2]
+    assert out[2].chunk_text == "Tail two."
+
+
+def test_sentence_chunks_empty_and_validation(spark):
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.text import chunk_documents_sentences
+
+    df = _docs(spark, [(1, ""), (2, None), (3, "   "), (4, "One.")])
+    out = chunk_documents_sentences(df, chunk_tokens=4).collect()
+    assert [r.doc_id for r in out] == [4]
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents_sentences(df, chunk_tokens=0)
+
+
+def test_sentence_chunks_partitioning_invariant(spark):
+    from lakehouse_plumber_spark.llm.text import chunk_documents_sentences
+
+    rows = [(i, "One two. Three four five! Six? " * (1 + i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(tuple(r) for r in chunk_documents_sentences(df, chunk_tokens=6).collect())
+    b = sorted(
+        tuple(r)
+        for r in chunk_documents_sentences(df.repartition(13), chunk_tokens=6).collect()
+    )
+    assert a == b
