@@ -337,3 +337,44 @@ def test_tfidf_keywords_docwise_window_not_global(spark, q):
     # doc-hash partitions), never a single-partition global window
     assert "Window" in plan
     assert "SinglePartition" not in plan.split("Window")[1][:400]
+
+
+def test_embedding_lsh_equijoin_candidates_never_allpairs(spark, q):
+    df = q["dedup_embedding_lsh"](spark, SF)
+    plan = _spark_plan(df)
+    # banded candidates come from an equi-join on (band, key) — an all-pairs
+    # shape (cartesian / broadcast nested loop) must never appear
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # band explode JVM-side
+
+
+def test_hll_sketch_one_mapside_combined_register_exchange(spark, q):
+    df = q["sketch_hll_distinct"](spark, SF)
+    plan = _spark_plan(df)
+    # partial max per (stratum, idx) before the exchange (map-side combine),
+    # then the register rollup; no join, no window, no sort
+    assert plan.count("HashAggregate") >= 4
+    assert "Join" not in plan and "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_overlap_sketch_joins_only_no_fact_join(spark, q):
+    df = q["sketch_kmv_overlap"](spark, SF)
+    plan = _spark_plan(df)
+    # the only joins are on the per-stratum sketch tables (a handful of
+    # rows); the fact scans feed aggregates, never a fact-to-fact join
+    assert "CartesianProduct" not in plan
+    # pushdown: each era's date filter reaches its orders scan
+    assert re.search(r"PushedFilters: \[.*o_orderdate", plan)
+
+
+def test_sentence_chunks_one_docwise_exchange(spark, q):
+    df = q["doc_chunk_sentences"](spark, SF)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    # the running-count window and the chunk rollup share the doc_id key:
+    # one real exchange (formatted mode double-lists nodes)
+    assert plan.count("Exchange") <= 4
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window")[1][:400]
