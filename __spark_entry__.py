@@ -4708,6 +4708,36 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_distinct(spark.table("events"), "event_type", "user_id")
 
 
+@_register(
+    "pipe_incremental_hll",
+    SK.hll_distinct_duck("events", "event_type", "user_id"),
+)
+def pipe_incremental_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HLL maintenance, completing the mergeable-summary
+    QUARTET (pipe_incremental_kmv = distinct sample, pipe_incremental_cms =
+    frequency, pipe_incremental_quantiles = quantiles, this = fixed-state
+    cardinality): three deterministic event batches each fold into a
+    persisted register table via hll_merge — register max is IDEMPOTENT,
+    so unlike the counter sketches even an overlapping/replayed batch
+    cannot corrupt the state, and merged state == one-shot sketch exactly,
+    letting the one-shot oracle check the maintained registers bit-for-bit.
+    Per-batch work is batch-sized; history is never rescanned."""
+    _prep(spark, sf_dir)
+    store = _runner(spark).store
+    ev = spark.table("events")
+    table = "m.sketch.hll_users"
+    for i in range(3):
+        split = f"coalesce(pmod(event_id, 3), 0) = {i}"
+        batch = SK.hll_sketch(ev.where(F.expr(split)), "event_type", "user_id")
+        merged = (
+            SK.hll_merge(store.read(table), batch)
+            if store.exists(table)
+            else batch
+        )
+        store.overwrite(table, merged)
+    return SK.hll_estimate(store.read(table))
+
+
 _CHUNK_TOKENS, _CHUNK_STRIDE = 64, 48
 
 
