@@ -4830,6 +4830,51 @@ def pipe_bm25_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "search_rrf_fusion",
+    SRCH.rrf_fuse_duck(
+        [
+            SRCH.bm25_topk_duck("documents", _BM25_TERMS, k=20),
+            SRCH.bm25_topk_duck("documents", _BM25_WIDE_TERMS, k=20),
+        ],
+        k=20,
+    ),
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion (llm/search.py:rrf_fuse): Reciprocal
+    Rank Fusion of two BM25 rankings — the narrow 4-term unrolled plan and
+    the wide 12-term postings plan — into one top-20.  score(d) =
+    Σ 1/(60 + rank_list(d)), integer ranks through fixed-order IEEE
+    divisions, so the oracle reproduces scores bit-for-bit.  The fusion
+    itself is k-bounded (full-outer joins + a k-row rank window over a
+    handful of rows); all corpus-sized work stays inside the retrievers."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    return SRCH.rrf_fuse(
+        [
+            SRCH.bm25_topk(docs, _BM25_TERMS, k=20),
+            SRCH.bm25_topk_postings(docs, _BM25_WIDE_TERMS, k=20),
+        ],
+        k=20,
+    )
+
+
+@_register(
+    "sample_temperature",
+    SMP.temperature_sample_duck("documents", "lang"),
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture (llm/sampling.py:temperature_sample):
+    per-language shares ∝ n^0.5 derived from the corpus itself — the
+    multilingual low-resource upsampling recipe (mBERT/XLM-R), composed
+    onto the exact-integer mixture-threshold machinery.  alpha=0.5 keeps
+    the one float step on IEEE sqrt so the sample is oracle-exact; one
+    metadata-sized count collect, then a narrow per-row hash filter."""
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang")
+    return SMP.temperature_sample(docs, "lang")
+
+
+@_register(
     "search_bm25_wide", SRCH.bm25_topk_duck("documents", _BM25_WIDE_TERMS, k=20)
 )
 def search_bm25_wide(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -386,3 +386,85 @@ def weighted_poisson_sample_duck(
     FROM w CROSS JOIN tot
     WHERE {h} < {p} * 1152921504606846976.0
     """
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+    id_col: str = "doc_id",
+    scale: int = 1000,
+    allow_upsample: bool = False,
+) -> DataFrame:
+    """Temperature-based mixture sampling: stratum k's share ∝ n_k^alpha —
+    the multilingual low-resource upsampling recipe (mBERT exponentiated
+    smoothing, XLM-R alpha=0.3–0.7; alpha=1 keeps natural proportions,
+    alpha→0 approaches uniform).  Instead of a hand-written parts recipe
+    (`mixture_weighted_sample`), the recipe is DERIVED from the corpus:
+    parts_k = floor(n_k^alpha * scale), then the same exact-integer
+    threshold machinery produces the sample.
+
+    Cross-engine determinism: the only float step is n^alpha.  At the
+    default alpha=0.5 it is computed with IEEE sqrt — correctly rounded in
+    every engine, so floor(sqrt(n)*scale) and therefore the SAMPLE
+    reproduce bit-for-bit (the DuckDB oracle uses sqrt too).  Other alphas
+    go through pow(), which engines only guarantee to ~1 ulp; a last-ulp
+    difference can step one integer part and move a boundary row — fine
+    for training mixes, not for an exactness oracle, hence the registry
+    pins alpha=0.5.
+
+    Scale: one metadata-sized count-per-stratum collect; the sample is a
+    pure per-row hash filter, no shuffle (see mixture_weighted_sample).
+    """
+    import math
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    base = df.where(F.col(strata_col).isNotNull())
+    counts = {
+        r[0]: r[1]
+        for r in base.groupBy(strata_col).agg(F.count(F.lit(1))).collect()
+    }
+    if not counts:
+        raise ValueError("temperature_sample: no non-null strata in the input")
+    power = (
+        (lambda c: math.sqrt(c)) if alpha == 0.5 else (lambda c: math.pow(c, alpha))
+    )
+    parts = {k: int(math.floor(power(c) * scale)) for k, c in counts.items()}
+    return mixture_weighted_sample(
+        base, strata_col, parts, target_rows=target_rows, id_col=id_col,
+        allow_upsample=allow_upsample,
+    )
+
+
+def temperature_sample_duck(
+    table: str,
+    strata_col: str,
+    id_col: str = "doc_id",
+    scale: int = 1000,
+) -> str:
+    """DuckDB oracle for `temperature_sample` at alpha=0.5: parts from
+    floor(sqrt(n)*scale) (IEEE sqrt — identical doubles), then the exact
+    mixture-threshold integer arithmetic of `mixture_weighted_sample`."""
+    from lakehouse_plumber_spark.llm.hashing import md5int_duck
+
+    h = md5int_duck(f"'sample:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    WITH cnt AS (SELECT {strata_col} AS s, COUNT(*) AS c FROM {table}
+                 WHERE {strata_col} IS NOT NULL GROUP BY 1),
+    parts AS (SELECT s, c,
+                     CAST(floor(sqrt(CAST(c AS DOUBLE)) * {scale}) AS BIGINT) AS p
+              FROM cnt),
+    tot AS (SELECT SUM(p) AS total FROM parts),
+    nv AS (SELECT MIN((c * (SELECT total FROM tot)) // p) AS n FROM parts),
+    thr AS (SELECT s,
+                   (p * (SELECT n FROM nv) * {SAMPLE_MOD})
+                     // ((SELECT total FROM tot) * c) AS t
+            FROM parts)
+    SELECT d.{id_col}, d.{strata_col} FROM {table} d
+    JOIN thr ON d.{strata_col} = thr.s
+    WHERE {h} % {SAMPLE_MOD} < thr.t
+    """

@@ -355,3 +355,98 @@ def bm25_scored_sql(
     FROM posts JOIN dfs USING (term) CROSS JOIN corpus
     GROUP BY doc_id
     """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 20,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009): combine any
+    number of top-k rankings — lexical BM25, dense ANN, recency, … — into
+    one list by score(d) = Σ_lists 1/(k_rrf + rank_list(d)), the standard
+    hybrid-retrieval merge that needs no score calibration between lists.
+    Input DataFrames need (id_col, rank); output: (rank, id_col, n_lists,
+    rrf_score) for the fused top-`k`, ties broken by id.
+
+    Determinism: ranks are integers, each term 1/(60+rank) is one IEEE
+    division, and the terms are added in FIXED list order (an expression,
+    not an aggregate), so the DuckDB oracle reproduces scores bit-for-bit.
+
+    Scale: inputs are already k-bounded (a handful of rows each), so the
+    full-outer id joins and the final rank window cost nothing regardless
+    of corpus size — all the heavy lifting happened inside the input
+    retrievers.
+    """
+    if len(rankings) < 2:
+        raise ValueError(f"rrf_fuse needs >= 2 rankings, got {len(rankings)}")
+    if k_rrf < 1 or k < 1:
+        raise ValueError(f"k and k_rrf must be >= 1, got k={k} k_rrf={k_rrf}")
+    out = None
+    for i, r in enumerate(rankings):
+        ri = r.select(F.col(id_col), F.col("rank").alias(f"__r{i}"))
+        out = ri if out is None else out.join(ri, id_col, "full_outer")
+    n = len(rankings)
+    hits = " + ".join(f"(CASE WHEN __r{i} IS NOT NULL THEN 1 ELSE 0 END)" for i in range(n))
+    # 1.0 would parse as DECIMAL in Spark SQL (truncated division); force
+    # an IEEE double division on both engines
+    score = " + ".join(
+        f"coalesce(CAST(1 AS DOUBLE) / ({k_rrf} + __r{i}), CAST(0 AS DOUBLE))"
+        for i in range(n)
+    )
+    scored = out.selectExpr(
+        id_col,
+        f"CAST({hits} AS INT) AS n_lists",
+        f"CAST({score} AS DOUBLE) AS rrf_score",
+    )
+    from pyspark.sql import Window
+
+    topk = scored.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", id_col, "n_lists", "rrf_score"
+    )
+
+
+def rrf_fuse_duck(
+    ranking_sqls: list[str],
+    k: int = 20,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for `rrf_fuse` over ranking subqueries (each a full
+    SELECT, e.g. `bm25_topk_duck(...)` — DuckDB accepts nested WITH inside
+    a parenthesized subquery): same fixed-order score expression, same
+    (score desc, id) final ranking."""
+    n = len(ranking_sqls)
+    froms = f"({ranking_sqls[0]}) l0"
+    for i in range(1, n):
+        froms += (
+            f" FULL JOIN ({ranking_sqls[i]}) l{i} "
+            + "ON "
+            + " AND ".join(
+                # join each later list to the coalesced id of earlier ones
+                [f"l{i}.{id_col} = coalesce(" + ", ".join(f"l{j}.{id_col}" for j in range(i)) + ")"]
+            )
+        )
+    coal_id = "coalesce(" + ", ".join(f"l{i}.{id_col}" for i in range(n)) + ")"
+    hits = " + ".join(f"(CASE WHEN l{i}.rank IS NOT NULL THEN 1 ELSE 0 END)" for i in range(n))
+    score = " + ".join(
+        f"coalesce(CAST(1 AS DOUBLE) / ({k_rrf} + l{i}.rank), CAST(0 AS DOUBLE))"
+        for i in range(n)
+    )
+    return f"""
+    WITH fused AS (
+      SELECT {coal_id} AS {id_col},
+             CAST({hits} AS INT) AS n_lists,
+             CAST({score} AS DOUBLE) AS rrf_score
+      FROM {froms}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rrf_score DESC, {id_col}) AS rn
+      FROM fused
+    )
+    SELECT CAST(rn AS INT) AS rank, {id_col}, n_lists, rrf_score
+    FROM ranked WHERE rn <= {k}
+    """

@@ -780,3 +780,86 @@ def test_sentence_chunks_partitioning_invariant(spark):
         for r in chunk_documents_sentences(df.repartition(13), chunk_tokens=6).collect()
     )
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# RRF fusion + temperature sampling
+# --------------------------------------------------------------------------
+
+
+def test_rrf_fusion_prefers_docs_in_both_lists(spark):
+    from lakehouse_plumber_spark.llm.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "rank int, doc_id long") \
+        .select("doc_id", "rank")
+    b = spark.createDataFrame([(1, 20), (2, 40), (3, 50)], "rank int, doc_id long") \
+        .select("doc_id", "rank")
+    out = rrf_fuse([a, b], k=10).collect()
+    out.sort(key=lambda r: r.rank)
+    # doc 20 is in both lists (ranks 2 and 1): 1/62+1/61 beats any single
+    # list's best 1/61
+    assert out[0].doc_id == 20 and out[0].n_lists == 2
+    assert abs(out[0].rrf_score - (1 / 62 + 1 / 61)) < 1e-12
+    # one-list docs still appear, with n_lists = 1
+    assert {r.doc_id for r in out} == {10, 20, 30, 40, 50}
+    assert {r.doc_id: r.n_lists for r in out}[10] == 1
+    # ranks dense 1..5
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_rrf_fusion_validation_and_tiebreak(spark):
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 7), (2, 9)], "rank int, doc_id long").select("doc_id", "rank")
+    b = spark.createDataFrame([(1, 9), (2, 7)], "rank int, doc_id long").select("doc_id", "rank")
+    out = rrf_fuse([a, b], k=10).collect()
+    out.sort(key=lambda r: r.rank)
+    # symmetric scores: tie broken by doc_id ascending
+    assert [r.doc_id for r in out] == [7, 9]
+    with _pytest.raises(ValueError, match="rankings"):
+        rrf_fuse([a])
+    with _pytest.raises(ValueError, match="k"):
+        rrf_fuse([a, b], k=0)
+
+
+def test_temperature_sample_upsamples_rare_strata(spark):
+    from lakehouse_plumber_spark.llm.sampling import temperature_sample
+
+    # 1600 'big' vs 100 'small': natural share 94%/6%; at alpha=0.5 shares
+    # become sqrt-proportional (40:10 -> 80%/20%)
+    df = spark.range(1700).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1600, "big").otherwise("small").alias("src"),
+    )
+    out = temperature_sample(df, "src").groupBy("src").count().collect()
+    got = {r.src: r["count"] for r in out}
+    # n_max keeps 'small' whole (rarest stratum saturates at rate 1.0)
+    assert got["small"] == 100
+    # big is downsampled to ~sqrt ratio: 100 * sqrt(1600)/sqrt(100) = 400
+    assert 320 < got["big"] < 480
+    # deterministic under re-partitioning
+    again = temperature_sample(df.repartition(13), "src")
+    assert sorted(r.doc_id for r in temperature_sample(df, "src").collect()) == \
+        sorted(r.doc_id for r in again.collect())
+
+
+def test_temperature_sample_alpha_one_is_natural_and_validation(spark):
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.sampling import temperature_sample
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 < 2, "a").otherwise("b").alias("src"),
+    )
+    # alpha=1: parts proportional to counts -> every row keeps (thresholds
+    # saturate at the natural mixture)
+    assert temperature_sample(df, "src", alpha=1.0).count() == 300
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "src", alpha=0.0)
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "src", alpha=1.5)
+    with _pytest.raises(ValueError, match="strata"):
+        temperature_sample(df.where("false"), "src")
