@@ -76,6 +76,10 @@ NAMES = [
     "sketch_kmv_quantiles",
     "pipe_zorder_mv",
     "pipe_bm25_yaml",
+    "sketch_kmv_overlap",
+    "doc_chunk_sentences",
+    "search_rrf_fusion",
+    "sample_temperature",
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks

@@ -1,0 +1,84 @@
+"""One-off 10x scale spot-check for embedding_near_dup_lsh (r9).
+
+The shared bench_scale harness grows embeddings as IDENTICAL copies (the
+shape knn candidate scans need), which would turn every vector into a
+10-way duplicate clique — quadratic candidate growth by construction, the
+exact case the operator's max_bucket_size documents.  Here each copy is
+ROLLED by its copy index instead (cosine between rolls of a random vector
+~ 0), so the 10x corpus has the natural no-near-dup structure and the
+measurement isolates the signature + bucket-join + verify pipeline.
+
+Usage: python scripts_scale_emb_lsh.py   (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FACTOR = int(os.environ.get("LHP_SCALE_FACTOR", "10"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark import get_spark
+    from lakehouse_plumber_spark.llm.dedup import embedding_near_dup_lsh
+
+    spark = get_spark("scale_emb_lsh")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(emb.select("embedding").first()[0])
+
+    def rolled(i: int):
+        if i == 0:
+            return emb
+        return emb.select(
+            (F.col("vec_id") + i * span).alias("vec_id"),
+            F.expr(
+                f"concat(slice(embedding, {i + 1}, {dim - i}), "
+                f"slice(embedding, 1, {i}))"
+            ).alias("embedding"),
+        )
+
+    big = rolled(0)
+    for i in range(1, FACTOR):
+        big = big.unionByName(rolled(i))
+
+    def time_one(df) -> tuple[float, int]:
+        embedding_near_dup_lsh(df, threshold=0.99).count()  # warm
+        best, n = None, 0
+        for _ in range(3):
+            t0 = time.time()
+            n = embedding_near_dup_lsh(df, threshold=0.99).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3), n
+
+    t1, n1 = time_one(emb)
+    t10, n10 = time_one(big)
+    print(
+        json.dumps(
+            {
+                "metric": "emb_lsh_scaleup_ratio",
+                "factor": FACTOR,
+                "t1": t1,
+                "t10": t10,
+                "ratio": round(t10 / t1, 2) if t1 else None,
+                "pairs_1x": n1,
+                "pairs_10x": n10,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
