@@ -4660,6 +4660,36 @@ _OVERLAP_K = 256  # 4x the distinct-count rows' k: inclusion-exclusion
 
 
 @_register(
+    "join_bloom_filtered",
+    """
+    SELECT o.o_orderkey AS order_id, o.o_custkey AS cust_id,
+           CAST(o.o_totalprice AS DOUBLE) AS price, c.c_name AS cust_name
+    FROM orders o
+    JOIN (SELECT c_custkey, c_name FROM customer WHERE c_nationkey = 3) c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filtered join (skew.py:bloom_filtered_join): orders joined
+    to one nation's customers (~1/25 of the dimension) with the big side
+    pre-filtered by a 128 KiB bitmap of the small side's keys BEFORE the
+    exchange — shuffle bytes scale with the ~4% match rate, not the fact
+    table.  False positives pass the bitmap and die in the exact join, so
+    the oracle is simply the plain join."""
+    _prep(spark, sf_dir)
+    big = spark.table("orders").selectExpr(
+        "o_orderkey AS order_id", "o_custkey AS cust_id",
+        "CAST(o_totalprice AS DOUBLE) AS price",
+    )
+    small = spark.table("customer").where("c_nationkey = 3").selectExpr(
+        "c_custkey AS cust_id", "c_name AS cust_name"
+    )
+    from lakehouse_plumber_spark.skew import bloom_filtered_join
+
+    return bloom_filtered_join(big, small, ["cust_id"])
+
+
+@_register(
     "sketch_kmv_overlap",
     SK.kmv_overlap_duck(
         "(SELECT o_orderstatus, o_custkey FROM orders WHERE year(o_orderdate) <= 1997)",
