@@ -4660,6 +4660,54 @@ _OVERLAP_K = 256  # 4x the distinct-count rows' k: inclusion-exclusion
 
 
 @_register(
+    "pipe_stream_sketch",
+    SK.kmv_distinct_duck("events", "event_type", "user_id", k=_KMV_K),
+)
+def pipe_stream_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch maintenance — the streaming twin of
+    pipe_incremental_kmv's batch loop: the event feed arrives as a stream
+    (availableNow over the parquet source) and a foreachBatch sink folds
+    each micro-batch's KMV partial into the persisted sketch via
+    kmv_merge.  KMV merge is a set union, so micro-batch BOUNDARIES are
+    irrelevant (any batching yields the one-shot sketch exactly) and
+    replayed rows cannot corrupt the registers — which is why the final
+    estimate is checked by the same one-shot DuckDB oracle.  Per-batch
+    work is batch-sized; sketch state is k longs per stratum."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    store = runner.store
+    table = "m.sketch.kmv_stream_users"
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema_ddl, _ = _events_stream_schema(sf_dir)
+
+    def fold_sketch(batch_df: DataFrame, _epoch: int) -> None:
+        part = SK.kmv_sketch(batch_df, "event_type", "user_id", k=_KMV_K)
+        merged = (
+            SK.kmv_merge(store.read(table), part, k=_KMV_K)
+            if store.exists(table)
+            else part
+        )
+        store.overwrite(table, merged)
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "bronze", "flowgroup": "stream_sketch",
+            "actions": [
+                {"name": "ingest", "type": "load", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": events_path,
+                            "format": "parquet", "schema": schema_ddl},
+                 "target": "v_raw"},
+                {"name": "fold", "type": "write", "source": "v_raw",
+                 "write_target": {"type": "sink", "sink_type": "foreachbatch"}},
+            ],
+        }
+    )
+    fg.actions[1].write_target.batch_handler_callable = fold_sketch
+    runner.run(fg)
+    return SK.kmv_estimate(store.read(table), k=_KMV_K)
+
+
+@_register(
     "join_bloom_filtered",
     """
     SELECT o.o_orderkey AS order_id, o.o_custkey AS cust_id,
