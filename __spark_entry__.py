@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from lakehouse_plumber_spark import load_flowgroup, register_testdata
 from lakehouse_plumber_spark.functions.features import (
     rolling_features_duck as _rolling_features_duck,
+    winsorize_duck as _winsorize_duck,
 )
 from lakehouse_plumber_spark.functions.ranges import (
     peak_concurrency_duck as _peak_concurrency_duck,
@@ -4657,6 +4658,31 @@ def pipe_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OVERLAP_K = 256  # 4x the distinct-count rows' k: inclusion-exclusion
 # compounds three estimate errors, so the overlap row buys extra precision
 # (sigma ~1/sqrt(k) per side) for 256 longs of sketch state per stratum
+
+
+@_register(
+    "features_winsorize",
+    _winsorize_duck(
+        "(SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL)",
+        "event_type",
+        "value",
+        select_cols="event_id, event_type, value",
+    ),
+)
+def features_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (functions/features.py:winsorize): event
+    values clamped to each type's exact [p1, p99] — the robust-scaling
+    step before outlier-sensitive aggregates.  One bounded percentile
+    aggregate broadcast onto a narrow projection; null values excluded on
+    both engines (least/greatest null semantics differ across engines —
+    the documented convention is to pre-filter)."""
+    from lakehouse_plumber_spark.functions.features import winsorize
+
+    _prep(spark, sf_dir)
+    ev = spark.table("events").where("value IS NOT NULL").select(
+        "event_id", "event_type", "value"
+    )
+    return winsorize(ev, "event_type", "value")
 
 
 @_register(

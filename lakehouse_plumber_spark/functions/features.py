@@ -99,3 +99,71 @@ def rolling_features_duck(
              AS DOUBLE), 0.0) AS lifetime_amount
     FROM {table}
     """
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clamp `value_col` to the group's exact
+    interpolated [lower, upper] percentiles — the robust-scaling step a
+    feature pipeline applies before aggregates that outliers would
+    dominate.  Output: input columns + (value_w, clipped_low,
+    clipped_high).
+
+    Cross-engine exactness: Spark's `percentile` == DuckDB's
+    `quantile_cont` on identical doubles (the perplexity_buckets
+    convention), and the clamp is a pure comparison against those
+    thresholds, so the oracle reproduces every row.
+
+    Scale: ONE map-side-combined percentile aggregate per group (bounded
+    by group count) broadcast back onto a narrow projection — no window,
+    no sort of the data itself.  The same single-buffer caveat as every
+    exact percentile applies PER GROUP: beyond ~1e8 rows per group swap
+    the thresholds for `kmv_quantile_sketch` cutoffs.
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(
+            f"need 0 <= lower < upper <= 1, got lower={lower} upper={upper}"
+        )
+    cuts = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lower!r})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {upper!r})").alias("__hi"),
+    )
+    out = df.join(F.broadcast(cuts), group_col)
+    return (
+        out.withColumn(
+            "value_w",
+            F.expr(f"least(greatest(cast({value_col} as double), __lo), __hi)"),
+        )
+        .withColumn("clipped_low", F.expr(f"cast({value_col} as double) < __lo"))
+        .withColumn("clipped_high", F.expr(f"cast({value_col} as double) > __hi"))
+        .drop("__lo", "__hi")
+    )
+
+
+def winsorize_duck(
+    table: str,
+    group_col: str,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB oracle for `winsorize`: quantile_cont thresholds per group,
+    same clamp and flags."""
+    return f"""
+    WITH cuts AS (
+      SELECT {group_col},
+             quantile_cont(CAST({value_col} AS DOUBLE), {lower!r}) AS lo,
+             quantile_cont(CAST({value_col} AS DOUBLE), {upper!r}) AS hi
+      FROM {table} GROUP BY {group_col})
+    SELECT {select_cols},
+           least(greatest(CAST({value_col} AS DOUBLE), lo), hi) AS value_w,
+           CAST({value_col} AS DOUBLE) < lo AS clipped_low,
+           CAST({value_col} AS DOUBLE) > hi AS clipped_high
+    FROM {table} JOIN cuts USING ({group_col})
+    """

@@ -416,3 +416,27 @@ def test_partitioned_append_keeps_cluster_order(spark, tmp_path):
     for r in rd.collect():
         per_file[r.f].append(r.a)
     assert per_file and all(v == sorted(v) for v in per_file.values())
+
+
+def test_winsorize_clamps_to_group_percentiles(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.functions.features import winsorize
+
+    # group 'a': 0..99 plus two extreme outliers; 'b': constant
+    rows = [(i, "a", float(i)) for i in range(100)] + [
+        (100, "a", 1e9), (101, "a", -1e9),
+        (200, "b", 5.0), (201, "b", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.id: r for r in winsorize(df, "g", "v", 0.05, 0.95).collect()}
+    assert out[100].clipped_high and out[100].value_w < 1e9
+    assert out[101].clipped_low and out[101].value_w > -1e9
+    # interior values untouched
+    assert out[50].value_w == 50.0 and not out[50].clipped_low and not out[50].clipped_high
+    # constant group: thresholds equal the constant, nothing clips
+    assert out[200].value_w == 5.0 and not out[200].clipped_low
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower"):
+        winsorize(df, "g", "v", 0.9, 0.5)
