@@ -37,6 +37,8 @@ from lakehouse_plumber_spark.functions.zorder import (
     zorder_key_duck as _zorder_key_duck,
 )
 from lakehouse_plumber_spark.stats import (
+    table_drift as _table_drift,
+    table_drift_duck as _table_drift_duck,
     table_stats as _table_stats,
     table_stats_duck as _table_stats_duck,
 )
@@ -4658,6 +4660,33 @@ def pipe_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OVERLAP_K = 256  # 4x the distinct-count rows' k: inclusion-exclusion
 # compounds three estimate errors, so the overlap row buys extra precision
 # (sigma ~1/sqrt(k) per side) for 256 longs of sketch state per stratum
+
+
+_DRIFT_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+_DRIFT_A = "(SELECT * FROM orders WHERE year(o_orderdate) <= 1997)"
+_DRIFT_B = "(SELECT * FROM orders WHERE year(o_orderdate) >= 1998)"
+
+
+@_register(
+    "pipe_table_drift",
+    _table_drift_duck(_DRIFT_A, _DRIFT_B, _DRIFT_COLS, ["o_orderkey", "o_custkey"]),
+)
+def pipe_table_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch drift report (stats.py:table_drift): the early vs
+    late order eras compared per column — null-rate shift, KMV-NDV ratio,
+    range movement, and the alert flag a data-quality monitor fires on.
+    Two ANALYZE-cost stats passes + a columns-sized join; every number
+    cross-engine exact (integer counts, one IEEE division each, md5-KMV
+    NDV).  o_orderkey's NDV ratio reflects era volume; o_custkey's stays
+    near 1 (same customer population) — the signal/noise split the
+    thresholds encode."""
+    _prep(spark, sf_dir)
+    o = spark.table("orders")
+    return _table_drift(
+        o.where("year(o_orderdate) <= 1997"),
+        o.where("year(o_orderdate) >= 1998"),
+        _DRIFT_COLS,
+    )
 
 
 @_register(

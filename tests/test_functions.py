@@ -440,3 +440,30 @@ def test_winsorize_clamps_to_group_percentiles(spark):
 
     with _pytest.raises(ValueError, match="lower"):
         winsorize(df, "g", "v", 0.9, 0.5)
+
+
+def test_table_drift_flags_null_and_cardinality_shifts(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.stats import table_drift
+
+    a = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("s"),
+        (F.col("id") % 100).alias("v"),
+    )
+    # era B: 's' collapses to 3 distinct values, 'v' goes 20% null
+    b = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("s"),
+        F.when(F.col("id") % 5 != 0, F.col("id") % 100).alias("v"),
+    )
+    out = {r.col_name: r for r in table_drift(a, b, ["k", "s", "v"]).collect()}
+    assert out["s"].drift  # NDV collapse (1000 -> 3) trips the ratio gate
+    assert out["v"].drift  # null-rate 0 -> 0.2 trips the rate gate
+    assert not out["k"].drift  # unchanged column stays quiet
+    assert out["v"].null_rate_a == 0.0 and abs(out["v"].null_rate_b - 0.2) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ndv_ratio_tol"):
+        table_drift(a, b, ["k"], ndv_ratio_tol=0.5)
