@@ -4662,6 +4662,77 @@ _OVERLAP_K = 256  # 4x the distinct-count rows' k: inclusion-exclusion
 # (sigma ~1/sqrt(k) per side) for 256 longs of sketch state per stratum
 
 
+_BACKFILL_MV_TMPL = """
+    SELECT {day_expr} AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {vsum}
+    FROM {src} GROUP BY 1, 2
+"""
+# string day key: DATE renderings differ between the engines' fetch paths,
+# string partition values render identically everywhere (the hourly-rollup
+# convention)
+_BACKFILL_DAY_SPARK = "date_format(ts, 'yyyy-MM-dd')"
+_BACKFILL_MV_SQL = _BACKFILL_MV_TMPL.format(
+    day_expr=_BACKFILL_DAY_SPARK, vsum=_dsum("value", "total_value"), src="v_feed"
+)
+
+
+@_register(
+    "pipe_backfill",
+    _BACKFILL_MV_TMPL.format(
+        day_expr="strftime(ts, '%Y-%m-%d')",
+        vsum=_dsum("value", "total_value"),
+        src="events",
+    ),
+)
+def pipe_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped backfill (runner.py:PipelineRunner.backfill): a
+    daily rollup MV partitioned by day is first built from a CORRUPTED
+    feed (purchase rows missing on the two earliest days), then exactly
+    those days are re-run from the corrected feed via dynamic partition
+    overwrite — untouched day partitions keep their files, the two
+    backfilled ones are rewritten, and the result must equal the full
+    recompute (the oracle).  The isin restriction is applied on the MV
+    output, so Catalyst prunes the SOURCE scan to the affected days too —
+    backfill cost is O(affected partitions) at any table size."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    days = [
+        r[0]
+        for r in spark.sql(
+            f"SELECT DISTINCT {_BACKFILL_DAY_SPARK} AS d "
+            "FROM events ORDER BY d LIMIT 2"
+        ).collect()
+    ]
+    day_list = ", ".join(f"'{d}'" for d in days)
+
+    def fg_for(feed_sql: str):
+        return load_flowgroup(
+            {
+                "pipeline": "gold", "flowgroup": "daily_rollup",
+                "actions": [
+                    {"name": "feed", "type": "load", "target": "v_feed",
+                     "source": {"type": "sql", "sql": feed_sql}},
+                    {"name": "mv", "type": "write", "source": "v_feed",
+                     "write_target": {"type": "materialized_view",
+                                      "catalog": "main", "schema": "gold",
+                                      "table": "daily_rollup",
+                                      "sql": _BACKFILL_MV_SQL,
+                                      "partition_columns": ["day"]}},
+                ],
+            }
+        )
+
+    corrupted = (
+        "SELECT * FROM events WHERE NOT ("
+        f"{_BACKFILL_DAY_SPARK} IN ({day_list}) "
+        "AND event_type = 'purchase')"
+    )
+    runner.run(fg_for(corrupted))
+    ctx = runner.backfill(fg_for("SELECT * FROM events"), "day", days)
+    return ctx.resolve_view("main.gold.daily_rollup")
+
+
 _DRIFT_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 _DRIFT_A = "(SELECT * FROM orders WHERE year(o_orderdate) <= 1997)"
 _DRIFT_B = "(SELECT * FROM orders WHERE year(o_orderdate) >= 1998)"

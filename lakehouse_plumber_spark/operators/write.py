@@ -547,6 +547,23 @@ def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
         df = ctx.resolve_view(str(action.source))
     if wt.row_filter:
         df = df.where(wt.row_filter)
+    bf = (ctx.conf or {}).get("__backfill__")
+    if bf and wt.partition_columns and bf[0] in wt.partition_columns:
+        # partition-scoped refresh (PipelineRunner.backfill): restrict the
+        # MV output to the requested partition values — Catalyst pushes the
+        # isin through the plan, so the SOURCES prune too — and commit via
+        # dynamic partition overwrite.  Untouched partitions keep their
+        # files; work scales with the affected partitions, not the table.
+        col, values = bf
+        scoped = df.where(F.col(col).isin(list(values)))
+        with _with_spark_conf(ctx.spark, wt.spark_conf):
+            ctx.store.overwrite_partitions(target, scoped, wt.partition_columns)
+        ctx.log(
+            action.name, "mv_backfilled", target=target,
+            partition_col=col, n_values=len(values),
+        )
+        _apply_uc_tags(ctx, action, wt, target)
+        return _register_read(ctx, action, target)
     with _with_spark_conf(ctx.spark, wt.spark_conf):
         with _clustered_for_write(df, wt) as (laid, owf):
             ctx.store.overwrite(

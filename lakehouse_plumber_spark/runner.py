@@ -105,6 +105,31 @@ class PipelineRunner:
         self.event_log.extend(ctx.event_log)
         return ctx
 
+    def backfill(
+        self,
+        fg: FlowGroup,
+        partition_col: str,
+        values: list,
+        conf: Optional[dict] = None,
+    ) -> BuildContext:
+        """Partition-scoped re-run ("backfill these days"): execute the
+        flowgroup, but every materialized_view write whose target is
+        partitioned on `partition_col` is restricted to `values` and
+        committed via dynamic partition overwrite — untouched partitions
+        keep their files, so a backfill costs O(affected partitions), not
+        O(table), and re-running it is idempotent (same values -> same
+        files).  Because the restriction is applied as a filter on the MV
+        output, Catalyst pushes it through the plan and the SOURCE scans
+        prune too.  Writes not partitioned on `partition_col` run
+        unchanged (full refresh) — backfill scoping is only sound where
+        the partition boundary exists.
+        """
+        if not values:
+            raise ValueError("backfill needs at least one partition value")
+        c = dict(conf or {})
+        c["__backfill__"] = (partition_col, list(values))
+        return self.run(fg, conf=c)
+
     def _reporting_cfg(self, fg: FlowGroup):
         """Flowgroup test_reporting block, falling back to the project's."""
         if fg.test_reporting is not None:

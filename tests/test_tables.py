@@ -430,3 +430,57 @@ def test_new_store_delta_override_fails_loudly_without_delta(spark, tmp_path, mo
         T.new_store(spark, str(tmp_path))
     monkeypatch.setenv("LHP_STORE", "parquet")
     assert type(T.new_store(spark, str(tmp_path))) is T.ParquetTableStore
+
+
+def test_runner_backfill_rewrites_only_target_partitions(spark, tmp_path):
+    """PipelineRunner.backfill: non-targeted partitions keep their files on
+    disk byte-for-byte; targeted ones are rewritten; result == full run."""
+    import glob
+    import os
+
+    from lakehouse_plumber_spark import PipelineRunner, load_flowgroup
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    store = ParquetTableStore(spark, str(tmp_path / "wh"))
+    runner = PipelineRunner(spark, store=store)
+
+    def fg(feed):
+        return load_flowgroup({
+            "pipeline": "p", "flowgroup": "bf",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v",
+                 "source": {"type": "sql", "sql": feed}},
+                {"name": "mv", "type": "write", "source": "v",
+                 "write_target": {"type": "materialized_view", "database": "m.g",
+                                  "table": "t",
+                                  "sql": "SELECT d, CAST(COUNT(*) AS BIGINT) AS n "
+                                         "FROM v GROUP BY d",
+                                  "partition_columns": ["d"]}},
+            ],
+        })
+
+    full = "SELECT CAST(id % 4 AS STRING) AS d, id FROM range(400)"
+    bad = full + " WHERE NOT (id % 4 = 1 AND id < 200)"  # partition d=1 undercounted
+    runner.run(fg(bad))
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "wh/m/g/t/d=*/*.parquet"))
+    }
+    # partition-dir discovery re-infers d as int: normalize keys
+    got_bad = {str(r.d): r.n for r in store.read("m.g.t").collect()}
+    assert got_bad["1"] == 50 and got_bad["0"] == 100
+
+    ctx = runner.backfill(fg(full), "d", ["1"])
+    after_rows = {str(r.d): r.n for r in ctx.resolve_view("m.g.t").collect()}
+    assert after_rows == {"0": 100, "1": 100, "2": 100, "3": 100}
+    # untouched partitions: same files, same mtimes
+    for p, mt in before.items():
+        if "/d=1/" not in p:
+            assert os.path.exists(p) and os.path.getmtime(p) == mt
+    # idempotent: running the same backfill again changes nothing
+    again = runner.backfill(fg(full), "d", ["1"])
+    assert {str(r.d): r.n for r in again.resolve_view("m.g.t").collect()} == after_rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition value"):
+        runner.backfill(fg(full), "d", [])
