@@ -4733,6 +4733,59 @@ def pipe_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.resolve_view("main.gold.daily_rollup")
 
 
+@_register(
+    "pipe_run_many",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def pipe_run_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-pipeline orchestration (runner.py:run_many — the reference's
+    `lhp deps` job staging, src/lhp/core/jobs/job_generator.py): a silver
+    flowgroup materializes finished orders, a gold flowgroup aggregates
+    the SILVER TABLE (not the source) — run_many must stage them by the
+    table-level dependency regardless of list order (gold is passed
+    FIRST).  The oracle is the composed query."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    silver = load_flowgroup(
+        {
+            "pipeline": "silver", "flowgroup": "orders_f",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_f",
+                 "source": {"type": "sql",
+                            "sql": "SELECT * FROM orders WHERE o_orderstatus = 'F'"}},
+                {"name": "mv", "type": "write", "source": "v_f",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "silver", "table": "orders_f"}},
+            ],
+        }
+    )
+    gold = load_flowgroup(
+        {
+            "pipeline": "gold", "flowgroup": "priority_rev",
+            "actions": [
+                {"name": "agg", "type": "transform", "transform_type": "sql",
+                 "source": "main.silver.orders_f", "target": "v_rev",
+                 "sql": "SELECT o_orderpriority AS priority, "
+                        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+                        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+                        "FROM main.silver.orders_f GROUP BY o_orderpriority"},
+                {"name": "mv", "type": "write", "source": "v_rev",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "gold", "table": "priority_rev"}},
+            ],
+        }
+    )
+    ctxs = runner.run_many([gold, silver])  # wrong order on purpose
+    out = [c for c in ctxs if c.flowgroup.flowgroup == "priority_rev"][0]
+    return out.resolve_view("main.gold.priority_rev")
+
+
 _DRIFT_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 _DRIFT_A = "(SELECT * FROM orders WHERE year(o_orderdate) <= 1997)"
 _DRIFT_B = "(SELECT * FROM orders WHERE year(o_orderdate) >= 1998)"
