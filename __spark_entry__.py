@@ -4734,6 +4734,87 @@ def pipe_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "join_salted",
+    """
+    SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_no,
+           n.n_name AS nation
+    FROM lineitem l
+    JOIN (SELECT s_suppkey, s_nationkey FROM supplier) s
+      ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew salting (skew.py:salted_join): lineitem joined to the
+    supplier dim with the big side salted on stable row content (xxhash64,
+    deterministic under retries) and the small side replicated salt-ways —
+    the hot-key spread for the single key AQE's skew split cannot fix.
+    Output == the plain join (the oracle); salting only re-routes rows."""
+    from lakehouse_plumber_spark.skew import salted_join
+
+    _prep(spark, sf_dir)
+    big = spark.table("lineitem").selectExpr(
+        "l_orderkey AS order_id", "l_linenumber AS line_no", "l_suppkey AS s_suppkey"
+    )
+    small = (
+        spark.table("supplier")
+        .join(
+            spark.table("nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .selectExpr("s_suppkey", "n_name AS nation")
+    )
+    return salted_join(big, small, ["s_suppkey"], salt=8).drop("s_suppkey")
+
+
+@_register(
+    "agg_two_phase",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_l_quantity,
+           CAST(COUNT(l_orderkey) AS BIGINT) AS count_l_orderkey,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_l_extendedprice,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_l_extendedprice
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase aggregation (skew.py:two_phase_agg): the
+    map-side-combine trick made explicit for hot GROUP BY keys — phase 1
+    aggregates on (key, salt), phase 2 recombines on key; only algebraic
+    aggregates (sum/count/min/max) that recombine exactly are allowed, so
+    the result equals the plain aggregate (the oracle).  l_returnflag has
+    3 values over all of lineitem — exactly the hot-key shape."""
+    from lakehouse_plumber_spark.skew import two_phase_agg
+
+    _prep(spark, sf_dir)
+    li = spark.table("lineitem").selectExpr(
+        "l_returnflag",
+        "CAST(l_quantity AS DECIMAL(18,6)) AS l_quantity",
+        "l_orderkey",
+        "l_extendedprice",
+    )
+    out = two_phase_agg(
+        li,
+        ["l_returnflag"],
+        {"l_quantity": "sum", "l_orderkey": "count",
+         "l_extendedprice": "min"},
+        salt=8,
+    )
+    out2 = two_phase_agg(li, ["l_returnflag"], {"l_extendedprice": "max"}, salt=8)
+    return (
+        out.join(out2, "l_returnflag")
+        .selectExpr(
+            "l_returnflag",
+            "CAST(sum_l_quantity AS DECIMAL(28,6)) AS sum_l_quantity",
+            "CAST(count_l_orderkey AS BIGINT) AS count_l_orderkey",
+            "CAST(min_l_extendedprice AS DOUBLE) AS min_l_extendedprice",
+            "CAST(max_l_extendedprice AS DOUBLE) AS max_l_extendedprice",
+        )
+    )
+
+
+@_register(
     "pipe_run_many",
     """
     SELECT o_orderpriority AS priority,
