@@ -80,6 +80,19 @@ NAMES = [
     "doc_chunk_sentences",
     "search_rrf_fusion",
     "sample_temperature",
+    "join_bloom_filtered",
+    # pipe_stream_sketch is NOT here: its cloudfiles load reads the
+    # events.parquet FILE path, bypassing the scaled temp views, so a
+    # "10x" reading would silently measure 1x data. Its per-batch work is
+    # the same bounded KMV build pipe_incremental_hll/kmv scale-check via
+    # the view-reading path.
+    "pipe_incremental_hll",
+    "features_winsorize",
+    "pipe_table_drift",
+    "pipe_backfill",
+    "pipe_run_many",
+    "join_salted",
+    "agg_two_phase",
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks
