@@ -378,3 +378,23 @@ def test_sentence_chunks_one_docwise_exchange(spark, q):
     assert plan.count("Exchange") <= 4
     assert "Window" in plan
     assert "SinglePartition" not in plan.split("Window")[1][:400]
+
+
+def test_backfill_day_filter_pushed_below_aggregate(spark, testdata):
+    """PipelineRunner.backfill restricts the MV OUTPUT; Catalyst must push
+    the isin through the grouping (day is a grouping key) so the filter
+    runs on source rows before the aggregate — backfill work scales with
+    the affected days' input, not the table's."""
+    df = spark.sql(
+        "SELECT date_format(ts, 'yyyy-MM-dd') AS day, event_type, "
+        "COUNT(*) AS n FROM events GROUP BY 1, 2"
+    )
+    scoped = df.where("day IN ('2024-01-01', '2024-01-02')")
+    optimized = scoped._jdf.queryExecution().optimizedPlan().toString()
+    # the Filter must appear BELOW the Aggregate in the optimized tree
+    # (pushed through the grouping), not above it
+    agg_pos = optimized.find("Aggregate")
+    filter_pos = optimized.find("Filter")
+    assert agg_pos != -1 and filter_pos != -1
+    assert filter_pos > agg_pos, "filter stayed above the aggregate"
+    assert "2024-01-01" in optimized[filter_pos:]

@@ -743,3 +743,142 @@ def test_perplexity_buckets_value_threshold_invariants(spark, docs):
     ranked = sorted(out, key=lambda r: -r.mean_logprob)
     labels = [order[r.bucket] for r in ranked]
     assert labels == sorted(labels, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# r9 operators: property models
+# --------------------------------------------------------------------------
+
+rankings_st = st.lists(
+    st.lists(st.integers(0, 30), min_size=1, max_size=12, unique=True),
+    min_size=2,
+    max_size=4,
+)
+
+
+@given(lists=rankings_st)
+@settings(**_SETTINGS)
+def test_rrf_fuse_matches_python_model(spark, lists):
+    """Fused ranking == in-memory RRF over the same lists (rank order within
+    each input list is its element order)."""
+    from lakehouse_plumber_spark.llm.search import rrf_fuse
+
+    dfs = [
+        spark.createDataFrame(
+            [(doc, i + 1) for i, doc in enumerate(lst)], "doc_id long, rank int"
+        )
+        for lst in lists
+    ]
+    k = 50
+    got = [
+        (r.rank, r.doc_id, r.n_lists)
+        for r in rrf_fuse(dfs, k=k).orderBy("rank").collect()
+    ]
+    # in-memory model
+    scores: dict[int, float] = {}
+    hits: dict[int, int] = {}
+    for lst in lists:
+        for i, doc in enumerate(lst):
+            scores[doc] = scores.get(doc, 0.0) + 1.0 / (60 + i + 1)
+            hits[doc] = hits.get(doc, 0) + 1
+    expect = sorted(scores, key=lambda d: (-scores[d], d))[:k]
+    assert [(g[1], g[2]) for g in got] == [(d, hits[d]) for d in expect]
+    assert [g[0] for g in got] == list(range(1, len(expect) + 1))
+
+
+kmv_sets_st = st.tuples(
+    st.sets(st.integers(0, 400), min_size=1, max_size=120),
+    st.sets(st.integers(0, 400), min_size=1, max_size=120),
+)
+
+
+@given(ab=kmv_sets_st)
+@settings(**_SETTINGS)
+def test_kmv_overlap_exact_below_k_matches_set_algebra(spark, ab):
+    """With both sides below k the KMV estimates are exact, so the
+    inclusion-exclusion must equal true set algebra."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.sketches import kmv_overlap, kmv_sketch
+
+    a_vals, b_vals = ab
+    a = spark.createDataFrame([("g", v) for v in a_vals], "g string, v long")
+    b = spark.createDataFrame([("g", v) for v in b_vals], "g string, v long")
+    row = kmv_overlap(
+        kmv_sketch(a, "g", "v", k=256), kmv_sketch(b, "g", "v", k=256), k=256
+    ).collect()[0]
+    inter = len(a_vals & b_vals)
+    union = len(a_vals | b_vals)
+    assert (row.est_a, row.est_b, row.est_union, row.est_intersection) == (
+        len(a_vals), len(b_vals), union, inter
+    )
+    assert abs(row.jaccard - round(inter / union, 6)) < 1e-12
+
+
+vals_groups_st = st.lists(
+    st.tuples(st.integers(0, 2), st.floats(-1e6, 1e6, allow_nan=False)),
+    min_size=4,
+    max_size=80,
+)
+
+
+@given(rows=vals_groups_st)
+@settings(**_SETTINGS)
+def test_winsorize_bounds_and_interior_identity(spark, rows):
+    """Winsorized values always lie within [group p_lo, group p_hi]; rows
+    strictly inside the thresholds pass through unchanged; flags are
+    consistent with the movement."""
+    from lakehouse_plumber_spark.functions.features import winsorize
+
+    df = spark.createDataFrame(
+        [(i, str(g), float(v)) for i, (g, v) in enumerate(rows)],
+        "id long, g string, v double",
+    )
+    out = winsorize(df, "g", "v", 0.1, 0.9).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        if r.clipped_low:
+            assert r.value_w > r.v
+        elif r.clipped_high:
+            assert r.value_w < r.v
+        else:
+            assert r.value_w == r.v
+
+
+texts_sent_st = st.lists(
+    st.lists(
+        st.tuples(st.integers(1, 9), st.sampled_from([".", "!", "?"])),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=texts_sent_st)
+@settings(**_SETTINGS)
+def test_sentence_chunks_conserve_tokens_and_sentences(spark, docs):
+    """Sentence chunking conserves every token and every sentence, chunk
+    ids are the prefix-sum bins, and per-doc chunk token counts sum to the
+    doc's token count."""
+    from lakehouse_plumber_spark.llm.text import chunk_documents_sentences
+
+    rows = []
+    truth = {}
+    for d, sents in enumerate(docs):
+        parts = [
+            " ".join(f"w{d}_{i}_{j}" for j in range(n)) + p
+            for i, (n, p) in enumerate(sents)
+        ]
+        rows.append((d, " ".join(parts)))
+        truth[d] = sum(n for n, _ in sents)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents_sentences(df, chunk_tokens=5).collect()
+    per_doc_tokens: dict[int, int] = {}
+    per_doc_sents: dict[int, int] = {}
+    for r in out:
+        per_doc_tokens[r.doc_id] = per_doc_tokens.get(r.doc_id, 0) + r.n_chunk_tokens
+        per_doc_sents[r.doc_id] = per_doc_sents.get(r.doc_id, 0) + r.n_sentences
+    assert per_doc_tokens == truth
+    assert per_doc_sents == {d: len(s) for d, s in enumerate(docs)}
