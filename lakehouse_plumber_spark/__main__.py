@@ -126,7 +126,19 @@ def cmd_run(args) -> int:
     )
     from lakehouse_plumber_spark.models import ActionType
 
-    contexts = runner.run_many(fgs)
+    conf = None
+    if getattr(args, "backfill", None):
+        spec = args.backfill
+        if "=" not in spec:
+            print(f"--backfill expects COL=V1,V2 — got {spec!r}", file=sys.stderr)
+            return 2
+        col, _, vals = spec.partition("=")
+        values = [v for v in vals.split(",") if v]
+        if not col or not values:
+            print(f"--backfill expects COL=V1,V2 — got {spec!r}", file=sys.stderr)
+            return 2
+        conf = {"__backfill__": (col, values)}
+    contexts = runner.run_many(fgs, conf=conf)
     for fg, ctx in zip(fgs, contexts):
         for a in fg.actions:
             if (
@@ -808,6 +820,11 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--perf", action="store_true",
                             help="per-operator-category timing report from the "
                                  "event log (reference performance_timer analog)")
+            sp.add_argument("--backfill", default=None, metavar="COL=V1,V2",
+                            help="partition-scoped re-run: materialized views "
+                                 "partitioned on COL are restricted to the "
+                                 "listed values and committed via dynamic "
+                                 "partition overwrite (other writes run full)")
         if name == "compile":
             sp.add_argument("-o", "--out", default="generated")
             sp.add_argument("-j", "--jobs", type=int, default=1,

@@ -136,12 +136,18 @@ class PipelineRunner:
             return fg.test_reporting
         return self.project_config.test_reporting if self.project_config else None
 
-    def run_many(self, flowgroups: list[FlowGroup]) -> list[BuildContext]:
+    def run_many(
+        self,
+        flowgroups: list[FlowGroup],
+        conf: Optional[dict] = None,
+    ) -> list[BuildContext]:
         """Run multiple flowgroups in dependency-stage order.
 
         Stage graph: a flowgroup depends on another when it reads a table the
         other writes (reference DependencyAnalysisService semantics, driven
         here by write-target/view names plus SQL/python ref extraction).
+        `conf` is passed to every flowgroup's run (the CLI's --backfill
+        rides here).
         """
         # one shared edge-builder AND stage computation with the CLI's
         # dag/deps/jobs commands (dag.cross_flowgroup_deps +
@@ -156,7 +162,7 @@ class PipelineRunner:
         out: list[BuildContext] = [None] * len(flowgroups)  # type: ignore[list-item]
         for stage in execution_stages(deps, len(flowgroups)):
             for i in stage:
-                out[i] = self.run(flowgroups[i], defer_compactions=True)
+                out[i] = self.run(flowgroups[i], conf=conf, defer_compactions=True)
             # compact BETWEEN stages, not per-flowgroup and not after
             # everything. Per-flowgroup would delete the files behind a
             # SIBLING context's registered DataFrame (file indexes are

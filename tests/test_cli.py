@@ -426,7 +426,7 @@ def test_cli_jobs_exports_staged_plan_matching_run_many(capsys, monkeypatch):
     class _Ctx:
         pending_compactions: dict = {}
 
-    def fake_run(self, fg, defer_compactions=False):
+    def fake_run(self, fg, conf=None, defer_compactions=False):
         order.append(f"{fg.pipeline}__{fg.flowgroup}")
         return _Ctx()
 
@@ -544,3 +544,38 @@ def test_validate_warns_on_ineffective_cluster_by_auto(tmp_path, capsys):
     warns = validate_flowgroup_graph(fg.actions)
     assert any("w1" in w and "no effect" in w for w in warns)
     assert any("w2" in w and "partitioned" in w for w in warns)
+
+
+def test_cli_run_backfill_flag(tmp_path, spark, capsys):
+    """`run --backfill day=...` restricts partitioned MV writes to the
+    listed partition values; other partitions keep their prior content."""
+    proj = tmp_path / "proj"
+    (proj / "pipelines").mkdir(parents=True)
+    (proj / "pipelines" / "daily.yaml").write_text(
+        """
+pipeline: gold
+flowgroup: daily
+actions:
+  - {name: ld, type: load, target: v,
+     source: {type: sql, sql: "SELECT CAST(id % 3 AS STRING) AS day, id FROM range(300)"}}
+  - name: mv
+    type: write
+    source: v
+    write_target:
+      type: materialized_view
+      database: m.g
+      table: daily
+      partition_columns: [day]
+      sql: "SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY day"
+"""
+    )
+    # malformed spec rejected
+    rc = main(["run", str(proj), "--backfill", "nonsense"])
+    assert rc == 2
+    # full run, then a backfill of one partition only
+    assert main(["run", str(proj)]) == 0
+    capsys.readouterr()
+    rc = main(["run", str(proj), "--backfill", "day=1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "m.g.daily rows=" in out
