@@ -4734,6 +4734,46 @@ def pipe_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipe_dedup_yaml",
+    r"""
+    SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents) t
+    GROUP BY fp
+    """,
+)
+def pipe_dedup_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup as a DECLARATIVE action (engine extension, the second
+    action family after retrieval): `transform_type: dedup, method: exact`
+    inside a flowgroup (operators/transform.py:transform_dedup), written to
+    an MV and read back.  Same oracle as `dedup_exact` — the YAML surface
+    must produce exactly what the Python API does.  The exact method also
+    compiles to standalone SQL (tests/test_codegen.py); lines /
+    minhash_survivors execute through the engine."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "curation", "flowgroup": "dedup_exact",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_docs",
+                 "source": {"type": "delta", "table": "documents"}},
+                {"name": "dd", "type": "transform", "transform_type": "dedup",
+                 "source": "v_docs", "target": "v_dedup",
+                 "dedup": {"method": "exact"}},
+                {"name": "mv", "type": "write", "source": "v_dedup",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "curation", "table": "docs_dedup"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.curation.docs_dedup").select(
+        "doc_id", F.col("dup_count").cast("long").alias("dup_count")
+    )
+
+
+@_register(
     "join_salted",
     """
     SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_no,

@@ -48,10 +48,11 @@ class TransformType(str, Enum):
     DATA_QUALITY = "data_quality"
     SCHEMA = "schema"
     TEMP_TABLE = "temp_table"
-    # engine extension: BM25 retrieval as a declarative action (the
-    # reference expresses everything users run as actions; the extension
-    # family follows suit — llm/search.py is the executor)
+    # engine extensions: the reference expresses everything users run as
+    # actions; the extension family follows suit (llm/search.py and
+    # llm/dedup.py are the executors)
     RETRIEVAL = "retrieval"
+    DEDUP = "dedup"
 
 
 class WriteTargetType(str, Enum):
@@ -216,6 +217,47 @@ class RetrievalConfig(BaseModel):
         return v
 
 
+class DedupConfig(BaseModel):
+    """Engine extension: `transform_type: dedup` — corpus deduplication as a
+    declarative action (llm/dedup.py).
+
+    `method`:
+    - "exact": survivor = min id per normalized content hash; output
+      (id_col, dup_count).  One hash-partitioned aggregation.
+    - "lines": RefinedWeb repeated-line removal; output (id_col, n_lines,
+      n_removed, cleaned_text).
+    - "minhash_survivors": MinHash-LSH candidate pairs verified at
+      `jaccard_threshold`, connected-components clustering, keep the
+      best-`quality_col` member per group; output the audit table
+      (doc_id, cluster_id, cluster_size, kept).
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    method: str
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    jaccard_threshold: float = 0.5
+    quality_col: Optional[str] = None
+    max_docs: int = 1
+
+    @field_validator("method")
+    @classmethod
+    def _method_known(cls, v: str) -> str:
+        if v not in ("exact", "lines", "minhash_survivors"):
+            raise ValueError(
+                f"method must be exact|lines|minhash_survivors, got {v!r}"
+            )
+        return v
+
+    @field_validator("jaccard_threshold")
+    @classmethod
+    def _thr_range(cls, v: float) -> float:
+        if not 0.0 < v <= 1.0:
+            raise ValueError(f"jaccard_threshold must be in (0, 1], got {v}")
+        return v
+
+
 class IncrementalConfig(BaseModel):
     """Engine extension: `refresh_policy: incremental` materialized views.
 
@@ -359,8 +401,9 @@ class Action(BaseModel):
     schema_file: Optional[str] = None
     enforcement: str = "strict"  # strict | permissive
 
-    # retrieval transform (engine extension)
+    # retrieval / dedup transforms (engine extensions)
     retrieval: Optional[RetrievalConfig] = None
+    dedup: Optional[DedupConfig] = None
 
     # data-quality transform
     mode: Optional[str] = None  # dqe | quarantine

@@ -24,8 +24,9 @@ REGISTRY = {
     ("transform", "schema"): _transform.transform_schema,
     ("transform", "temp_table"): _transform.transform_temp_table,
     ("transform", "data_quality"): _transform.transform_data_quality,
-    # engine extension: BM25 retrieval as a declarative action
+    # engine extensions: BM25 retrieval / corpus dedup as declarative actions
     ("transform", "retrieval"): _transform.transform_retrieval,
+    ("transform", "dedup"): _transform.transform_dedup,
     ("write", "streaming_table"): _write.write_streaming_table,
     ("write", "materialized_view"): _write.write_materialized_view,
     ("write", "sink"): _write.write_sink,

@@ -142,6 +142,39 @@ def transform_retrieval(ctx: BuildContext, action: Action) -> DataFrame:
     return out
 
 
+def transform_dedup(ctx: BuildContext, action: Action) -> DataFrame:
+    """Corpus deduplication as a declarative action (engine extension; spec
+    `dedup: {method, text_col, id_col, ...}` — see models.DedupConfig).
+    Executors are llm/dedup.py's verified operators: exact (one hash
+    aggregation), lines (RefinedWeb boilerplate removal), and
+    minhash_survivors (LSH pairs -> connected components -> best-quality
+    survivor per group)."""
+    from lakehouse_plumber_spark.llm import dedup as _dedup
+
+    cfg = action.dedup
+    if cfg is None:
+        raise ValueError(f"dedup transform {action.name!r} missing `dedup:` config")
+    if not action.source or not isinstance(action.source, str):
+        raise ValueError(f"dedup transform {action.name!r} needs a single source view")
+    df = ctx.resolve_view(action.source)
+    if cfg.method == "exact":
+        out = _dedup.exact_dedup(df, cfg.text_col, cfg.id_col)
+    elif cfg.method == "lines":
+        out = _dedup.line_dedup(df, cfg.text_col, cfg.id_col, max_docs=cfg.max_docs)
+    else:
+        if not cfg.quality_col:
+            raise ValueError(
+                f"dedup transform {action.name!r}: method minhash_survivors "
+                "requires quality_col"
+            )
+        pairs = _dedup.minhash_lsh_dedup(
+            df, cfg.text_col, cfg.id_col, jaccard_threshold=cfg.jaccard_threshold
+        )
+        out = _dedup.dedup_survivors(df, pairs, cfg.quality_col, id_col=cfg.id_col)
+    ctx.log(action.name, "dedup_applied", method=cfg.method)
+    return out
+
+
 def transform_schema(ctx: BuildContext, action: Action) -> DataFrame:
     """Rename map -> cast map -> enforcement select (reference transform/schema.py.j2:10-47).
 

@@ -931,3 +931,93 @@ def test_bm25_choose_plan_crossover():
 
     with _pytest.raises(ValueError, match="plan"):
         bm25_choose_plan(["a"], plan="fastest")
+
+
+def test_compiled_dedup_exact_matches_engine(spark, runner, tmp_path):
+    """transform_type: dedup, method: exact — generated SQL must reproduce
+    the engine's survivor/dup_count table; non-SQL methods refuse with a
+    clean pointer at the engine."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    def spec(method, extra=None):
+        dd = {"method": method}
+        dd.update(extra or {})
+        return {
+            "pipeline": "p", "flowgroup": f"dd_{method}",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v",
+                 "source": {"type": "sql",
+                            "sql": "SELECT id AS doc_id, "
+                                   "CASE WHEN id % 3 = 0 THEN 'dup text  here' "
+                                   "ELSE concat('unique ', id) END AS text "
+                                   "FROM range(90)"}},
+                {"name": "dd", "type": "transform", "transform_type": "dedup",
+                 "source": "v", "target": "v_dd", "dedup": dd},
+                {"name": "mv", "type": "write", "source": "v_dd",
+                 "write_target": {"type": "materialized_view", "database": "m.d",
+                                  "table": f"t_{method}"}},
+            ],
+        }
+
+    fg = load_flowgroup(spec("exact"))
+    ctx = runner.run(fg)
+    engine = sorted(tuple(r) for r in ctx.resolve_view("m.d.t_exact").collect())
+    src = compile_flowgroup(fg)
+    assert "import lakehouse_plumber_spark" not in src
+    ns: dict = {}
+    exec(compile(src, "<generated>", "exec"), ns)
+    written = ns["build"](spark, str(tmp_path / "out"))
+    generated = sorted(tuple(r) for r in written["m.d.t_exact"].collect())
+    assert generated == engine
+    # 30 dup rows collapse to one survivor with dup_count 30
+    assert max(r[1] for r in engine) == 30
+
+    with _pytest.raises(NotImplementedError, match="PipelineRunner"):
+        compile_flowgroup(load_flowgroup(spec("lines")))
+
+
+def test_dedup_yaml_survivors_and_validation(spark, runner):
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.parsers import SpecError, load_flowgroup
+
+    base = {
+        "pipeline": "p", "flowgroup": "dd_s",
+        "actions": [
+            {"name": "ld", "type": "load", "target": "v",
+             "source": {"type": "sql",
+                        "sql": "SELECT id AS doc_id, "
+                               "CASE WHEN id < 2 THEN 'the quick brown fox jumps over the lazy dog again and again today' "
+                               "ELSE concat('distinct words for document number ', id, ' nothing shared') END AS text, "
+                               "id + 10 AS quality FROM range(8)"}},
+            {"name": "dd", "type": "transform", "transform_type": "dedup",
+             "source": "v", "target": "v_dd",
+             "dedup": {"method": "minhash_survivors", "quality_col": "quality"}},
+            {"name": "mv", "type": "write", "source": "v_dd",
+             "write_target": {"type": "materialized_view", "database": "m.d",
+                              "table": "surv"}},
+        ],
+    }
+    ctx = runner.run(load_flowgroup(base))
+    rows = {r.doc_id: r for r in ctx.resolve_view("m.d.surv").collect()}
+    assert len(rows) == 8
+    # docs 0 and 1 share a near-identical text: the higher-quality one (1)
+    # survives, 0 is retired; everything else is a kept singleton
+    assert rows[1].kept and not rows[0].kept
+    assert all(rows[i].kept for i in range(2, 8))
+
+    with _pytest.raises(SpecError, match="method"):
+        load_flowgroup({**base, "actions": [
+            base["actions"][0],
+            {**base["actions"][1], "dedup": {"method": "fuzzy"}},
+            base["actions"][2],
+        ]})
+    import copy
+
+    bad = copy.deepcopy(base)
+    bad["actions"][1]["dedup"] = {"method": "minhash_survivors"}
+    with _pytest.raises(ValueError, match="quality_col"):
+        runner.run(load_flowgroup(bad))
