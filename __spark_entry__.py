@@ -4734,6 +4734,47 @@ def pipe_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipe_sample_yaml",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN (('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 100000 THEN 'test'
+                WHEN (('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) < 900000 THEN 'train'
+                ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def pipe_sample_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling as a DECLARATIVE action (the third extension
+    action family after retrieval and dedup): `transform_type: sample,
+    method: hash_split` assigns train/test/val by salted-hash range inside
+    a flowgroup (operators/transform.py:transform_sample) — the oracle
+    reproduces the split row-for-row from the same md5 buckets.  hash_split
+    assigns over ALPHABETICALLY sorted split names, so the cumulative
+    thresholds are test<0.1, train<0.9, val rest."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "curation", "flowgroup": "splits",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_docs",
+                 "source": {"type": "sql",
+                            "sql": "SELECT doc_id, lang FROM documents"}},
+                {"name": "sp", "type": "transform", "transform_type": "sample",
+                 "source": "v_docs", "target": "v_split",
+                 "sample": {"method": "hash_split",
+                            "weights": {"train": 0.8, "test": 0.1, "val": 0.1}}},
+                {"name": "mv", "type": "write", "source": "v_split",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "curation", "table": "splits"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.curation.splits")
+
+
+@_register(
     "pipe_dedup_yaml",
     r"""
     SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count

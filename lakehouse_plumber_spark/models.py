@@ -53,6 +53,7 @@ class TransformType(str, Enum):
     # llm/dedup.py are the executors)
     RETRIEVAL = "retrieval"
     DEDUP = "dedup"
+    SAMPLE = "sample"
 
 
 class WriteTargetType(str, Enum):
@@ -258,6 +259,63 @@ class DedupConfig(BaseModel):
         return v
 
 
+class SampleConfig(BaseModel):
+    """Engine extension: `transform_type: sample` — deterministic sampling /
+    data mixing as a declarative action (llm/sampling.py).
+
+    `method`:
+    - "hash_split": assign every row to a named split by hash range;
+      needs `weights` ({split_name: weight}); adds `out_col`.
+    - "stratified": keep each row with its stratum's rate; needs
+      `strata_col` and `rates` ({stratum: rate in [0,1]}).
+    - "mixture": sample strata to an integer-parts recipe; needs
+      `strata_col` and `parts` ({stratum: int parts}).
+    - "temperature": shares ∝ n^alpha derived from the corpus; needs
+      `strata_col`; `alpha` defaults to 0.5 (the oracle-exact setting).
+
+    All methods are pure per-row hash filters after a metadata-sized
+    threshold computation — stable under re-partitioning and retries.
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    method: str
+    id_col: str = "doc_id"
+    strata_col: Optional[str] = None
+    weights: Optional[dict[str, float]] = None
+    rates: Optional[dict[str, float]] = None
+    parts: Optional[dict[str, int]] = None
+    default_rate: float = 0.0
+    alpha: float = 0.5
+    target_rows: Optional[int] = None
+    out_col: str = "split"
+
+    @field_validator("method")
+    @classmethod
+    def _method_known(cls, v: str) -> str:
+        if v not in ("hash_split", "stratified", "mixture", "temperature"):
+            raise ValueError(
+                f"method must be hash_split|stratified|mixture|temperature, got {v!r}"
+            )
+        return v
+
+    @model_validator(mode="after")
+    def _method_requirements(self):
+        need = {
+            "hash_split": self.weights,
+            "stratified": self.strata_col and self.rates,
+            "mixture": self.strata_col and self.parts,
+            "temperature": self.strata_col,
+        }
+        if not need[self.method]:
+            raise ValueError(
+                f"sample method {self.method!r} is missing its required "
+                "fields (hash_split: weights; stratified: strata_col+rates; "
+                "mixture: strata_col+parts; temperature: strata_col)"
+            )
+        return self
+
+
 class IncrementalConfig(BaseModel):
     """Engine extension: `refresh_policy: incremental` materialized views.
 
@@ -401,9 +459,10 @@ class Action(BaseModel):
     schema_file: Optional[str] = None
     enforcement: str = "strict"  # strict | permissive
 
-    # retrieval / dedup transforms (engine extensions)
+    # retrieval / dedup / sample transforms (engine extensions)
     retrieval: Optional[RetrievalConfig] = None
     dedup: Optional[DedupConfig] = None
+    sample: Optional[SampleConfig] = None
 
     # data-quality transform
     mode: Optional[str] = None  # dqe | quarantine

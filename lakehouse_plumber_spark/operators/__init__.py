@@ -27,6 +27,7 @@ REGISTRY = {
     # engine extensions: BM25 retrieval / corpus dedup as declarative actions
     ("transform", "retrieval"): _transform.transform_retrieval,
     ("transform", "dedup"): _transform.transform_dedup,
+    ("transform", "sample"): _transform.transform_sample,
     ("write", "streaming_table"): _write.write_streaming_table,
     ("write", "materialized_view"): _write.write_materialized_view,
     ("write", "sink"): _write.write_sink,

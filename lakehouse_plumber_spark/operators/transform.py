@@ -175,6 +175,41 @@ def transform_dedup(ctx: BuildContext, action: Action) -> DataFrame:
     return out
 
 
+def transform_sample(ctx: BuildContext, action: Action) -> DataFrame:
+    """Deterministic sampling / data mixing as a declarative action (engine
+    extension; spec `sample: {method, ...}` — see models.SampleConfig).
+    Executors are llm/sampling.py's verified operators; every method is a
+    pure per-row hash filter after a metadata-sized threshold step, so the
+    sample is stable under re-partitioning, retries, and engine choice."""
+    from lakehouse_plumber_spark.llm import sampling as _sampling
+
+    cfg = action.sample
+    if cfg is None:
+        raise ValueError(f"sample transform {action.name!r} missing `sample:` config")
+    if not action.source or not isinstance(action.source, str):
+        raise ValueError(f"sample transform {action.name!r} needs a single source view")
+    df = ctx.resolve_view(action.source)
+    if cfg.method == "hash_split":
+        out = _sampling.hash_split(df, cfg.weights, id_col=cfg.id_col, out=cfg.out_col)
+    elif cfg.method == "stratified":
+        out = _sampling.stratified_sample(
+            df, cfg.strata_col, cfg.rates,
+            default_rate=cfg.default_rate, id_col=cfg.id_col,
+        )
+    elif cfg.method == "mixture":
+        out = _sampling.mixture_weighted_sample(
+            df, cfg.strata_col, cfg.parts,
+            target_rows=cfg.target_rows, id_col=cfg.id_col,
+        )
+    else:
+        out = _sampling.temperature_sample(
+            df, cfg.strata_col, alpha=cfg.alpha,
+            target_rows=cfg.target_rows, id_col=cfg.id_col,
+        )
+    ctx.log(action.name, "sample_applied", method=cfg.method)
+    return out
+
+
 def transform_schema(ctx: BuildContext, action: Action) -> DataFrame:
     """Rename map -> cast map -> enforcement select (reference transform/schema.py.j2:10-47).
 

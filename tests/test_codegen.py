@@ -1021,3 +1021,59 @@ def test_dedup_yaml_survivors_and_validation(spark, runner):
     bad["actions"][1]["dedup"] = {"method": "minhash_survivors"}
     with _pytest.raises(ValueError, match="quality_col"):
         runner.run(load_flowgroup(bad))
+
+
+def test_compiled_sample_matches_engine(spark, runner, tmp_path):
+    """transform_type: sample — hash_split and stratified compile to SQL
+    with the identical md5 bucket derivation; count-dependent methods
+    refuse with a clean pointer at the engine."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    def spec(sample):
+        return {
+            "pipeline": "p", "flowgroup": "smp",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v",
+                 "source": {"type": "sql",
+                            "sql": "SELECT id AS doc_id, "
+                                   "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS src "
+                                   "FROM range(500)"}},
+                {"name": "sp", "type": "transform", "transform_type": "sample",
+                 "source": "v", "target": "v_s", "sample": sample},
+                {"name": "mv", "type": "write", "source": "v_s",
+                 "write_target": {"type": "materialized_view", "database": "m.s",
+                                  "table": "t"}},
+            ],
+        }
+
+    for sample in (
+        {"method": "hash_split", "weights": {"train": 0.7, "val": 0.3}},
+        {"method": "stratified", "strata_col": "src",
+         "rates": {"a": 1.0, "b": 0.25}},
+    ):
+        fg = load_flowgroup(spec(sample))
+        ctx = runner.run(fg)
+        engine = sorted(tuple(r) for r in ctx.resolve_view("m.s.t").collect())
+        src_code = compile_flowgroup(fg)
+        assert "import lakehouse_plumber_spark" not in src_code
+        ns: dict = {}
+        exec(compile(src_code, "<generated>", "exec"), ns)
+        written = ns["build"](spark, str(tmp_path / f"out_{sample['method']}"))
+        generated = sorted(tuple(r) for r in written["m.s.t"].collect())
+        assert generated == engine, f"{sample['method']}: generated != engine"
+        assert len(engine) > 0
+
+    with _pytest.raises(NotImplementedError, match="PipelineRunner"):
+        compile_flowgroup(load_flowgroup(spec(
+            {"method": "temperature", "strata_col": "src"}
+        )))
+    # spec validation: missing required fields per method
+    from lakehouse_plumber_spark.parsers import SpecError
+
+    with _pytest.raises(SpecError, match="required"):
+        load_flowgroup(spec({"method": "hash_split"}))
+    with _pytest.raises(SpecError, match="method"):
+        load_flowgroup(spec({"method": "bootstrap"}))
