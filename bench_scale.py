@@ -93,6 +93,8 @@ NAMES = [
     "pipe_run_many",
     "join_salted",
     "agg_two_phase",
+    "pipe_dedup_yaml",
+    "pipe_sample_yaml",
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks
