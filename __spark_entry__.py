@@ -4733,6 +4733,61 @@ def pipe_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.resolve_view("main.gold.daily_rollup")
 
 
+@_register("pipe_incremental_dedup", _minhash_duck())
+def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup — the production shape: documents arrive in
+    three batches; each batch is deduped against ALL history by joining
+    its LSH bands against the persisted band index
+    (llm/dedup.py:lsh_candidate_pairs_incremental), verified by exact
+    shingle Jaccard against the persisted hashed-grams table, then its
+    bands/grams are appended.  Old text is never rescanned — per-batch
+    work scales with the batch.  The incremental contract makes the
+    oracle STRONG: a cross-batch pair is found exactly once (when its
+    later member arrives), so the accumulated pair set equals the
+    one-shot `dedup_minhash_lsh` output bit-for-bit."""
+    _prep(spark, sf_dir)
+    store = _runner(spark).store
+    bands_t, grams_t, pairs_t = (
+        "m.dedup.bands", "m.dedup.grams", "m.dedup.pairs"
+    )
+    docs = spark.table("documents")
+    grams_expr = (
+        f"transform({word_ngrams_spark('text', D.SHINGLE_N)}, "
+        f"g -> {md5int_spark('g')})"
+    )
+    for i in range(3):
+        batch = docs.where(F.expr(f"pmod(doc_id, 3) = {i}"))
+        sigs = D.minhash_signatures(batch)
+        nb = D.lsh_bands(sigs)
+        index = store.read(bands_t) if store.exists(bands_t) else None
+        cands = D.lsh_candidate_pairs_incremental(nb, index)
+        grams_b = batch.select(
+            F.col("doc_id"), F.expr(grams_expr).alias("grams")
+        )
+        all_grams = (
+            store.read(grams_t).unionByName(grams_b)
+            if store.exists(grams_t)
+            else grams_b
+        )
+        verified = (
+            cands.join(
+                all_grams.withColumnRenamed("doc_id", "id_a")
+                .withColumnRenamed("grams", "ga"), "id_a")
+            .join(
+                all_grams.withColumnRenamed("doc_id", "id_b")
+                .withColumnRenamed("grams", "gb"), "id_b")
+            .withColumn("inter", F.expr("size(array_intersect(ga, gb))"))
+            .withColumn("uni", F.expr("size(ga) + size(gb) - size(array_intersect(ga, gb))"))
+            .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+            .where(F.col("jaccard") >= 0.5)
+            .select("id_a", "id_b", "jaccard")
+        )
+        store.append(pairs_t, verified) if store.exists(pairs_t) else store.overwrite(pairs_t, verified)
+        store.append(bands_t, nb) if store.exists(bands_t) else store.overwrite(bands_t, nb)
+        store.append(grams_t, grams_b) if store.exists(grams_t) else store.overwrite(grams_t, grams_b)
+    return store.read(pairs_t)
+
+
 @_register(
     "pipe_sample_yaml",
     """

@@ -78,6 +78,64 @@ def minhash_signatures(
     )
 
 
+def lsh_bands(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Banded LSH index rows `(id, band, h)` from MinHash signatures — the
+    PERSISTABLE form of the corpus index: append each arriving batch's
+    bands and new documents can be deduped against all history with one
+    equi-join, never rescanning old text (see
+    `lsh_candidate_pairs_incremental`)."""
+    band_entries = ", ".join(
+        f"named_struct('band', {b}, 'h', md5(array_join(slice(sig, {b * rows + 1}, {rows}), ',')))"
+        for b in range(bands)
+    )
+    return sigs.select(
+        F.col(id_col), F.explode(F.expr(f"array({band_entries})")).alias("bd")
+    ).select(id_col, F.col("bd.band").alias("band"), F.col("bd.h").alias("h"))
+
+
+def lsh_candidate_pairs_incremental(
+    new_bands: DataFrame,
+    index_bands: DataFrame | None,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs for an ARRIVING batch against the accumulated band
+    index (plus within the batch itself): `(id_a, id_b)` with id_a < id_b.
+
+    The incremental contract: processing batches in arrival order and
+    appending each batch's bands to the index yields EXACTLY the one-shot
+    pair set — a cross-batch pair is found once, when its later member
+    arrives (the earlier member's bands are already indexed), and a
+    within-batch pair in its own batch.  Index-vs-index pairs are never
+    re-derived: the join's probe side is only the new batch, so per-batch
+    work scales with the BATCH (times bucket occupancy), not with history.
+
+    `max_bucket_size` caps the combined bucket size, mirroring
+    `lsh_candidate_pairs`' clique guard.
+    """
+    all_bands = (
+        index_bands.unionByName(new_bands) if index_bands is not None else new_bands
+    )
+    if max_bucket_size is not None:
+        sizes = all_bands.groupBy("band", "h").agg(F.count(F.lit(1)).alias("__bn"))
+        keep = sizes.where(F.col("__bn") <= max_bucket_size).select("band", "h")
+        all_bands = all_bands.join(keep, on=["band", "h"])
+        new_bands = new_bands.join(keep, on=["band", "h"])
+    a, b = all_bands.alias("a"), new_bands.alias("b")
+    return (
+        a.join(b, on=["band", "h"])
+        .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS, rows: int = LSH_ROWS,
     max_bucket_size: int | None = None,
@@ -92,13 +150,7 @@ def lsh_candidate_pairs(
     size m contributes m^2 join rows, so one boilerplate cluster of 10^6 docs
     would otherwise dominate the whole job).
     """
-    band_entries = ", ".join(
-        f"named_struct('band', {b}, 'h', md5(array_join(slice(sig, {b * rows + 1}, {rows}), ',')))"
-        for b in range(bands)
-    )
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.expr(f"array({band_entries})")).alias("bd")
-    ).select(id_col, F.col("bd.band").alias("band"), F.col("bd.h").alias("h"))
+    banded = lsh_bands(sigs, id_col, bands, rows)
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "h").agg(F.count(F.lit(1)).alias("__bn"))
         banded = (

@@ -888,3 +888,61 @@ def test_embedding_lsh_hot_bucket_cap_and_validation(spark):
         embedding_near_dup_lsh(df, bands=0)
     with _pytest.raises(ValueError, match="bands"):
         embedding_near_dup_lsh(df, bands=8, rows_per_band=8)
+
+
+def test_incremental_lsh_pairs_equal_one_shot(spark):
+    """Arrival-order incremental dedup (bands appended per batch, probe side
+    = new batch only) must accumulate EXACTLY the one-shot candidate set,
+    each pair found once."""
+    from lakehouse_plumber_spark.llm.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_incremental,
+        minhash_signatures,
+    )
+
+    rows = []
+    for i in range(30):
+        base = f"document number {i} with some shared words in the middle"
+        rows.append((i, base))
+        if i % 5 == 0:  # plant near-dups across batch boundaries
+            rows.append((100 + i, base + " tail"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df)
+    one_shot = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()
+    }
+    acc: set = set()
+    index = None
+    for b in range(3):
+        batch = df.where(f"pmod(doc_id, 3) = {b}")
+        nb = lsh_bands(minhash_signatures(batch))
+        got = {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs_incremental(nb, index).collect()
+        }
+        assert not (got & acc), "a pair must be found exactly once"
+        acc |= got
+        index = nb if index is None else index.unionByName(nb)
+    assert acc == one_shot
+
+
+def test_incremental_lsh_bucket_cap_applies_to_combined_bucket(spark):
+    from lakehouse_plumber_spark.llm.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs_incremental,
+        minhash_signatures,
+    )
+
+    # 12 identical docs split across index (8) and batch (4): combined
+    # bucket size 12 > cap 10 -> dropped whole; without a cap all pairs
+    df = spark.createDataFrame(
+        [(i, "exactly the same boilerplate text body for everyone") for i in range(12)],
+        "doc_id long, text string",
+    )
+    index = lsh_bands(minhash_signatures(df.where("doc_id < 8")))
+    nb = lsh_bands(minhash_signatures(df.where("doc_id >= 8")))
+    uncapped = lsh_candidate_pairs_incremental(nb, index).count()
+    assert uncapped == 8 * 4 + 6  # cross pairs + within-batch pairs
+    capped = lsh_candidate_pairs_incremental(nb, index, max_bucket_size=10).count()
+    assert capped == 0
