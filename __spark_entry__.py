@@ -4733,6 +4733,21 @@ def pipe_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.resolve_view("main.gold.daily_rollup")
 
 
+@_register("text_quality_model", TX.linear_quality_filter_duck("documents"))
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-based quality filtering (llm/text.py:linear_quality_filter),
+    the fasttext/DCLM classifier shape: hashed bag-of-tokens features, a
+    linear model over md5 buckets (deterministic stub weights — the
+    multimodal-decoder convention: the plumbing is real, the model is
+    swappable), keep iff the exact-decimal margin is non-negative.  One
+    explode -> map-side-combined aggregate; the 256-entry weight array is
+    a plan literal, no join.  Every number oracle-exact: the output is
+    the raw DECIMAL dot (round()/exp()/division all differ cross-engine
+    in the last ulp and are monotone in it anyway)."""
+    _prep(spark, sf_dir)
+    return TX.linear_quality_filter(spark.table("documents"))
+
+
 @_register("pipe_incremental_dedup", _minhash_duck())
 def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL corpus dedup — the production shape: documents arrive in

@@ -1073,3 +1073,107 @@ def tfidf_keywords_duck(
       FROM scored)
     SELECT doc_id, rank, term, tf, score FROM ranked WHERE rank <= {k}
     """
+
+
+LQF_DIM = 256
+
+
+def _lqf_weights(dim: int, scale: int = 1_000_000) -> list[int]:
+    """Deterministic md5-derived stub weights in integer MILLIONTHS
+    (uniform in [-0.5, 0.5]) — the same reproducible-pseudo-model device as
+    similarity.hyperplane_weights.  Swap in a trained model's weights
+    (times 1e6, rounded) for a real filter; the plan is identical."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"lqf:{j}".encode()).hexdigest()[:15], 16)
+        % (scale + 1) - scale // 2
+        for j in range(dim)
+    ]
+
+
+def linear_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = LQF_DIM,
+    weights: list[int] | None = None,
+) -> DataFrame:
+    """Model-based quality filtering, the fasttext/DCLM classifier shape:
+    hashed bag-of-tokens features (token -> md5 bucket in [0, dim)), a
+    linear model over the buckets, keep iff the margin is non-negative.
+    Output: (doc_id, n_tokens, score_sum, keep).
+
+    The default model is a deterministic md5-derived STUB (the multimodal
+    decoder convention: the PLUMBING — feature hashing, broadcast weight
+    lookup, per-doc margin — is real and oracle-verified; plug a trained
+    model's weights in via `weights`, integer millionths).
+
+    Cross-engine exactness: weights are integer-millionth DECIMALs, each
+    token contributes its bucket weight once (tf-weighted), and the
+    per-doc dot product is an EXACT decimal SUM (order-independent), so
+    both `score_sum` (the raw dot, a DECIMAL) and `keep` (dot >= 0) are
+    exact.  No division and no sigmoid in the output: engines' round()
+    and exp() differ in the last ulp, and both are monotone in the dot —
+    divide by n_tokens downstream if a length-normalized margin is
+    wanted.
+
+    Scale: one explode -> (doc, bucket-weight) hash aggregate, map-side
+    combined; the dim-entry weight array is a plan literal (no join).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    w = weights if weights is not None else _lqf_weights(dim)
+    if len(w) != dim:
+        raise ValueError(f"weights must have dim={dim} entries, got {len(w)}")
+    arr = "array(" + ", ".join(
+        f"CAST({v / 1_000_000:.6f} AS DECIMAL(18,6))" for v in w
+    ) + ")"
+    toks = tokens_spark(f"lower(coalesce({text_col}, ''))")
+    from lakehouse_plumber_spark.llm.hashing import md5int_spark
+
+    bucket = f"pmod({md5int_spark('t')}, {dim})"
+    exploded = df.selectExpr(
+        f"{id_col} AS doc_id", f"explode({toks}) AS t"
+    ).selectExpr("doc_id", f"element_at({arr}, CAST({bucket} AS INT) + 1) AS w")
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w").alias("__dot"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "CAST(__dot AS DECIMAL(18,6)) AS score_sum",
+            "__dot >= 0 AS keep",
+        )
+    )
+
+
+def linear_quality_filter_duck(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = LQF_DIM,
+    weights: list[int] | None = None,
+) -> str:
+    """DuckDB oracle for `linear_quality_filter`: same md5 buckets, same
+    decimal weight literals, same exact decimal sum and threshold."""
+    from lakehouse_plumber_spark.llm.hashing import md5int_duck, tokens_duck
+
+    w = weights if weights is not None else _lqf_weights(dim)
+    arr = "[" + ", ".join(f"{v / 1_000_000:.6f}::DECIMAL(18,6)" for v in w) + "]"
+    toks = tokens_duck(f"lower(coalesce({text_col}, ''))")
+    bucket = f"(({md5int_duck('t')}) % {dim})"
+    return f"""
+    WITH tok AS (SELECT {id_col} AS doc_id, unnest({toks}) AS t FROM {table}),
+    wtd AS (SELECT doc_id, ({arr})[CAST({bucket} AS INT) + 1] AS w FROM tok),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   SUM(w) AS dot
+            FROM wtd GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(dot AS DECIMAL(18,6)) AS score_sum,
+           dot >= 0 AS keep
+    FROM agg
+    """
