@@ -95,6 +95,8 @@ NAMES = [
     "agg_two_phase",
     "pipe_dedup_yaml",
     "pipe_sample_yaml",
+    "pipe_incremental_dedup",
+    "text_quality_model",
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks
