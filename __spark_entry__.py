@@ -4748,6 +4748,39 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.linear_quality_filter(spark.table("documents"))
 
 
+def _containment_duck() -> str:
+    grams = word_ngrams_duck("text", D.SHINGLE_N)
+    return f"""
+    WITH grams_t AS (SELECT doc_id, unnest({grams}) AS g FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams_t GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM grams_t a JOIN grams_t b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.id_a, s.id_b,
+           round(s.inter / least(sa.sz, sb.sz), 6) AS containment,
+           round(s.inter / (sa.sz + sb.sz - s.inter), 6) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE round(s.inter / least(sa.sz, sb.sz), 6) >= 0.8
+    """
+
+
+@_register("dedup_containment", _containment_duck())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs
+    (llm/dedup.py:containment_dedup): |A∩B| / min(|A|,|B|) over distinct
+    shingles — the excerpt/quote/version relation Jaccard misses (a short
+    quote inside a long doc has tiny Jaccard, containment ~1).  Candidates
+    via the shingle-inverted-index join (MinHash bands approximate JACCARD
+    and essentially never surface an excerpt pair — documented in the
+    operator), doc-frequency cap available for boilerplate grams."""
+    _prep(spark, sf_dir)
+    return D.containment_dedup(spark.table("documents"))
+
+
 @_register("pipe_incremental_dedup", _minhash_duck())
 def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL corpus dedup — the production shape: documents arrive in

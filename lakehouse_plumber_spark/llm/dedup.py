@@ -483,6 +483,54 @@ def embedding_near_dup_lsh(
     )
 
 
+def containment_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    containment_threshold: float = 0.8, max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by ASYMMETRIC shingle containment — the sub-document
+    relation Jaccard misses: a short excerpt quoted inside a long document
+    has tiny Jaccard (the union is dominated by the long side) but
+    containment |A∩B| / min(|A|, |B|) ~ 1 — the quote/excerpt/version
+    relation.  Output: (id_a, id_b, containment, jaccard).
+
+    Candidates CANNOT come from MinHash bands (MinHash approximates
+    Jaccard; an excerpt inside a 10x-longer doc essentially never
+    band-collides), so this uses the shingle-inverted-index join
+    (`ngram_jaccard_pairs`' shape): explode distinct shingles ->
+    equi-join on the shingle -> shared counts.  `max_doc_freq` drops
+    shingles appearing in more than that many documents (boilerplate
+    grams are the hot keys; a shingle in m docs contributes ~m^2/2 join
+    rows) — an excerpt relation still has plenty of rarer shingles to
+    surface through, so the cap costs little recall.
+    """
+    grams = spread_for_compute(df, [id_col, text_col]).select(
+        F.col(id_col),
+        F.explode(F.expr(word_ngrams_spark(text_col, SHINGLE_N))).alias("g"),
+    )
+    if max_doc_freq is not None:
+        freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+        grams = grams.join(freq.where(F.col("__df") <= max_doc_freq), on="g").drop("__df")
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, on="g")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sza"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "szb"), "id_b")
+        .withColumn("containment", F.round(F.col("inter") / F.expr("least(sza, szb)"), 6))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
+        )
+        .where(F.col("containment") >= containment_threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
+    )
+
+
 def dedup_connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     max_rounds: int = 50,

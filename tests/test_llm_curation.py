@@ -982,3 +982,27 @@ def test_linear_quality_filter_model_swap_and_determinism(spark):
         linear_quality_filter(df, dim=0)
     with _pytest.raises(ValueError, match="weights"):
         linear_quality_filter(df, dim=8, weights=[1, 2])
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """An excerpt quoted inside a much longer document: containment ~1,
+    Jaccard small — the pair must surface at containment >= 0.8 even
+    though minhash_lsh_dedup's Jaccard >= 0.5 gate would drop it."""
+    from lakehouse_plumber_spark.llm.dedup import containment_dedup, minhash_lsh_dedup
+
+    excerpt = "the quick brown fox jumps over the lazy dog near the river bank"
+    long_doc = ("intro words setting the scene before quoting " + excerpt +
+                " and then a very long discussion follows " +
+                " ".join(f"filler{i}" for i in range(60)))
+    df = spark.createDataFrame(
+        [(1, excerpt), (2, long_doc), (3, "completely unrelated content here entirely")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r for r in containment_dedup(df).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r.containment >= 0.9
+    assert r.jaccard < 0.5  # Jaccard verify would have dropped it
+    jac = {(r.id_a, r.id_b) for r in minhash_lsh_dedup(df).collect()}
+    assert (1, 2) not in jac
+    assert not any(3 in p for p in got)
