@@ -97,6 +97,7 @@ NAMES = [
     "pipe_sample_yaml",
     "pipe_incremental_dedup",
     "text_quality_model",
+    "dedup_containment",
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks
