@@ -1467,6 +1467,39 @@ def _knn_duck() -> str:
     """
 
 
+def _knn_filtered_duck() -> str:
+    ids = ", ".join(str(i) for i in _KNN_IDS)
+    return f"""
+    WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN ({ids})),
+    cand AS (SELECT vec_id, v FROM base WHERE label = 1),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(q.qv, c.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      FROM cand c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 3
+    """
+
+
+@_register("knn_filtered", _knn_filtered_duck())
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (llm/similarity.py:knn_filtered): top-3
+    cosine neighbors restricted to `label = 1` candidates — the
+    metadata-predicate ANN pattern, pre-filtered so recall is exact
+    (post-filtering an ANN shortlist under-returns on selective
+    predicates).  The predicate prunes the candidate scan; queries come
+    from the unfiltered table."""
+    _prep(spark, sf_dir)
+    return S.knn_filtered(
+        spark.table("embeddings"), _KNN_IDS, "label = 1", k=3
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 @_register("knn_bruteforce", _knn_duck())
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)

@@ -506,3 +506,49 @@ def semantic_dedup(
             F.coalesce("__retired", F.lit(False)).alias("retired"),
         )
     )
+
+
+def knn_filtered(
+    df: DataFrame,
+    query_ids: list[int],
+    predicate: str,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """FILTERED vector search — the metadata-predicate ANN every vector
+    store advertises ("nearest neighbors WHERE label = 1"): candidates are
+    restricted to `predicate` BEFORE scoring (pre-filtering, the
+    exact-recall strategy; post-filtering an ANN shortlist silently
+    returns < k when the predicate is selective).  Queries are looked up
+    by id in the UNFILTERED table, so a query vector need not satisfy its
+    own predicate.
+
+    Scale: the predicate lands on the candidate scan (plain pushdown —
+    work ∝ matching rows), then the usual broadcast-query scoring and a
+    per-query top-k window.  For the ANN ladder, compose the same way:
+    filter the IVF/LSH candidate set by the predicate before the distance
+    pass."""
+    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
+
+    if not query_ids:
+        raise ValueError("knn_filtered needs at least one query id")
+    base = spread_for_compute(df, [id_col, vec_col]).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = base.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = spread_for_compute(df.where(predicate), [id_col, vec_col]).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    scored = (
+        cand.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", F.round(F.expr(cosine_expr("qv", "v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
+    )

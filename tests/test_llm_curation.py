@@ -1006,3 +1006,36 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     jac = {(r.id_a, r.id_b) for r in minhash_lsh_dedup(df).collect()}
     assert (1, 2) not in jac
     assert not any(3 in p for p in got)
+
+
+def test_knn_filtered_respects_predicate_and_recall(spark):
+    """Pre-filtered search: every neighbor satisfies the predicate, the
+    result equals brute-force-over-the-filtered-subset (exact recall), and
+    queries need not satisfy their own predicate."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.similarity import knn_bruteforce, knn_filtered
+
+    df = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 2).cast("int").alias("label"),
+        F.expr("transform(sequence(0, 7), j -> cast(sin(id * 0.7 + j) AS double))").alias("embedding"),
+    )
+    out = knn_filtered(df, [0, 1], "label = 1", k=3)
+    rows = out.collect()
+    labels = {r.vec_id: r.label for r in df.select("vec_id", "label").collect()}
+    assert rows and all(labels[r.neighbor_id] == 1 for r in rows)
+    # query 0 has label 0: still answered (queries come from the full table)
+    assert {r.query_id for r in rows} == {0, 1}
+    # exact recall: equals brute force over the filtered subset (query 1
+    # is in the subset, so compare its ranking directly)
+    subset = df.where("label = 1")
+    brute = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in knn_bruteforce(subset, [1], k=3).collect()
+    }
+    got1 = {(r.query_id, r.neighbor_id, r.rank) for r in rows if r.query_id == 1}
+    assert got1 == brute
+    with _pytest.raises(ValueError, match="query id"):
+        knn_filtered(df, [], "label = 1")
