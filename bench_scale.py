@@ -98,6 +98,7 @@ NAMES = [
     "pipe_incremental_dedup",
     "text_quality_model",
     "dedup_containment",
+    "knn_filtered",
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks
