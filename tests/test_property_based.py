@@ -882,3 +882,45 @@ def test_sentence_chunks_conserve_tokens_and_sentences(spark, docs):
         per_doc_sents[r.doc_id] = per_doc_sents.get(r.doc_id, 0) + r.n_sentences
     assert per_doc_tokens == truth
     assert per_doc_sents == {d: len(s) for d, s in enumerate(docs)}
+
+
+cont_docs_st = st.lists(
+    st.lists(st.integers(0, 12), min_size=3, max_size=14),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs=cont_docs_st)
+@settings(**_SETTINGS)
+def test_containment_matches_set_model_and_dominates_jaccard(spark, docs):
+    """containment_dedup == an in-memory distinct-shingle set model, and
+    containment >= jaccard on every emitted pair (min <= union)."""
+    from lakehouse_plumber_spark.llm.dedup import SHINGLE_N, containment_dedup
+
+    texts = [" ".join(f"w{t}" for t in toks) for toks in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    def shingles(toks):
+        return {
+            " ".join(f"w{t}" for t in toks[i:i + SHINGLE_N])
+            for i in range(len(toks) - SHINGLE_N + 1)
+        }
+
+    sets = {i: shingles(t) for i, t in enumerate(docs) if len(t) >= SHINGLE_N}
+    expect = {}
+    ids = sorted(sets)
+    for x in ids:
+        for y in ids:
+            if x < y and sets[x] and sets[y]:
+                inter = len(sets[x] & sets[y])
+                cont = round(inter / min(len(sets[x]), len(sets[y])), 6)
+                if inter and cont >= 0.8:
+                    expect[(x, y)] = cont
+    got = {
+        (r.id_a, r.id_b): (r.containment, r.jaccard)
+        for r in containment_dedup(df, containment_threshold=0.8).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == expect
+    for cont, jac in got.values():
+        assert cont >= jac
