@@ -140,12 +140,16 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
     audience-intersection question answered from two already-maintained
     sketches, no re-scan of either input.
 
-    Output: (stratum, est_a, est_b, est_union, est_intersection, jaccard).
-    est_intersection = max(0, est_a + est_b - est_union); all inputs to it
-    are the exactly-reproducible KMV estimates, so the DuckDB oracle checks
-    every column bit-for-bit.  Error compounds from the three underlying
-    estimates (each O(1/sqrt(k))), the standard KMV-overlap tradeoff —
-    below k distinct per side everything is exact."""
+    Output: (stratum, est_a, est_b, est_union, est_intersection,
+    est_only_a, est_only_b, jaccard).  est_intersection =
+    max(0, est_a + est_b - est_union) and the difference estimates are
+    est_only_a = max(0, est_union - est_b) (elements of A absent from B —
+    "new this era" / "lost audience") and symmetrically est_only_b; all
+    inputs are the exactly-reproducible KMV estimates, so the DuckDB
+    oracle checks every column bit-for-bit.  Error compounds from the
+    three underlying estimates (each O(1/sqrt(k))), the standard
+    KMV-overlap tradeoff — below k distinct per side everything is
+    exact."""
     ea = kmv_estimate(a, k).select(
         "stratum", F.col("est_distinct").alias("est_a")
     )
@@ -171,6 +175,8 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
         "est_b",
         "est_union",
         "greatest(0L, est_a + est_b - est_union) AS est_intersection",
+        "greatest(0L, est_union - est_b) AS est_only_a",
+        "greatest(0L, est_union - est_a) AS est_only_b",
         "round(greatest(0L, est_a + est_b - est_union) / "
         "cast(est_union AS double), 6) AS jaccard",
     )
@@ -214,6 +220,8 @@ def kmv_overlap_duck(
            u_e.est AS est_union,
            greatest(0, coalesce(a_e.est, 0) + coalesce(b_e.est, 0) - u_e.est)
              AS est_intersection,
+           greatest(0, u_e.est - coalesce(b_e.est, 0)) AS est_only_a,
+           greatest(0, u_e.est - coalesce(a_e.est, 0)) AS est_only_b,
            round(greatest(0, coalesce(a_e.est, 0) + coalesce(b_e.est, 0) - u_e.est)
                  / CAST(u_e.est AS DOUBLE), 6) AS jaccard
     FROM u_e

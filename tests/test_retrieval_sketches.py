@@ -675,6 +675,7 @@ def test_kmv_overlap_exact_below_k(spark):
     b = spark.range(20, 50).select(F.lit("g").alias("g"), F.col("id").alias("v"))
     row = kmv_overlap(kmv_sketch(a, "g", "v"), kmv_sketch(b, "g", "v")).collect()[0]
     assert (row.est_a, row.est_b, row.est_union, row.est_intersection) == (30, 30, 50, 10)
+    assert (row.est_only_a, row.est_only_b) == (20, 20)
     assert row.jaccard == 0.2
 
 
