@@ -558,6 +558,10 @@ def write_materialized_view(ctx: BuildContext, action: Action) -> DataFrame:
         scoped = df.where(F.col(col).isin(list(values)))
         with _with_spark_conf(ctx.spark, wt.spark_conf):
             ctx.store.overwrite_partitions(target, scoped, wt.partition_columns)
+        if _cdf_enabled(wt):
+            # parity with the full-overwrite branch: CDF consumers must see
+            # the backfilled rows (the rewritten partitions' new content)
+            ctx.store.log_changes(target, scoped, "insert")
         ctx.log(
             action.name, "mv_backfilled", target=target,
             partition_col=col, n_values=len(values),

@@ -484,3 +484,41 @@ def test_runner_backfill_rewrites_only_target_partitions(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="partition value"):
         runner.backfill(fg(full), "d", [])
+
+
+def test_backfill_logs_cdf_changes_for_rewritten_partitions(spark, tmp_path):
+    """A CDF-enabled MV backfill must record the rewritten partitions' rows
+    in the change feed, like the full-overwrite branch does."""
+    from lakehouse_plumber_spark import PipelineRunner, load_flowgroup
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    store = ParquetTableStore(spark, str(tmp_path / "wh"))
+    runner = PipelineRunner(spark, store=store)
+
+    def fg():
+        return load_flowgroup({
+            "pipeline": "p", "flowgroup": "bfc",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v",
+                 "source": {"type": "sql",
+                            "sql": "SELECT CAST(id % 2 AS STRING) AS d, id FROM range(40)"}},
+                {"name": "mv", "type": "write", "source": "v",
+                 "write_target": {"type": "materialized_view", "database": "m.g",
+                                  "table": "t",
+                                  "sql": "SELECT d, CAST(COUNT(*) AS BIGINT) AS n "
+                                         "FROM v GROUP BY d",
+                                  "partition_columns": ["d"],
+                                  "table_properties":
+                                      {"delta.enableChangeDataFeed": "true"}}},
+            ],
+        })
+
+    runner.run(fg())
+    before = store.read_changes("m.g.t").count()
+    runner.backfill(fg(), "d", ["1"])
+    changes = store.read_changes("m.g.t")
+    after = changes.count()
+    # the backfill appended exactly the rewritten partition's rows as inserts
+    assert after == before + 1
+    last = changes.orderBy("_commit_version", ascending=False).first()
+    assert last["_change_type"] == "insert" and str(last["d"]) == "1"
