@@ -119,6 +119,11 @@ def winsorize(
     convention), and the clamp is a pure comparison against those
     thresholds, so the oracle reproduces every row.
 
+    NULL handling: rows with a NULL group key are DROPPED (the threshold
+    join is an inner equi-join and NULL never equals NULL) — pre-fill or
+    pre-filter null groups; null VALUES should be pre-filtered too
+    (least/greatest null semantics differ across engines).
+
     Scale: ONE map-side-combined percentile aggregate per group (bounded
     by group count) broadcast back onto a narrow projection — no window,
     no sort of the data itself.  The same single-buffer caveat as every

@@ -313,6 +313,15 @@ class SampleConfig(BaseModel):
                 "fields (hash_split: weights; stratified: strata_col+rates; "
                 "mixture: strata_col+parts; temperature: strata_col)"
             )
+        if self.weights is not None:
+            if any(w < 0 for w in self.weights.values()) or sum(self.weights.values()) <= 0:
+                raise ValueError(
+                    "sample weights must be non-negative with a positive sum"
+                )
+        if self.rates is not None and any(
+            not 0.0 <= r <= 1.0 for r in self.rates.values()
+        ):
+            raise ValueError("sample rates must each be in [0, 1]")
         return self
 
 

@@ -132,6 +132,11 @@ def transform_retrieval(ctx: BuildContext, action: Action) -> DataFrame:
             f"retrieval transform {action.name!r} needs a single source view"
         )
     df = ctx.resolve_view(action.source)
+    if df.isStreaming:
+        raise ValueError(
+            f"retrieval transform {action.name!r} needs a BATCH source "
+            "(BM25's corpus statistics are a global aggregate)"
+        )
     plan = bm25_choose_plan(cfg.query_terms, cfg.plan)
     fn = bm25_topk if plan == "unrolled" else bm25_topk_postings
     out = fn(
@@ -157,6 +162,13 @@ def transform_dedup(ctx: BuildContext, action: Action) -> DataFrame:
     if not action.source or not isinstance(action.source, str):
         raise ValueError(f"dedup transform {action.name!r} needs a single source view")
     df = ctx.resolve_view(action.source)
+    if df.isStreaming:
+        raise ValueError(
+            f"dedup transform {action.name!r} needs a BATCH source "
+            "(dedup relations are corpus-global; for streams, dedup each "
+            "micro-batch against a persisted index — see "
+            "lsh_candidate_pairs_incremental)"
+        )
     if cfg.method == "exact":
         out = _dedup.exact_dedup(df, cfg.text_col, cfg.id_col)
     elif cfg.method == "lines":
@@ -189,6 +201,13 @@ def transform_sample(ctx: BuildContext, action: Action) -> DataFrame:
     if not action.source or not isinstance(action.source, str):
         raise ValueError(f"sample transform {action.name!r} needs a single source view")
     df = ctx.resolve_view(action.source)
+    if df.isStreaming and cfg.method in ("mixture", "temperature"):
+        raise ValueError(
+            f"sample transform {action.name!r}: method {cfg.method!r} "
+            "derives thresholds from corpus counts and needs a BATCH "
+            "source (hash_split/stratified are pure per-row filters and "
+            "work on streams)"
+        )
     if cfg.method == "hash_split":
         out = _sampling.hash_split(df, cfg.weights, id_col=cfg.id_col, out=cfg.out_col)
     elif cfg.method == "stratified":

@@ -1077,3 +1077,54 @@ def test_compiled_sample_matches_engine(spark, runner, tmp_path):
         load_flowgroup(spec({"method": "hash_split"}))
     with _pytest.raises(SpecError, match="method"):
         load_flowgroup(spec({"method": "bootstrap"}))
+
+
+def test_extension_actions_reject_streaming_sources(spark, runner, tmp_path):
+    """retrieval/dedup (and count-dependent sample methods) must refuse a
+    streaming source with a clean error, not a Spark analysis failure."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    src_dir = tmp_path / "docs"
+    spark.sql(
+        "SELECT id AS doc_id, concat('text number ', id) AS text FROM range(20)"
+    ).write.parquet(str(src_dir))
+
+    def spec(kind, extra):
+        a = {"name": "x", "type": "transform", "transform_type": kind,
+             "source": "v", "target": "v2", **extra}
+        return load_flowgroup({
+            "pipeline": "p", "flowgroup": f"s_{kind}",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": str(src_dir),
+                            "format": "parquet",
+                            "schema": "doc_id BIGINT, text STRING"}},
+                a,
+                {"name": "w", "type": "write", "source": "v2", "readMode": "stream",
+                 "write_target": {"type": "streaming_table", "database": "m.s",
+                                  "table": f"t_{kind}"}},
+            ],
+        })
+
+    with _pytest.raises(ValueError, match="BATCH source"):
+        runner.run(spec("retrieval", {"retrieval": {"query_terms": ["text"]}}))
+    with _pytest.raises(ValueError, match="BATCH source"):
+        runner.run(spec("dedup", {"dedup": {"method": "exact"}}))
+    with _pytest.raises(ValueError, match="BATCH source"):
+        runner.run(spec("sample", {"sample": {"method": "temperature",
+                                              "strata_col": "text"}}))
+
+
+def test_sample_spec_numeric_validation():
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.models import SampleConfig
+
+    with _pytest.raises(ValueError, match="positive sum"):
+        SampleConfig(method="hash_split", weights={"a": 0.0, "b": 0.0})
+    with _pytest.raises(ValueError, match="non-negative"):
+        SampleConfig(method="hash_split", weights={"a": -1.0, "b": 2.0})
+    with _pytest.raises(ValueError, match="rates"):
+        SampleConfig(method="stratified", strata_col="s", rates={"a": 1.5})
