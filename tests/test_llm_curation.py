@@ -1008,6 +1008,35 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert not any(3 in p for p in got)
 
 
+def test_containment_hot_gram_cap_bounds_boilerplate_pairs(spark):
+    """Mirror of the minhash clique-cap test for the inverted-index join
+    (VERDICT r9 item #2): a boilerplate sentence shared by m docs makes each
+    of its shingles contribute ~m^2/2 join rows — `max_doc_freq` drops the
+    hot grams, killing the boilerplate-only pairs, while a genuine excerpt
+    pair still surfaces through its rarer shingles (the documented recall
+    argument: excerpt relations always have low-df shingles too)."""
+    from lakehouse_plumber_spark.llm.dedup import containment_dedup
+
+    boiler_sent = "terms of service apply to every user of this web site always"
+    boiler = [(i, boiler_sent + f" extra{i} tail{i}") for i in range(30)]
+    excerpt = "the quick brown fox jumps over the lazy dog near the river bank"
+    planted = [
+        (100, excerpt),
+        (101, "intro words before quoting " + excerpt + " and then "
+              + " ".join(f"filler{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(boiler + planted, "doc_id long, text string")
+
+    uncapped = containment_dedup(df)
+    capped = containment_dedup(df, max_doc_freq=5)
+    # boilerplate clique alone is 30*29/2 = 435 pairs above the threshold
+    assert uncapped.where("id_a < 100 AND id_b < 100").count() >= 435
+    assert capped.where("id_a < 100 AND id_b < 100").count() == 0
+    # the genuine excerpt pair survives the cap with high containment
+    r = capped.where("id_a = 100 AND id_b = 101").collect()
+    assert len(r) == 1 and r[0].containment >= 0.9
+
+
 def test_knn_filtered_respects_predicate_and_recall(spark):
     """Pre-filtered search: every neighbor satisfies the predicate, the
     result equals brute-force-over-the-filtered-subset (exact recall), and
