@@ -4849,40 +4849,11 @@ def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m.dedup.bands", "m.dedup.grams", "m.dedup.pairs"
     )
     docs = spark.table("documents")
-    grams_expr = (
-        f"transform({word_ngrams_spark('text', D.SHINGLE_N)}, "
-        f"g -> {md5int_spark('g')})"
-    )
     for i in range(3):
         batch = docs.where(F.expr(f"pmod(doc_id, 3) = {i}"))
-        sigs = D.minhash_signatures(batch)
-        nb = D.lsh_bands(sigs)
-        index = store.read(bands_t) if store.exists(bands_t) else None
-        cands = D.lsh_candidate_pairs_incremental(nb, index)
-        grams_b = batch.select(
-            F.col("doc_id"), F.expr(grams_expr).alias("grams")
+        D.incremental_dedup_batch(
+            batch, store, bands_t, grams_t, pairs_table=pairs_t
         )
-        all_grams = (
-            store.read(grams_t).unionByName(grams_b)
-            if store.exists(grams_t)
-            else grams_b
-        )
-        verified = (
-            cands.join(
-                all_grams.withColumnRenamed("doc_id", "id_a")
-                .withColumnRenamed("grams", "ga"), "id_a")
-            .join(
-                all_grams.withColumnRenamed("doc_id", "id_b")
-                .withColumnRenamed("grams", "gb"), "id_b")
-            .withColumn("inter", F.expr("size(array_intersect(ga, gb))"))
-            .withColumn("uni", F.expr("size(ga) + size(gb) - size(array_intersect(ga, gb))"))
-            .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
-            .where(F.col("jaccard") >= 0.5)
-            .select("id_a", "id_b", "jaccard")
-        )
-        store.append(pairs_t, verified) if store.exists(pairs_t) else store.overwrite(pairs_t, verified)
-        store.append(bands_t, nb) if store.exists(bands_t) else store.overwrite(bands_t, nb)
-        store.append(grams_t, grams_b) if store.exists(grams_t) else store.overwrite(grams_t, grams_b)
     return store.read(pairs_t)
 
 
@@ -4965,6 +4936,234 @@ def pipe_dedup_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.resolve_view("main.curation.docs_dedup").select(
         "doc_id", F.col("dup_count").cast("long").alias("dup_count")
     )
+
+
+@_register("pipe_containment_yaml", _containment_duck())
+def pipe_containment_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup as a DECLARATIVE action (r10 — the YAML `dedup`
+    family extended to the newer methods, VERDICT r9 item #5):
+    `method: containment` with the hot-shingle cap in the spec.  Same
+    oracle as `dedup_containment` — the YAML surface must produce exactly
+    what the Python API does.  Multi-stage, so compile-to-source refuses
+    with a PipelineRunner pointer (the established convention)."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "curation", "flowgroup": "dedup_containment",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_docs",
+                 "source": {"type": "delta", "table": "documents"}},
+                {"name": "dd", "type": "transform", "transform_type": "dedup",
+                 "source": "v_docs", "target": "v_pairs",
+                 "dedup": {"method": "containment",
+                           "max_doc_freq": _CONTAINMENT_MAX_DF}},
+                {"name": "mv", "type": "write", "source": "v_pairs",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "curation", "table": "containment_pairs"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.curation.containment_pairs").select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.col("containment").cast("double"), F.col("jaccard").cast("double"),
+    )
+
+
+@_register("pipe_embedding_lsh_yaml", _emb_lsh_duck())
+def pipe_embedding_lsh_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup LSH as a DECLARATIVE action (r10): the planted
+    corpus is built by a plain SQL transform (UNION ALL with shifted ids —
+    exactly what the Python row does), then `method: embedding_lsh` at
+    cosine 0.99.  Same oracle as `dedup_embedding_lsh`."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "curation", "flowgroup": "dedup_emb",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_emb",
+                 "source": {"type": "delta", "table": "embeddings"}},
+                {"name": "plant", "type": "transform", "transform_type": "sql",
+                 "source": "v_emb", "target": "v_planted",
+                 "sql": "SELECT vec_id, embedding FROM v_emb UNION ALL "
+                        f"SELECT vec_id + {_EMB_DUP_SHIFT}, embedding FROM v_emb"},
+                {"name": "dd", "type": "transform", "transform_type": "dedup",
+                 "source": "v_planted", "target": "v_pairs",
+                 "dedup": {"method": "embedding_lsh", "id_col": "vec_id",
+                           "cosine_threshold": 0.99}},
+                {"name": "mv", "type": "write", "source": "v_pairs",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "curation", "table": "emb_pairs"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.curation.emb_pairs")
+
+
+@_register("pipe_incremental_dedup_yaml", _minhash_duck())
+def pipe_incremental_dedup_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup as a DECLARATIVE action (r10): three arriving
+    batches each run the same flowgroup — a delta load restricted to the
+    batch, `method: incremental` probing/appending the NAMED index tables
+    from the spec, and a per-batch MV of the new pairs.  The accumulated
+    pair set equals the one-shot minhash output bit-for-bit (the
+    arrival-order contract), so the oracle is `dedup_minhash_lsh`'s.
+    Executor shares llm/dedup.py:incremental_dedup_batch with the Python
+    row — the two surfaces cannot drift."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    outs = []
+    for i in range(3):
+        fg = load_flowgroup(
+            {
+                "pipeline": "curation", "flowgroup": f"dedup_incr_{i}",
+                "actions": [
+                    {"name": "ld", "type": "load", "target": "v_batch",
+                     "source": {"type": "delta", "table": "documents",
+                                "where_clause": [f"pmod(doc_id, 3) = {i}"]}},
+                    {"name": "dd", "type": "transform", "transform_type": "dedup",
+                     "source": "v_batch", "target": "v_pairs",
+                     "dedup": {"method": "incremental",
+                               "index_table": "m.dedup.yaml_bands",
+                               "grams_table": "m.dedup.yaml_grams"}},
+                    {"name": "mv", "type": "write", "source": "v_pairs",
+                     "write_target": {"type": "materialized_view",
+                                      "catalog": "main", "schema": "curation",
+                                      "table": f"incr_pairs_{i}"}},
+                ],
+            }
+        )
+        ctx = runner.run(fg)
+        outs.append(ctx.resolve_view(f"main.curation.incr_pairs_{i}"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+_WPS_FRACTION = 0.3
+
+
+@_register(
+    "pipe_poisson_yaml",
+    SMP.weighted_poisson_sample_duck(
+        "documents",
+        "n_chars",
+        _WPS_FRACTION,
+        cols=["doc_id", "text", "lang", "source", "n_chars"],
+    ),
+)
+def pipe_poisson_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Poisson sampling as a DECLARATIVE action (r10 — the YAML
+    `sample` family extended): `method: weighted_poisson` with
+    weight_expr/target_fraction in the spec.  Same oracle as
+    `sample_weighted_poisson`.  Count-dependent, so compile-to-source
+    refuses (the established convention)."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "curation", "flowgroup": "poisson",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_docs",
+                 "source": {"type": "delta", "table": "documents"}},
+                {"name": "sm", "type": "transform", "transform_type": "sample",
+                 "source": "v_docs", "target": "v_sample",
+                 "sample": {"method": "weighted_poisson",
+                            "weight_expr": "n_chars",
+                            "target_fraction": _WPS_FRACTION}},
+                {"name": "mv", "type": "write", "source": "v_sample",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "curation", "table": "poisson_sample"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.curation.poisson_sample")
+
+
+@_register("pipe_seqpack_yaml", _seq_pack_duck())
+def pipe_seqpack_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing as a DECLARATIVE action (r10): a SQL transform
+    derives the whitespace token counts (the same expression
+    llm/text.py:with_token_count uses), then `method: sequence_pack` cuts
+    fixed 128-token training sequences.  Same oracle as
+    `sample_sequence_pack`."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "curation", "flowgroup": "seqpack",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_docs",
+                 "source": {"type": "delta", "table": "documents"}},
+                {"name": "tok", "type": "transform", "transform_type": "sql",
+                 "source": "v_docs", "target": "v_tok",
+                 "sql": "SELECT doc_id, "
+                        f"size({tokens_spark('text')}) AS n_tokens "
+                        "FROM v_docs"},
+                {"name": "sm", "type": "transform", "transform_type": "sample",
+                 "source": "v_tok", "target": "v_packed",
+                 "sample": {"method": "sequence_pack", "seq_len": _SEQPACK_L,
+                            "shards": _SEQPACK_SHARDS}},
+                {"name": "mv", "type": "write", "source": "v_packed",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "curation", "table": "packed_seqs"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.curation.packed_seqs")
+
+
+@_register("pipe_stream_incremental_dedup", _minhash_duck())
+def pipe_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental dedup (VERDICT r9 item #6) — the
+    dedup-on-arrival loop under foreachBatch: documents land as THREE
+    files, cloudfiles streams them one file per micro-batch
+    (maxFilesPerTrigger=1), and each micro-batch probes + appends the
+    persisted band index via llm/dedup.py:incremental_dedup_batch — the
+    same helper the batch rows share.  The incremental contract is
+    BATCHING-INVARIANT (a cross-batch pair is found exactly once, when its
+    later member arrives), so the accumulated pairs equal the one-shot
+    minhash output bit-for-bit regardless of micro-batch boundaries —
+    checked by the same one-shot oracle."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    store = runner.store
+    bands_t, grams_t, pairs_t = (
+        "m.dedup.stream_bands", "m.dedup.stream_grams", "m.dedup.stream_pairs"
+    )
+    land = os.path.join(tempfile.mkdtemp(prefix="lhp_sdedup_"), "land")
+    spark.table("documents").select("doc_id", "text").coalesce(3).write.mode(
+        "overwrite"
+    ).json(land)
+
+    def dedup_batch(batch_df: DataFrame, _epoch: int) -> None:
+        D.incremental_dedup_batch(
+            batch_df, store, bands_t, grams_t, pairs_table=pairs_t
+        )
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "curation", "flowgroup": "stream_dedup_incr",
+            "actions": [
+                {"name": "ingest", "type": "load", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": land, "format": "json",
+                            "schema": "doc_id BIGINT, text STRING",
+                            "options": {"cloudFiles.maxFilesPerTrigger": "1"}},
+                 "target": "v_docs"},
+                {"name": "fold", "type": "write", "source": "v_docs",
+                 "write_target": {"type": "sink", "sink_type": "foreachbatch"}},
+            ],
+        }
+    )
+    fg.actions[1].write_target.batch_handler_callable = dedup_batch
+    runner.run(fg)
+    return store.read(pairs_t)
 
 
 @_register(
@@ -5457,9 +5656,6 @@ def search_bm25_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent, so it shares bm25_topk's oracle."""
     _prep(spark, sf_dir)
     return SRCH.bm25_topk_postings(spark.table("documents"), _BM25_WIDE_TERMS, k=20)
-
-
-_WPS_FRACTION = 0.3
 
 
 @_register(

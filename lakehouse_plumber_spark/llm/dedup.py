@@ -136,6 +136,86 @@ def lsh_candidate_pairs_incremental(
     )
 
 
+def incremental_dedup_batch(
+    batch: DataFrame,
+    store,
+    bands_table: str,
+    grams_table: str,
+    pairs_table: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Dedup ONE arriving batch against the persisted corpus index — the
+    production incremental loop as a single call: the batch's LSH bands
+    probe `bands_table` (old text never rescanned;
+    `lsh_candidate_pairs_incremental`), candidates are verified by exact
+    shingle Jaccard against `grams_table` ∪ the batch's own grams, then the
+    batch's bands and hashed grams are APPENDED to the index tables (and
+    the verified pairs to `pairs_table` when given).
+
+    Returns the verified (id_a, id_b, jaccard) pairs for THIS batch.  The
+    arrival-order contract (a cross-batch pair is found exactly once, when
+    its later member arrives) makes the accumulated pair set across batches
+    equal the one-shot `minhash_lsh_dedup` output bit-for-bit — the strong
+    oracle both the registry row and the YAML `dedup: incremental` action
+    check against.
+
+    `store` is any table store with exists/read/append/overwrite (the
+    runner's ParquetTableStore in pipelines).  Per-batch work scales with
+    the BATCH (times bucket occupancy), never with history.
+    """
+    sigs = minhash_signatures(batch, text_col, id_col)
+    nb = lsh_bands(sigs, id_col)
+    index = store.read(bands_table) if store.exists(bands_table) else None
+    cands = lsh_candidate_pairs_incremental(
+        nb, index, id_col, max_bucket_size=max_bucket_size
+    )
+    grams_b = spread_for_compute(batch, [id_col, text_col]).select(
+        F.col(id_col),
+        F.expr(
+            f"transform({word_ngrams_spark(text_col, SHINGLE_N)}, "
+            f"g -> {md5int_spark('g')})"
+        ).alias("grams"),
+    )
+    all_grams = (
+        store.read(grams_table).unionByName(grams_b)
+        if store.exists(grams_table)
+        else grams_b
+    )
+    verified = (
+        cands.join(
+            all_grams.withColumnRenamed(id_col, "id_a")
+            .withColumnRenamed("grams", "ga"), "id_a")
+        .join(
+            all_grams.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("grams", "gb"), "id_b")
+        .withColumn("inter", F.expr("size(array_intersect(ga, gb))"))
+        .withColumn("uni", F.expr("size(ga) + size(gb) - size(array_intersect(ga, gb))"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    # pin the batch's pairs BEFORE the index appends below mutate the
+    # tables its lineage reads
+    verified = verified.localCheckpoint(eager=True)
+    if pairs_table is not None:
+        if store.exists(pairs_table):
+            store.append(pairs_table, verified)
+        else:
+            store.overwrite(pairs_table, verified)
+    if store.exists(bands_table):
+        store.append(bands_table, nb)
+    else:
+        store.overwrite(bands_table, nb)
+    if store.exists(grams_table):
+        store.append(grams_table, grams_b)
+    else:
+        store.overwrite(grams_table, grams_b)
+    return verified
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS, rows: int = LSH_ROWS,
     max_bucket_size: int | None = None,

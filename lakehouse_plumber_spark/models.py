@@ -231,6 +231,20 @@ class DedupConfig(BaseModel):
       `jaccard_threshold`, connected-components clustering, keep the
       best-`quality_col` member per group; output the audit table
       (doc_id, cluster_id, cluster_size, kept).
+    - "containment": asymmetric |A∩B|/min(|A|,|B|) shingle containment
+      pairs — the excerpt/quote relation Jaccard misses; candidates from
+      the shingle inverted index, `max_doc_freq` caps boilerplate grams
+      (the one superlinear shape).  Output (id_a, id_b, containment,
+      jaccard).
+    - "embedding_lsh": embedding-cosine near-dup pairs at scale — banded
+      random-hyperplane LSH candidates verified by exact cosine; needs
+      `vec_col`; `max_bucket_size` is the clique guard.  Output
+      (id_a, id_b, cosine).
+    - "incremental": dedup the SOURCE (an arriving batch) against the
+      persisted band index named by `index_table`/`grams_table`, then
+      append the batch to the index — the production dedup-on-arrival
+      loop; per-batch work scales with the batch, history is never
+      rescanned.  Output this batch's verified (id_a, id_b, jaccard).
     """
 
     model_config = ConfigDict(extra="forbid")
@@ -241,22 +255,54 @@ class DedupConfig(BaseModel):
     jaccard_threshold: float = 0.5
     quality_col: Optional[str] = None
     max_docs: int = 1
+    # containment
+    containment_threshold: float = 0.8
+    max_doc_freq: Optional[int] = None
+    # embedding_lsh
+    vec_col: str = "embedding"
+    cosine_threshold: float = 0.95
+    max_bucket_size: Optional[int] = None
+    # incremental (persisted index table names, resolved via the run store)
+    index_table: Optional[str] = None
+    grams_table: Optional[str] = None
 
     @field_validator("method")
     @classmethod
     def _method_known(cls, v: str) -> str:
-        if v not in ("exact", "lines", "minhash_survivors"):
+        if v not in (
+            "exact", "lines", "minhash_survivors",
+            "containment", "embedding_lsh", "incremental",
+        ):
             raise ValueError(
-                f"method must be exact|lines|minhash_survivors, got {v!r}"
+                "method must be exact|lines|minhash_survivors|containment|"
+                f"embedding_lsh|incremental, got {v!r}"
             )
         return v
 
-    @field_validator("jaccard_threshold")
+    @field_validator("jaccard_threshold", "containment_threshold", "cosine_threshold")
     @classmethod
     def _thr_range(cls, v: float) -> float:
         if not 0.0 < v <= 1.0:
-            raise ValueError(f"jaccard_threshold must be in (0, 1], got {v}")
+            raise ValueError(f"threshold must be in (0, 1], got {v}")
         return v
+
+    @field_validator("max_doc_freq", "max_bucket_size")
+    @classmethod
+    def _cap_positive(cls, v: Optional[int]) -> Optional[int]:
+        if v is not None and v < 1:
+            raise ValueError(f"cap must be >= 1, got {v}")
+        return v
+
+    @model_validator(mode="after")
+    def _incremental_requirements(self):
+        if self.method == "incremental" and not (
+            self.index_table and self.grams_table
+        ):
+            raise ValueError(
+                "dedup method 'incremental' requires index_table and "
+                "grams_table (the persisted band/grams index names)"
+            )
+        return self
 
 
 class SampleConfig(BaseModel):
@@ -272,9 +318,19 @@ class SampleConfig(BaseModel):
       `strata_col` and `parts` ({stratum: int parts}).
     - "temperature": shares ∝ n^alpha derived from the corpus; needs
       `strata_col`; `alpha` defaults to 0.5 (the oracle-exact setting).
+    - "weighted_poisson": per-ROW inclusion probability ∝
+      `weight_expr` with expected fraction `target_fraction` — the
+      document-level reweighting primitive (mixture reweights whole
+      strata); needs `weight_expr` + `target_fraction`.
+    - "sequence_pack": lay documents contiguously and cut fixed
+      `seq_len`-token training sequences, one row per (sequence,
+      document-fragment); needs `seq_len`; `token_col` must exist on the
+      source (default n_tokens), `shards` sets the independent packing
+      lanes.
 
-    All methods are pure per-row hash filters after a metadata-sized
-    threshold computation — stable under re-partitioning and retries.
+    All methods are pure per-row hash filters (plus, for sequence_pack, a
+    per-shard running sum) after a metadata-sized threshold computation —
+    stable under re-partitioning and retries.
     """
 
     model_config = ConfigDict(extra="forbid")
@@ -289,14 +345,39 @@ class SampleConfig(BaseModel):
     alpha: float = 0.5
     target_rows: Optional[int] = None
     out_col: str = "split"
+    # weighted_poisson
+    weight_expr: Optional[str] = None
+    target_fraction: Optional[float] = None
+    # sequence_pack
+    seq_len: Optional[int] = None
+    shards: int = 64
+    token_col: str = "n_tokens"
 
     @field_validator("method")
     @classmethod
     def _method_known(cls, v: str) -> str:
-        if v not in ("hash_split", "stratified", "mixture", "temperature"):
+        if v not in (
+            "hash_split", "stratified", "mixture", "temperature",
+            "weighted_poisson", "sequence_pack",
+        ):
             raise ValueError(
-                f"method must be hash_split|stratified|mixture|temperature, got {v!r}"
+                "method must be hash_split|stratified|mixture|temperature|"
+                f"weighted_poisson|sequence_pack, got {v!r}"
             )
+        return v
+
+    @field_validator("target_fraction")
+    @classmethod
+    def _fraction_range(cls, v: Optional[float]) -> Optional[float]:
+        if v is not None and not 0.0 < v <= 1.0:
+            raise ValueError(f"target_fraction must be in (0, 1], got {v}")
+        return v
+
+    @field_validator("seq_len", "shards")
+    @classmethod
+    def _positive_int(cls, v: Optional[int]) -> Optional[int]:
+        if v is not None and v < 1:
+            raise ValueError(f"must be >= 1, got {v}")
         return v
 
     @model_validator(mode="after")
@@ -306,12 +387,16 @@ class SampleConfig(BaseModel):
             "stratified": self.strata_col and self.rates,
             "mixture": self.strata_col and self.parts,
             "temperature": self.strata_col,
+            "weighted_poisson": self.weight_expr and self.target_fraction,
+            "sequence_pack": self.seq_len,
         }
         if not need[self.method]:
             raise ValueError(
                 f"sample method {self.method!r} is missing its required "
                 "fields (hash_split: weights; stratified: strata_col+rates; "
-                "mixture: strata_col+parts; temperature: strata_col)"
+                "mixture: strata_col+parts; temperature: strata_col; "
+                "weighted_poisson: weight_expr+target_fraction; "
+                "sequence_pack: seq_len)"
             )
         if self.weights is not None:
             if any(w < 0 for w in self.weights.values()) or sum(self.weights.values()) <= 0:

@@ -166,13 +166,34 @@ def transform_dedup(ctx: BuildContext, action: Action) -> DataFrame:
         raise ValueError(
             f"dedup transform {action.name!r} needs a BATCH source "
             "(dedup relations are corpus-global; for streams, dedup each "
-            "micro-batch against a persisted index — see "
-            "lsh_candidate_pairs_incremental)"
+            "micro-batch against a persisted index — method 'incremental' "
+            "under foreachBatch)"
         )
     if cfg.method == "exact":
         out = _dedup.exact_dedup(df, cfg.text_col, cfg.id_col)
     elif cfg.method == "lines":
         out = _dedup.line_dedup(df, cfg.text_col, cfg.id_col, max_docs=cfg.max_docs)
+    elif cfg.method == "containment":
+        out = _dedup.containment_dedup(
+            df, cfg.text_col, cfg.id_col,
+            containment_threshold=cfg.containment_threshold,
+            max_doc_freq=cfg.max_doc_freq,
+        )
+    elif cfg.method == "embedding_lsh":
+        out = _dedup.embedding_near_dup_lsh(
+            df, cfg.vec_col, cfg.id_col,
+            threshold=cfg.cosine_threshold,
+            max_bucket_size=cfg.max_bucket_size,
+        )
+    elif cfg.method == "incremental":
+        # the source IS the arriving batch; probe + append the persisted
+        # index named in the spec (models.DedupConfig validates the names)
+        out = _dedup.incremental_dedup_batch(
+            df, ctx.store, cfg.index_table, cfg.grams_table,
+            text_col=cfg.text_col, id_col=cfg.id_col,
+            jaccard_threshold=cfg.jaccard_threshold,
+            max_bucket_size=cfg.max_bucket_size,
+        )
     else:
         if not cfg.quality_col:
             raise ValueError(
@@ -201,12 +222,14 @@ def transform_sample(ctx: BuildContext, action: Action) -> DataFrame:
     if not action.source or not isinstance(action.source, str):
         raise ValueError(f"sample transform {action.name!r} needs a single source view")
     df = ctx.resolve_view(action.source)
-    if df.isStreaming and cfg.method in ("mixture", "temperature"):
+    if df.isStreaming and cfg.method in (
+        "mixture", "temperature", "weighted_poisson", "sequence_pack"
+    ):
         raise ValueError(
             f"sample transform {action.name!r}: method {cfg.method!r} "
-            "derives thresholds from corpus counts and needs a BATCH "
-            "source (hash_split/stratified are pure per-row filters and "
-            "work on streams)"
+            "derives thresholds from corpus counts (or a per-shard running "
+            "sum) and needs a BATCH source (hash_split/stratified are pure "
+            "per-row filters and work on streams)"
         )
     if cfg.method == "hash_split":
         out = _sampling.hash_split(df, cfg.weights, id_col=cfg.id_col, out=cfg.out_col)
@@ -219,6 +242,21 @@ def transform_sample(ctx: BuildContext, action: Action) -> DataFrame:
         out = _sampling.mixture_weighted_sample(
             df, cfg.strata_col, cfg.parts,
             target_rows=cfg.target_rows, id_col=cfg.id_col,
+        )
+    elif cfg.method == "weighted_poisson":
+        out = _sampling.weighted_poisson_sample(
+            df, cfg.weight_expr, cfg.target_fraction, id_col=cfg.id_col
+        )
+    elif cfg.method == "sequence_pack":
+        if cfg.token_col not in df.columns:
+            raise ValueError(
+                f"sample transform {action.name!r}: sequence_pack needs "
+                f"token column {cfg.token_col!r} on the source view "
+                f"(have: {df.columns})"
+            )
+        out = _sampling.pack_sequences(
+            df, cfg.seq_len, shards=cfg.shards,
+            token_col=cfg.token_col, id_col=cfg.id_col,
         )
     else:
         out = _sampling.temperature_sample(

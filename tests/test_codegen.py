@@ -1128,3 +1128,78 @@ def test_sample_spec_numeric_validation():
         SampleConfig(method="hash_split", weights={"a": -1.0, "b": 2.0})
     with _pytest.raises(ValueError, match="rates"):
         SampleConfig(method="stratified", strata_col="s", rates={"a": 1.5})
+
+
+def test_r10_extension_method_spec_validation():
+    """The r10 additions to the declarative families (dedup:
+    containment|embedding_lsh|incremental, sample:
+    weighted_poisson|sequence_pack) validate their required fields and
+    numeric ranges at spec-parse time."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.models import DedupConfig, SampleConfig
+
+    # incremental needs both index table names
+    with _pytest.raises(ValueError, match="index_table"):
+        DedupConfig(method="incremental")
+    with _pytest.raises(ValueError, match="index_table"):
+        DedupConfig(method="incremental", index_table="m.d.bands")
+    DedupConfig(method="incremental", index_table="m.d.bands",
+                grams_table="m.d.grams")
+    # caps and thresholds
+    with _pytest.raises(ValueError, match=">= 1"):
+        DedupConfig(method="containment", max_doc_freq=0)
+    with _pytest.raises(ValueError, match="threshold"):
+        DedupConfig(method="containment", containment_threshold=1.5)
+    with _pytest.raises(ValueError, match="threshold"):
+        DedupConfig(method="embedding_lsh", cosine_threshold=0.0)
+    with _pytest.raises(ValueError, match=">= 1"):
+        DedupConfig(method="embedding_lsh", max_bucket_size=0)
+    # sample: required fields + ranges
+    with _pytest.raises(ValueError, match="required"):
+        SampleConfig(method="weighted_poisson")
+    with _pytest.raises(ValueError, match="target_fraction"):
+        SampleConfig(method="weighted_poisson", weight_expr="w",
+                     target_fraction=1.5)
+    with _pytest.raises(ValueError, match="required"):
+        SampleConfig(method="sequence_pack")
+    with _pytest.raises(ValueError, match=">= 1"):
+        SampleConfig(method="sequence_pack", seq_len=0)
+    SampleConfig(method="weighted_poisson", weight_expr="n_chars",
+                 target_fraction=0.3)
+    SampleConfig(method="sequence_pack", seq_len=128)
+
+
+def test_r10_extension_methods_refuse_compilation():
+    """Multi-stage / count-dependent r10 methods follow the established
+    convention: compile-to-source refuses with a PipelineRunner pointer."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    def fg(kind, cfg):
+        return load_flowgroup({
+            "pipeline": "p", "flowgroup": f"c_{kind}_{cfg['method']}",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v",
+                 "source": {"type": "sql", "sql": "SELECT 1 AS doc_id, 'x' AS text"}},
+                {"name": "t", "type": "transform", "transform_type": kind,
+                 "source": "v", "target": "v2", kind: cfg},
+                {"name": "w", "type": "write", "source": "v2",
+                 "write_target": {"type": "materialized_view", "database": "m.c",
+                                  "table": "t"}},
+            ],
+        })
+
+    for kind, cfg in [
+        ("dedup", {"method": "containment"}),
+        ("dedup", {"method": "embedding_lsh"}),
+        ("dedup", {"method": "incremental", "index_table": "m.d.b",
+                   "grams_table": "m.d.g"}),
+        ("sample", {"method": "weighted_poisson", "weight_expr": "n_chars",
+                    "target_fraction": 0.3}),
+        ("sample", {"method": "sequence_pack", "seq_len": 128}),
+    ]:
+        with _pytest.raises(NotImplementedError, match="PipelineRunner"):
+            compile_flowgroup(fg(kind, cfg))

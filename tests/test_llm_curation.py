@@ -1008,6 +1008,45 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert not any(3 in p for p in got)
 
 
+def test_incremental_dedup_batch_is_batching_invariant(spark, tmp_path):
+    """llm/dedup.py:incremental_dedup_batch — the shared helper behind the
+    registry row, the YAML `dedup: incremental` action, and the streaming
+    foreachBatch row: accumulated pairs must equal the one-shot minhash
+    output REGARDLESS of how the corpus is cut into batches (the
+    arrival-order contract), and each batch's bands/grams must land in the
+    named index tables."""
+    from lakehouse_plumber_spark.llm.dedup import (
+        incremental_dedup_batch,
+        minhash_lsh_dedup,
+    )
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog number zero")
+         for i in range(4)]
+        + [(i, f"unique document {i} with entirely distinct words here {i * 13}")
+           for i in range(4, 12)],
+        "doc_id long, text string",
+    )
+    one_shot = sorted(
+        (r.id_a, r.id_b, r.jaccard) for r in minhash_lsh_dedup(df).collect()
+    )
+    assert one_shot  # the planted clique must produce pairs
+
+    for n_batches in (2, 3):
+        store = ParquetTableStore(spark, str(tmp_path / f"store_{n_batches}"))
+        got = []
+        for i in range(n_batches):
+            batch = df.where(f"pmod(doc_id, {n_batches}) = {i}")
+            pairs = incremental_dedup_batch(
+                batch, store, "m.d.bands", "m.d.grams"
+            )
+            got.extend((r.id_a, r.id_b, r.jaccard) for r in pairs.collect())
+        assert sorted(got) == one_shot, f"batching {n_batches} diverged"
+        assert store.read("m.d.bands").count() > 0
+        assert store.read("m.d.grams").count() == 12
+
+
 def test_containment_hot_gram_cap_bounds_boilerplate_pairs(spark):
     """Mirror of the minhash clique-cap test for the inverted-index join
     (VERDICT r9 item #2): a boilerplate sentence shared by m docs makes each
