@@ -41,12 +41,25 @@ def main() -> None:
     def rolled(i: int):
         if i == 0:
             return emb
+        # factor can exceed dim: roll by i % dim and NEGATE on odd laps —
+        # 2*dim distinct transforms (supports factor <= 2*dim), each with
+        # cosine ~ 0 to every other (random iid coords), so the scaled
+        # corpus keeps the natural no-near-dup structure
+        r = i % dim
+        if r == 0:
+            rolled_expr = "embedding"
+        else:
+            rolled_expr = (
+                f"concat(slice(embedding, {r + 1}, {dim - r}), "
+                f"slice(embedding, 1, {r}))"
+            )
+        if (i // dim) % 2 == 1:
+            rolled_expr = f"transform({rolled_expr}, x -> -x)"
+        if i >= 2 * dim:
+            raise SystemExit(f"factor {FACTOR} > 2*dim={2 * dim} transforms")
         return emb.select(
             (F.col("vec_id") + i * span).alias("vec_id"),
-            F.expr(
-                f"concat(slice(embedding, {i + 1}, {dim - i}), "
-                f"slice(embedding, 1, {i}))"
-            ).alias("embedding"),
+            F.expr(rolled_expr).alias("embedding"),
         )
 
     big = rolled(0)
