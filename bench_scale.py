@@ -99,6 +99,18 @@ NAMES = [
     "text_quality_model",
     "dedup_containment",
     "knn_filtered",
+    # r10 additions: the declarative-family extensions.
+    # pipe_embedding_lsh_yaml is NOT here for the same reason as
+    # dedup_embedding_lsh (identical-copy growth = cross-copy cliques by
+    # construction; its scale check is scripts_scale_emb_lsh.py).
+    # pipe_stream_incremental_dedup is NOT here: its cost is dominated by
+    # json-landing the scaled corpus and re-streaming it (3 runs x factor x
+    # corpus of disk writes) — the incremental plan it drives is the same
+    # one pipe_incremental_dedup(_yaml) measure through the view path.
+    "pipe_containment_yaml",
+    "pipe_incremental_dedup_yaml",
+    "pipe_poisson_yaml",
+    "pipe_seqpack_yaml",
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks

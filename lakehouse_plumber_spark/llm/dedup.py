@@ -500,6 +500,17 @@ def embedding_near_dup_lsh(
     same clique guard as `minhash_lsh_dedup`: m near-identical vectors in
     one band bucket contribute ~m^2/2 candidates, the one superlinear
     shape; capped buckets drop whole.
+
+    GEOMETRY MUST SCALE WITH THE CORPUS: random (cosine ~0) pairs
+    band-collide at p = bands * 2^-rows_per_band, so spurious candidates
+    grow ~ n^2 * bands / 2^rows_per_band — the default 4x8 is tuned for
+    ~10^4-10^5 vectors (and ~0.99 recall at cosine 0.99); every 2x growth
+    in n needs ~2 more hyperplanes per band to hold the candidate count
+    (measured: 200k vectors at 4x8 produced ~3e8 spurious candidates and
+    spilled out of disk; at 4x14 the same corpus ran 9.81x wall at 100x
+    data — BASELINE.md r10).  Raising rows lowers per-band recall
+    (p_band = (1 - theta/pi)^rows), so add bands or accept the measured
+    recall at your threshold.
     """
     from .similarity import hyperplane_bucket_expr
 

@@ -22,6 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 FACTOR = int(os.environ.get("LHP_SCALE_FACTOR", "10"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# LSH geometry. Random (cosine ~0) pairs band-collide at p = bands * 2^-rows,
+# so SPURIOUS candidates grow ~ n^2 * bands * 2^-rows: at a fixed geometry the
+# candidate set is quadratic in corpus size and rows_per_band must grow with
+# log2(n) to keep it linear (the standard LSH scaling rule).  The operator
+# default (4x8, tuned for recall ~0.99 at cosine 0.99) is right at 10x
+# (~3e6 random candidates over 20k vectors) and wrong at 100x (~3e8 over
+# 200k -- measured: the verify join spilled out of disk).  Use
+# LHP_EMB_ROWS=14 (4x14 = 56 bits <= 62) at factor 100.
+BANDS = int(os.environ.get("LHP_EMB_BANDS", "4"))
+ROWS = int(os.environ.get("LHP_EMB_ROWS", "8"))
 
 
 def main() -> None:
@@ -67,11 +77,12 @@ def main() -> None:
         big = big.unionByName(rolled(i))
 
     def time_one(df) -> tuple[float, int]:
-        embedding_near_dup_lsh(df, threshold=0.99).count()  # warm
+        kw = dict(threshold=0.99, bands=BANDS, rows_per_band=ROWS)
+        embedding_near_dup_lsh(df, **kw).count()  # warm
         best, n = None, 0
         for _ in range(3):
             t0 = time.time()
-            n = embedding_near_dup_lsh(df, threshold=0.99).count()
+            n = embedding_near_dup_lsh(df, **kw).count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         return round(best, 3), n
@@ -83,6 +94,8 @@ def main() -> None:
             {
                 "metric": "emb_lsh_scaleup_ratio",
                 "factor": FACTOR,
+                "bands": BANDS,
+                "rows_per_band": ROWS,
                 "t1": t1,
                 "t10": t10,
                 "ratio": round(t10 / t1, 2) if t1 else None,
