@@ -5166,6 +5166,51 @@ def pipe_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     return store.read(pairs_t)
 
 
+@_register("pipe_incremental_ann", _knn_duck())
+def pipe_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED vector index with incremental arrivals (r10) — the
+    production vector-store loop next to pipe_incremental_dedup: batch 0
+    builds the IVF index (one corpus shuffle on list_id,
+    llm/similarity.py:ivf_index_build), batches 1-2 are assigned to the
+    FROZEN centroids and appended (work ∝ batch — history never
+    reshuffled), then queries probe the accumulated index
+    (ivf_index_search; the list_id predicate prunes the scan).  Probing
+    ALL lists makes the scan exhaustive, so the result equals brute-force
+    cosine over the full corpus — the same oracle as `knn_bruteforce`."""
+    _prep(spark, sf_dir)
+    store = _runner(spark).store
+    emb = spark.table("embeddings")
+    n_cent = 16
+    S.ivf_index_build(
+        emb.where("pmod(vec_id, 3) = 0"), store, "m.ann.ivf", n_centroids=n_cent
+    )
+    for i in (1, 2):
+        S.ivf_index_append(
+            emb.where(f"pmod(vec_id, 3) = {i}"), store, "m.ann.ivf"
+        )
+    return S.ivf_index_search(
+        store, "m.ann.ivf", _KNN_IDS, k=3, n_probe=n_cent
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
+    "sketch_overlap_matrix",
+    SK.kmv_overlap_matrix_duck("events", "event_type", "user_id", k=_KMV_K),
+)
+def sketch_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE source-overlap matrix (llm/sketches.py:kmv_overlap_matrix):
+    the audience/contamination audit for every pair of event types from
+    ONE KMV sketch pass — the corpus is scanned once, then the N(N-1)/2
+    pair estimates are pure array arithmetic on the metadata-sized sketch
+    table (a broadcast self-join over ≤k-long min arrays; no join ever
+    touches the fact rows).  All estimates are the deterministic KMV
+    integers, checked bit-for-bit by the oracle."""
+    _prep(spark, sf_dir)
+    return SK.kmv_overlap_matrix(
+        spark.table("events"), "event_type", "user_id", k=_KMV_K
+    )
+
+
 @_register(
     "join_salted",
     """

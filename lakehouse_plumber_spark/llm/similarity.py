@@ -552,3 +552,119 @@ def knn_filtered(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
     )
+
+
+def ivf_index_build(
+    df: DataFrame,
+    store,
+    index_table: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Build a PERSISTED IVF index — the production vector-store shape the
+    one-shot `ivf_build_and_search` trains per call: Lloyd-iterated
+    centroids (deterministic lowest-id init), every vector assigned to its
+    list by a narrow argmin projection (centroids are a plan literal — no
+    join), `(list_id, id, v)` written to `index_table` and the centroids to
+    `<index_table>__centroids`.
+
+    Scale: the corpus shuffles ONCE on list_id at build time (exactly how
+    a production IVF index partitions a 100 TB corpus); after that,
+    arrivals append (`ivf_index_append`) and queries prune to probed lists
+    (`ivf_index_search`) without ever rescanning or re-shuffling history.
+    Returns the centroids (n_centroids driver-bounded rows)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    cents = _collect_centroids(base.orderBy("id").limit(n_centroids).select("id", "v"))
+    dim = len(cents[0][1]) if cents else 0
+    for _ in range(max_iter):
+        asg = base.select(F.expr(centroid_argmin_expr(cents)).alias("cid"), "v")
+        cents = _collect_centroids(
+            asg.groupBy("cid").agg(
+                F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
+            )
+        )
+    store.overwrite(
+        index_table,
+        base.select(F.expr(centroid_argmin_expr(cents)).alias("list_id"), "id", "v"),
+    )
+    spark = df.sparkSession
+    store.overwrite(
+        f"{index_table}__centroids",
+        spark.createDataFrame(
+            [(cid, cv) for cid, cv in cents], "cid int, cv array<double>"
+        ),
+    )
+    return cents
+
+
+def _load_centroids(store, index_table: str) -> list[tuple[int, list[float]]]:
+    return _collect_centroids(
+        store.read(f"{index_table}__centroids").select("cid", "cv")
+    )
+
+
+def ivf_index_append(
+    batch: DataFrame,
+    store,
+    index_table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Assign an ARRIVING batch to the index's FROZEN centroids and append —
+    the production loop (centroids retrain rarely; arrivals are a narrow
+    argmin projection + append, work ∝ batch).  List sizes drift as the
+    distribution shifts; rebuild with `ivf_index_build` when recall or
+    balance degrades."""
+    cents = _load_centroids(store, index_table)
+    base = batch.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    store.append(
+        index_table,
+        base.select(F.expr(centroid_argmin_expr(cents)).alias("list_id"), "id", "v"),
+    )
+
+
+def ivf_index_search(
+    store,
+    index_table: str,
+    query_ids: list[int],
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k cosine search against the persisted IVF index: look the query
+    vectors up in the index, explode each to its n_probe nearest lists,
+    and scan ONLY those lists — the list_id equality predicate prunes the
+    index scan (partition pruning when the table is partitioned by
+    list_id), so work ∝ probed-list rows, never the corpus.  With
+    n_probe = n_centroids the scan is exhaustive and results equal brute
+    force exactly (the registry oracle); production trades n_probe for
+    recall."""
+    if not query_ids:
+        raise ValueError("ivf_index_search needs at least one query id")
+    cents = _load_centroids(store, index_table)
+    index = store.read(index_table)
+    probes = (
+        index.where(F.col("id").isin(query_ids))
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn(
+            "p",
+            F.explode(F.expr(
+                f"slice(array_sort({centroid_distances_expr(cents, 'qv')}), 1, {n_probe})"
+            )),
+        )
+        .select("query_id", "qv", F.col("p.cid").alias("list_id"))
+    )
+    scored = (
+        index.join(F.broadcast(probes), on="list_id")
+        .where(F.col("id") != F.col("query_id"))
+        .withColumn("cosine", F.round(F.expr(cosine_expr("qv", "v")), 6))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "rank", "cosine")
+    )

@@ -230,6 +230,108 @@ def kmv_overlap_duck(
     """
 
 
+def kmv_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    fanout: int = 64,
+) -> DataFrame:
+    """PAIRWISE corpus-overlap matrix across all strata from ONE sketch
+    pass: the contamination / source-overlap audit every multi-source
+    training mix needs ("how much does source X share with source Y?"),
+    answered for every (X, Y) pair with NO join between fact sets.
+
+    One `kmv_sketch` scan gives a ≤k-long min-hash array per stratum (the
+    corpus is read once, regardless of how many strata); the pairwise
+    stage is a broadcast self-join of that METADATA-sized sketch table
+    (N strata -> N(N-1)/2 rows of pure array arithmetic — merge the two
+    min arrays, re-estimate, inclusion-exclusion).  At 100 TB the fact
+    scan dominates and is linear; the matrix stage is N^2 over k longs,
+    i.e. free for any realistic source count.
+
+    Output: (stratum_a, stratum_b, est_a, est_b, est_union,
+    est_intersection, jaccard), stratum_a < stratum_b, one row per
+    unordered pair.  All estimates are the deterministic KMV integers, so
+    the DuckDB oracle (`kmv_overlap_matrix_duck`) checks every column
+    bit-for-bit.  Error compounds from three O(1/sqrt(k)) estimates —
+    below k distinct per stratum everything is exact."""
+    sk = kmv_sketch(df, group_col, value_col, k, fanout)
+    a = sk.select(
+        F.col("stratum").alias("stratum_a"), F.col("mins").alias("mins_a")
+    )
+    b = sk.select(
+        F.col("stratum").alias("stratum_b"), F.col("mins").alias("mins_b")
+    )
+
+    def est(arr: str) -> str:
+        return (
+            f"cast(case when size({arr}) >= {k} then "
+            f"round(({k} - 1) * cast({HASH_RANGE} as double) / element_at({arr}, -1)) "
+            f"else size({arr}) end as bigint)"
+        )
+
+    union_arr = f"slice(array_sort(array_distinct(concat(mins_a, mins_b))), 1, {k})"
+    return (
+        a.join(F.broadcast(b), F.col("stratum_a") < F.col("stratum_b"))
+        .select(
+            "stratum_a",
+            "stratum_b",
+            F.expr(est("mins_a")).alias("est_a"),
+            F.expr(est("mins_b")).alias("est_b"),
+            F.expr(est(union_arr)).alias("est_union"),
+        )
+        .selectExpr(
+            "stratum_a",
+            "stratum_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            "greatest(0L, est_a + est_b - est_union) AS est_intersection",
+            "round(greatest(0L, est_a + est_b - est_union) / "
+            "cast(est_union AS double), 6) AS jaccard",
+        )
+    )
+
+
+def kmv_overlap_matrix_duck(
+    table: str, group_col: str, value_col: str, k: int = 64
+) -> str:
+    """DuckDB oracle for `kmv_overlap_matrix`: per-stratum rank-select KMV
+    min arrays, pairwise (a < b) merge + identical estimate arithmetic."""
+    h = md5int_duck(f"cast({value_col} as varchar)")
+    return f"""
+    WITH hs AS (SELECT DISTINCT {group_col} AS stratum, {h} AS h FROM {table}
+                WHERE {value_col} IS NOT NULL),
+    r AS (SELECT stratum, h,
+                 row_number() OVER (PARTITION BY stratum ORDER BY h) AS rn
+          FROM hs),
+    m AS (SELECT stratum, list_sort(list(h)) AS mins FROM r
+          WHERE rn <= {k} GROUP BY stratum),
+    p AS (SELECT a.stratum AS stratum_a, b.stratum AS stratum_b,
+                 a.mins AS mins_a, b.mins AS mins_b,
+                 list_sort(list_distinct(list_concat(a.mins, b.mins)))[1:{k}]
+                   AS mins_u
+          FROM m a JOIN m b ON a.stratum < b.stratum),
+    e AS (SELECT stratum_a, stratum_b,
+                 CAST(CASE WHEN len(mins_a) >= {k}
+                      THEN round(({k} - 1) * CAST({HASH_RANGE} AS DOUBLE) / mins_a[-1])
+                      ELSE len(mins_a) END AS BIGINT) AS est_a,
+                 CAST(CASE WHEN len(mins_b) >= {k}
+                      THEN round(({k} - 1) * CAST({HASH_RANGE} AS DOUBLE) / mins_b[-1])
+                      ELSE len(mins_b) END AS BIGINT) AS est_b,
+                 CAST(CASE WHEN len(mins_u) >= {k}
+                      THEN round(({k} - 1) * CAST({HASH_RANGE} AS DOUBLE) / mins_u[-1])
+                      ELSE len(mins_u) END AS BIGINT) AS est_union
+          FROM p)
+    SELECT stratum_a, stratum_b, est_a, est_b, est_union,
+           greatest(0, est_a + est_b - est_union) AS est_intersection,
+           round(greatest(0, est_a + est_b - est_union)
+                 / CAST(est_union AS DOUBLE), 6) AS jaccard
+    FROM e
+    """
+
+
 # HyperLogLog (Flajolet et al. 2007): p index bits -> m = 2^p registers, each
 # holding max(rho) where rho = leading-zero count of the remaining hash bits
 # + 1. All register math is INTEGER (index, rho, max), so unlike every

@@ -864,3 +864,95 @@ def test_temperature_sample_alpha_one_is_natural_and_validation(spark):
         temperature_sample(df, "src", alpha=1.5)
     with _pytest.raises(ValueError, match="strata"):
         temperature_sample(df.where("false"), "src")
+
+
+def test_kmv_overlap_matrix_exact_below_k_and_pairwise_consistent(spark):
+    """The matrix op from one sketch pass must (a) be exact below k, (b)
+    agree with per-pair kmv_overlap on every shared column, and (c) emit
+    exactly one row per unordered stratum pair."""
+    from lakehouse_plumber_spark.llm.sketches import (
+        kmv_overlap,
+        kmv_overlap_matrix,
+        kmv_sketch,
+    )
+
+    # a: 0..29, b: 20..49 (|a∩b|=10), c: disjoint 100..119
+    df = (
+        spark.range(30).selectExpr("'a' AS g", "id AS v")
+        .unionAll(spark.range(20, 50).selectExpr("'b' AS g", "id AS v"))
+        .unionAll(spark.range(100, 120).selectExpr("'c' AS g", "id AS v"))
+    )
+    rows = {
+        (r.stratum_a, r.stratum_b): r
+        for r in kmv_overlap_matrix(df, "g", "v").collect()
+    }
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = rows[("a", "b")]
+    assert (ab.est_a, ab.est_b, ab.est_union, ab.est_intersection) == (30, 30, 50, 10)
+    assert ab.jaccard == 0.2
+    assert rows[("a", "c")].est_intersection == 0
+    assert rows[("b", "c")].jaccard == 0.0
+
+    # pairwise consistency with the 2-set op on the same strata
+    sk = lambda g: kmv_sketch(df.where(f"g = '{g}'"), "g", "v")
+    two = kmv_overlap(
+        sk("a").selectExpr("'x' AS stratum", "mins"),
+        sk("b").selectExpr("'x' AS stratum", "mins"),
+    ).collect()[0]
+    assert (two.est_a, two.est_b, two.est_union, two.est_intersection) == (
+        ab.est_a, ab.est_b, ab.est_union, ab.est_intersection
+    )
+
+
+def test_ivf_persisted_index_arrival_invariance_and_exactness(spark, tmp_path):
+    """llm/similarity.py ivf_index_build/append/search: (a) probing every
+    list equals brute force exactly, (b) build-all-at-once == build-batch0 +
+    append the rest (frozen centroids make arrivals order-independent once
+    the build set is fixed), (c) appends never touch the centroid table."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_search,
+        knn_bruteforce,
+    )
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    df = spark.range(90).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(0, 7), j -> cast(sin(id * 0.37 + j) AS double))").alias("embedding"),
+    )
+    qids = [0, 5, 11]
+    brute = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in knn_bruteforce(df, qids, k=3).collect()
+    )
+
+    # one-shot build over everything
+    s1 = ParquetTableStore(spark, str(tmp_path / "one"))
+    ivf_index_build(df, s1, "m.a.ivf", n_centroids=8)
+    one = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in ivf_index_search(s1, "m.a.ivf", qids, k=3, n_probe=8).collect()
+    )
+    assert one == brute
+
+    # incremental: build on batch 0, append batches 1..2
+    s2 = ParquetTableStore(spark, str(tmp_path / "incr"))
+    cents = ivf_index_build(
+        df.where("pmod(vec_id, 3) = 0"), s2, "m.a.ivf", n_centroids=8
+    )
+    for i in (1, 2):
+        ivf_index_append(df.where(f"pmod(vec_id, 3) = {i}"), s2, "m.a.ivf")
+    incr = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in ivf_index_search(s2, "m.a.ivf", qids, k=3, n_probe=8).collect()
+    )
+    assert incr == brute
+    # centroids frozen by appends
+    stored = sorted(
+        (r.cid, list(r.cv)) for r in s2.read("m.a.ivf__centroids").collect()
+    )
+    assert stored == sorted((c, v) for c, v in cents)
+    assert s2.read("m.a.ivf").count() == 90
