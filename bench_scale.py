@@ -111,6 +111,11 @@ NAMES = [
     "pipe_incremental_dedup_yaml",
     "pipe_poisson_yaml",
     "pipe_seqpack_yaml",
+    # r10 late additions: pairwise sketch-algebra overlap matrix and the
+    # persisted-IVF incremental ANN loop (embeddings grow as identical
+    # copies here — the candidate-scan stress shape knn rows use)
+    "sketch_overlap_matrix",
+    "pipe_incremental_ann",
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks
