@@ -5193,6 +5193,55 @@ def pipe_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register("pipe_stream_ann", _knn_duck())
+def pipe_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING vector-index maintenance — the streaming twin of
+    pipe_incremental_ann (the pipe_stream_sketch pattern): embedding rows
+    arrive as a cloudfiles stream, one file per micro-batch; the first
+    batch BUILDS the persisted IVF index, every later batch is assigned
+    to the frozen centroids and appended (ivf_index_append — work ∝
+    batch).  Search afterwards probes the accumulated index; with all
+    lists probed the scan is exhaustive, so the result equals brute-force
+    cosine over the full corpus REGARDLESS of micro-batch boundaries —
+    the same oracle as knn_bruteforce."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    store = runner.store
+    idx_t = "m.ann.stream_ivf"
+    n_cent = 16
+    land = os.path.join(tempfile.mkdtemp(prefix="lhp_sann_"), "land")
+    spark.table("embeddings").select("vec_id", "embedding").coalesce(
+        3
+    ).write.mode("overwrite").parquet(land)
+
+    def fold_index(batch_df: DataFrame, _epoch: int) -> None:
+        if store.exists(idx_t):
+            S.ivf_index_append(batch_df, store, idx_t)
+        else:
+            S.ivf_index_build(batch_df, store, idx_t, n_centroids=n_cent)
+
+    fg = load_flowgroup(
+        {
+            "pipeline": "ann", "flowgroup": "stream_ann",
+            "actions": [
+                {"name": "ingest", "type": "load", "readMode": "stream",
+                 "source": {"type": "cloudfiles", "path": land,
+                            "format": "parquet",
+                            "schema": "vec_id BIGINT, embedding ARRAY<FLOAT>",
+                            "options": {"cloudFiles.maxFilesPerTrigger": "1"}},
+                 "target": "v_emb"},
+                {"name": "fold", "type": "write", "source": "v_emb",
+                 "write_target": {"type": "sink", "sink_type": "foreachbatch"}},
+            ],
+        }
+    )
+    fg.actions[1].write_target.batch_handler_callable = fold_index
+    runner.run(fg)
+    return S.ivf_index_search(
+        store, idx_t, _KNN_IDS, k=3, n_probe=n_cent
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 @_register(
     "sketch_overlap_matrix",
     SK.kmv_overlap_matrix_duck("events", "event_type", "user_id", k=_KMV_K),

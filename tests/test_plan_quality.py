@@ -398,3 +398,46 @@ def test_backfill_day_filter_pushed_below_aggregate(spark, testdata):
     assert agg_pos != -1 and filter_pos != -1
     assert filter_pos > agg_pos, "filter stayed above the aggregate"
     assert "2024-01-01" in optimized[filter_pos:]
+
+
+def test_ivf_index_search_prunes_scan_and_broadcasts_probes(spark, testdata, tmp_path):
+    """ivf_index_search must (a) push the query-id lookup into the index
+    scan, (b) broadcast the k-bounded probe side (never shuffle the index
+    for it), and (c) contain no cartesian product — the plan shape that
+    lets a 100 TB index serve lookups at probe cost."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+    )
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(0, 7), j -> cast(sin(id * 0.31 + j) AS double))").alias("embedding"),
+    )
+    store = ParquetTableStore(spark, str(tmp_path / "pq"))
+    ivf_index_build(df, store, "m.p.ivf", n_centroids=8)
+    out = ivf_index_search(store, "m.p.ivf", [1, 2], k=3, n_probe=2)
+    plan = _spark_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probes broadcast onto the index
+    assert "SortMergeJoin" not in plan
+    # the query lookup filter reaches the parquet scan of the index
+    assert re.search(r"PushedFilters: \[.*\bid\b", plan) or "id IN" in plan
+
+
+def test_kmv_overlap_matrix_no_fact_join(spark, testdata, q):
+    """The pairwise overlap matrix must join only SKETCH rows (broadcast,
+    k-bounded arrays) — never the fact table against itself: exactly two
+    fact-scan aggregations (the kmv_sketch two-level fold), then pure
+    array arithmetic."""
+    df = q["sketch_overlap_matrix"](spark, SF)
+    plan = _spark_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the events fact table is scanned once (formatted mode double-lists,
+    # so assert on the Scan node count)
+    assert plan.count("Scan parquet") <= 1 or plan.count("Scan ExistingRDD") <= 2
