@@ -5260,6 +5260,38 @@ def sketch_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("pipe_knn_yaml", _knn_filtered_duck())
+def pipe_knn_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector search as a DECLARATIVE action (r10 — `transform_type: knn`
+    completes the extension quartet): `method: filtered` with the
+    metadata predicate in the spec.  Same oracle as `knn_filtered` — the
+    YAML surface must produce exactly what the Python API does.
+    Multi-stage, so compile-to-source refuses with a PipelineRunner
+    pointer."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "ann", "flowgroup": "knn_filtered",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_emb",
+                 "source": {"type": "delta", "table": "embeddings"}},
+                {"name": "nn", "type": "transform", "transform_type": "knn",
+                 "source": "v_emb", "target": "v_nn",
+                 "knn": {"method": "filtered", "query_ids": list(_KNN_IDS),
+                         "predicate": "label = 1", "k": 3}},
+                {"name": "mv", "type": "write", "source": "v_nn",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "ann", "table": "knn_top"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.ann.knn_top").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 @_register(
     "join_salted",
     """

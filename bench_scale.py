@@ -116,6 +116,7 @@ NAMES = [
     # copies here — the candidate-scan stress shape knn rows use)
     "sketch_overlap_matrix",
     "pipe_incremental_ann",
+    "pipe_knn_yaml",
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks

@@ -54,6 +54,7 @@ class TransformType(str, Enum):
     RETRIEVAL = "retrieval"
     DEDUP = "dedup"
     SAMPLE = "sample"
+    KNN = "knn"
 
 
 class WriteTargetType(str, Enum):
@@ -410,6 +411,60 @@ class SampleConfig(BaseModel):
         return self
 
 
+class KnnConfig(BaseModel):
+    """Engine extension: `transform_type: knn` — vector similarity search as
+    a declarative action (llm/similarity.py), completing the extension
+    quartet (retrieval / dedup / sample / knn).
+
+    `method`:
+    - "bruteforce": exact cosine top-k (the recall baseline; broadcast
+      query side, per-query top-k window).
+    - "filtered": exact cosine top-k restricted to `predicate` candidates
+      (pre-filtering — exact recall; the predicate prunes the scan).
+    - "ivfpq": IVF coarse lists + product-quantized ADC scoring — the
+      memory-compression scale rung; `n_probe` trades recall for work
+      (n_probe == n_centroids is exhaustive).
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    method: str = "bruteforce"
+    query_ids: list[int]
+    k: int = 3
+    vec_col: str = "embedding"
+    id_col: str = "vec_id"
+    predicate: Optional[str] = None
+    n_centroids: int = 16
+    n_probe: int = 4
+
+    @field_validator("method")
+    @classmethod
+    def _method_known(cls, v: str) -> str:
+        if v not in ("bruteforce", "filtered", "ivfpq"):
+            raise ValueError(f"method must be bruteforce|filtered|ivfpq, got {v!r}")
+        return v
+
+    @field_validator("query_ids")
+    @classmethod
+    def _ids_nonempty(cls, v: list[int]) -> list[int]:
+        if not v:
+            raise ValueError("knn needs at least one query id")
+        return v
+
+    @field_validator("k", "n_centroids", "n_probe")
+    @classmethod
+    def _positive(cls, v: int) -> int:
+        if v < 1:
+            raise ValueError(f"must be >= 1, got {v}")
+        return v
+
+    @model_validator(mode="after")
+    def _filtered_needs_predicate(self):
+        if self.method == "filtered" and not self.predicate:
+            raise ValueError("knn method 'filtered' requires predicate")
+        return self
+
+
 class IncrementalConfig(BaseModel):
     """Engine extension: `refresh_policy: incremental` materialized views.
 
@@ -553,10 +608,11 @@ class Action(BaseModel):
     schema_file: Optional[str] = None
     enforcement: str = "strict"  # strict | permissive
 
-    # retrieval / dedup / sample transforms (engine extensions)
+    # retrieval / dedup / sample / knn transforms (engine extensions)
     retrieval: Optional[RetrievalConfig] = None
     dedup: Optional[DedupConfig] = None
     sample: Optional[SampleConfig] = None
+    knn: Optional[KnnConfig] = None
 
     # data-quality transform
     mode: Optional[str] = None  # dqe | quarantine

@@ -28,6 +28,7 @@ REGISTRY = {
     ("transform", "retrieval"): _transform.transform_retrieval,
     ("transform", "dedup"): _transform.transform_dedup,
     ("transform", "sample"): _transform.transform_sample,
+    ("transform", "knn"): _transform.transform_knn,
     ("write", "streaming_table"): _write.write_streaming_table,
     ("write", "materialized_view"): _write.write_materialized_view,
     ("write", "sink"): _write.write_sink,

@@ -267,6 +267,46 @@ def transform_sample(ctx: BuildContext, action: Action) -> DataFrame:
     return out
 
 
+def transform_knn(ctx: BuildContext, action: Action) -> DataFrame:
+    """Vector similarity search as a declarative action (engine extension;
+    spec `knn: {method, query_ids, k, ...}` — see models.KnnConfig).
+    Executors are llm/similarity.py's verified operators: bruteforce
+    (exact-recall baseline), filtered (predicate pre-filter, exact
+    recall), ivfpq (the compression scale rung; n_probe == n_centroids is
+    exhaustive)."""
+    from lakehouse_plumber_spark.llm import similarity as _sim
+
+    cfg = action.knn
+    if cfg is None:
+        raise ValueError(f"knn transform {action.name!r} missing `knn:` config")
+    if not action.source or not isinstance(action.source, str):
+        raise ValueError(f"knn transform {action.name!r} needs a single source view")
+    df = ctx.resolve_view(action.source)
+    if df.isStreaming:
+        raise ValueError(
+            f"knn transform {action.name!r} needs a BATCH source (top-k is "
+            "a corpus-global ranking; for arriving vectors maintain a "
+            "persisted index — see ivf_index_build/append/search)"
+        )
+    if cfg.method == "bruteforce":
+        out = _sim.knn_bruteforce(
+            df, cfg.query_ids, k=cfg.k, vec_col=cfg.vec_col, id_col=cfg.id_col
+        )
+    elif cfg.method == "filtered":
+        out = _sim.knn_filtered(
+            df, cfg.query_ids, cfg.predicate, k=cfg.k,
+            vec_col=cfg.vec_col, id_col=cfg.id_col,
+        )
+    else:
+        out = _sim.ivfpq_search(
+            df, cfg.query_ids, k=cfg.k,
+            n_centroids=cfg.n_centroids, n_probe=cfg.n_probe,
+            vec_col=cfg.vec_col, id_col=cfg.id_col,
+        )
+    ctx.log(action.name, "knn_applied", method=cfg.method, k=cfg.k)
+    return out
+
+
 def transform_schema(ctx: BuildContext, action: Action) -> DataFrame:
     """Rename map -> cast map -> enforcement select (reference transform/schema.py.j2:10-47).
 

@@ -1200,6 +1200,27 @@ def test_r10_extension_methods_refuse_compilation():
         ("sample", {"method": "weighted_poisson", "weight_expr": "n_chars",
                     "target_fraction": 0.3}),
         ("sample", {"method": "sequence_pack", "seq_len": 128}),
+        ("knn", {"method": "bruteforce", "query_ids": [1]}),
     ]:
         with _pytest.raises(NotImplementedError, match="PipelineRunner"):
             compile_flowgroup(fg(kind, cfg))
+
+
+def test_knn_spec_validation():
+    """KnnConfig: method whitelist, non-empty query ids, filtered needs a
+    predicate, positive integer knobs."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.models import KnnConfig
+
+    KnnConfig(method="bruteforce", query_ids=[1, 2])
+    KnnConfig(method="filtered", query_ids=[1], predicate="label = 1")
+    KnnConfig(method="ivfpq", query_ids=[1], n_centroids=8, n_probe=8)
+    with _pytest.raises(ValueError, match="method"):
+        KnnConfig(method="hnsw", query_ids=[1])
+    with _pytest.raises(ValueError, match="query id"):
+        KnnConfig(method="bruteforce", query_ids=[])
+    with _pytest.raises(ValueError, match="predicate"):
+        KnnConfig(method="filtered", query_ids=[1])
+    with _pytest.raises(ValueError, match=">= 1"):
+        KnnConfig(method="bruteforce", query_ids=[1], k=0)
