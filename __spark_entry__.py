@@ -5727,6 +5727,47 @@ def pipe_bm25_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipe_rrf_yaml",
+    SRCH.rrf_fuse_duck(
+        [
+            SRCH.bm25_topk_duck("documents", _BM25_TERMS, k=20),
+            SRCH.bm25_topk_duck("documents", _BM25_WIDE_TERMS, k=20),
+        ],
+        k=20,
+    ),
+)
+def pipe_rrf_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval as a DECLARATIVE action (r10): `retrieval:
+    {query_sets: [narrow, wide]}` runs one BM25 ranking per set — `plan:
+    auto` resolves unrolled for the 4-term set and postings for the
+    12-term set, exactly what the Python row does — and RRF-fuses them
+    into one top-20.  Same oracle as `search_rrf_fusion`; fusion refuses
+    compile-to-source (multi-plan) with the PipelineRunner pointer."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "retrieval", "flowgroup": "rrf",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_docs",
+                 "source": {"type": "delta", "table": "documents"}},
+                {"name": "fuse", "type": "transform",
+                 "transform_type": "retrieval", "source": "v_docs",
+                 "target": "v_fused",
+                 "retrieval": {"query_sets": [list(_BM25_TERMS),
+                                              list(_BM25_WIDE_TERMS)],
+                               "k": 20}},
+                {"name": "mv", "type": "write", "source": "v_fused",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "ret", "table": "rrf_top"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.ret.rrf_top")
+
+
+@_register(
     "search_rrf_fusion",
     SRCH.rrf_fuse_duck(
         [

@@ -117,6 +117,7 @@ NAMES = [
     "sketch_overlap_matrix",
     "pipe_incremental_ann",
     "pipe_knn_yaml",
+    "pipe_rrf_yaml",
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks

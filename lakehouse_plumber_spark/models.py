@@ -185,24 +185,43 @@ class RetrievalConfig(BaseModel):
     crossover (docs/operators.md "BM25 query width"), postings above it.
     Both plans emit identical rows and scores (exact-decimal parts), so
     the choice is purely physical.
+
+    HYBRID fusion (r10): give `query_sets` (>= 2 term lists) instead of
+    `query_terms` and the action runs one BM25 top-k per set (plan
+    resolved per set) and Reciprocal-Rank-fuses them —
+    score(d) = Σ 1/(k_rrf + rank_set(d)) — into one top-k.  The fusion is
+    k-bounded; all corpus-sized work stays inside the per-set retrievers.
     """
 
     model_config = ConfigDict(extra="forbid")
 
-    query_terms: list[str]
+    query_terms: Optional[list[str]] = None
+    query_sets: Optional[list[list[str]]] = None
     k: int = 20
     k1: float = 1.2
     b: float = 0.75
+    k_rrf: int = 60
     text_col: str = "text"
     id_col: str = "doc_id"
     plan: str = "auto"  # auto | unrolled | postings
 
-    @field_validator("query_terms")
-    @classmethod
-    def _terms_nonempty(cls, v: list[str]) -> list[str]:
-        if not v:
+    @model_validator(mode="after")
+    def _terms_xor_sets(self):
+        if (self.query_terms is None) == (self.query_sets is None):
+            raise ValueError(
+                "retrieval needs exactly one of query_terms (single ranking) "
+                "or query_sets (RRF fusion)"
+            )
+        if self.query_terms is not None and not self.query_terms:
             raise ValueError("retrieval needs at least one query term")
-        return v
+        if self.query_sets is not None:
+            if len(self.query_sets) < 2:
+                raise ValueError("query_sets fusion needs >= 2 term lists")
+            if any(not s for s in self.query_sets):
+                raise ValueError("every query set needs at least one term")
+        if self.k_rrf < 1:
+            raise ValueError(f"k_rrf must be >= 1, got {self.k_rrf}")
+        return self
 
     @field_validator("plan")
     @classmethod

@@ -137,6 +137,24 @@ def transform_retrieval(ctx: BuildContext, action: Action) -> DataFrame:
             f"retrieval transform {action.name!r} needs a BATCH source "
             "(BM25's corpus statistics are a global aggregate)"
         )
+    if cfg.query_sets is not None:
+        # hybrid fusion: one BM25 ranking per set (plan resolved per set),
+        # RRF-merged — the fusion joins only k-bounded rankings
+        from lakehouse_plumber_spark.llm.search import rrf_fuse
+
+        rankings = []
+        plans = []
+        for terms in cfg.query_sets:
+            plan = bm25_choose_plan(terms, cfg.plan)
+            fn = bm25_topk if plan == "unrolled" else bm25_topk_postings
+            rankings.append(
+                fn(df, terms, k=cfg.k, k1=cfg.k1, b=cfg.b,
+                   text_col=cfg.text_col, id_col=cfg.id_col)
+            )
+            plans.append(plan)
+        out = rrf_fuse(rankings, k=cfg.k, k_rrf=cfg.k_rrf, id_col=cfg.id_col)
+        ctx.log(action.name, "retrieval_rrf", plans=plans, n_sets=len(plans))
+        return out
     plan = bm25_choose_plan(cfg.query_terms, cfg.plan)
     fn = bm25_topk if plan == "unrolled" else bm25_topk_postings
     out = fn(

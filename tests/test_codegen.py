@@ -1180,7 +1180,7 @@ def test_r10_extension_methods_refuse_compilation():
 
     def fg(kind, cfg):
         return load_flowgroup({
-            "pipeline": "p", "flowgroup": f"c_{kind}_{cfg['method']}",
+            "pipeline": "p", "flowgroup": f"c_{kind}_{cfg.get('method', 'fuse')}",
             "actions": [
                 {"name": "ld", "type": "load", "target": "v",
                  "source": {"type": "sql", "sql": "SELECT 1 AS doc_id, 'x' AS text"}},
@@ -1201,9 +1201,28 @@ def test_r10_extension_methods_refuse_compilation():
                     "target_fraction": 0.3}),
         ("sample", {"method": "sequence_pack", "seq_len": 128}),
         ("knn", {"method": "bruteforce", "query_ids": [1]}),
+        ("retrieval", {"query_sets": [["a"], ["b"]]}),
     ]:
         with _pytest.raises(NotImplementedError, match="PipelineRunner"):
             compile_flowgroup(fg(kind, cfg))
+
+
+def test_retrieval_fusion_spec_validation():
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.models import RetrievalConfig
+
+    RetrievalConfig(query_sets=[["a"], ["b", "c"]])
+    with _pytest.raises(ValueError, match="exactly one"):
+        RetrievalConfig()
+    with _pytest.raises(ValueError, match="exactly one"):
+        RetrievalConfig(query_terms=["a"], query_sets=[["a"], ["b"]])
+    with _pytest.raises(ValueError, match=">= 2"):
+        RetrievalConfig(query_sets=[["a"]])
+    with _pytest.raises(ValueError, match="at least one term"):
+        RetrievalConfig(query_sets=[["a"], []])
+    with _pytest.raises(ValueError, match="k_rrf"):
+        RetrievalConfig(query_sets=[["a"], ["b"]], k_rrf=0)
 
 
 def test_knn_spec_validation():
