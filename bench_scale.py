@@ -103,10 +103,12 @@ NAMES = [
     # pipe_embedding_lsh_yaml is NOT here for the same reason as
     # dedup_embedding_lsh (identical-copy growth = cross-copy cliques by
     # construction; its scale check is scripts_scale_emb_lsh.py).
-    # pipe_stream_incremental_dedup is NOT here: its cost is dominated by
-    # json-landing the scaled corpus and re-streaming it (3 runs x factor x
-    # corpus of disk writes) — the incremental plan it drives is the same
-    # one pipe_incremental_dedup(_yaml) measure through the view path.
+    # pipe_stream_incremental_dedup and pipe_stream_ann are NOT here: their
+    # cost is dominated by landing the scaled corpus to disk and
+    # re-streaming it (3 runs x factor x corpus of writes) — the
+    # incremental plans they drive are the same ones
+    # pipe_incremental_dedup(_yaml) / pipe_incremental_ann measure through
+    # the view path.
     "pipe_containment_yaml",
     "pipe_incremental_dedup_yaml",
     "pipe_poisson_yaml",
