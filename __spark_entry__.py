@@ -5003,6 +5003,36 @@ def pipe_embedding_lsh_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.resolve_view("main.curation.emb_pairs")
 
 
+@_register("pipe_semantic_yaml", _semdedup_duck())
+def pipe_semantic_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as a DECLARATIVE action (r10): `method: semantic` clusters
+    the embeddings and retires lower-quality near-duplicates per cluster.
+    Same oracle as `dedup_semantic` — the YAML surface must produce
+    exactly what the Python API does."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "curation", "flowgroup": "dedup_sem",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_emb",
+                 "source": {"type": "delta", "table": "embeddings"}},
+                {"name": "dd", "type": "transform", "transform_type": "dedup",
+                 "source": "v_emb", "target": "v_out",
+                 "dedup": {"method": "semantic", "id_col": "vec_id",
+                           "cosine_threshold": _SEMDEDUP_T}},
+                {"name": "mv", "type": "write", "source": "v_out",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "curation", "table": "sem_dedup"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.curation.sem_dedup").select(
+        "vec_id", F.col("list_id").cast("int").alias("list_id"), "retired"
+    )
+
+
 @_register("pipe_incremental_dedup_yaml", _minhash_duck())
 def pipe_incremental_dedup_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL dedup as a DECLARATIVE action (r10): three arriving

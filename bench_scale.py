@@ -120,6 +120,8 @@ NAMES = [
     "pipe_incremental_ann",
     "pipe_knn_yaml",
     "pipe_rrf_yaml",
+    # pipe_semantic_yaml is NOT here for the same identical-copy-clique
+    # reason as dedup_semantic/dedup_embedding_lsh (see the note above).
 ]
 
 # LHP_SCALE_ONLY=a,b,c restricts the run to a subset (new-op spot checks

@@ -265,6 +265,10 @@ class DedupConfig(BaseModel):
       append the batch to the index — the production dedup-on-arrival
       loop; per-batch work scales with the batch, history is never
       rescanned.  Output this batch's verified (id_a, id_b, jaccard).
+    - "semantic": SemDeDup — cluster embeddings (`vec_col`), retire any
+      row with a lower-id near-duplicate (cosine >= `cosine_threshold`)
+      inside its cluster; pair cost is per-cluster, never corpus².
+      Output (id, list_id, retired).
     """
 
     model_config = ConfigDict(extra="forbid")
@@ -278,10 +282,11 @@ class DedupConfig(BaseModel):
     # containment
     containment_threshold: float = 0.8
     max_doc_freq: Optional[int] = None
-    # embedding_lsh
+    # embedding_lsh / semantic
     vec_col: str = "embedding"
     cosine_threshold: float = 0.95
     max_bucket_size: Optional[int] = None
+    n_centroids: int = 16
     # incremental (persisted index table names, resolved via the run store)
     index_table: Optional[str] = None
     grams_table: Optional[str] = None
@@ -291,12 +296,19 @@ class DedupConfig(BaseModel):
     def _method_known(cls, v: str) -> str:
         if v not in (
             "exact", "lines", "minhash_survivors",
-            "containment", "embedding_lsh", "incremental",
+            "containment", "embedding_lsh", "incremental", "semantic",
         ):
             raise ValueError(
                 "method must be exact|lines|minhash_survivors|containment|"
-                f"embedding_lsh|incremental, got {v!r}"
+                f"embedding_lsh|incremental|semantic, got {v!r}"
             )
+        return v
+
+    @field_validator("n_centroids")
+    @classmethod
+    def _centroids_positive(cls, v: int) -> int:
+        if v < 1:
+            raise ValueError(f"n_centroids must be >= 1, got {v}")
         return v
 
     @field_validator("jaccard_threshold", "containment_threshold", "cosine_threshold")

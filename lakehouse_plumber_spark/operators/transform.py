@@ -212,6 +212,14 @@ def transform_dedup(ctx: BuildContext, action: Action) -> DataFrame:
             jaccard_threshold=cfg.jaccard_threshold,
             max_bucket_size=cfg.max_bucket_size,
         )
+    elif cfg.method == "semantic":
+        from lakehouse_plumber_spark.llm.similarity import semantic_dedup
+
+        out = semantic_dedup(
+            df, threshold=cfg.cosine_threshold,
+            n_centroids=cfg.n_centroids,
+            vec_col=cfg.vec_col, id_col=cfg.id_col,
+        )
     else:
         if not cfg.quality_col:
             raise ValueError(
