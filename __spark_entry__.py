@@ -5033,6 +5033,52 @@ def pipe_semantic_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pipe_multimodal_yaml",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(t.range - 1 AS INT) AS idx,
+           round(('0x' || substr(md5(text), CAST((t.range - 1) * 2 + 1 AS INT), 2))::INT
+                 / 255.0, 3) AS value
+    FROM documents, range(1, 9) t
+    """,
+)
+def pipe_multimodal_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction as a DECLARATIVE action (r10):
+    `transform_type: multimodal, method: features, source_format:
+    documents` runs the Arrow-batched mapInPandas extractor inside a
+    flowgroup; a SQL transform explodes the vectors to hashable scalars.
+    Same oracle as `multimodal_features` — the YAML surface must produce
+    exactly what the Python API does."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "mm", "flowgroup": "features",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_docs",
+                 "source": {"type": "delta", "table": "documents"}},
+                {"name": "fx", "type": "transform",
+                 "transform_type": "multimodal", "source": "v_docs",
+                 "target": "v_feats",
+                 "multimodal": {"method": "features",
+                                "source_format": "documents"}},
+                {"name": "ex", "type": "transform", "transform_type": "sql",
+                 "source": "v_feats", "target": "v_flat",
+                 "sql": "SELECT asset_id, CAST(t.idx AS INT) AS idx, t.value "
+                        "FROM v_feats LATERAL VIEW posexplode("
+                        "transform(feature, x -> round(cast(x AS double), 3))"
+                        ") t AS idx, value"},
+                {"name": "mv", "type": "write", "source": "v_flat",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "mm", "table": "doc_features"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.mm.doc_features")
+
+
 @_register("pipe_incremental_dedup_yaml", _minhash_duck())
 def pipe_incremental_dedup_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL dedup as a DECLARATIVE action (r10): three arriving

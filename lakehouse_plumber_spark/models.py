@@ -55,6 +55,7 @@ class TransformType(str, Enum):
     DEDUP = "dedup"
     SAMPLE = "sample"
     KNN = "knn"
+    MULTIMODAL = "multimodal"
 
 
 class WriteTargetType(str, Enum):
@@ -442,6 +443,65 @@ class SampleConfig(BaseModel):
         return self
 
 
+class MultimodalConfig(BaseModel):
+    """Engine extension: `transform_type: multimodal` — binary-asset
+    processing as a declarative action (llm/multimodal.py, Arrow-batched
+    mapInPandas plumbing with an import-gated decoder seam).
+
+    `method`:
+    - "features": decode -> fixed-width feature vector per asset (the
+      embedding-extraction shape; `decoder` stub|pil|auto, `batch_size`).
+    - "resize": decode -> resize to (width, height) -> re-encode.
+    - "frame_sample": one row per (video asset, frame timestamp) every
+      `every_ms` — the distributed frame work list.
+
+    `source_format: documents` adapts a documents view to the asset
+    schema first (doc text bytes as binary payloads) — the corpus-testing
+    convenience; default expects an asset-shaped source (asset_id,
+    modality, content, ...).
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    method: str
+    decoder: str = "stub"
+    batch_size: int = 256
+    width: int = 224
+    height: int = 224
+    every_ms: int = 1000
+    source_format: str = "assets"  # assets | documents
+
+    @field_validator("method")
+    @classmethod
+    def _method_known(cls, v: str) -> str:
+        if v not in ("features", "resize", "frame_sample"):
+            raise ValueError(
+                f"method must be features|resize|frame_sample, got {v!r}"
+            )
+        return v
+
+    @field_validator("decoder")
+    @classmethod
+    def _decoder_known(cls, v: str) -> str:
+        if v not in ("stub", "pil", "auto"):
+            raise ValueError(f"decoder must be stub|pil|auto, got {v!r}")
+        return v
+
+    @field_validator("source_format")
+    @classmethod
+    def _format_known(cls, v: str) -> str:
+        if v not in ("assets", "documents"):
+            raise ValueError(f"source_format must be assets|documents, got {v!r}")
+        return v
+
+    @field_validator("batch_size", "width", "height", "every_ms")
+    @classmethod
+    def _positive(cls, v: int) -> int:
+        if v < 1:
+            raise ValueError(f"must be >= 1, got {v}")
+        return v
+
+
 class KnnConfig(BaseModel):
     """Engine extension: `transform_type: knn` — vector similarity search as
     a declarative action (llm/similarity.py), completing the extension
@@ -644,6 +704,7 @@ class Action(BaseModel):
     dedup: Optional[DedupConfig] = None
     sample: Optional[SampleConfig] = None
     knn: Optional[KnnConfig] = None
+    multimodal: Optional[MultimodalConfig] = None
 
     # data-quality transform
     mode: Optional[str] = None  # dqe | quarantine

@@ -333,6 +333,42 @@ def transform_knn(ctx: BuildContext, action: Action) -> DataFrame:
     return out
 
 
+def transform_multimodal(ctx: BuildContext, action: Action) -> DataFrame:
+    """Binary-asset processing as a declarative action (engine extension;
+    spec `multimodal: {method, decoder, ...}` — see
+    models.MultimodalConfig).  Executors are llm/multimodal.py's
+    Arrow-batched mapInPandas operators; the decoder seam resolves
+    driver-side so executors fail loudly rather than mixing stub and real
+    decodes."""
+    from lakehouse_plumber_spark.llm import multimodal as _mm
+
+    cfg = action.multimodal
+    if cfg is None:
+        raise ValueError(
+            f"multimodal transform {action.name!r} missing `multimodal:` config"
+        )
+    if not action.source or not isinstance(action.source, str):
+        raise ValueError(
+            f"multimodal transform {action.name!r} needs a single source view"
+        )
+    df = ctx.resolve_view(action.source)
+    if cfg.source_format == "documents":
+        df = _mm.documents_as_assets(df)
+    if cfg.method == "features":
+        out = _mm.extract_features(
+            df, batch_size=cfg.batch_size, decoder=cfg.decoder
+        )
+    elif cfg.method == "resize":
+        out = _mm.resize_images(
+            df, width=cfg.width, height=cfg.height, decoder=cfg.decoder
+        )
+    else:
+        out = _mm.frame_sample_plan(df, every_ms=cfg.every_ms)
+    ctx.log(action.name, "multimodal_applied", method=cfg.method,
+            decoder=cfg.decoder)
+    return out
+
+
 def transform_schema(ctx: BuildContext, action: Action) -> DataFrame:
     """Rename map -> cast map -> enforcement select (reference transform/schema.py.j2:10-47).
 

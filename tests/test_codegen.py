@@ -1202,6 +1202,8 @@ def test_r10_extension_methods_refuse_compilation():
         ("sample", {"method": "sequence_pack", "seq_len": 128}),
         ("knn", {"method": "bruteforce", "query_ids": [1]}),
         ("retrieval", {"query_sets": [["a"], ["b"]]}),
+        ("dedup", {"method": "semantic"}),
+        ("multimodal", {"method": "features"}),
     ]:
         with _pytest.raises(NotImplementedError, match="PipelineRunner"):
             compile_flowgroup(fg(kind, cfg))
@@ -1243,3 +1245,21 @@ def test_knn_spec_validation():
         KnnConfig(method="filtered", query_ids=[1])
     with _pytest.raises(ValueError, match=">= 1"):
         KnnConfig(method="bruteforce", query_ids=[1], k=0)
+
+
+def test_multimodal_spec_validation():
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.models import MultimodalConfig
+
+    MultimodalConfig(method="features")
+    MultimodalConfig(method="resize", width=64, height=64, decoder="auto")
+    MultimodalConfig(method="frame_sample", every_ms=500)
+    with _pytest.raises(ValueError, match="method"):
+        MultimodalConfig(method="ocr")
+    with _pytest.raises(ValueError, match="decoder"):
+        MultimodalConfig(method="features", decoder="ffmpeg")
+    with _pytest.raises(ValueError, match="source_format"):
+        MultimodalConfig(method="features", source_format="images")
+    with _pytest.raises(ValueError, match=">= 1"):
+        MultimodalConfig(method="resize", width=0)
