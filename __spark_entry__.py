@@ -5079,6 +5079,41 @@ def pipe_multimodal_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.resolve_view("main.mm.doc_features")
 
 
+@_register("pipe_text_yaml", _c4_duck())
+def pipe_text_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text curation as a DECLARATIVE action (r10 — `transform_type: text`
+    gives the most-used curation family its YAML surface): the same
+    deterministic seeding rewrite as `text_c4_rules` runs as a SQL
+    transform, then `text: {method: c4_rules}` applies the line-level
+    boilerplate filter.  Same oracle — the YAML surface must produce
+    exactly what the Python API does."""
+    _prep(spark, sf_dir)
+    runner = _runner(spark)
+    fg = load_flowgroup(
+        {
+            "pipeline": "curation", "flowgroup": "text_c4",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v_docs",
+                 "source": {"type": "delta", "table": "documents"}},
+                {"name": "seed", "type": "transform", "transform_type": "sql",
+                 "source": "v_docs", "target": "v_seeded",
+                 "sql": "SELECT doc_id, replace(replace(replace(text,"
+                        " ' batch ', '.\\n'),"
+                        " ' vector ', ' lorem ipsum '),"
+                        " ' hash ', ' { ') AS text FROM v_docs"},
+                {"name": "c4", "type": "transform", "transform_type": "text",
+                 "source": "v_seeded", "target": "v_rules",
+                 "text": {"method": "c4_rules"}},
+                {"name": "mv", "type": "write", "source": "v_rules",
+                 "write_target": {"type": "materialized_view", "catalog": "main",
+                                  "schema": "curation", "table": "c4_verdicts"}},
+            ],
+        }
+    )
+    ctx = runner.run(fg)
+    return ctx.resolve_view("main.curation.c4_verdicts")
+
+
 @_register("pipe_incremental_dedup_yaml", _minhash_duck())
 def pipe_incremental_dedup_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL dedup as a DECLARATIVE action (r10): three arriving

@@ -121,6 +121,7 @@ NAMES = [
     "pipe_knn_yaml",
     "pipe_rrf_yaml",
     "pipe_multimodal_yaml",
+    "pipe_text_yaml",
     # pipe_semantic_yaml is NOT here for the same identical-copy-clique
     # reason as dedup_semantic/dedup_embedding_lsh (see the note above).
 ]

@@ -56,6 +56,7 @@ class TransformType(str, Enum):
     SAMPLE = "sample"
     KNN = "knn"
     MULTIMODAL = "multimodal"
+    TEXT = "text"
 
 
 class WriteTargetType(str, Enum):
@@ -443,6 +444,63 @@ class SampleConfig(BaseModel):
         return self
 
 
+class TextConfig(BaseModel):
+    """Engine extension: `transform_type: text` — text curation as a
+    declarative action (llm/text.py).  Every method is a narrow per-row
+    projection (one tokenization / line-split, let-bound; no shuffle, no
+    UDF) — a single codegen'd scan at any corpus size.
+
+    `method`: token_count | quality_score | lang_id | pii_redact |
+    c4_rules (line-level boilerplate filter; `min_words_per_line`,
+    `min_kept_lines`) | gopher_rules (heuristic quality battery;
+    `min_words`) | chunk (fixed overlapping token windows;
+    `chunk_tokens`, `stride`).
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    method: str
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    min_words_per_line: int = 5
+    min_kept_lines: int = 3
+    min_words: int = 50
+    chunk_tokens: int = 64
+    stride: int = 48
+
+    @field_validator("method")
+    @classmethod
+    def _method_known(cls, v: str) -> str:
+        if v not in (
+            "token_count", "quality_score", "lang_id", "pii_redact",
+            "c4_rules", "gopher_rules", "chunk",
+        ):
+            raise ValueError(
+                "method must be token_count|quality_score|lang_id|"
+                f"pii_redact|c4_rules|gopher_rules|chunk, got {v!r}"
+            )
+        return v
+
+    @field_validator(
+        "min_words_per_line", "min_kept_lines", "min_words",
+        "chunk_tokens", "stride",
+    )
+    @classmethod
+    def _positive(cls, v: int) -> int:
+        if v < 1:
+            raise ValueError(f"must be >= 1, got {v}")
+        return v
+
+    @model_validator(mode="after")
+    def _chunk_stride(self):
+        if self.method == "chunk" and self.stride > self.chunk_tokens:
+            raise ValueError(
+                f"chunk needs stride <= chunk_tokens, got stride="
+                f"{self.stride}, chunk_tokens={self.chunk_tokens}"
+            )
+        return self
+
+
 class MultimodalConfig(BaseModel):
     """Engine extension: `transform_type: multimodal` — binary-asset
     processing as a declarative action (llm/multimodal.py, Arrow-batched
@@ -705,6 +763,7 @@ class Action(BaseModel):
     sample: Optional[SampleConfig] = None
     knn: Optional[KnnConfig] = None
     multimodal: Optional[MultimodalConfig] = None
+    text: Optional[TextConfig] = None
 
     # data-quality transform
     mode: Optional[str] = None  # dqe | quarantine

@@ -30,6 +30,7 @@ REGISTRY = {
     ("transform", "sample"): _transform.transform_sample,
     ("transform", "knn"): _transform.transform_knn,
     ("transform", "multimodal"): _transform.transform_multimodal,
+    ("transform", "text"): _transform.transform_text,
     ("write", "streaming_table"): _write.write_streaming_table,
     ("write", "materialized_view"): _write.write_materialized_view,
     ("write", "sink"): _write.write_sink,

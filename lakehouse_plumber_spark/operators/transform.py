@@ -333,6 +333,47 @@ def transform_knn(ctx: BuildContext, action: Action) -> DataFrame:
     return out
 
 
+def transform_text(ctx: BuildContext, action: Action) -> DataFrame:
+    """Text curation as a declarative action (engine extension; spec
+    `text: {method, ...}` — see models.TextConfig).  Executors are
+    llm/text.py's verified narrow-scan operators — every method is one
+    codegen'd projection (plus chunk's bounded explode); they work on
+    streaming sources too, being pure per-row."""
+    from lakehouse_plumber_spark.llm import text as _text
+
+    cfg = action.text
+    if cfg is None:
+        raise ValueError(f"text transform {action.name!r} missing `text:` config")
+    if not action.source or not isinstance(action.source, str):
+        raise ValueError(f"text transform {action.name!r} needs a single source view")
+    df = ctx.resolve_view(action.source)
+    if cfg.method == "token_count":
+        out = _text.with_token_count(df, cfg.text_col)
+    elif cfg.method == "quality_score":
+        out = _text.with_quality_score(df, cfg.text_col)
+    elif cfg.method == "lang_id":
+        out = _text.with_lang_id(df, cfg.text_col)
+    elif cfg.method == "pii_redact":
+        out = _text.with_pii_redaction(df, cfg.text_col)
+    elif cfg.method == "c4_rules":
+        out = _text.c4_rules(
+            df, cfg.text_col, cfg.id_col,
+            min_words_per_line=cfg.min_words_per_line,
+            min_kept_lines=cfg.min_kept_lines,
+        )
+    elif cfg.method == "gopher_rules":
+        out = _text.gopher_rules(
+            df, cfg.text_col, cfg.id_col, min_words=cfg.min_words
+        )
+    else:
+        out = _text.chunk_documents(
+            df, chunk_tokens=cfg.chunk_tokens, stride=cfg.stride,
+            text_col=cfg.text_col, id_col=cfg.id_col,
+        )
+    ctx.log(action.name, "text_applied", method=cfg.method)
+    return out
+
+
 def transform_multimodal(ctx: BuildContext, action: Action) -> DataFrame:
     """Binary-asset processing as a declarative action (engine extension;
     spec `multimodal: {method, decoder, ...}` — see

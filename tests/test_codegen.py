@@ -1204,6 +1204,7 @@ def test_r10_extension_methods_refuse_compilation():
         ("retrieval", {"query_sets": [["a"], ["b"]]}),
         ("dedup", {"method": "semantic"}),
         ("multimodal", {"method": "features"}),
+        ("text", {"method": "c4_rules"}),
     ]:
         with _pytest.raises(NotImplementedError, match="PipelineRunner"):
             compile_flowgroup(fg(kind, cfg))
@@ -1263,3 +1264,19 @@ def test_multimodal_spec_validation():
         MultimodalConfig(method="features", source_format="images")
     with _pytest.raises(ValueError, match=">= 1"):
         MultimodalConfig(method="resize", width=0)
+
+
+def test_text_spec_validation():
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.models import TextConfig
+
+    TextConfig(method="c4_rules")
+    TextConfig(method="gopher_rules", min_words=10)
+    TextConfig(method="chunk", chunk_tokens=128, stride=96)
+    with _pytest.raises(ValueError, match="method"):
+        TextConfig(method="stem")
+    with _pytest.raises(ValueError, match=">= 1"):
+        TextConfig(method="c4_rules", min_kept_lines=0)
+    with _pytest.raises(ValueError, match="stride <= chunk_tokens"):
+        TextConfig(method="chunk", chunk_tokens=64, stride=65)
