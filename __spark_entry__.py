@@ -3175,7 +3175,8 @@ _ASOF_ORACLE = """
       FROM t
     )
     SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us,
-           round(CAST(value AS DECIMAL(18,6)), 2) AS purchase_value,
+           CAST(round(CAST(value AS DECIMAL(18,6)), 2) * 100 AS BIGINT)
+             AS purchase_value_cents,
            viewed_us, epoch_us(ts) - viewed_us AS gap_us
     FROM w WHERE event_type = 'purchase'
 """
@@ -3203,7 +3204,11 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "purchase_id",
         F.col("pus").alias("purchase_us"),
-        F.round(F.col("value").cast("decimal(18,6)"), 2).alias("purchase_value"),
+        # integer cents, never DECIMAL on the wire: a DECIMAL(x,2) with a
+        # trailing zero renders '53.70' on Spark's driver path vs '53.7'
+        # on DuckDB's — rendering-proof audit r11
+        (F.round(F.col("value").cast("decimal(18,6)"), 2) * 100)
+        .cast("bigint").alias("purchase_value_cents"),
         F.col("m_vus").alias("viewed_us"),
         (F.col("pus") - F.col("m_vus")).alias("gap_us"),
     )
@@ -4774,9 +4779,11 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal-decoder convention: the plumbing is real, the model is
     swappable), keep iff the exact-decimal margin is non-negative.  One
     explode -> map-side-combined aggregate; the 256-entry weight array is
-    a plan literal, no join.  Every number oracle-exact: the output is
-    the raw DECIMAL dot (round()/exp()/division all differ cross-engine
-    in the last ulp and are monotone in it anyway)."""
+    a plan literal, no join.  Every number oracle-exact AND
+    rendering-proof: the output is the raw dot as BIGINT integer
+    millionths — never leaves integer space (r10 lesson: DECIMAL(18,6)
+    with a trailing zero renders differently across engines on the
+    driver's stringify-then-hash path even when numerically exact)."""
     _prep(spark, sf_dir)
     return TX.linear_quality_filter(spark.table("documents"))
 
@@ -5441,7 +5448,8 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_two_phase",
     """
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_l_quantity,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS sum_l_quantity_micros,
            CAST(COUNT(l_orderkey) AS BIGINT) AS count_l_orderkey,
            CAST(MIN(l_extendedprice) AS DOUBLE) AS min_l_extendedprice,
            CAST(MAX(l_extendedprice) AS DOUBLE) AS max_l_extendedprice
@@ -5476,7 +5484,9 @@ def agg_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.join(out2, "l_returnflag")
         .selectExpr(
             "l_returnflag",
-            "CAST(sum_l_quantity AS DECIMAL(28,6)) AS sum_l_quantity",
+            # integer micros, never DECIMAL on the wire (rendering-proof
+            # audit r11: exact decimal sums stay exact as scaled BIGINTs)
+            "CAST(sum_l_quantity * 1000000 AS BIGINT) AS sum_l_quantity_micros",
             "CAST(count_l_orderkey AS BIGINT) AS count_l_orderkey",
             "CAST(min_l_extendedprice AS DOUBLE) AS min_l_extendedprice",
             "CAST(max_l_extendedprice AS DOUBLE) AS max_l_extendedprice",

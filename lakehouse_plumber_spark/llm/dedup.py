@@ -10,6 +10,8 @@ signatures bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -475,10 +477,30 @@ EMB_LSH_BANDS = 4
 EMB_LSH_ROWS = 8  # hyperplanes per band; EMB_LSH_BANDS * EMB_LSH_ROWS total
 
 
+def emb_lsh_auto_rows(n: int, bands: int = EMB_LSH_BANDS) -> int:
+    """Hyperplanes per band that hold spurious candidates ~LINEAR in the
+    corpus: random (cosine ~0) pairs band-collide at p = 2^-rows, so
+    expected spurious candidates <= n^2/2 * bands * 2^-rows; choosing
+    rows = ceil(log2(n * bands / 64)) bounds that at <= 32*n for ANY n —
+    each vector verifies a constant ~32 spurious candidates regardless of
+    corpus size.  Anchored on the r10 measurement (BASELINE.md): 2e5
+    vectors melted at the static 4x8 (~3e8 spurious, spilled out of disk)
+    and ran clean at 4x14 — this rule derives exactly 14 there.  Floored
+    at EMB_LSH_ROWS (the small-corpus recall sweet spot) and capped at
+    62 // bands (the signature packs into one 64-bit long); past the cap
+    (n ~> 5e5 at 4 bands) add bands to extend the budget."""
+    if n < 1:
+        raise ValueError(f"corpus count must be >= 1, got {n}")
+    if bands < 1 or bands > 62:
+        raise ValueError(f"need 1 <= bands <= 62, got {bands}")
+    rows = math.ceil(math.log2(max(n * bands / 64, 2)))
+    return max(EMB_LSH_ROWS, min(rows, 62 // bands))
+
+
 def embedding_near_dup_lsh(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
     threshold: float = 0.95, bands: int = EMB_LSH_BANDS,
-    rows_per_band: int = EMB_LSH_ROWS, max_bucket_size: int | None = None,
+    rows_per_band: int | None = None, max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: banded random-hyperplane
     LSH candidates, verified by exact cosine — the LSH path
@@ -501,19 +523,28 @@ def embedding_near_dup_lsh(
     one band bucket contribute ~m^2/2 candidates, the one superlinear
     shape; capped buckets drop whole.
 
-    GEOMETRY MUST SCALE WITH THE CORPUS: random (cosine ~0) pairs
+    GEOMETRY SCALES WITH THE CORPUS BY DEFAULT: random (cosine ~0) pairs
     band-collide at p = bands * 2^-rows_per_band, so spurious candidates
-    grow ~ n^2 * bands / 2^rows_per_band — the default 4x8 is tuned for
-    ~10^4-10^5 vectors (and ~0.99 recall at cosine 0.99); every 2x growth
-    in n needs ~2 more hyperplanes per band to hold the candidate count
-    (measured: 200k vectors at 4x8 produced ~3e8 spurious candidates and
-    spilled out of disk; at 4x14 the same corpus ran 9.81x wall at 100x
-    data — BASELINE.md r10).  Raising rows lowers per-band recall
-    (p_band = (1 - theta/pi)^rows), so add bands or accept the measured
-    recall at your threshold.
+    grow ~ n^2 * bands / 2^rows_per_band — a static geometry melts at
+    some corpus size (measured r10: 200k vectors at 4x8 produced ~3e8
+    spurious candidates and spilled out of disk; at 4x14 the same corpus
+    ran 9.81x wall at 100x data — BASELINE.md).  `rows_per_band=None`
+    (the default) therefore derives the geometry from the corpus via
+    `emb_lsh_auto_rows` — one column-pruned count (parquet answers it
+    from row-group metadata) buys candidates bounded <= 32n at ANY n.
+    Pass an explicit `rows_per_band` to pin the geometry (e.g. for a
+    cross-engine oracle that enumerates the same bands).  Raising rows
+    lowers per-band recall (p_band = (1 - theta/pi)^rows), so add bands
+    or accept the measured recall at your threshold.
     """
     from .similarity import hyperplane_bucket_expr
 
+    if rows_per_band is None:
+        # column-pruned count: parquet/delta sources answer from metadata;
+        # geometry needs only the order of magnitude, exactness is free here
+        rows_per_band = emb_lsh_auto_rows(
+            df.select(id_col).count(), bands
+        )
     if bands < 1 or rows_per_band < 1 or bands * rows_per_band > 62:
         raise ValueError(
             f"need 1 <= bands*rows_per_band <= 62 sign bits, got "

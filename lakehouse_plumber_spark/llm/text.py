@@ -1109,14 +1109,17 @@ def linear_quality_filter(
     lookup, per-doc margin — is real and oracle-verified; plug a trained
     model's weights in via `weights`, integer millionths).
 
-    Cross-engine exactness: weights are integer-millionth DECIMALs, each
-    token contributes its bucket weight once (tf-weighted), and the
-    per-doc dot product is an EXACT decimal SUM (order-independent), so
-    both `score_sum` (the raw dot, a DECIMAL) and `keep` (dot >= 0) are
-    exact.  No division and no sigmoid in the output: engines' round()
-    and exp() differ in the last ulp, and both are monotone in the dot —
-    divide by n_tokens downstream if a length-normalized margin is
-    wanted.
+    Cross-engine exactness: weights NEVER leave integer space — they are
+    integer millionths end-to-end, each token contributes its bucket
+    weight once (tf-weighted), and the per-doc dot product is an exact
+    BIGINT SUM (order-independent), so both `score_sum` (the raw dot in
+    integer millionths) and `keep` (dot >= 0) are exact AND
+    rendering-proof (a DECIMAL(18,6) output measured r10 to carry
+    trailing-zero renderings that hash differently across engines even
+    when numerically identical; integers render identically everywhere).
+    No division and no sigmoid in the output: engines' round() and exp()
+    differ in the last ulp, and both are monotone in the dot — divide by
+    1e6 * n_tokens downstream if a length-normalized margin is wanted.
 
     Scale: one explode -> (doc, bucket-weight) hash aggregate, map-side
     combined; the dim-entry weight array is a plan literal (no join).
@@ -1126,9 +1129,7 @@ def linear_quality_filter(
     w = weights if weights is not None else _lqf_weights(dim)
     if len(w) != dim:
         raise ValueError(f"weights must have dim={dim} entries, got {len(w)}")
-    arr = "array(" + ", ".join(
-        f"CAST({v / 1_000_000:.6f} AS DECIMAL(18,6))" for v in w
-    ) + ")"
+    arr = "array(" + ", ".join(f"CAST({v} AS BIGINT)" for v in w) + ")"
     toks = tokens_spark(f"lower(coalesce({text_col}, ''))")
     from lakehouse_plumber_spark.llm.hashing import md5int_spark
 
@@ -1140,12 +1141,12 @@ def linear_quality_filter(
         exploded.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("w").alias("__dot"),
+            F.sum("w").cast("bigint").alias("__dot"),
         )
         .selectExpr(
             "doc_id",
             "n_tokens",
-            "CAST(__dot AS DECIMAL(18,6)) AS score_sum",
+            "__dot AS score_sum",
             "__dot >= 0 AS keep",
         )
     )
@@ -1159,21 +1160,22 @@ def linear_quality_filter_duck(
     weights: list[int] | None = None,
 ) -> str:
     """DuckDB oracle for `linear_quality_filter`: same md5 buckets, same
-    decimal weight literals, same exact decimal sum and threshold."""
+    integer-millionth BIGINT weight literals, same exact integer sum and
+    threshold (integers render identically on every engine's hash path)."""
     from lakehouse_plumber_spark.llm.hashing import md5int_duck, tokens_duck
 
     w = weights if weights is not None else _lqf_weights(dim)
-    arr = "[" + ", ".join(f"{v / 1_000_000:.6f}::DECIMAL(18,6)" for v in w) + "]"
+    arr = "[" + ", ".join(f"{v}::BIGINT" for v in w) + "]"
     toks = tokens_duck(f"lower(coalesce({text_col}, ''))")
     bucket = f"(({md5int_duck('t')}) % {dim})"
     return f"""
     WITH tok AS (SELECT {id_col} AS doc_id, unnest({toks}) AS t FROM {table}),
     wtd AS (SELECT doc_id, ({arr})[CAST({bucket} AS INT) + 1] AS w FROM tok),
     agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                   SUM(w) AS dot
+                   CAST(SUM(w) AS BIGINT) AS dot
             FROM wtd GROUP BY doc_id)
     SELECT doc_id, n_tokens,
-           CAST(dot AS DECIMAL(18,6)) AS score_sum,
+           dot AS score_sum,
            dot >= 0 AS keep
     FROM agg
     """

@@ -52,6 +52,32 @@ def canonicalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _strict_value(v):
+    """Driver-faithful stringify: NO numeric normalization (in particular
+    no Decimal->float), so a DECIMAL(18,6) trailing-zero rendering
+    ('-2.287980') mismatches DuckDB's float path ('-2.28798') exactly the
+    way the driver's stringify-then-hash did in CORRECTNESS_r10.  Queries
+    must ship rendering-proof types (integers / strings / dates), not rely
+    on numeric-equality comparison."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canonicalize_strict(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(_strict_value(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    )
+
+
 def compare(spark_df, duck_df: pd.DataFrame, name: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
@@ -69,6 +95,17 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str) -> list[str]:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
         only_a = [r for r in a[:2000] if r not in set(b[:2000])][:2]
         problems.append(f"{name}: value mismatch; first row diffs={diffs} only_spark={only_a}")
+        return problems
+    # rendering gate (r11): numerically equal is NOT enough — the driver
+    # hashes STRINGIFIED rows, so the strict canon must match too
+    sa = canonicalize_strict(spark_pd)
+    sb = canonicalize_strict(duck_df)
+    if sa != sb:
+        diffs = [(x, y) for x, y in zip(sa, sb) if x != y][:3]
+        problems.append(
+            f"{name}: RENDERING mismatch (numeric values equal — ship "
+            f"integers/strings, not DECIMAL/float); first diffs={diffs}"
+        )
     return problems
 
 

@@ -890,6 +890,82 @@ def test_embedding_lsh_hot_bucket_cap_and_validation(spark):
         embedding_near_dup_lsh(df, bands=8, rows_per_band=8)
 
 
+def test_emb_lsh_auto_rows_bounds_candidates_linearly():
+    """The r10 melt (VERDICT item #3): a STATIC geometry lets spurious
+    candidates grow ~n^2; the auto rule must hold them <= 32n at every
+    corpus size, reproduce the hand-measured 4x14 at 2e5, and never grow
+    superlinearly across a 10x corpus step."""
+    from lakehouse_plumber_spark.llm.dedup import (
+        EMB_LSH_ROWS,
+        emb_lsh_auto_rows,
+    )
+
+    # anchors: small corpora keep the recall-sweet floor; the r10
+    # hand-tuned 2e5 point derives exactly 14
+    assert emb_lsh_auto_rows(2_000) == EMB_LSH_ROWS
+    assert emb_lsh_auto_rows(200_000) == 14
+    # monotone in n, capped at the 62-bit signature budget
+    prev = 0
+    for n in (10**3, 10**4, 10**5, 10**6, 10**7):
+        r = emb_lsh_auto_rows(n)
+        assert r >= prev
+        prev = r
+        assert 4 * r <= 62
+    # the linear bound: expected spurious candidates n^2/2 * bands * 2^-rows
+    # <= 32n wherever the cap doesn't bind (past it, add bands)
+    for n in (10**3, 10**4, 10**5, 4 * 10**5):
+        rows = emb_lsh_auto_rows(n, bands=4)
+        if rows < 62 // 4:
+            assert n * n / 2 * 4 / 2**rows <= 32 * n
+    # no superlinear step while the signature budget holds: the bound at
+    # 10n is <= ~20x the bound at n (10x data, ceil slack <= 2x); past the
+    # 62-bit cap the documented move is MORE BANDS — with 2 bands the rule
+    # stays linear through 1e8 vectors
+    for n, bands in ((10**4, 4), (10**5, 2), (10**6, 2), (10**7, 2)):
+        b_n = n * n / 2 * bands / 2 ** emb_lsh_auto_rows(n, bands=bands)
+        b_10 = (
+            (10 * n) ** 2 / 2 * bands
+            / 2 ** emb_lsh_auto_rows(10 * n, bands=bands)
+        )
+        assert b_10 <= 20 * b_n
+        assert emb_lsh_auto_rows(10 * n, bands=bands) < 62 // bands  # cap free
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corpus"):
+        emb_lsh_auto_rows(0)
+
+
+def test_embedding_lsh_auto_matches_pinned_geometry(spark):
+    """Auto-derived geometry at small n lands on the pinned floor, so the
+    auto path must be pair-for-pair identical to the explicit call (the
+    cross-engine oracle pins the same floor)."""
+    import random
+
+    from lakehouse_plumber_spark.llm.dedup import (
+        EMB_LSH_ROWS,
+        embedding_near_dup_lsh,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for c in range(20):
+        center = [rng.gauss(0, 1) for _ in range(32)]
+        rows.append((2 * c, center))
+        rows.append((2 * c + 1, [x + rng.gauss(0, 0.005) for x in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh(df, threshold=0.99).collect()
+    }
+    pinned = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh(
+            df, threshold=0.99, rows_per_band=EMB_LSH_ROWS
+        ).collect()
+    }
+    assert auto == pinned and len(auto) >= 18
+
+
 def test_incremental_lsh_pairs_equal_one_shot(spark):
     """Arrival-order incremental dedup (bands appended per batch, probe side
     = new batch only) must accumulate EXACTLY the one-shot candidate set,
