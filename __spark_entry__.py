@@ -1341,7 +1341,15 @@ def _lsh_cand_cte() -> str:
     WITH grams_t AS (SELECT doc_id, {grams} AS grams FROM documents),
     hg_t AS (SELECT doc_id, list_transform(grams, g -> {md5int_duck('g')}) AS hg FROM grams_t),
     sigs AS (SELECT doc_id, [{sig_entries}] AS sig FROM hg_t),
-    bands AS ({bands}),
+    bands_all AS ({bands}),
+    -- default clique guard (r11): over-full band buckets drop whole, the
+    -- same LSH_MAX_BUCKET cap the Spark side now applies by default
+    bands AS (
+      SELECT b.* FROM bands_all b
+      JOIN (SELECT band, h FROM bands_all GROUP BY band, h
+            HAVING COUNT(*) <= {D.LSH_MAX_BUCKET}) k
+        ON b.band = k.band AND b.h = k.h
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
@@ -6405,23 +6413,53 @@ _PRIORITY: list[str] = [
     #     pipe_streaming_fanin; knn_filtered adds the predicate-pushdown
     #     vector-search shape — exact pre-filter recall).
     # All rotated-out rows stay green in the local oracle sweep.
+    # r11 rotation (VERDICT r10 item #5, the builder's ranked list) — six
+    # first-time rows in, every trade a strict superset or judge-named:
+    #   pipe_incremental_dedup out / pipe_stream_incremental_dedup in
+    #     (judge-ranked #1: the STREAMING twin drives the identical
+    #     persisted-band-index probe + verify + append loop under
+    #     foreachBatch — a streaming+persisted-index shape no prefix row
+    #     had; same one-shot-minhash oracle bit-for-bit),
+    #   dedup_containment out / pipe_containment_yaml in (identical plan —
+    #     same oracle, same df cap — through the declarative dedup action),
+    #   knn_filtered out / pipe_knn_yaml in (identical filtered-search plan
+    #     through the declarative knn action; ivfpq keeps the ANN ladder),
+    #   pipe_bm25_yaml out / pipe_rrf_yaml in (strict superset: the same
+    #     declarative retrieval action resolving `plan: auto` runs the
+    #     4-term unrolled plan pipe_bm25_yaml proved AND the 12-term
+    #     postings plan, then RRF-fuses — one row now drives both),
+    #   sketch_kmv_overlap out / sketch_overlap_matrix in (same KMV bottom-k
+    #     build/merge machinery, generalized to the pairwise corpus matrix
+    #     with no fact-set join — the harder algebra),
+    #   pipe_table_stats out / pipe_incremental_ann in (the ANALYZE row's
+    #     two ingredients stay hard elsewhere: the per-column melt + KMV NDV
+    #     sketch pass via pipe_incremental_kmv/sketch_overlap_matrix, the
+    #     stats-to-literals pass via pipe_zorder_mv's Morton layout; the
+    #     incoming row brings the persisted-IVF-index build/append/search
+    #     loop — the ANN analogue of incremental dedup, previously
+    #     sweep-only).  pipe_stream_ann stays sweep-only: its plan is
+    #     pipe_incremental_ann's index ops under the foreachBatch driver
+    #     that pipe_stream_incremental_dedup now proves in the prefix.
+    # All rotated-out rows stay green in the local oracle sweep.
     "dedup_survivors",
     "dedup_embedding_lsh",
-    "pipe_incremental_dedup",
-    "dedup_containment",
+    "pipe_stream_incremental_dedup",
+    "pipe_containment_yaml",
     # LLM-data: similarity search ladder — IVF-PQ (coarse quantizer + ADC
-    # scan) and metadata-filtered search (predicate pruned BEFORE scoring)
+    # scan), metadata-filtered search via the declarative knn action
+    # (predicate pruned BEFORE scoring), and the persisted IVF index loop
     "knn_ivfpq",
-    "knn_filtered",
-    # LLM-data: retrieval — the declarative action driving the unrolled
-    # narrow-query plan, and the |Q|-flat postings plan (materially
-    # different shapes, both hard)
-    "pipe_bm25_yaml",
+    "pipe_knn_yaml",
+    "pipe_incremental_ann",
+    # LLM-data: retrieval — the declarative action resolving both BM25
+    # plans (unrolled + postings) and RRF-fusing them, plus the |Q|-flat
+    # postings plan standalone
+    "pipe_rrf_yaml",
     "search_bm25_wide",
     # LLM-data: sketch family — incremental KMV-distinct maintenance (in
-    # the writes block above), KMV set-operation overlap, Count-Min heavy
+    # the writes block above), pairwise KMV overlap matrix, Count-Min heavy
     # hitters, HyperLogLog registers
-    "sketch_kmv_overlap",
+    "sketch_overlap_matrix",
     "sketch_cms_heavy_hitters",
     "sketch_hll_distinct",
     # skew kit: 128 KiB key bitmap drops big-side rows BEFORE the exchange
@@ -6443,9 +6481,9 @@ _PRIORITY: list[str] = [
     "text_quality_model",
     "doc_chunk_fixed",
     # table layout / stats (r9: the YAML cluster_by_auto flowgroup row
-    # supersedes the bare Morton key projection)
+    # supersedes the bare Morton key projection; r11: pipe_table_stats to
+    # the sweep — see the r11 rotation note above)
     "pipe_zorder_mv",
-    "pipe_table_stats",
     # feature engineering / event analytics
     "events_transition_matrix",
     # custom stateful streaming + the watermarked stream-stream join
@@ -6455,6 +6493,13 @@ _PRIORITY: list[str] = [
     "pipe_stateful_sessionize",
     "pipe_stream_stream_join",
     # --- 50 entries above this line ---
+    # r11 rotated-out rows (all green in the local sweep)
+    "pipe_incremental_dedup",
+    "dedup_containment",
+    "knn_filtered",
+    "pipe_bm25_yaml",
+    "sketch_kmv_overlap",
+    "pipe_table_stats",
     "dedup_lines",
     "dedup_minhash_lsh",
     "dedup_span_removal",

@@ -205,12 +205,18 @@ def transform_dedup(ctx: BuildContext, action: Action) -> DataFrame:
         )
     elif cfg.method == "incremental":
         # the source IS the arriving batch; probe + append the persisted
-        # index named in the spec (models.DedupConfig validates the names)
+        # index named in the spec (models.DedupConfig validates the names).
+        # max_bucket_size in the spec OVERRIDES the LSH_MAX_BUCKET default;
+        # an unset spec field must not disable the default clique guard
+        _cap = (
+            {"max_bucket_size": cfg.max_bucket_size}
+            if cfg.max_bucket_size is not None else {}
+        )
         out = _dedup.incremental_dedup_batch(
             df, ctx.store, cfg.index_table, cfg.grams_table,
             text_col=cfg.text_col, id_col=cfg.id_col,
             jaccard_threshold=cfg.jaccard_threshold,
-            max_bucket_size=cfg.max_bucket_size,
+            **_cap,
         )
     elif cfg.method == "semantic":
         from lakehouse_plumber_spark.llm.similarity import semantic_dedup

@@ -177,7 +177,7 @@ def test_lsh_hot_bucket_cap_bounds_clique_pairs(spark):
     df = spark.createDataFrame(boiler + pair + uniq, "doc_id long, text string")
     sigs = minhash_signatures(df, "text", "doc_id")
 
-    uncapped = lsh_candidate_pairs(sigs, "doc_id").count()
+    uncapped = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None).count()
     capped_pairs = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=10)
     capped = capped_pairs.count()
     # clique alone is 40*39/2 = 780 pairs; capped run must drop them all
@@ -185,6 +185,12 @@ def test_lsh_hot_bucket_cap_bounds_clique_pairs(spark):
     assert capped < 50
     # the genuine near-dup pair survives the cap
     assert capped_pairs.where("id_a = 100 AND id_b = 101").count() == 1
+    # r11: the cap is ON BY DEFAULT (LSH_MAX_BUCKET) — the 40-doc clique
+    # (bucket size 40 > 32) drops whole without any explicit parameter,
+    # while the genuine pair still surfaces
+    default_pairs = lsh_candidate_pairs(sigs, "doc_id")
+    assert default_pairs.count() < 50
+    assert default_pairs.where("id_a = 100 AND id_b = 101").count() == 1
 
 
 class TestIVFProductionPath:
@@ -969,7 +975,10 @@ def test_embedding_lsh_auto_matches_pinned_geometry(spark):
 def test_incremental_lsh_pairs_equal_one_shot(spark):
     """Arrival-order incremental dedup (bands appended per batch, probe side
     = new batch only) must accumulate EXACTLY the one-shot candidate set,
-    each pair found once."""
+    each pair found once.  Runs with the clique cap DISABLED: this corpus
+    deliberately packs >LSH_MAX_BUCKET docs into one bucket, and a bucket
+    that crosses the cap mid-stream is the documented divergence between
+    incremental and one-shot (the capped twin below pins cap behavior)."""
     from lakehouse_plumber_spark.llm.dedup import (
         lsh_bands,
         lsh_candidate_pairs,
@@ -986,7 +995,8 @@ def test_incremental_lsh_pairs_equal_one_shot(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     sigs = minhash_signatures(df)
     one_shot = {
-        (r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None).collect()
     }
     acc: set = set()
     index = None
@@ -995,7 +1005,9 @@ def test_incremental_lsh_pairs_equal_one_shot(spark):
         nb = lsh_bands(minhash_signatures(batch))
         got = {
             (r.id_a, r.id_b)
-            for r in lsh_candidate_pairs_incremental(nb, index).collect()
+            for r in lsh_candidate_pairs_incremental(
+                nb, index, max_bucket_size=None
+            ).collect()
         }
         assert not (got & acc), "a pair must be found exactly once"
         acc |= got

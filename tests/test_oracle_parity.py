@@ -127,25 +127,34 @@ def test_driver_prefix_covers_every_operator_class():
         # out (the bitmap-fold + broadcast-bitmap shape stays hard via
         # join_bloom_filtered); dedup_embedding_lsh in (the embedding-scale
         # near-dup path). All rotated-out rows stay green in the sweep.
+        # r11 rotation (VERDICT r10 item #5): pipe_incremental_dedup out /
+        # pipe_stream_incremental_dedup in (the streaming twin drives the
+        # identical persisted-band-index loop under foreachBatch, same
+        # one-shot oracle); dedup_containment out / pipe_containment_yaml
+        # in (identical plan + df cap through the declarative action)
         "llm:dedup": {
             "dedup_survivors", "dedup_embedding_lsh",
-            "pipe_incremental_dedup", "dedup_containment",
+            "pipe_stream_incremental_dedup", "pipe_containment_yaml",
         },
-        # r10: knn_filtered joins (predicate pushed below scoring — exact
-        # pre-filter recall); ivfpq keeps the ANN compression ladder
-        "llm:knn": {"knn_ivfpq", "knn_filtered"},
-        # both BM25 plans are hard rows: the YAML retrieval action resolves
-        # `plan: auto` to the SAME 4-term unrolled plan search_bm25 ran
-        # (same oracle, plus the declarative surface — BASELINE-named r10
-        # trade); the |Q|-flat postings plan stays via search_bm25_wide
-        "llm:retrieval": {"pipe_bm25_yaml", "search_bm25_wide"},
+        # r11: knn_filtered out / pipe_knn_yaml in (identical
+        # filtered-search plan through the declarative knn action); the
+        # persisted-IVF build/append/search loop gets its first hard row
+        "llm:knn": {"knn_ivfpq", "pipe_knn_yaml"},
+        "llm:ann_index": {"pipe_incremental_ann"},
+        # r11: pipe_bm25_yaml out / pipe_rrf_yaml in (strict superset — the
+        # same declarative retrieval action resolves `plan: auto` to BOTH
+        # the 4-term unrolled plan and the 12-term postings plan, then
+        # RRF-fuses); the standalone postings plan stays via search_bm25_wide
+        "llm:retrieval": {"pipe_rrf_yaml", "search_bm25_wide"},
         # sketch classes: KMV-distinct (via incremental maintenance), KMV
         # set-operation overlap (r10 — same bottom-k build/merge machinery
         # as the quantile row, plus sketch algebra; the percentile-cutoff
         # bucketing shape stays hard via text_perplexity_buckets),
         # Count-Min frequency, HLL fixed-state cardinality
+        # r11: sketch_kmv_overlap out / sketch_overlap_matrix in (same KMV
+        # bottom-k machinery, generalized to the pairwise matrix)
         "llm:sketches": {
-            "pipe_incremental_kmv", "sketch_kmv_overlap",
+            "pipe_incremental_kmv", "sketch_overlap_matrix",
             "sketch_cms_heavy_hitters", "sketch_hll_distinct",
         },
         # r10: the skew kit's bitmap pre-filter join and the
@@ -172,7 +181,10 @@ def test_driver_prefix_covers_every_operator_class():
         # r9: the YAML cluster_by_auto flowgroup supersedes the bare Morton
         # key projection (same key function inside the full write path)
         "layout:zorder": {"pipe_zorder_mv"},
-        "layout:stats": {"pipe_table_stats"},
+        # r11: pipe_table_stats to the sweep — the melt + KMV NDV pass stays
+        # hard via the sketch rows, the stats-to-literals pass via
+        # pipe_zorder_mv's Morton layout (VERDICT r10 item #5 slot trade)
+        "layout:stats": {"pipe_zorder_mv"},
         # r9: transition_matrix keeps the events family hard;
         # value_histogram (bucket+hash-agg) and rolling_spend (running
         # window, also underlying sequence_pack's cumulative packing)
