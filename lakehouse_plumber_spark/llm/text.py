@@ -22,9 +22,16 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ("was", "on", "are", "as", "with", "at", "by")
 
 
+def token_count_expr(text_col: str = "text") -> str:
+    """Whitespace token count as a Spark-SQL expr string — shared by the
+    DataFrame operator and compile-to-source (codegen.py renders it into
+    the generated file, so both paths evaluate the identical expression)."""
+    return f"size({tokens_spark(text_col)})"
+
+
 def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
     """Whitespace token count (empty-safe)."""
-    return df.withColumn(out, F.expr(f"size({tokens_spark(text_col)})"))
+    return df.withColumn(out, F.expr(token_count_expr(text_col)))
 
 
 BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -319,6 +326,27 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MIN_STOPWORDS = 2
 
 
+def gopher_struct_expr(text_col: str = "text") -> str:
+    """The Gopher metric struct as one Spark-SQL expr string (one let-bound
+    tokenization) — shared by `gopher_rules` and compile-to-source, so the
+    generated file evaluates the identical expression."""
+    from lakehouse_plumber_spark.llm.hashing import let_spark
+
+    stop_list = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    hashes = f"length({text_col}) - length(replace({text_col}, '#', ''))"
+    dots = f"(length({text_col}) - length(replace({text_col}, '...', ''))) / 3"
+    body = (
+        "named_struct("
+        "'n_words', size(tk), "
+        "'mean_word_len', aggregate(tk, 0, (a, w) -> a + length(w)) / cast(greatest(size(tk), 1) as double), "
+        f"'symbol_word_ratio', ({hashes} + {dots}) / cast(greatest(size(tk), 1) as double), "
+        "'alpha_word_frac', size(filter(tk, w -> w rlike '[A-Za-z]')) / cast(greatest(size(tk), 1) as double), "
+        f"'n_stopwords', size(filter(tk, w -> lower(w) IN ({stop_list})))"
+        ")"
+    )
+    return let_spark(tokens_spark(text_col), "tk", body)
+
+
 def gopher_rules(
     df: DataFrame,
     text_col: str = "text",
@@ -339,21 +367,7 @@ def gopher_rules(
     Returns (id, n_words, mean_word_len, symbol_word_ratio,
     alpha_word_frac, n_stopwords, keep).
     """
-    from lakehouse_plumber_spark.llm.hashing import let_spark
-
-    stop_list = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
-    hashes = f"length({text_col}) - length(replace({text_col}, '#', ''))"
-    dots = f"(length({text_col}) - length(replace({text_col}, '...', ''))) / 3"
-    body = (
-        "named_struct("
-        "'n_words', size(tk), "
-        "'mean_word_len', aggregate(tk, 0, (a, w) -> a + length(w)) / cast(greatest(size(tk), 1) as double), "
-        f"'symbol_word_ratio', ({hashes} + {dots}) / cast(greatest(size(tk), 1) as double), "
-        "'alpha_word_frac', size(filter(tk, w -> w rlike '[A-Za-z]')) / cast(greatest(size(tk), 1) as double), "
-        f"'n_stopwords', size(filter(tk, w -> lower(w) IN ({stop_list})))"
-        ")"
-    )
-    g = let_spark(tokens_spark(text_col), "tk", body)
+    g = gopher_struct_expr(text_col)
     return (
         df.select(F.col(id_col), F.expr(g).alias("g"))
         .select(
@@ -381,6 +395,29 @@ C4_MIN_KEPT_LINES = 3
 C4_TERMINAL_PUNCT = '[.!?"]$'
 
 
+def c4_struct_expr(
+    text_col: str = "text", min_words_per_line: int = C4_MIN_WORDS_PER_LINE
+) -> str:
+    """The C4 line-survival struct as one Spark-SQL expr string (one
+    let-bound line split) — shared by `c4_rules` and compile-to-source, so
+    the generated file evaluates the identical expression."""
+    from lakehouse_plumber_spark.llm.hashing import let_spark
+
+    kept = (
+        "filter(ls, l -> "
+        f"size(filter(split(trim(l), ' +'), w -> w != '')) >= {min_words_per_line} "
+        f"AND trim(l) rlike '{C4_TERMINAL_PUNCT}' "
+        "AND NOT contains(lower(l), 'javascript'))"
+    )
+    body = (
+        "named_struct("
+        "'n_lines', size(ls), "
+        f"'n_kept_lines', size({kept})"
+        ")"
+    )
+    return let_spark(f"split({text_col}, '\\n')", "ls", body)
+
+
 def c4_rules(
     df: DataFrame,
     text_col: str = "text",
@@ -405,21 +442,7 @@ def c4_rules(
     Returns (id, n_lines, n_kept_lines, kept_frac, has_lorem, has_brace,
     keep).
     """
-    from lakehouse_plumber_spark.llm.hashing import let_spark
-
-    kept = (
-        "filter(ls, l -> "
-        f"size(filter(split(trim(l), ' +'), w -> w != '')) >= {min_words_per_line} "
-        f"AND trim(l) rlike '{C4_TERMINAL_PUNCT}' "
-        "AND NOT contains(lower(l), 'javascript'))"
-    )
-    body = (
-        "named_struct("
-        "'n_lines', size(ls), "
-        f"'n_kept_lines', size({kept})"
-        ")"
-    )
-    g = let_spark(f"split({text_col}, '\\n')", "ls", body)
+    g = c4_struct_expr(text_col, min_words_per_line)
     return (
         df.select(
             F.col(id_col),
