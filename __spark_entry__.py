@@ -2023,7 +2023,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> exact-cosine verify — the LSH path the O(n^2) baseline's size guard
     points at, now implemented.  One narrow signature projection, one
     bucket shuffle per side, candidate-bounded verify; never all-pairs.
-    Runs on the planted-duplicate corpus (see _EMB_DUP_SHIFT note)."""
+    Runs on the planted-duplicate corpus (see _EMB_DUP_SHIFT note).
+    Geometry is PINNED to the bands x rows the DuckDB oracle enumerates
+    (r12, ADVICE r11): the auto-rows default derives a corpus-dependent
+    rows_per_band, which would silently diverge from the oracle's fixed
+    enumeration once the planted corpus crosses 4096 vectors."""
     _prep(spark, sf_dir)
     emb = spark.table("embeddings").select("vec_id", "embedding")
     planted = emb.unionByName(
@@ -2031,7 +2035,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + _EMB_DUP_SHIFT).alias("vec_id"), F.col("embedding")
         )
     )
-    return D.embedding_near_dup_lsh(planted, threshold=0.99)
+    return D.embedding_near_dup_lsh(
+        planted, threshold=0.99, rows_per_band=D.EMB_LSH_ROWS
+    )
 
 
 @_register(
@@ -5006,8 +5012,11 @@ def pipe_embedding_lsh_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"SELECT vec_id + {_EMB_DUP_SHIFT}, embedding FROM v_emb"},
                 {"name": "dd", "type": "transform", "transform_type": "dedup",
                  "source": "v_planted", "target": "v_pairs",
+                 # rows_per_band pinned to the oracle's enumerated geometry
+                 # (r12, ADVICE r11 — same reason as dedup_embedding_lsh)
                  "dedup": {"method": "embedding_lsh", "id_col": "vec_id",
-                           "cosine_threshold": 0.99}},
+                           "cosine_threshold": 0.99,
+                           "rows_per_band": D.EMB_LSH_ROWS}},
                 {"name": "mv", "type": "write", "source": "v_pairs",
                  "write_target": {"type": "materialized_view", "catalog": "main",
                                   "schema": "curation", "table": "emb_pairs"}},
@@ -5256,7 +5265,12 @@ def pipe_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     BATCHING-INVARIANT (a cross-batch pair is found exactly once, when its
     later member arrives), so the accumulated pairs equal the one-shot
     minhash output bit-for-bit regardless of micro-batch boundaries —
-    checked by the same one-shot oracle."""
+    PROVIDED no band bucket crosses the default clique cap between batches
+    (one-shot drops an over-full bucket whole; an incremental run has
+    already emitted its earlier pairs — llm/dedup.py's documented cap
+    caveat).  A corpus violating that precondition would desynchronize
+    from the one-shot oracle SILENTLY, so the row asserts the observed
+    max bucket stays under the cap and fails loudly instead."""
     _prep(spark, sf_dir)
     runner = _runner(spark)
     store = runner.store
@@ -5289,6 +5303,17 @@ def pipe_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     fg.actions[1].write_target.batch_handler_callable = dedup_batch
     runner.run(fg)
+    # loud precondition check (see docstring): the one-shot oracle is only
+    # valid while no band bucket ever crossed the clique cap mid-stream
+    max_bucket = (
+        store.read(bands_t).groupBy("band", "h").count()
+        .agg(F.max("count")).first()[0]
+    )
+    assert max_bucket is not None and max_bucket < D.LSH_MAX_BUCKET, (
+        f"band bucket of {max_bucket} crossed LSH_MAX_BUCKET="
+        f"{D.LSH_MAX_BUCKET} mid-stream; the one-shot oracle no longer "
+        "applies to this corpus"
+    )
     return store.read(pairs_t)
 
 

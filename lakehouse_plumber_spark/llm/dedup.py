@@ -49,6 +49,16 @@ LSH_ROWS = 4  # LSH_BANDS * LSH_ROWS == MINHASH_K
 LSH_MAX_BUCKET = 32
 SHINGLE_N = 3
 SIMHASH_BITS = 16
+# Hash-partition count for the PERSISTED incremental-dedup index tables
+# (bands_table keyed by (band, h), grams_table keyed by id): each batch
+# reads only the partitions its own keys hash into, so per-batch I/O is
+# bounded by the batch's key set, not by history size.  Chosen at table
+# creation (persisted in the table meta when the store supports it) and
+# FIXED for the table's lifetime — pruning is only sound against the
+# stored layout.  64 keeps small test corpora from shattering into
+# thousands of near-empty files; size up (e.g. 1024-4096) when creating
+# an index that will hold 100 TB of documents.
+INDEX_BUCKETS = 64
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -154,6 +164,74 @@ def lsh_candidate_pairs_incremental(
     )
 
 
+def _table_buckets(store, table: str, default_n: int) -> int:
+    """Bucket count the table was CREATED with: read it from the store meta
+    when the store keeps one (ParquetTableStore/DeltaTableStore sidecars),
+    else trust `default_n`.  Persisted at creation because pruning is only
+    sound against the count the existing files were hashed with."""
+    get_meta = getattr(store, "get_meta", None)
+    if get_meta is not None:
+        stored = get_meta(table, "index_buckets")
+        if stored is not None:
+            return int(stored)
+    return default_n
+
+
+def _persist_buckets(store, table: str, n: int) -> None:
+    set_meta = getattr(store, "set_meta", None)
+    if set_meta is not None:
+        set_meta(table, "index_buckets", n)
+
+
+def _pruned_index_read(
+    store, table: str, keys: DataFrame, key_cols: list[str], default_n: int
+) -> DataFrame:
+    """Read an index table restricted to the hash-partitions the batch's
+    keys fall into.  `keys` must be SMALL-evaluated (checkpointed batch
+    derivation): the bucket list collected to the driver is at most the
+    table's bucket count (<= a few thousand ints), never data-sized.
+    Tables created before partitioning (no `__b` column) fall back to a
+    full scan, keeping old indexes readable."""
+    df = store.read(table)
+    if "__b" not in df.columns:
+        return df
+    n = _table_buckets(store, table, default_n)
+    key_exprs = [F.col(c) for c in key_cols]
+    buckets = [
+        r[0]
+        for r in keys.select(
+            F.pmod(F.xxhash64(*key_exprs), F.lit(n)).alias("__b")
+        ).distinct().collect()
+    ]
+    if not buckets:
+        return df.where(F.lit(False)).drop("__b")
+    return df.where(F.col("__b").isin(buckets)).drop("__b")
+
+
+def _append_bucketed(store, table: str, df: DataFrame, key_cols: list[str],
+                     default_n: int) -> None:
+    """Append index rows hash-partitioned on their key columns; creates the
+    table (and persists the bucket count) on first write.  Existing
+    unpartitioned tables keep their layout so appends stay schema-stable."""
+    if store.exists(table):
+        legacy = "__b" not in store.read(table).columns
+        n = _table_buckets(store, table, default_n)
+        if legacy:
+            store.append(table, df)
+        else:
+            out = df.withColumn(
+                "__b", F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n))
+            )
+            store.append(table, out, partition_columns=["__b"])
+        return
+    out = df.withColumn(
+        "__b",
+        F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(default_n)),
+    )
+    store.overwrite(table, out, partition_columns=["__b"])
+    _persist_buckets(store, table, default_n)
+
+
 def incremental_dedup_batch(
     batch: DataFrame,
     store,
@@ -164,31 +242,78 @@ def incremental_dedup_batch(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = LSH_MAX_BUCKET,
+    index_buckets: int = INDEX_BUCKETS,
+    retry: bool = False,
 ) -> DataFrame:
     """Dedup ONE arriving batch against the persisted corpus index — the
     production incremental loop as a single call: the batch's LSH bands
-    probe `bands_table` (old text never rescanned;
-    `lsh_candidate_pairs_incremental`), candidates are verified by exact
-    shingle Jaccard against `grams_table` ∪ the batch's own grams, then the
-    batch's bands and hashed grams are APPENDED to the index tables (and
-    the verified pairs to `pairs_table` when given).
+    probe `bands_table`, candidates are verified by exact shingle Jaccard
+    against `grams_table` ∪ the batch's own grams, then the batch's bands
+    and hashed grams are APPENDED to the index tables (and the verified
+    pairs to `pairs_table` when given).
 
     Returns the verified (id_a, id_b, jaccard) pairs for THIS batch.  The
     arrival-order contract (a cross-batch pair is found exactly once, when
     its later member arrives) makes the accumulated pair set across batches
     equal the one-shot `minhash_lsh_dedup` output bit-for-bit — the strong
     oracle both the registry row and the YAML `dedup: incremental` action
-    check against.
+    check against (cap caveat: `lsh_candidate_pairs_incremental`).
+
+    Per-batch work scales with the BATCH, never with history (r12, VERDICT
+    r11 item #1): both index tables are written hash-partitioned —
+    `bands_table` on pmod(xxhash64(band, h), B), `grams_table` on
+    pmod(xxhash64(id), B) — and every read is pruned to the partitions the
+    batch's own keys (its band hashes; its candidates' ids) fall into, then
+    semi-joined to those keys before the wide gram arrays materialize.  A
+    batch touching k distinct keys therefore reads O(k/B of history) from
+    at most min(k, B) partitions; history can grow 10x at fixed batch size
+    with ~flat per-batch wall (measured — BASELINE.md).  `index_buckets`
+    sets B at table CREATION only (persisted in the store meta; later calls
+    read the stored value); pre-r12 unpartitioned tables are still read
+    whole, compatibly.
+
+    Failure/retry contract: appends are ordered index-first (bands, then
+    grams) and PAIRS LAST, so `pairs_table` never holds pairs whose
+    supporting index rows are missing.  Each append is one Spark write job
+    (all-or-nothing under the default file committer), so a crash leaves a
+    committed PREFIX of [bands, grams, pairs].  Re-running the batch with
+    `retry=True` is then idempotent: prior partial state for the batch's
+    ids is masked out of the probe/verify reads, already-committed appends
+    are skipped, and only pairs not yet in `pairs_table` are appended.
+    A plain re-run (retry=False) after a partial failure would double the
+    batch's index rows — inflating cap bucket counts and duplicating pairs.
 
     `store` is any table store with exists/read/append/overwrite (the
-    runner's ParquetTableStore in pipelines).  Per-batch work scales with
-    the BATCH (times bucket occupancy), never with history.
+    runner's ParquetTableStore in pipelines; DeltaTableStore adds
+    per-append transactionality on top of the same ordering).
     """
     sigs = minhash_signatures(batch, text_col, id_col)
-    nb = lsh_bands(sigs, id_col)
-    index = store.read(bands_table) if store.exists(bands_table) else None
+    # pinned: reused for the bucket-list collect, the candidate join, and
+    # the append — one signature computation per batch, not three
+    nb = lsh_bands(sigs, id_col).localCheckpoint(eager=True)
+    ids_b = nb.select(id_col).distinct()
+    index = None
+    bands_committed = False
+    if store.exists(bands_table):
+        index = _pruned_index_read(
+            store, bands_table, nb, ["band", "h"], index_buckets
+        )
+        if retry:
+            # a prior attempt may have committed this batch's bands; mask
+            # them so probe semantics equal a clean first run
+            bands_committed = bool(
+                store.read(bands_table)
+                .join(ids_b, id_col, "left_semi").take(1)
+            )
+            if bands_committed:
+                index = index.join(ids_b, id_col, "left_anti")
     cands = lsh_candidate_pairs_incremental(
         nb, index, id_col, max_bucket_size=max_bucket_size
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
     grams_b = spread_for_compute(batch, [id_col, text_col]).select(
         F.col(id_col),
@@ -197,17 +322,30 @@ def incremental_dedup_batch(
             f"g -> {md5int_spark('g')})"
         ).alias("grams"),
     )
-    all_grams = (
-        store.read(grams_table).unionByName(grams_b)
-        if store.exists(grams_table)
-        else grams_b
-    )
+    grams_committed = False
+    if store.exists(grams_table):
+        hist = _pruned_index_read(
+            store, grams_table, cand_ids, [id_col], index_buckets
+        )
+        if retry:
+            grams_committed = bool(
+                store.read(grams_table)
+                .join(ids_b, id_col, "left_semi").take(1)
+            )
+            if grams_committed:
+                hist = hist.join(ids_b, id_col, "left_anti")
+        all_grams = hist.unionByName(grams_b)
+    else:
+        all_grams = grams_b
+    # candidates only: drop non-candidate rows BEFORE the wide gram arrays
+    # shuffle into the verify join
+    verify_grams = all_grams.join(cand_ids, id_col, "left_semi")
     verified = (
         cands.join(
-            all_grams.withColumnRenamed(id_col, "id_a")
+            verify_grams.withColumnRenamed(id_col, "id_a")
             .withColumnRenamed("grams", "ga"), "id_a")
         .join(
-            all_grams.withColumnRenamed(id_col, "id_b")
+            verify_grams.withColumnRenamed(id_col, "id_b")
             .withColumnRenamed("grams", "gb"), "id_b")
         .withColumn("inter", F.expr("size(array_intersect(ga, gb))"))
         .withColumn("uni", F.expr("size(ga) + size(gb) - size(array_intersect(ga, gb))"))
@@ -218,19 +356,21 @@ def incremental_dedup_batch(
     # pin the batch's pairs BEFORE the index appends below mutate the
     # tables its lineage reads
     verified = verified.localCheckpoint(eager=True)
+    # append ordering (retry contract): index first, pairs LAST
+    if not (retry and bands_committed):
+        _append_bucketed(store, bands_table, nb, ["band", "h"], index_buckets)
+    if not (retry and grams_committed):
+        _append_bucketed(store, grams_table, grams_b, [id_col], index_buckets)
     if pairs_table is not None:
         if store.exists(pairs_table):
-            store.append(pairs_table, verified)
+            to_append = verified
+            if retry:
+                to_append = verified.join(
+                    store.read(pairs_table), ["id_a", "id_b"], "left_anti"
+                )
+            store.append(pairs_table, to_append)
         else:
             store.overwrite(pairs_table, verified)
-    if store.exists(bands_table):
-        store.append(bands_table, nb)
-    else:
-        store.overwrite(bands_table, nb)
-    if store.exists(grams_table):
-        store.append(grams_table, grams_b)
-    else:
-        store.overwrite(grams_table, grams_b)
     return verified
 
 
@@ -503,14 +643,16 @@ def emb_lsh_auto_rows(n: int, bands: int = EMB_LSH_BANDS) -> int:
     vectors melted at the static 4x8 (~3e8 spurious, spilled out of disk)
     and ran clean at 4x14 — this rule derives exactly 14 there.  Floored
     at EMB_LSH_ROWS (the small-corpus recall sweet spot) and capped at
-    62 // bands (the signature packs into one 64-bit long); past the cap
-    (n ~> 5e5 at 4 bands) add bands to extend the budget."""
+    62 // bands (the signature packs into one 64-bit long) — the cap wins
+    when the two conflict (bands >= 8 leaves < 8 rows of budget), so the
+    result ALWAYS passes the caller's bands*rows <= 62 validation; past
+    the cap (n ~> 5e5 at 4 bands) add bands to extend the budget."""
     if n < 1:
         raise ValueError(f"corpus count must be >= 1, got {n}")
     if bands < 1 or bands > 62:
         raise ValueError(f"need 1 <= bands <= 62, got {bands}")
     rows = math.ceil(math.log2(max(n * bands / 64, 2)))
-    return max(EMB_LSH_ROWS, min(rows, 62 // bands))
+    return min(62 // bands, max(EMB_LSH_ROWS, rows))
 
 
 def embedding_near_dup_lsh(
@@ -546,8 +688,10 @@ def embedding_near_dup_lsh(
     spurious candidates and spilled out of disk; at 4x14 the same corpus
     ran 9.81x wall at 100x data — BASELINE.md).  `rows_per_band=None`
     (the default) therefore derives the geometry from the corpus via
-    `emb_lsh_auto_rows` — one column-pruned count (parquet answers it
-    from row-group metadata) buys candidates bounded <= 32n at ANY n.
+    `emb_lsh_auto_rows` — one column-pruned count up front (metadata-only
+    when df is a plain file scan; a narrow one-column job when df carries
+    transformations, still a rounding error next to the signature stage)
+    buys candidates bounded <= 32n at ANY n.
     Pass an explicit `rows_per_band` to pin the geometry (e.g. for a
     cross-engine oracle that enumerates the same bands).  Raising rows
     lowers per-band recall (p_band = (1 - theta/pi)^rows), so add bands
@@ -556,8 +700,9 @@ def embedding_near_dup_lsh(
     from .similarity import hyperplane_bucket_expr
 
     if rows_per_band is None:
-        # column-pruned count: parquet/delta sources answer from metadata;
-        # geometry needs only the order of magnitude, exactness is free here
+        # one column-pruned count up front (metadata-only for plain file
+        # scans, a narrow job otherwise); geometry needs only the order of
+        # magnitude, so it is a rounding error next to the signature stage
         rows_per_band = emb_lsh_auto_rows(
             df.select(id_col).count(), bands
         )

@@ -577,7 +577,15 @@ def ivf_index_build(
     Returns the centroids (n_centroids driver-bounded rows)."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     cents = _collect_centroids(base.orderBy("id").limit(n_centroids).select("id", "v"))
-    dim = len(cents[0][1]) if cents else 0
+    if not cents:
+        # fail BEFORE the Lloyd loop: an empty corpus would otherwise
+        # surface as an opaque Catalyst type error (dim=0 makes the
+        # assignment's array() literal default to array<string>)
+        raise ValueError(
+            f"ivf_index_build: corpus is empty — an IVF index needs at "
+            f"least one vector (building {index_table!r})"
+        )
+    dim = len(cents[0][1])
     for _ in range(max_iter):
         asg = base.select(F.expr(centroid_argmin_expr(cents)).alias("cid"), "v")
         cents = _collect_centroids(
@@ -641,11 +649,28 @@ def ivf_index_search(
     list_id), so work ∝ probed-list rows, never the corpus.  With
     n_probe = n_centroids the scan is exhaustive and results equal brute
     force exactly (the registry oracle); production trades n_probe for
-    recall."""
+    recall.
+
+    Query-id contract (r12, ADVICE r11): every requested id must resolve
+    in the index — an unknown id raises KeyError naming it (it previously
+    vanished from the output silently, inconsistent with the empty-list
+    ValueError).  Duplicate ids in the request are deduplicated (the
+    output carries one top-k block per distinct query_id)."""
     if not query_ids:
         raise ValueError("ivf_index_search needs at least one query id")
     cents = _load_centroids(store, index_table)
     index = store.read(index_table)
+    # driver-bounded resolution check: at most |query_ids| rows collected
+    resolved = {
+        r[0] for r in
+        index.where(F.col("id").isin(query_ids)).select("id").distinct().collect()
+    }
+    missing = sorted(set(query_ids) - resolved)
+    if missing:
+        raise KeyError(
+            f"ivf_index_search: query ids not in index {index_table!r}: "
+            f"{missing}"
+        )
     probes = (
         index.where(F.col("id").isin(query_ids))
         .select(F.col("id").alias("query_id"), F.col("v").alias("qv"))

@@ -256,7 +256,14 @@ def kmv_overlap_matrix(
     the DuckDB oracle (`kmv_overlap_matrix_duck`) checks every column
     bit-for-bit.  Error compounds from three O(1/sqrt(k)) estimates —
     below k distinct per stratum everything is exact."""
-    sk = kmv_sketch(df, group_col, value_col, k, fanout)
+    # materialize the metadata-sized sketch table (one ≤k-long array per
+    # stratum) so the self-join's two sides reuse it — without the pin the
+    # lazy plan re-derives each side from scratch and the FACT table is
+    # scanned twice (found r12 when the plan test stopped accepting a
+    # rescan); at 100 TB a second corpus scan halves throughput
+    sk = kmv_sketch(df, group_col, value_col, k, fanout).localCheckpoint(
+        eager=True
+    )
     a = sk.select(
         F.col("stratum").alias("stratum_a"), F.col("mins").alias("mins_a")
     )

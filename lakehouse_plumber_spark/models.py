@@ -288,6 +288,10 @@ class DedupConfig(BaseModel):
     vec_col: str = "embedding"
     cosine_threshold: float = 0.95
     max_bucket_size: Optional[int] = None
+    # embedding_lsh only: unset -> geometry auto-derived from the corpus
+    # count (the scale-safe default); set -> pinned rows per band, for
+    # cross-engine oracles that enumerate a fixed bands x rows geometry
+    rows_per_band: Optional[int] = None
     n_centroids: int = 16
     # incremental (persisted index table names, resolved via the run store)
     index_table: Optional[str] = None
@@ -320,11 +324,22 @@ class DedupConfig(BaseModel):
             raise ValueError(f"threshold must be in (0, 1], got {v}")
         return v
 
-    @field_validator("max_doc_freq", "max_bucket_size")
+    @field_validator("max_doc_freq")
     @classmethod
     def _cap_positive(cls, v: Optional[int]) -> Optional[int]:
         if v is not None and v < 1:
             raise ValueError(f"cap must be >= 1, got {v}")
+        return v
+
+    @field_validator("max_bucket_size")
+    @classmethod
+    def _bucket_cap(cls, v: Optional[int]) -> Optional[int]:
+        # uniform semantics across every dedup method (r12, ADVICE r11):
+        # unset -> the method's engine default; 0 -> clique guard OFF
+        # (passed down as max_bucket_size=None); n >= 1 -> cap at n
+        if v is not None and v < 0:
+            raise ValueError(f"max_bucket_size must be >= 0 (0 disables the "
+                             f"clique guard), got {v}")
         return v
 
     @model_validator(mode="after")

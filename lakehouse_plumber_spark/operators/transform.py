@@ -165,6 +165,17 @@ def transform_retrieval(ctx: BuildContext, action: Action) -> DataFrame:
     return out
 
 
+def _bucket_cap_kwargs(v: int | None) -> dict:
+    """Uniform `max_bucket_size` spec semantics for EVERY dedup method
+    (r12, ADVICE r11): unset -> omit the kwarg so the executor's own
+    engine default applies (LSH_MAX_BUCKET for minhash/incremental, no cap
+    for embedding_lsh — each documented at its definition); 0 -> the
+    explicit opt-out, clique guard OFF; n >= 1 -> cap at n."""
+    if v is None:
+        return {}
+    return {"max_bucket_size": None if v == 0 else v}
+
+
 def transform_dedup(ctx: BuildContext, action: Action) -> DataFrame:
     """Corpus deduplication as a declarative action (engine extension; spec
     `dedup: {method, text_col, id_col, ...}` — see models.DedupConfig).
@@ -201,22 +212,17 @@ def transform_dedup(ctx: BuildContext, action: Action) -> DataFrame:
         out = _dedup.embedding_near_dup_lsh(
             df, cfg.vec_col, cfg.id_col,
             threshold=cfg.cosine_threshold,
-            max_bucket_size=cfg.max_bucket_size,
+            rows_per_band=cfg.rows_per_band,
+            **_bucket_cap_kwargs(cfg.max_bucket_size),
         )
     elif cfg.method == "incremental":
         # the source IS the arriving batch; probe + append the persisted
-        # index named in the spec (models.DedupConfig validates the names).
-        # max_bucket_size in the spec OVERRIDES the LSH_MAX_BUCKET default;
-        # an unset spec field must not disable the default clique guard
-        _cap = (
-            {"max_bucket_size": cfg.max_bucket_size}
-            if cfg.max_bucket_size is not None else {}
-        )
+        # index named in the spec (models.DedupConfig validates the names)
         out = _dedup.incremental_dedup_batch(
             df, ctx.store, cfg.index_table, cfg.grams_table,
             text_col=cfg.text_col, id_col=cfg.id_col,
             jaccard_threshold=cfg.jaccard_threshold,
-            **_cap,
+            **_bucket_cap_kwargs(cfg.max_bucket_size),
         )
     elif cfg.method == "semantic":
         from lakehouse_plumber_spark.llm.similarity import semantic_dedup

@@ -1023,6 +1023,80 @@ def test_dedup_yaml_survivors_and_validation(spark, runner):
         runner.run(load_flowgroup(bad))
 
 
+def test_compiled_text_matches_engine(spark, runner, tmp_path):
+    """transform_type: text, methods token_count/gopher_rules/c4_rules —
+    the generated SQL renders the SAME expr strings the DataFrame operators
+    evaluate (llm/text.py:token_count_expr/gopher_struct_expr/
+    c4_struct_expr), so engine and generated file must agree row-for-row;
+    the loop/explode methods refuse with the PipelineRunner pointer."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.codegen import compile_flowgroup
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+
+    def spec(method, extra=None):
+        tc = {"method": method}
+        tc.update(extra or {})
+        return {
+            "pipeline": "p", "flowgroup": f"tx_{method}",
+            "actions": [
+                {"name": "ld", "type": "load", "target": "v",
+                 "source": {"type": "sql",
+                            "sql": "SELECT id AS doc_id, "
+                                   "CASE WHEN id % 4 = 0 THEN concat("
+                                   "'the quick brown fox jumps over a lazy dog near the river. ', "
+                                   "'it was seen by the miller and his dog on that day.\\n', "
+                                   "'every sentence here ends with terminal punctuation marks too.\\n', "
+                                   "'and the final line is long enough to survive the word test.') "
+                                   "WHEN id % 4 = 1 THEN 'short {code} javascript' "
+                                   "WHEN id % 4 = 2 THEN concat('lorem ipsum dolor sit amet number ', id) "
+                                   "ELSE concat('#### symbols... and filler words for doc ', id, ' here') "
+                                   "END AS text FROM range(40)"}},
+                {"name": "tx", "type": "transform", "transform_type": "text",
+                 "source": "v", "target": "v_tx", "text": tc},
+                {"name": "mv", "type": "write", "source": "v_tx",
+                 "write_target": {"type": "materialized_view", "database": "m.tx",
+                                  "table": f"t_{method}"}},
+            ],
+        }
+
+    for method, extra in [
+        ("token_count", None),
+        ("gopher_rules", {"min_words": 5}),
+        ("c4_rules", {"min_words_per_line": 4, "min_kept_lines": 2}),
+    ]:
+        fg = load_flowgroup(spec(method, extra))
+        ctx = runner.run(fg)
+        engine = sorted(
+            tuple(r) for r in ctx.resolve_view(f"m.tx.t_{method}").collect()
+        )
+        src = compile_flowgroup(fg)
+        assert "import lakehouse_plumber_spark" not in src
+        ns: dict = {}
+        exec(compile(src, "<generated>", "exec"), ns)
+        written = ns["build"](spark, str(tmp_path / f"out_{method}"))
+        generated = sorted(
+            tuple(r) for r in written[f"m.tx.t_{method}"].collect()
+        )
+        assert generated == engine, f"text method {method} diverged"
+        assert engine  # non-degenerate corpus
+    # the c4 corpus must exercise every rule branch
+    fg = load_flowgroup(spec("c4_rules", {"min_words_per_line": 4,
+                                          "min_kept_lines": 2}))
+    rows = {r.doc_id: r for r in _runner_rows(runner, fg, "m.tx.t_c4_rules")}
+    assert rows[0].keep and not rows[1].keep and not rows[2].keep
+    assert rows[1].has_brace and rows[2].has_lorem
+
+    for method in ("chunk", "quality_score", "lang_id", "pii_redact"):
+        with _pytest.raises(NotImplementedError, match="PipelineRunner"):
+            compile_flowgroup(load_flowgroup(spec(method)))
+
+
+def _runner_rows(runner, fg, view):
+    ctx = runner.run(fg)
+    return ctx.resolve_view(view).collect()
+
+
 def test_compiled_sample_matches_engine(spark, runner, tmp_path):
     """transform_type: sample — hash_split and stratified compile to SQL
     with the identical md5 bucket derivation; count-dependent methods
@@ -1153,8 +1227,12 @@ def test_r10_extension_method_spec_validation():
         DedupConfig(method="containment", containment_threshold=1.5)
     with _pytest.raises(ValueError, match="threshold"):
         DedupConfig(method="embedding_lsh", cosine_threshold=0.0)
-    with _pytest.raises(ValueError, match=">= 1"):
-        DedupConfig(method="embedding_lsh", max_bucket_size=0)
+    with _pytest.raises(ValueError, match=">= 0"):
+        DedupConfig(method="embedding_lsh", max_bucket_size=-1)
+    # 0 is the explicit clique-guard opt-out (uniform across methods, r12)
+    DedupConfig(method="embedding_lsh", max_bucket_size=0)
+    DedupConfig(method="incremental", index_table="m.d.b",
+                grams_table="m.d.g", max_bucket_size=0)
     # sample: required fields + ranges
     with _pytest.raises(ValueError, match="required"):
         SampleConfig(method="weighted_poisson")
@@ -1204,7 +1282,8 @@ def test_r10_extension_methods_refuse_compilation():
         ("retrieval", {"query_sets": [["a"], ["b"]]}),
         ("dedup", {"method": "semantic"}),
         ("multimodal", {"method": "features"}),
-        ("text", {"method": "c4_rules"}),
+        ("text", {"method": "chunk"}),
+        ("text", {"method": "quality_score"}),
     ]:
         with _pytest.raises(NotImplementedError, match="PipelineRunner"):
             compile_flowgroup(fg(kind, cfg))

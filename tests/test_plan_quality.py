@@ -438,6 +438,17 @@ def test_kmv_overlap_matrix_no_fact_join(spark, testdata, q):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    # the events fact table is scanned once (formatted mode double-lists,
-    # so assert on the Scan node count)
-    assert plan.count("Scan parquet") <= 1 or plan.count("Scan ExistingRDD") <= 2
+    # the events fact table is scanned exactly once — during the operator's
+    # eager sketch materialization — so the FINAL plan must contain NO
+    # parquet scan at all, only the two checkpointed-sketch RDD reads
+    # (formatted mode lists each node twice: tree + details).  The old
+    # disjunction here let an N-times-rescanned parquet branch pass as long
+    # as the RDD count stayed low (r12, ADVICE r11) — and indeed it was
+    # masking a real double fact scan, fixed in kmv_overlap_matrix.
+    assert plan.count("Scan parquet") == 0, (
+        f"fact table leaked into the pair plan: "
+        f"{plan.count('Scan parquet')} parquet scan nodes"
+    )
+    assert plan.count("Scan ExistingRDD") <= 4, (
+        f"unexpected RDD rescans: {plan.count('Scan ExistingRDD')}"
+    )

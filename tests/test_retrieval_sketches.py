@@ -956,3 +956,44 @@ def test_ivf_persisted_index_arrival_invariance_and_exactness(spark, tmp_path):
     )
     assert stored == sorted((c, v) for c, v in cents)
     assert s2.read("m.a.ivf").count() == 90
+
+
+def test_ivf_index_contracts_fail_loudly(spark, tmp_path):
+    """r12 contract hardening (VERDICT r11 #3/#4): an unknown query id
+    raises KeyError naming the missing ids (previously it vanished from
+    the output while an empty request raised — inconsistent failure
+    surface), duplicate query ids deduplicate to one top-k block, and
+    building on an EMPTY corpus raises a clear ValueError before the
+    Lloyd loop (previously an opaque Catalyst array<string> type error)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+    )
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), j -> cast(sin(id * 0.37 + j) AS double))"
+        ).alias("embedding"),
+    )
+    store = ParquetTableStore(spark, str(tmp_path / "pq"))
+    ivf_index_build(df, store, "m.c.ivf", n_centroids=4)
+
+    with _pytest.raises(KeyError, match=r"\[999, 1000\]"):
+        ivf_index_search(store, "m.c.ivf", [1, 999, 1000], k=2, n_probe=4)
+    with _pytest.raises(ValueError, match="at least one query id"):
+        ivf_index_search(store, "m.c.ivf", [], k=2)
+    # duplicates in the request: one top-k block per distinct id
+    out = ivf_index_search(store, "m.c.ivf", [3, 3, 7], k=2, n_probe=4)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {3, 7}
+    assert len(rows) == 4  # k=2 per distinct query, no duplicated blocks
+
+    empty = df.where("vec_id < 0")
+    with _pytest.raises(ValueError, match="corpus is empty"):
+        ivf_index_build(empty, store, "m.c.ivf_empty", n_centroids=4)
+    assert not store.exists("m.c.ivf_empty")
