@@ -6466,6 +6466,17 @@ _PRIORITY: list[str] = [
     #     pipe_incremental_ann's index ops under the foreachBatch driver
     #     that pipe_stream_incremental_dedup now proves in the prefix.
     # All rotated-out rows stay green in the local oracle sweep.
+    # r12: NO rotation (VERDICT r11 item #7 sanctions this explicitly).
+    # Every remaining sweep-only candidate's plan shape is proven by a
+    # staying prefix row: pipe_stream_ann is pipe_incremental_ann's index
+    # ops under the foreachBatch driver pipe_stream_incremental_dedup
+    # keeps hard; pipe_semantic_yaml / pipe_multimodal_yaml /
+    # pipe_text_yaml and the remaining YAML twins run the identical plans
+    # of their non-declarative siblings through the same extension action
+    # machinery pipe_containment_yaml / pipe_knn_yaml / pipe_rrf_yaml
+    # already drive; text_winnow_fingerprint's rolling-window fingerprint
+    # is the shingle inverted-index shape the incremental-dedup rows keep.
+    # Rotation churn would re-prove shapes the prefix already proves.
     "dedup_survivors",
     "dedup_embedding_lsh",
     "pipe_stream_incremental_dedup",

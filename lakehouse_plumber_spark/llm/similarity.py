@@ -619,20 +619,38 @@ def ivf_index_append(
     index_table: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    retry: bool = False,
 ) -> None:
     """Assign an ARRIVING batch to the index's FROZEN centroids and append —
     the production loop (centroids retrain rarely; arrivals are a narrow
     argmin projection + append, work ∝ batch).  List sizes drift as the
     distribution shifts; rebuild with `ivf_index_build` when recall or
-    balance degrades."""
+    balance degrades.
+
+    Failure/retry contract (r12, mirrors `incremental_dedup_batch`): the
+    append is one Spark write job — all-or-nothing under the default file
+    committer — so a crashed batch either committed fully or not at all.
+    Re-running with `retry=True` is idempotent: ids already in the index
+    are masked out before the append, so a fully-committed prior attempt
+    appends nothing and a not-committed one appends the whole batch.  A
+    plain re-run (retry=False) after a committed attempt would double the
+    batch's rows, which changes search output (duplicate neighbors occupy
+    extra top-k ranks).  The retry read scans the index once (the
+    exceptional path); the normal path never reads history."""
     cents = _load_centroids(store, index_table)
     base = batch.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    store.append(
-        index_table,
-        base.select(F.expr(centroid_argmin_expr(cents)).alias("list_id"), "id", "v"),
+    assigned = base.select(
+        F.expr(centroid_argmin_expr(cents)).alias("list_id"), "id", "v"
     )
+    if retry:
+        assigned = assigned.join(
+            store.read(index_table).select("id"), "id", "left_anti"
+        ).select("list_id", "id", "v")
+        # pin before the append mutates the table the mask's lineage reads
+        assigned = assigned.localCheckpoint(eager=True)
+    store.append(index_table, assigned)
 
 
 def ivf_index_search(

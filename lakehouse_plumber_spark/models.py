@@ -296,6 +296,11 @@ class DedupConfig(BaseModel):
     # incremental (persisted index table names, resolved via the run store)
     index_table: Optional[str] = None
     grams_table: Optional[str] = None
+    # incremental only: re-running a crashed batch. With retry true the
+    # call is idempotent (already-committed index rows for the batch's ids
+    # are masked, committed appends are skipped); a plain re-run would
+    # double the batch's index rows and duplicate pairs.
+    retry: bool = False
 
     @field_validator("method")
     @classmethod
@@ -350,6 +355,12 @@ class DedupConfig(BaseModel):
             raise ValueError(
                 "dedup method 'incremental' requires index_table and "
                 "grams_table (the persisted band/grams index names)"
+            )
+        if self.retry and self.method != "incremental":
+            raise ValueError(
+                "dedup: retry is only meaningful for method 'incremental' "
+                "(it masks a crashed batch's partially-committed index "
+                f"rows); got retry=true with method {self.method!r}"
             )
         return self
 

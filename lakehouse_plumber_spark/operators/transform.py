@@ -222,6 +222,7 @@ def transform_dedup(ctx: BuildContext, action: Action) -> DataFrame:
             df, ctx.store, cfg.index_table, cfg.grams_table,
             text_col=cfg.text_col, id_col=cfg.id_col,
             jaccard_threshold=cfg.jaccard_threshold,
+            retry=cfg.retry,
             **_bucket_cap_kwargs(cfg.max_bucket_size),
         )
     elif cfg.method == "semantic":

@@ -1233,6 +1233,12 @@ def test_r10_extension_method_spec_validation():
     DedupConfig(method="embedding_lsh", max_bucket_size=0)
     DedupConfig(method="incremental", index_table="m.d.b",
                 grams_table="m.d.g", max_bucket_size=0)
+    # retry is the incremental crashed-batch re-run flag, meaningless (and
+    # refused) elsewhere
+    DedupConfig(method="incremental", index_table="m.d.b",
+                grams_table="m.d.g", retry=True)
+    with _pytest.raises(ValueError, match="retry"):
+        DedupConfig(method="exact", retry=True)
     # sample: required fields + ranges
     with _pytest.raises(ValueError, match="required"):
         SampleConfig(method="weighted_poisson")

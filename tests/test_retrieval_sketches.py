@@ -997,3 +997,77 @@ def test_ivf_index_contracts_fail_loudly(spark, tmp_path):
     with _pytest.raises(ValueError, match="corpus is empty"):
         ivf_index_build(empty, store, "m.c.ivf_empty", n_centroids=4)
     assert not store.exists("m.c.ivf_empty")
+
+
+def test_ivf_index_append_retry_idempotent_under_midstream_failure(
+    spark, tmp_path
+):
+    """llm/similarity.py:ivf_index_append retry contract (r12, VERDICT r11
+    #8): the append is one all-or-nothing write, so a crashed arrival
+    batch either committed fully or not at all — and re-running it with
+    retry=True must be idempotent at BOTH seams.  Property: an arrival
+    stream with a mid-stream crash-and-retry at either seam yields an
+    index (and search output) bit-for-bit equal to the clean run, while a
+    naive retry=False re-run after a committed attempt demonstrably
+    corrupts the index (doubled rows change top-k)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_search,
+    )
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    df = spark.range(90).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), j -> cast(sin(id * 0.37 + j) AS double))"
+        ).alias("embedding"),
+    )
+    build = df.where("pmod(vec_id, 3) = 0")
+    b1 = df.where("pmod(vec_id, 3) = 1")
+    b2 = df.where("pmod(vec_id, 3) = 2")
+    qids = [0, 5, 11]
+
+    def search(store):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine)
+            for r in ivf_index_search(
+                store, "m.r.ivf", qids, k=3, n_probe=8
+            ).collect()
+        )
+
+    clean = ParquetTableStore(spark, str(tmp_path / "clean"))
+    ivf_index_build(build, clean, "m.r.ivf", n_centroids=8)
+    ivf_index_append(b1, clean, "m.r.ivf")
+    ivf_index_append(b2, clean, "m.r.ivf")
+    want = search(clean)
+
+    # seam A: crash BEFORE b1's append committed -> retry appends it whole
+    sa = ParquetTableStore(spark, str(tmp_path / "seam_a"))
+    ivf_index_build(build, sa, "m.r.ivf", n_centroids=8)
+    ivf_index_append(b1, sa, "m.r.ivf", retry=True)  # nothing committed yet
+    ivf_index_append(b2, sa, "m.r.ivf")
+    assert search(sa) == want
+    assert sa.read("m.r.ivf").count() == 90
+
+    # seam B: crash AFTER b1's append committed (downstream failure) ->
+    # retry masks the committed ids and appends nothing
+    sb = ParquetTableStore(spark, str(tmp_path / "seam_b"))
+    ivf_index_build(build, sb, "m.r.ivf", n_centroids=8)
+    ivf_index_append(b1, sb, "m.r.ivf")
+    ivf_index_append(b1, sb, "m.r.ivf", retry=True)  # the retried re-run
+    ivf_index_append(b2, sb, "m.r.ivf")
+    assert search(sb) == want
+    assert sb.read("m.r.ivf").count() == 90
+
+    # the hazard retry=True exists to prevent: a plain re-run doubles the
+    # batch's rows and the duplicate neighbors occupy extra top-k ranks
+    sc = ParquetTableStore(spark, str(tmp_path / "naive"))
+    ivf_index_build(build, sc, "m.r.ivf", n_centroids=8)
+    ivf_index_append(b1, sc, "m.r.ivf")
+    ivf_index_append(b1, sc, "m.r.ivf")  # naive retry, no mask
+    ivf_index_append(b2, sc, "m.r.ivf")
+    assert sc.read("m.r.ivf").count() == 120
+    assert search(sc) != want
