@@ -144,9 +144,21 @@ def lsh_candidate_pairs_incremental(
     test corpus: largest observed bucket 18 vs cap 32); cap-crossing
     corpora get the one-shot semantics only from a one-shot run.
     """
-    all_bands = (
-        index_bands.unionByName(new_bands) if index_bands is not None else new_bands
-    )
+    if index_bands is not None:
+        # restrict the index to the buckets the BATCH touches before any
+        # aggregation: index rows outside those buckets can never join a
+        # batch row, and the cap's bucket counts only matter for buckets
+        # the batch probes (full membership of a touched bucket survives
+        # the semi-join, so counts are unchanged where they are consulted).
+        # Without this the sizes groupBy below aggregates FULL history per
+        # batch — the r12 flat-wall measurement caught it at 2.8x wall for
+        # 10x history; with it the per-batch plan aggregates O(batch
+        # buckets) rows.
+        touched = new_bands.select("band", "h").distinct()
+        index_bands = index_bands.join(touched, on=["band", "h"], how="left_semi")
+        all_bands = index_bands.unionByName(new_bands)
+    else:
+        all_bands = new_bands
     if max_bucket_size is not None:
         sizes = all_bands.groupBy("band", "h").agg(F.count(F.lit(1)).alias("__bn"))
         keep = sizes.where(F.col("__bn") <= max_bucket_size).select("band", "h")
@@ -222,13 +234,22 @@ def _append_bucketed(store, table: str, df: DataFrame, key_cols: list[str],
             out = df.withColumn(
                 "__b", F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n))
             )
-            store.append(table, out, partition_columns=["__b"])
+            # cluster on __b before the partitioned write: without it every
+            # write task sprays a file into every bucket dir (tasks x
+            # buckets small files per append) and later reads drown in file
+            # listings; with it each bucket lands wholly in one task, so an
+            # append adds at most one file per touched bucket
+            store.append(
+                table, out.repartition(F.col("__b")), partition_columns=["__b"]
+            )
         return
     out = df.withColumn(
         "__b",
         F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(default_n)),
     )
-    store.overwrite(table, out, partition_columns=["__b"])
+    store.overwrite(
+        table, out.repartition(F.col("__b")), partition_columns=["__b"]
+    )
     _persist_buckets(store, table, default_n)
 
 

@@ -84,9 +84,12 @@ def main() -> None:
         store = ParquetTableStore(spark, root)
         try:
             for i in range(1, copies + 1):
+                t0 = time.time()
                 incremental_dedup_batch(
                     variant(i), store, "bands", "grams", "pairs"
                 )
+                print(f"# seed {i}/{copies}: {time.time() - t0:.1f}s",
+                      file=sys.stderr, flush=True)
             walls, pairs = [], 0
             for rep in range(REPS):
                 t0 = time.time()
@@ -95,6 +98,8 @@ def main() -> None:
                 )
                 pairs = out.count()
                 walls.append(time.time() - t0)
+                print(f"# probe {rep} at {copies}x: {walls[-1]:.1f}s "
+                      f"({pairs} pairs)", file=sys.stderr, flush=True)
             return statistics.median(walls), pairs
         finally:
             shutil.rmtree(root, ignore_errors=True)
