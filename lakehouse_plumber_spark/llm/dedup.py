@@ -49,15 +49,15 @@ LSH_ROWS = 4  # LSH_BANDS * LSH_ROWS == MINHASH_K
 LSH_MAX_BUCKET = 32
 SHINGLE_N = 3
 SIMHASH_BITS = 16
-# Hash-partition count for the PERSISTED incremental-dedup index tables
-# (bands_table keyed by (band, h), grams_table keyed by id): each batch
-# reads only the partitions its own keys hash into, so per-batch I/O is
-# bounded by the batch's key set, not by history size.  Chosen at table
-# creation (persisted in the table meta when the store supports it) and
-# FIXED for the table's lifetime — pruning is only sound against the
-# stored layout.  64 keeps small test corpora from shattering into
-# thousands of near-empty files; size up (e.g. 1024-4096) when creating
-# an index that will hold 100 TB of documents.
+# LEGACY fallback hash-partition count for the PERSISTED incremental-dedup
+# index tables (bands_table keyed by (band, h), grams_table keyed by id):
+# each batch reads only the partitions its own keys hash into, so per-batch
+# I/O is bounded by the batch's key set, not by history size.  The count is
+# chosen at table CREATION — by default adaptively from the first batch's
+# row count (`adaptive_bucket_count`, power of two in [8, 4096]) — and
+# persisted in the table meta; it MUST stay fixed for the table's lifetime
+# because pruning is only sound against the stored layout.  This constant
+# is only the read-side fallback for tables whose store kept no meta.
 INDEX_BUCKETS = 64
 
 
@@ -221,13 +221,22 @@ def _pruned_index_read(
 
 
 def _append_bucketed(store, table: str, df: DataFrame, key_cols: list[str],
-                     default_n: int) -> None:
+                     default_n: int | None) -> None:
     """Append index rows hash-partitioned on their key columns; creates the
     table (and persists the bucket count) on first write.  Existing
-    unpartitioned tables keep their layout so appends stay schema-stable."""
+    unpartitioned tables keep their layout so appends stay schema-stable.
+
+    `default_n=None` sizes the bucket count ADAPTIVELY at creation from the
+    first batch's row count (`adaptive_bucket_count`, power of two in
+    [8, 4096]): a test-sized corpus gets 8 partition dirs instead of
+    shattering into 64 near-empty ones per append (measured 10x of the
+    row's 1x wall in pure FS overhead), while a 100 TB first batch gets
+    enough buckets that later per-batch reads stay pruned."""
+    from ..tables import adaptive_bucket_count
+
     if store.exists(table):
         legacy = "__b" not in store.read(table).columns
-        n = _table_buckets(store, table, default_n)
+        n = _table_buckets(store, table, default_n or INDEX_BUCKETS)
         if legacy:
             store.append(table, df)
         else:
@@ -240,15 +249,21 @@ def _append_bucketed(store, table: str, df: DataFrame, key_cols: list[str],
             # listings; with it each bucket lands wholly in one task, so an
             # append adds at most one file per touched bucket
             store.append(
-                table, out.repartition(F.col("__b")), partition_columns=["__b"]
+                table, out.repartition(n, F.col("__b")),
+                partition_columns=["__b"],
             )
         return
+    if default_n is None:
+        # creation-time only: one count of the first batch (cheap — nb is
+        # checkpointed upstream; grams cost one extra scan of the batch)
+        default_n = adaptive_bucket_count(df.count(), rows_per_bucket=1_000_000)
     out = df.withColumn(
         "__b",
         F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(default_n)),
     )
     store.overwrite(
-        table, out.repartition(F.col("__b")), partition_columns=["__b"]
+        table, out.repartition(default_n, F.col("__b")),
+        partition_columns=["__b"],
     )
     _persist_buckets(store, table, default_n)
 
@@ -263,7 +278,7 @@ def incremental_dedup_batch(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = LSH_MAX_BUCKET,
-    index_buckets: int = INDEX_BUCKETS,
+    index_buckets: int | None = None,
     retry: bool = False,
 ) -> DataFrame:
     """Dedup ONE arriving batch against the persisted corpus index — the
@@ -290,8 +305,11 @@ def incremental_dedup_batch(
     at most min(k, B) partitions; history can grow 10x at fixed batch size
     with ~flat per-batch wall (measured — BASELINE.md).  `index_buckets`
     sets B at table CREATION only (persisted in the store meta; later calls
-    read the stored value); pre-r12 unpartitioned tables are still read
-    whole, compatibly.
+    read the stored value); the default None sizes B adaptively from the
+    first batch (`adaptive_bucket_count`, power of two in [8, 4096]) so
+    small corpora don't shatter into near-empty partition dirs while huge
+    first batches get enough buckets to keep later reads pruned; pre-r12
+    unpartitioned tables are still read whole, compatibly.
 
     Failure/retry contract: appends are ordered index-first (bands, then
     grams) and PAIRS LAST, so `pairs_table` never holds pairs whose
@@ -317,7 +335,7 @@ def incremental_dedup_batch(
     bands_committed = False
     if store.exists(bands_table):
         index = _pruned_index_read(
-            store, bands_table, nb, ["band", "h"], index_buckets
+            store, bands_table, nb, ["band", "h"], index_buckets or INDEX_BUCKETS
         )
         if retry:
             # a prior attempt may have committed this batch's bands; mask
@@ -346,7 +364,7 @@ def incremental_dedup_batch(
     grams_committed = False
     if store.exists(grams_table):
         hist = _pruned_index_read(
-            store, grams_table, cand_ids, [id_col], index_buckets
+            store, grams_table, cand_ids, [id_col], index_buckets or INDEX_BUCKETS
         )
         if retry:
             grams_committed = bool(

@@ -31,7 +31,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # 200k -- measured: the verify join spilled out of disk).  Use
 # LHP_EMB_ROWS=14 (4x14 = 56 bits <= 62) at factor 100.
 BANDS = int(os.environ.get("LHP_EMB_BANDS", "4"))
-ROWS = int(os.environ.get("LHP_EMB_ROWS", "8"))
+# LHP_EMB_ROWS=auto exercises the r11 default (rows_per_band=None ->
+# geometry derived from the corpus count via emb_lsh_auto_rows — the
+# scale-safe path; at 2e5 vectors the rule derives the same 14 the 100x
+# point was hand-tuned to in r10)
+_rows_env = os.environ.get("LHP_EMB_ROWS", "8")
+ROWS = None if _rows_env == "auto" else int(_rows_env)
 
 
 def main() -> None:
@@ -77,6 +82,7 @@ def main() -> None:
         big = big.unionByName(rolled(i))
 
     def time_one(df) -> tuple[float, int]:
+        # ROWS=None -> the operator derives rows from this corpus's count
         kw = dict(threshold=0.99, bands=BANDS, rows_per_band=ROWS)
         embedding_near_dup_lsh(df, **kw).count()  # warm
         best, n = None, 0
@@ -95,7 +101,7 @@ def main() -> None:
                 "metric": "emb_lsh_scaleup_ratio",
                 "factor": FACTOR,
                 "bands": BANDS,
-                "rows_per_band": ROWS,
+                "rows_per_band": ROWS if ROWS is not None else "auto",
                 "t1": t1,
                 "t10": t10,
                 "ratio": round(t10 / t1, 2) if t1 else None,
