@@ -80,6 +80,15 @@ def main() -> None:
     big = rolled(0)
     for i in range(1, FACTOR):
         big = big.unionByName(rolled(i))
+    # materialize BOTH corpora once before timing: the synthetic FACTOR-way
+    # union carries a roll transform per branch, and re-analyzing /
+    # codegen'ing that plan under the operator's 3.5k-literal hyperplane
+    # expr costs driver-side MINUTES per call (measured r12: 171s/call at
+    # factor 100 vs ~15s on a materialized corpus) — harness plan-compile
+    # overhead, not operator work.  Production reads the corpus from
+    # storage, which is what the checkpoint simulates.
+    emb = emb.localCheckpoint(eager=True)
+    big = big.localCheckpoint(eager=True)
 
     def time_one(df) -> tuple[float, int]:
         # ROWS=None -> the operator derives rows from this corpus's count
