@@ -6477,6 +6477,12 @@ _PRIORITY: list[str] = [
     # already drive; text_winnow_fingerprint's rolling-window fingerprint
     # is the shingle inverted-index shape the incremental-dedup rows keep.
     # Rotation churn would re-prove shapes the prefix already proves.
+    # r13: NO rotation (VERDICT r12 item #5, same rule): the round landed
+    # no new plan shape — its work hardens existing rows' retry/guard
+    # paths (pruned retry probes, engine-side cap-crossing guard, per-row
+    # retry masking) and swaps emb-LSH's hyperplane literals for a
+    # broadcast column inside the same dedup_embedding_lsh plan — so the
+    # board stays stable and comparable for the third round running.
     "dedup_survivors",
     "dedup_embedding_lsh",
     "pipe_stream_incremental_dedup",

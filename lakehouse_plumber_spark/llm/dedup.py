@@ -236,7 +236,9 @@ def _append_bucketed(store, table: str, df: DataFrame, key_cols: list[str],
 
     if store.exists(table):
         legacy = "__b" not in store.read(table).columns
-        n = _table_buckets(store, table, default_n or INDEX_BUCKETS)
+        n = _table_buckets(
+            store, table, INDEX_BUCKETS if default_n is None else default_n
+        )
         if legacy:
             store.append(table, df)
         else:
@@ -255,8 +257,25 @@ def _append_bucketed(store, table: str, df: DataFrame, key_cols: list[str],
         return
     if default_n is None:
         # creation-time only: one count of the first batch (cheap — nb is
-        # checkpointed upstream; grams cost one extra scan of the batch)
-        default_n = adaptive_bucket_count(df.count(), rows_per_bucket=1_000_000)
+        # checkpointed upstream; grams cost one extra scan of the batch).
+        # Adaptive sizing is only sound when the store can PERSIST the
+        # chosen count (ADVICE r12): a meta-less store would hash the
+        # files with the adaptive n while later reads/appends fall back to
+        # INDEX_BUCKETS — pruned reads would filter with the wrong modulus
+        # and silently drop matching history.  Meta-less stores therefore
+        # create with the same INDEX_BUCKETS the read fallback trusts.
+        can_persist = (
+            getattr(store, "set_meta", None) is not None
+            and getattr(store, "get_meta", None) is not None
+        )
+        if can_persist:
+            default_n = adaptive_bucket_count(df.count(), rows_per_bucket=1_000_000)
+        else:
+            default_n = INDEX_BUCKETS
+    # meta BEFORE data: a crash between the two leaves either an orphan
+    # meta entry (harmless — creation overwrites it) or, in the old order,
+    # a bucketed table whose reads would fall back to the wrong modulus
+    _persist_buckets(store, table, default_n)
     out = df.withColumn(
         "__b",
         F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(default_n)),
@@ -265,7 +284,6 @@ def _append_bucketed(store, table: str, df: DataFrame, key_cols: list[str],
         table, out.repartition(default_n, F.col("__b")),
         partition_columns=["__b"],
     )
-    _persist_buckets(store, table, default_n)
 
 
 def incremental_dedup_batch(
@@ -280,6 +298,7 @@ def incremental_dedup_batch(
     max_bucket_size: int | None = LSH_MAX_BUCKET,
     index_buckets: int | None = None,
     retry: bool = False,
+    cap_check: bool = True,
 ) -> DataFrame:
     """Dedup ONE arriving batch against the persisted corpus index — the
     production incremental loop as a single call: the batch's LSH bands
@@ -303,49 +322,117 @@ def incremental_dedup_batch(
     semi-joined to those keys before the wide gram arrays materialize.  A
     batch touching k distinct keys therefore reads O(k/B of history) from
     at most min(k, B) partitions; history can grow 10x at fixed batch size
-    with ~flat per-batch wall (measured — BASELINE.md).  `index_buckets`
-    sets B at table CREATION only (persisted in the store meta; later calls
-    read the stored value); the default None sizes B adaptively from the
-    first batch (`adaptive_bucket_count`, power of two in [8, 4096]) so
-    small corpora don't shatter into near-empty partition dirs while huge
-    first batches get enough buckets to keep later reads pruned; pre-r12
-    unpartitioned tables are still read whole, compatibly.
+    with ~flat per-batch wall (measured: 0.92x probe-batch wall at 10x
+    history — BASELINE.md round-12/13 section, harness
+    scripts_scale_incr_dedup.py).  `index_buckets` sets B at table
+    CREATION only (persisted in the store meta; later calls read the
+    stored value); the default None sizes B adaptively from the first
+    batch (`adaptive_bucket_count`, power of two in [8, 4096]) when the
+    store can persist the count, else uses INDEX_BUCKETS so meta-less
+    stores stay layout-consistent; pre-r12 unpartitioned tables are still
+    read whole, compatibly.
 
     Failure/retry contract: appends are ordered index-first (bands, then
     grams) and PAIRS LAST, so `pairs_table` never holds pairs whose
-    supporting index rows are missing.  Each append is one Spark write job
-    (all-or-nothing under the default file committer), so a crash leaves a
-    committed PREFIX of [bands, grams, pairs].  Re-running the batch with
-    `retry=True` is then idempotent: prior partial state for the batch's
-    ids is masked out of the probe/verify reads, already-committed appends
-    are skipped, and only pairs not yet in `pairs_table` are appended.
+    supporting index rows are missing.  A crash can leave any committed
+    prefix of [bands, grams, pairs] — including a PARTIAL append (the
+    default file committer can commit a subset of a write job's files if
+    the crash lands inside job commit).  Re-running the batch with
+    `retry=True` is idempotent against every such state: rows a prior
+    attempt committed for the batch's ids are masked out of the
+    probe/verify reads (so probe semantics equal a clean first run), and
+    every append is per-row anti-joined against what is already committed
+    — a fully-committed append adds nothing, a partial one adds exactly
+    the missing rows.  Both retry probes read PRUNED (r13, VERDICT r12
+    item #3): a crashed attempt's bands necessarily hash into the batch's
+    own (band, h) buckets and its grams into the batch ids' buckets, so
+    the probes reuse `_pruned_index_read` instead of scanning history.
     A plain re-run (retry=False) after a partial failure would double the
     batch's index rows — inflating cap bucket counts and duplicating pairs.
+
+    `cap_check` (r13, VERDICT r12 item #2): the one-shot-oracle caveat in
+    `lsh_candidate_pairs_incremental` — a band bucket crossing
+    `max_bucket_size` MID-STREAM silently desynchronizes accumulated
+    incremental pairs from the one-shot result — is detected here and
+    raised as a loud ValueError, so the YAML `dedup: {method: incremental}`
+    action and foreachBatch twins inherit the protection.  The guard costs
+    one small aggregation over the batch-pruned index slice (O(batch
+    buckets), never history-sized).  Pass cap_check=False to accept
+    incremental-semantics divergence on cap-crossing corpora.
 
     `store` is any table store with exists/read/append/overwrite (the
     runner's ParquetTableStore in pipelines; DeltaTableStore adds
     per-append transactionality on top of the same ordering).
     """
+    if index_buckets is not None and index_buckets < 1:
+        raise ValueError(f"index_buckets must be >= 1, got {index_buckets}")
+    read_buckets = INDEX_BUCKETS if index_buckets is None else index_buckets
     sigs = minhash_signatures(batch, text_col, id_col)
     # pinned: reused for the bucket-list collect, the candidate join, and
     # the append — one signature computation per batch, not three
     nb = lsh_bands(sigs, id_col).localCheckpoint(eager=True)
     ids_b = nb.select(id_col).distinct()
     index = None
-    bands_committed = False
+    committed_bands = None
     if store.exists(bands_table):
         index = _pruned_index_read(
-            store, bands_table, nb, ["band", "h"], index_buckets or INDEX_BUCKETS
+            store, bands_table, nb, ["band", "h"], read_buckets
         )
         if retry:
-            # a prior attempt may have committed this batch's bands; mask
-            # them so probe semantics equal a clean first run
-            bands_committed = bool(
-                store.read(bands_table)
-                .join(ids_b, id_col, "left_semi").take(1)
+            # rows a prior attempt committed for THIS batch hash into the
+            # batch's own (band, h) buckets, so the already-pruned slice
+            # covers them — no full-history scan on the retry path.
+            # Pinned: the bands append below mutates the table this
+            # lineage reads, and the anti-join mask consumes it afterwards.
+            committed_bands = (
+                index.join(ids_b, id_col, "left_semi")
+                .localCheckpoint(eager=True)
             )
-            if bands_committed:
-                index = index.join(ids_b, id_col, "left_anti")
+            # mask them so probe semantics equal a clean first run
+            index = index.join(ids_b, id_col, "left_anti")
+    if (
+        cap_check
+        and max_bucket_size is not None
+        and max_bucket_size >= 2
+        and index is not None
+    ):
+        # loud mid-stream cap-crossing guard (see docstring): a bucket with
+        # 2 <= history < combined and combined > cap emitted pairs among
+        # its history members in earlier batches, which the one-shot run
+        # (that drops the full bucket whole) would not — the accumulated
+        # pair set diverges from the one-shot oracle from this batch on.
+        # History already over the cap is CONSISTENT (every run, one-shot
+        # included, drops that bucket), so only the crossing raises.
+        hist_n = (
+            index.join(nb.select("band", "h").distinct(), ["band", "h"], "left_semi")
+            .groupBy("band", "h").agg(F.count(F.lit(1)).alias("__hn"))
+        )
+        batch_n = nb.groupBy("band", "h").agg(F.count(F.lit(1)).alias("__bn"))
+        crossing = (
+            batch_n.join(hist_n, ["band", "h"])
+            .where(
+                (F.col("__hn") >= 2)
+                & (F.col("__hn") <= max_bucket_size)
+                & (F.col("__hn") + F.col("__bn") > max_bucket_size)
+            )
+            .select("band", "h", "__hn", "__bn")
+            .limit(3)
+            .collect()
+        )
+        if crossing:
+            ex = ", ".join(
+                f"(band={r['band']}, h={r['h']}: {r['__hn']}+{r['__bn']})"
+                for r in crossing
+            )
+            raise ValueError(
+                f"incremental_dedup_batch: band bucket(s) crossing "
+                f"max_bucket_size={max_bucket_size} mid-stream ({ex}) — "
+                "earlier batches emitted pairs inside these buckets, so the "
+                "accumulated pair set no longer equals the one-shot "
+                "minhash_lsh_dedup output.  Either dedup this corpus "
+                "one-shot, raise max_bucket_size, or pass cap_check=False "
+                "to accept incremental semantics."
+            )
     cands = lsh_candidate_pairs_incremental(
         nb, index, id_col, max_bucket_size=max_bucket_size
     ).localCheckpoint(eager=True)
@@ -361,18 +448,21 @@ def incremental_dedup_batch(
             f"g -> {md5int_spark('g')})"
         ).alias("grams"),
     )
-    grams_committed = False
+    committed_gram_ids = None
     if store.exists(grams_table):
         hist = _pruned_index_read(
-            store, grams_table, cand_ids, [id_col], index_buckets or INDEX_BUCKETS
+            store, grams_table, cand_ids, [id_col], read_buckets
         )
         if retry:
-            grams_committed = bool(
-                store.read(grams_table)
-                .join(ids_b, id_col, "left_semi").take(1)
+            # a prior attempt's grams for this batch hash into the batch
+            # ids' buckets — probe those partitions only, never history
+            committed_gram_ids = (
+                _pruned_index_read(store, grams_table, ids_b, [id_col], read_buckets)
+                .join(ids_b, id_col, "left_semi")
+                .select(id_col).distinct()
+                .localCheckpoint(eager=True)
             )
-            if grams_committed:
-                hist = hist.join(ids_b, id_col, "left_anti")
+            hist = hist.join(ids_b, id_col, "left_anti")
         all_grams = hist.unionByName(grams_b)
     else:
         all_grams = grams_b
@@ -395,11 +485,18 @@ def incremental_dedup_batch(
     # pin the batch's pairs BEFORE the index appends below mutate the
     # tables its lineage reads
     verified = verified.localCheckpoint(eager=True)
-    # append ordering (retry contract): index first, pairs LAST
-    if not (retry and bands_committed):
-        _append_bucketed(store, bands_table, nb, ["band", "h"], index_buckets)
-    if not (retry and grams_committed):
-        _append_bucketed(store, grams_table, grams_b, [id_col], index_buckets)
+    # append ordering (retry contract): index first, pairs LAST.  On retry,
+    # every append is per-row anti-joined against committed state so a
+    # PARTIALLY committed prior append (a crash inside job commit can leave
+    # a subset of a write's files) is completed rather than doubled/skipped.
+    to_bands = nb
+    if committed_bands is not None:
+        to_bands = nb.join(committed_bands, [id_col, "band", "h"], "left_anti")
+    _append_bucketed(store, bands_table, to_bands, ["band", "h"], index_buckets)
+    to_grams = grams_b
+    if committed_gram_ids is not None:
+        to_grams = grams_b.join(committed_gram_ids, id_col, "left_anti")
+    _append_bucketed(store, grams_table, to_grams, [id_col], index_buckets)
     if pairs_table is not None:
         if store.exists(pairs_table):
             to_append = verified
@@ -736,7 +833,7 @@ def embedding_near_dup_lsh(
     lowers per-band recall (p_band = (1 - theta/pi)^rows), so add bands
     or accept the measured recall at your threshold.
     """
-    from .similarity import hyperplane_bucket_expr
+    from .similarity import with_hyperplane_sig
 
     if rows_per_band is None:
         # one column-pruned count up front (metadata-only for plain file
@@ -753,14 +850,18 @@ def embedding_near_dup_lsh(
     dim = len(df.select(vec_col).first()[0])
     planes = bands * rows_per_band
     # signatures + hoisted norms materialized ONCE: the band explode and
-    # both verify-join sides reuse this table (the minhash convention)
+    # both verify-join sides reuse this table (the minhash convention).
+    # The hyperplane weights ride in as ONE broadcast column, not as
+    # planes*dim inline literals — at the corpus-scaled geometry the
+    # literal expression cost Catalyst MINUTES of analysis per call on
+    # complex input plans (r13, VERDICT r12 item #5; values bit-identical,
+    # see with_hyperplane_sig)
+    base = spread_for_compute(df, [id_col, vec_col]).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
     base = (
-        spread_for_compute(df, [id_col, vec_col])
-        .select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .withColumn("sig", F.expr(hyperplane_bucket_expr("v", planes, dim)))
+        with_hyperplane_sig(base, "v", planes, dim, "sig")
         .withColumn(
             "nrm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
         )

@@ -85,6 +85,42 @@ def hyperplane_bucket_expr(vec_col: str, planes: int = NUM_HYPERPLANES, dim: int
     return " + ".join(bits)
 
 
+def with_hyperplane_sig(
+    df: DataFrame, v_col: str, planes: int, dim: int, out_col: str
+) -> DataFrame:
+    """Attach the packed hyperplane-sign signature as `out_col` WITHOUT
+    inlining the planes*dim weight literals into the expression tree.
+
+    Bit-identical to `F.expr(hyperplane_bucket_expr(v_col, planes, dim))`
+    — same md5-derived weights, same left-to-right dot-product fold, same
+    sign rule, same bit order — but the weights enter the plan as ONE
+    broadcast single-row relation (array<array<double>>) cross-joined onto
+    the input, and the signature folds over that COLUMN with two nested
+    higher-order functions.  Catalyst then analyzes a ~10-node expression
+    instead of a planes*dim-literal tree: at the corpus-scaled geometry
+    (4 bands x 14 rows = 56 planes x 64 dims = 3.5k literals) the literal
+    form cost driver-side MINUTES of plan analysis per call on complex
+    input plans (measured r12: 171 s/call at factor 100,
+    scripts_scale_emb_lsh.py; r13 before/after in BASELINE.md).  The
+    1-row broadcast join is a constant-cost BroadcastNestedLoopJoin.
+    `hyperplane_bucket_expr` remains for small-plane callers (knn_lsh at 8
+    planes) and as the cross-engine oracle's reference formulation."""
+    spark = df.sparkSession
+    w = hyperplane_weights(planes, dim)
+    wdf = spark.createDataFrame([(w,)], "__hw array<array<double>>")
+    dot = f"aggregate(zip_with({v_col}, w, (x, y) -> x * y), 0D, (a, z) -> a + z)"
+    sig = (
+        f"aggregate(zip_with(__hw, sequence(0, {planes - 1}), "
+        f"(w, p) -> CASE WHEN ({dot}) > 0 THEN shiftleft(1L, p) ELSE 0L END), "
+        "0L, (acc, b) -> acc + b)"
+    )
+    return (
+        df.crossJoin(F.broadcast(wdf))
+        .withColumn(out_col, F.expr(sig))
+        .drop("__hw")
+    )
+
+
 def knn_lsh(
     df: DataFrame,
     query_ids: list[int],
@@ -627,16 +663,24 @@ def ivf_index_append(
     distribution shifts; rebuild with `ivf_index_build` when recall or
     balance degrades.
 
-    Failure/retry contract (r12, mirrors `incremental_dedup_batch`): the
-    append is one Spark write job — all-or-nothing under the default file
-    committer — so a crashed batch either committed fully or not at all.
-    Re-running with `retry=True` is idempotent: ids already in the index
-    are masked out before the append, so a fully-committed prior attempt
-    appends nothing and a not-committed one appends the whole batch.  A
-    plain re-run (retry=False) after a committed attempt would double the
-    batch's rows, which changes search output (duplicate neighbors occupy
-    extra top-k ranks).  The retry read scans the index once (the
-    exceptional path); the normal path never reads history."""
+    Failure/retry contract (r12, mirrors `incremental_dedup_batch`): a
+    crash can leave NO rows, ALL rows, or — if it lands inside job commit —
+    a partial subset of the batch's files in the index (the default file
+    committer is not atomic across a job's files; DeltaTableStore makes
+    each append a real transaction).  Re-running with `retry=True` is
+    idempotent against every such state: ids already in the index are
+    per-id anti-joined out before the append, so a fully-committed prior
+    attempt appends nothing, a partial one appends exactly the missing
+    ids, and a not-committed one appends the whole batch.  A plain re-run
+    (retry=False) after a committed attempt would double the batch's rows,
+    which changes search output (duplicate neighbors occupy extra top-k
+    ranks).  The retry probe is PRUNED (r13, VERDICT r12 item #3): the
+    crashed attempt assigned against the same frozen centroids, so its
+    rows carry this batch's own list ids — the probe filters the index
+    scan to those lists (<= n_centroids ints collected driver-side; a
+    pushed-down `list_id IN` scan filter, see `_ivf_committed_ids`)
+    instead of reading the whole index.  The normal path never reads
+    history."""
     cents = _load_centroids(store, index_table)
     base = batch.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -645,12 +689,27 @@ def ivf_index_append(
         F.expr(centroid_argmin_expr(cents)).alias("list_id"), "id", "v"
     )
     if retry:
+        # driver-bounded: at most n_centroids ints
+        lists = [r[0] for r in assigned.select("list_id").distinct().collect()]
         assigned = assigned.join(
-            store.read(index_table).select("id"), "id", "left_anti"
+            _ivf_committed_ids(store, index_table, lists), "id", "left_anti"
         ).select("list_id", "id", "v")
         # pin before the append mutates the table the mask's lineage reads
         assigned = assigned.localCheckpoint(eager=True)
     store.append(index_table, assigned)
+
+
+def _ivf_committed_ids(store, index_table: str, list_ids: list[int]) -> DataFrame:
+    """Ids already committed to the index within the given lists — the
+    retry-probe read of `ivf_index_append`.  The `list_id IN` predicate is
+    pushed into the parquet scan (row-group pruning; partition pruning when
+    the table is stored partitioned by list_id), so the probe's cost is the
+    probed lists, never the corpus.  Plan-pinned in test_plan_quality.py."""
+    return (
+        store.read(index_table)
+        .where(F.col("list_id").isin(list_ids))
+        .select("id")
+    )
 
 
 def ivf_index_search(

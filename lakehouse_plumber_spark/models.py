@@ -297,10 +297,18 @@ class DedupConfig(BaseModel):
     index_table: Optional[str] = None
     grams_table: Optional[str] = None
     # incremental only: re-running a crashed batch. With retry true the
-    # call is idempotent (already-committed index rows for the batch's ids
-    # are masked, committed appends are skipped); a plain re-run would
-    # double the batch's index rows and duplicate pairs.
+    # call is idempotent even against a PARTIALLY committed prior append
+    # (index rows a prior attempt committed for the batch's ids are masked
+    # from the probes and every append is per-row anti-joined against
+    # committed state); a plain re-run would double the batch's index rows
+    # and duplicate pairs.
     retry: bool = False
+    # incremental only: fail loudly when a band bucket crosses
+    # max_bucket_size MID-STREAM (the accumulated pair set would silently
+    # diverge from the one-shot minhash_lsh_dedup result — see
+    # llm/dedup.py:incremental_dedup_batch). False accepts incremental
+    # semantics on cap-crossing corpora.
+    cap_check: bool = True
 
     @field_validator("method")
     @classmethod

@@ -223,6 +223,7 @@ def transform_dedup(ctx: BuildContext, action: Action) -> DataFrame:
             text_col=cfg.text_col, id_col=cfg.id_col,
             jaccard_threshold=cfg.jaccard_threshold,
             retry=cfg.retry,
+            cap_check=cfg.cap_check,
             **_bucket_cap_kwargs(cfg.max_bucket_size),
         )
     elif cfg.method == "semantic":

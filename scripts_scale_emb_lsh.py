@@ -80,15 +80,20 @@ def main() -> None:
     big = rolled(0)
     for i in range(1, FACTOR):
         big = big.unionByName(rolled(i))
-    # materialize BOTH corpora once before timing: the synthetic FACTOR-way
-    # union carries a roll transform per branch, and re-analyzing /
-    # codegen'ing that plan under the operator's 3.5k-literal hyperplane
-    # expr costs driver-side MINUTES per call (measured r12: 171s/call at
-    # factor 100 vs ~15s on a materialized corpus) — harness plan-compile
-    # overhead, not operator work.  Production reads the corpus from
-    # storage, which is what the checkpoint simulates.
-    emb = emb.localCheckpoint(eager=True)
-    big = big.localCheckpoint(eager=True)
+    # materialize BOTH corpora once before timing (default): production
+    # reads the corpus from storage, which the checkpoint simulates.
+    # LHP_EMB_CHECKPOINT=0 keeps the raw FACTOR-way union plan (a roll
+    # transform per branch) as the operator input — the plan-analysis
+    # stress case: under the r12 operator, whose hyperplane weights were
+    # 3.5k inline literals, re-analyzing that plan cost driver-side
+    # MINUTES per call (measured r12: 171s/call at factor 100 vs ~15s on a
+    # materialized corpus).  r13 moved the weights into one broadcast
+    # column (llm/similarity.py:with_hyperplane_sig), so this path is now
+    # a first-class measurement knob rather than a known trap; before/after
+    # numbers in BASELINE.md r13.
+    if os.environ.get("LHP_EMB_CHECKPOINT", "1") != "0":
+        emb = emb.localCheckpoint(eager=True)
+        big = big.localCheckpoint(eager=True)
 
     def time_one(df) -> tuple[float, int]:
         # ROWS=None -> the operator derives rows from this corpus's count

@@ -55,6 +55,7 @@ def main() -> None:
         .select("doc_id", "text")
     )
     span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    n_docs = docs.count()  # actual corpus size (span is only the id spread)
 
     def variant(i: int):
         """Copy i: ids shifted by i*span, every word suffixed by i so the
@@ -113,8 +114,10 @@ def main() -> None:
         "wall_1x": round(w1, 3),
         f"wall_{FACTOR}x": round(w10, 3),
         "batch_docs": BATCH,
-        "history_docs_1x": span,
-        f"history_docs_{FACTOR}x": span * FACTOR,
+        # actual document counts (ADVICE r12: span = max(doc_id)+1 is an id
+        # SPREAD, not a count — misleading when ids are sparse)
+        "history_docs_1x": n_docs,
+        f"history_docs_{FACTOR}x": n_docs * FACTOR,
         "pairs_per_probe_1x": p1,
         f"pairs_per_probe_{FACTOR}x": p10,
         "reps": REPS,

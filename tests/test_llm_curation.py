@@ -1335,3 +1335,383 @@ def test_incremental_dedup_retry_recovers_partial_failure(spark, tmp_path):
         assert store.read("m.d.grams").count() == 12
         bands = store.read("m.d.bands")
         assert bands.count() == bands.dropDuplicates(["doc_id", "band"]).count()
+
+
+def test_incremental_dedup_retry_completes_partially_committed_append(spark, tmp_path):
+    """ADVICE r12: a crash inside job commit can leave a PARTIAL subset of
+    an append's files (the default file committer is not atomic across a
+    job's files).  The r12 whole-batch boolean skip treated such an append
+    as fully committed and left index rows permanently missing; retry
+    masking is per-row as of r13, so the retry appends exactly the missing
+    rows and the accumulated state still equals the one-shot output."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.dedup import (
+        incremental_dedup_batch,
+        minhash_lsh_dedup,
+    )
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    df = _clique_corpus(spark)
+    one_shot = sorted(
+        (r.id_a, r.id_b, r.jaccard) for r in minhash_lsh_dedup(df).collect()
+    )
+    assert one_shot
+
+    class _PartialCommitThenCrash:
+        """Appends only part of the target table's rows, then raises — the
+        mid-job-commit crash shape (a subset of the write's files landed)."""
+
+        def __init__(self, inner, target):
+            self._inner, self._target = inner, target
+
+        def append(self, name, df, **kw):
+            if name == self._target:
+                self._inner.append(name, df.where("pmod(doc_id, 4) = 1"), **kw)
+                raise RuntimeError(f"simulated partial commit of {name}")
+            return self._inner.append(name, df, **kw)
+
+        def __getattr__(self, n):
+            return getattr(self._inner, n)
+
+    for crash_target in ("m.d.bands", "m.d.grams"):
+        store = ParquetTableStore(
+            spark, str(tmp_path / f"s_{crash_target.split('.')[-1]}")
+        )
+        b0 = df.where("pmod(doc_id, 2) = 0")
+        b1 = df.where("pmod(doc_id, 2) = 1")  # odd ids: pmod4 in {1, 3}
+        got = [
+            (r.id_a, r.id_b, r.jaccard)
+            for r in incremental_dedup_batch(
+                b0, store, "m.d.bands", "m.d.grams", pairs_table="m.d.pairs"
+            ).collect()
+        ]
+        with _pytest.raises(RuntimeError, match="partial commit"):
+            incremental_dedup_batch(
+                b1, _PartialCommitThenCrash(store, crash_target),
+                "m.d.bands", "m.d.grams", pairs_table="m.d.pairs",
+            )
+        got += [
+            (r.id_a, r.id_b, r.jaccard)
+            for r in incremental_dedup_batch(
+                b1, store, "m.d.bands", "m.d.grams",
+                pairs_table="m.d.pairs", retry=True,
+            ).collect()
+        ]
+        assert sorted(got) == one_shot, f"partial commit at {crash_target} diverged"
+        accumulated = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in store.read("m.d.pairs").collect()
+        )
+        assert accumulated == one_shot
+        # converged: every doc indexed exactly once — nothing missing
+        # (the r12 skip bug) and nothing doubled (the naive-rerun bug)
+        grams = store.read("m.d.grams")
+        assert grams.count() == 12
+        assert grams.select("doc_id").distinct().count() == 12
+        bands = store.read("m.d.bands")
+        assert bands.count() == bands.dropDuplicates(["doc_id", "band"]).count()
+        assert bands.select("doc_id").distinct().count() == 12
+
+
+def test_incremental_dedup_cap_crossing_raises_engine_and_yaml(spark, tmp_path):
+    """r13 (VERDICT r12 #2): a band bucket crossing `max_bucket_size`
+    MID-STREAM silently desynchronizes the accumulated incremental pairs
+    from the one-shot result (earlier batches emitted pairs inside a
+    bucket the one-shot run drops whole).  The engine helper now detects
+    the crossing and raises loudly, so the declarative
+    `dedup: {method: incremental}` surface and foreachBatch twins inherit
+    the protection.  Consistent cases stay silent: a bucket already over
+    the cap at its FIRST appearance (every run drops it whole), and the
+    documented `cap_check=False` opt-out."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.dedup import incremental_dedup_batch
+    from lakehouse_plumber_spark.parsers import load_flowgroup
+    from lakehouse_plumber_spark.runner import PipelineRunner
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    def dup_docs(lo, hi):
+        return spark.createDataFrame(
+            [(i, "same boilerplate text repeated across every document here")
+             for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    # engine surface: batch 0 fills the bucket to 3 (<= cap 4, pairs
+    # emitted); batch 1 pushes it to 6 (> cap) -> loud failure
+    store = ParquetTableStore(spark, str(tmp_path / "s1"))
+    incremental_dedup_batch(
+        dup_docs(0, 3), store, "m.d.bands", "m.d.grams", max_bucket_size=4
+    )
+    with _pytest.raises(ValueError, match="crossing"):
+        incremental_dedup_batch(
+            dup_docs(3, 6), store, "m.d.bands", "m.d.grams", max_bucket_size=4
+        )
+    # documented opt-out accepts incremental semantics on the same state
+    incremental_dedup_batch(
+        dup_docs(3, 6), store, "m.d.bands", "m.d.grams",
+        max_bucket_size=4, cap_check=False,
+    )
+
+    # consistent case: bucket exceeded the cap within its FIRST batch —
+    # one-shot and every incremental batch drop it whole, so no raise
+    store2 = ParquetTableStore(spark, str(tmp_path / "s2"))
+    incremental_dedup_batch(
+        dup_docs(0, 6), store2, "m.d.bands", "m.d.grams", max_bucket_size=4
+    )
+    incremental_dedup_batch(
+        dup_docs(6, 8), store2, "m.d.bands", "m.d.grams", max_bucket_size=4
+    )
+
+    # declarative surface inherits the guard (VERDICT r12 done-criterion)
+    store3 = ParquetTableStore(spark, str(tmp_path / "s3"))
+    runner = PipelineRunner(spark, store=store3)
+    dup_docs(0, 3).createOrReplaceTempView("cap_batch_0")
+    dup_docs(3, 6).createOrReplaceTempView("cap_batch_1")
+
+    def fg(i):
+        return load_flowgroup({
+            "pipeline": "p", "flowgroup": f"incr_{i}",
+            "actions": [
+                {"name": "ld", "type": "load",
+                 "source": {"type": "sql",
+                            "sql": f"SELECT * FROM cap_batch_{i}"},
+                 "target": "v_b"},
+                {"name": "dd", "type": "transform", "transform_type": "dedup",
+                 "source": "v_b", "target": "v_pairs",
+                 "dedup": {"method": "incremental",
+                           "index_table": "m.d.bands",
+                           "grams_table": "m.d.grams",
+                           "max_bucket_size": 4}},
+                {"name": "mv", "type": "write", "source": "v_pairs",
+                 "write_target": {"type": "materialized_view", "catalog": "m",
+                                  "schema": "d", "table": f"pairs_{i}"}},
+            ],
+        })
+
+    runner.run(fg(0))
+    with _pytest.raises(ValueError, match="crossing"):
+        runner.run(fg(1))
+
+
+def test_incremental_dedup_metaless_store_stays_layout_consistent(spark, tmp_path):
+    """ADVICE r12 (medium): adaptive creation-time bucket sizing is only
+    sound when the store persists the chosen count — a meta-less store
+    would hash files with the adaptive n while later reads fall back to
+    INDEX_BUCKETS, so pruned reads would filter with the wrong modulus and
+    silently drop matching history.  A store without set_meta/get_meta
+    must therefore create with INDEX_BUCKETS (creation and read fallback
+    agree) — pruning then loses no rows."""
+    from lakehouse_plumber_spark.llm.dedup import (
+        INDEX_BUCKETS,
+        _pruned_index_read,
+        incremental_dedup_batch,
+    )
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    class _MetaLess:
+        _HIDDEN = ("set_meta", "get_meta")
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, n):
+            if n in self._HIDDEN:
+                raise AttributeError(n)
+            return getattr(self._inner, n)
+
+    inner = ParquetTableStore(spark, str(tmp_path / "s"))
+    store = _MetaLess(inner)
+    df = _clique_corpus(spark)
+    for i in range(2):
+        incremental_dedup_batch(
+            df.where(f"pmod(doc_id, 2) = {i}"), store, "m.d.bands", "m.d.grams"
+        )
+    # the real sidecar kept no bucket meta...
+    assert inner.get_meta("m.d.bands", "index_buckets") is None
+    # ...so reads fall back to INDEX_BUCKETS, which must be the modulus the
+    # files were hashed with: a pruned read over every id must see every row
+    # (with an adaptive-creation mismatch most rows silently vanish here)
+    pruned = _pruned_index_read(
+        store, "m.d.grams", df.select("doc_id"), ["doc_id"], INDEX_BUCKETS
+    )
+    assert pruned.count() == df.count()
+
+
+def test_incremental_dedup_rejects_nonpositive_index_buckets(spark, tmp_path):
+    """ADVICE r12 (low): an explicit index_buckets=0 used to be silently
+    coerced to the 64 default by `or` (and would yield null buckets in
+    pmod at creation); it must fail loudly instead."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.dedup import incremental_dedup_batch
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    store = ParquetTableStore(spark, str(tmp_path / "s"))
+    with _pytest.raises(ValueError, match="index_buckets"):
+        incremental_dedup_batch(
+            _clique_corpus(spark), store, "m.d.bands", "m.d.grams",
+            index_buckets=0,
+        )
+
+
+def test_stream_incremental_dedup_restart_after_midbatch_crash(spark, tmp_path):
+    """r13 (VERDICT r12 item #6): the r12 retry property tests injected
+    crashes at the HELPER level; this drives the same contract through a
+    real Structured Streaming restart.  A foreachBatch micro-batch crashes
+    between appends (bands committed, grams not); the stream dies; a
+    restart from the same checkpoint replays the uncommitted micro-batch
+    with retry=True, whose per-row masking absorbs the partial state — the
+    accumulated pairs still equal the one-shot oracle."""
+    import pytest as _pytest
+
+    from lakehouse_plumber_spark.llm.dedup import (
+        incremental_dedup_batch,
+        minhash_lsh_dedup,
+    )
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    df = _clique_corpus(spark)
+    one_shot = sorted(
+        (r.id_a, r.id_b, r.jaccard) for r in minhash_lsh_dedup(df).collect()
+    )
+    assert one_shot
+    land = str(tmp_path / "land")
+    df.repartition(3).write.mode("overwrite").json(land)
+    store = ParquetTableStore(spark, str(tmp_path / "wh"))
+
+    class _CrashFirstGramsAppend:
+        """Raises on the FIRST grams append — i.e. the first micro-batch
+        that reaches an existing grams table dies after its bands append
+        committed but before grams/pairs (the mid-batch seam)."""
+
+        def __init__(self, inner):
+            self._inner, self.crashes = inner, 0
+
+        def append(self, name, df, **kw):
+            if name.endswith("grams") and self.crashes == 0:
+                self.crashes += 1
+                raise RuntimeError("injected mid-batch crash before grams append")
+            return self._inner.append(name, df, **kw)
+
+        def __getattr__(self, n):
+            return getattr(self._inner, n)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream(handler):
+        return (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "1").json(land)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(handler).trigger(availableNow=True).start()
+        )
+
+    crashing = _CrashFirstGramsAppend(store)
+    q1 = run_stream(
+        lambda bdf, _e: incremental_dedup_batch(
+            bdf, crashing, "m.d.bands", "m.d.grams", pairs_table="m.d.pairs"
+        )
+    )
+    with _pytest.raises(Exception):
+        q1.awaitTermination()
+    assert crashing.crashes == 1
+    # restart from the same checkpoint: the failed micro-batch replays
+    # first; retry=True is idempotent for it AND a no-op mask for the
+    # clean batches after it
+    q2 = run_stream(
+        lambda bdf, _e: incremental_dedup_batch(
+            bdf, store, "m.d.bands", "m.d.grams", pairs_table="m.d.pairs",
+            retry=True,
+        )
+    )
+    q2.awaitTermination()
+    accumulated = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in store.read("m.d.pairs").collect()
+    )
+    assert accumulated == one_shot
+    grams = store.read("m.d.grams")
+    assert grams.count() == 12
+    assert grams.select("doc_id").distinct().count() == 12
+
+
+def test_stream_ann_restart_after_midbatch_crash(spark, tmp_path):
+    """r13 (VERDICT r12 item #6), the ANN twin: an IVF arrival stream's
+    micro-batch PARTIALLY commits its append (half the rows' files land)
+    then crashes; the stream restarts from its checkpoint with retry=True,
+    whose per-id anti-join appends exactly the missing rows — probing all
+    lists afterwards still equals brute force over the full corpus."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_search,
+        knn_bruteforce,
+    )
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    vecs = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), j -> cast(sin(id * 0.31 + j) AS double))"
+        ).alias("embedding"),
+    )
+    base = vecs.where("vec_id < 20")
+    arrivals = vecs.where("vec_id >= 20")
+    land = str(tmp_path / "land")
+    arrivals.repartition(2).write.mode("overwrite").parquet(land)
+    store = ParquetTableStore(spark, str(tmp_path / "wh"))
+    ivf_index_build(base, store, "m.a.ivf", n_centroids=4)
+
+    class _PartialCommitFirstAppend:
+        def __init__(self, inner):
+            self._inner, self.crashes = inner, 0
+
+        def append(self, name, df, **kw):
+            if name == "m.a.ivf" and self.crashes == 0:
+                self.crashes += 1
+                self._inner.append(name, df.where("pmod(id, 2) = 0"), **kw)
+                raise RuntimeError("injected partial-commit crash")
+            return self._inner.append(name, df, **kw)
+
+        def __getattr__(self, n):
+            return getattr(self._inner, n)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream(st, retry):
+        return (
+            spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+            .option("maxFilesPerTrigger", "1").parquet(land)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda bdf, _e: ivf_index_append(bdf, st, "m.a.ivf", retry=retry)
+            )
+            .trigger(availableNow=True).start()
+        )
+
+    crashing = _PartialCommitFirstAppend(store)
+    q1 = run_stream(crashing, retry=False)
+    with _pytest.raises(Exception):
+        q1.awaitTermination()
+    assert crashing.crashes == 1
+    q2 = run_stream(store, retry=True)
+    q2.awaitTermination()
+    index = store.read("m.a.ivf")
+    assert index.count() == 60
+    assert index.select("id").distinct().count() == 60
+    qids = [1, 25, 55]
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_index_search(store, "m.a.ivf", qids, k=3, n_probe=4).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in knn_bruteforce(vecs, qids, k=3).collect()
+    )
+    assert got == want

@@ -452,3 +452,81 @@ def test_kmv_overlap_matrix_no_fact_join(spark, testdata, q):
     assert plan.count("Scan ExistingRDD") <= 4, (
         f"unexpected RDD rescans: {plan.count('Scan ExistingRDD')}"
     )
+
+
+def test_ivf_retry_probe_scan_is_list_pruned(spark, tmp_path):
+    """r13 (VERDICT r12 #3): `ivf_index_append(retry=True)`'s probe —
+    `_ivf_committed_ids` — must filter the index scan with a `list_id IN`
+    predicate pushed into the parquet source, so a retry costs the probed
+    lists' rows, never a full index scan (at 100 TB the exceptional path
+    must not be a corpus scan)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.similarity import (
+        _ivf_committed_ids,
+        ivf_index_build,
+    )
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(0, 7), j -> cast(sin(id * 0.31 + j) AS double))").alias("embedding"),
+    )
+    store = ParquetTableStore(spark, str(tmp_path / "pq"))
+    ivf_index_build(df, store, "m.p.ivf", n_centroids=8)
+    probe = _ivf_committed_ids(store, "m.p.ivf", [0, 3])
+    plan = _spark_plan(probe)
+    # the list filter reaches the parquet scan...
+    assert re.search(r"PushedFilters: \[.*list_id", plan), plan
+    # ...and only (id) is read back — list_id is consumed by the filter
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "v:" not in m.group(1), "probe must not read the vectors"
+
+
+def test_incremental_dedup_retry_probes_route_through_pruned_reads(
+    spark, tmp_path, monkeypatch
+):
+    """r13 (VERDICT r12 #3): a `retry=True` re-run's committed-row probes
+    must reuse `_pruned_index_read` — bands via the batch's own (band, h)
+    buckets (the already-pruned probe slice), grams via the batch ids'
+    buckets — never a full-history `store.read`.  Pins the wiring (the
+    pruning of `_pruned_index_read` itself is plan-pinned in
+    test_llm_curation.py) plus the full-commit no-op property: retrying an
+    already-committed batch appends nothing."""
+    import lakehouse_plumber_spark.llm.dedup as D
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    calls: list[tuple[str, tuple[str, ...]]] = []
+    orig = D._pruned_index_read
+
+    def rec(store, table, keys, key_cols, default_n):
+        calls.append((table, tuple(key_cols)))
+        return orig(store, table, keys, key_cols, default_n)
+
+    monkeypatch.setattr(D, "_pruned_index_read", rec)
+    docs = spark.createDataFrame(
+        [(i, f"document {i} body with words {i * 7} and {i % 3}")
+         for i in range(8)]
+        + [(100, "shared shared text body here now"),
+           (101, "shared shared text body here now")],
+        "doc_id long, text string",
+    )
+    store = ParquetTableStore(spark, str(tmp_path / "s"))
+    D.incremental_dedup_batch(
+        docs, store, "m.d.bands", "m.d.grams", pairs_table="m.d.pairs"
+    )
+    grams_before = store.read("m.d.grams").count()
+    pairs_before = store.read("m.d.pairs").count()
+    calls.clear()
+    D.incremental_dedup_batch(
+        docs, store, "m.d.bands", "m.d.grams", pairs_table="m.d.pairs",
+        retry=True,
+    )
+    assert calls == [
+        ("m.d.bands", ("band", "h")),   # probe slice, reused for the mask
+        ("m.d.grams", ("doc_id",)),     # candidate history
+        ("m.d.grams", ("doc_id",)),     # committed-rows probe (ids_b keyed)
+    ], calls
+    # full-commit retry is a no-op on every table
+    assert store.read("m.d.grams").count() == grams_before
+    assert store.read("m.d.pairs").count() == pairs_before

@@ -1071,3 +1071,30 @@ def test_ivf_index_append_retry_idempotent_under_midstream_failure(
     ivf_index_append(b2, sc, "m.r.ivf")
     assert sc.read("m.r.ivf").count() == 120
     assert search(sc) != want
+
+
+def test_with_hyperplane_sig_matches_literal_expr(spark):
+    """r13 (VERDICT r12 #5): with_hyperplane_sig — hyperplane weights as a
+    broadcast column instead of planes*dim inline literals — must be
+    BIT-identical to the literal hyperplane_bucket_expr formulation at
+    every packing width; it replaces only the plan shape, not the math."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.similarity import (
+        hyperplane_bucket_expr,
+        with_hyperplane_sig,
+    )
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 15), j -> cast(sin(id * 0.7 + j * 1.3) AS double))"
+        ).alias("v"),
+    )
+    for planes in (1, 8, 56):
+        lit = df.select(
+            "vec_id", F.expr(hyperplane_bucket_expr("v", planes, 16)).alias("sig")
+        )
+        bc = with_hyperplane_sig(df, "v", planes, 16, "sig").select("vec_id", "sig")
+        assert lit.exceptAll(bc).count() == 0
+        assert bc.exceptAll(lit).count() == 0
