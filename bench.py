@@ -114,8 +114,25 @@ def main() -> None:
         print(f"# {name}: {best}s rows={n} spread={spread:.0%}", file=sys.stderr)
         return best
 
+    # LHP_BENCH_QUIET_GATE=<seconds>: abort cheaply right after the six
+    # TPC-H controls when the box reads loud (controls subtotal > gate) —
+    # a quiet-window poller pays ~90s per attempt instead of ~5min.  The
+    # driver runs without the env, so recorded BENCH artifacts are
+    # unaffected; an aborted attempt prints a distinct one-line JSON.
+    gate = os.environ.get("LHP_BENCH_QUIET_GATE")
     for name in HEADLINE:
         timings[name] = time_one(name)
+        if gate and name == "q18_large_volume_customer":
+            csec = round(sum(timings[c] for c in (
+                "q1_pricing_summary", "q3_shipping_priority",
+                "q5_local_supplier_volume", "q10_returned_items",
+                "q14_promo_revenue", "q18_large_volume_customer")), 3)
+            if csec > float(gate):
+                print(json.dumps({
+                    "metric": "bench_aborted_loud_box",
+                    "controls_sec": csec, "gate": float(gate), "sf": sf,
+                }))
+                return
     extended: dict[str, float] = {}
     for name in EXTENDED:
         extended[name] = time_one(name)
