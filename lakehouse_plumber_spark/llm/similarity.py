@@ -105,19 +105,24 @@ def with_hyperplane_sig(
     1-row broadcast join is a constant-cost BroadcastNestedLoopJoin.
     `hyperplane_bucket_expr` remains for small-plane callers (knn_lsh at 8
     planes) and as the cross-engine oracle's reference formulation."""
+    if "__lhp_hw" in df.columns:
+        raise ValueError(
+            "with_hyperplane_sig: input already carries the reserved "
+            "weights column '__lhp_hw'"
+        )
     spark = df.sparkSession
     w = hyperplane_weights(planes, dim)
-    wdf = spark.createDataFrame([(w,)], "__hw array<array<double>>")
+    wdf = spark.createDataFrame([(w,)], "__lhp_hw array<array<double>>")
     dot = f"aggregate(zip_with({v_col}, w, (x, y) -> x * y), 0D, (a, z) -> a + z)"
     sig = (
-        f"aggregate(zip_with(__hw, sequence(0, {planes - 1}), "
+        f"aggregate(zip_with(__lhp_hw, sequence(0, {planes - 1}), "
         f"(w, p) -> CASE WHEN ({dot}) > 0 THEN shiftleft(1L, p) ELSE 0L END), "
         "0L, (acc, b) -> acc + b)"
     )
     return (
         df.crossJoin(F.broadcast(wdf))
         .withColumn(out_col, F.expr(sig))
-        .drop("__hw")
+        .drop("__lhp_hw")
     )
 
 
