@@ -5304,7 +5304,10 @@ def pipe_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     fg.actions[1].write_target.batch_handler_callable = dedup_batch
     runner.run(fg)
     # loud precondition check (see docstring): the one-shot oracle is only
-    # valid while no band bucket ever crossed the clique cap mid-stream
+    # valid while no band bucket ever crossed the clique cap mid-stream.
+    # As of r13 the engine helper itself raises on a crossing (cap_check
+    # in incremental_dedup_batch — every batch above ran with it on); this
+    # end-state assert stays as a belt-and-braces record of the invariant.
     max_bucket = (
         store.read(bands_t).groupBy("band", "h").count()
         .agg(F.max("count")).first()[0]

@@ -142,7 +142,11 @@ def lsh_candidate_pairs_incremental(
     before the bucket filled.  The bit-for-bit contract therefore holds
     exactly when no bucket crosses the cap between batches (true of every
     test corpus: largest observed bucket 18 vs cap 32); cap-crossing
-    corpora get the one-shot semantics only from a one-shot run.
+    corpora get the one-shot semantics only from a one-shot run.  As of
+    r13 `incremental_dedup_batch` DETECTS the crossing and raises loudly
+    (its `cap_check`, on by default), so callers of the full batch helper
+    cannot hit the divergence silently; this pair-generation primitive
+    itself stays unguarded for composability.
     """
     if index_bands is not None:
         # restrict the index to the buckets the BATCH touches before any
