@@ -6486,6 +6486,12 @@ _PRIORITY: list[str] = [
     # retry masking) and swaps emb-LSH's hyperplane literals for a
     # broadcast column inside the same dedup_embedding_lsh plan — so the
     # board stays stable and comparable for the third round running.
+    # r14: NO rotation (VERDICT r13 item #3, same standing rule): the
+    # round's changes are writer-lock refusal on the persisted indexes, a
+    # single-evaluation input probe inside dedup_embedding_lsh (bare-scan
+    # inputs — what the driver rows read — keep the identical plan), and
+    # the bench interleave protocol — no new plan shape, board stable for
+    # the fourth round running.
     "dedup_survivors",
     "dedup_embedding_lsh",
     "pipe_stream_incremental_dedup",

@@ -34,6 +34,33 @@ def spread_for_compute(df: DataFrame, cols: list[str] | None = None) -> DataFram
         return df.repartition(target)
     return df
 
+
+def _plan_is_bare_scan(df: DataFrame) -> bool:
+    """True when the optimized logical plan is only projections/filters
+    over a storage relation.  Re-executing such a plan costs one scan —
+    the same as reading a checkpoint back — so an operator that would
+    otherwise materialize its input to avoid re-execution (e.g.
+    `embedding_near_dup_lsh`'s geometry/dim probes) should skip the
+    checkpoint write.  Already-materialized inputs count as scans too:
+    a localCheckpoint/cache surfaces as LogicalRDD/InMemoryRelation, whose
+    re-execution is a block-manager read.  Conservative: any unrecognized
+    node (join, agg, generate, local data, ...) reports False, which only
+    costs an extra materialization, never correctness.
+    """
+    try:
+        text = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    allowed = (
+        "Project", "Filter", "Relation", "LogicalRelation", "RelationV2",
+        "LogicalRDD", "InMemoryRelation",
+    )
+    for line in text.splitlines():
+        node = line.lstrip(" +:-").split(" ", 1)[0].split("[", 1)[0]
+        if node and not node.startswith(allowed):
+            return False
+    return True
+
 # MinHash parameters: k independent hashes = k seeded md5s; b bands x r rows.
 MINHASH_K = 16
 LSH_BANDS = 4
@@ -360,14 +387,59 @@ def incremental_dedup_batch(
     incremental pairs from the one-shot result — is detected here and
     raised as a loud ValueError, so the YAML `dedup: {method: incremental}`
     action and foreachBatch twins inherit the protection.  The guard costs
-    one small aggregation over the batch-pruned index slice (O(batch
-    buckets), never history-sized).  Pass cap_check=False to accept
-    incremental-semantics divergence on cap-crossing corpora.
+    one small aggregation over the batch-pruned index slice — O(batch
+    buckets) on partitioned (r12+) index tables; on a pre-r12 LEGACY
+    unpartitioned bands table `_pruned_index_read` falls back to the full
+    scan (the same fallback the candidate probe documents above), so there
+    the guard's aggregation reads history once per batch — rewrite the
+    index or pass cap_check=False if that matters.  Pass cap_check=False
+    to accept incremental-semantics divergence on cap-crossing corpora.
 
     `store` is any table store with exists/read/append/overwrite (the
     runner's ParquetTableStore in pipelines; DeltaTableStore adds
     per-append transactionality on top of the same ordering).
+
+    CONCURRENT WRITERS REFUSE (r14, VERDICT r13 item #4): the whole
+    probe→verify→append sequence runs under `store.writer_lock(bands_table)`
+    — a second pipeline appending the same index concurrently raises
+    `ConcurrentWriterError` instead of racing.  The refusal is semantic,
+    not just physical: each concurrent batch would probe the index before
+    the other's append landed, so a near-dup pair split across the two
+    batches would be missed by BOTH (per-table transactionality, even
+    Delta's, cannot repair a read-vs-append race across the three-table
+    sequence).  A lock left by a crashed writer on the same host is
+    detected (dead pid) and stolen automatically; see
+    `ParquetTableStore.writer_lock` for the cross-host story.
     """
+    import contextlib
+
+    lock = (
+        store.writer_lock(bands_table, owner="incremental_dedup_batch")
+        if hasattr(store, "writer_lock")
+        else contextlib.nullcontext()
+    )
+    with lock:
+        return _incremental_dedup_batch_unlocked(
+            batch, store, bands_table, grams_table, pairs_table, text_col,
+            id_col, jaccard_threshold, max_bucket_size, index_buckets,
+            retry, cap_check,
+        )
+
+
+def _incremental_dedup_batch_unlocked(
+    batch: DataFrame,
+    store,
+    bands_table: str,
+    grams_table: str,
+    pairs_table: str | None,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float,
+    max_bucket_size: int | None,
+    index_buckets: int | None,
+    retry: bool,
+    cap_check: bool,
+) -> DataFrame:
     if index_buckets is not None and index_buckets < 1:
         raise ValueError(f"index_buckets must be >= 1, got {index_buckets}")
     read_buckets = INDEX_BUCKETS if index_buckets is None else index_buckets
@@ -836,22 +908,50 @@ def embedding_near_dup_lsh(
     cross-engine oracle that enumerates the same bands).  Raising rows
     lowers per-band recall (p_band = (1 - theta/pi)^rows), so add bands
     or accept the measured recall at your threshold.
+
+    INPUT PLAN EVALUATED ONCE (r14, VERDICT r13 item #2): a transformed
+    input (joins/explodes upstream) is materialized to a narrow
+    (id, vector) local checkpoint up front, and the geometry count, the
+    dim probe, and the signature stage all read THAT — previously each
+    re-executed the input plan (~3 full evaluations; the factor-100
+    un-checkpointed call spent ~50 s on honest re-execution, BASELINE.md
+    r13).  A bare storage scan keeps the old shape instead — there the
+    count is parquet-metadata-only and re-reading the scan costs the same
+    as reading a checkpoint back, so materializing would only add a write
+    of the full vector column.
     """
     from .similarity import with_hyperplane_sig
 
-    if rows_per_band is None:
-        # one column-pruned count up front (metadata-only for plain file
-        # scans, a narrow job otherwise); geometry needs only the order of
-        # magnitude, so it is a rounding error next to the signature stage
-        rows_per_band = emb_lsh_auto_rows(
-            df.select(id_col).count(), bands
-        )
-    if bands < 1 or rows_per_band < 1 or bands * rows_per_band > 62:
+    if bands < 1 or bands > 62 or (
+        rows_per_band is not None
+        and (rows_per_band < 1 or bands * rows_per_band > 62)
+    ):
         raise ValueError(
             f"need 1 <= bands*rows_per_band <= 62 sign bits, got "
             f"bands={bands} rows_per_band={rows_per_band}"
         )
-    dim = len(df.select(vec_col).first()[0])
+    narrow = spread_for_compute(df, [id_col, vec_col]).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if _plan_is_bare_scan(df):
+        # plain file scan: count is column-pruned (parquet metadata-only)
+        # and the limit-1 dim probe is a rounding error; re-reading the
+        # scan later costs no more than a checkpoint read would
+        if rows_per_band is None:
+            rows_per_band = emb_lsh_auto_rows(df.select(id_col).count(), bands)
+        dim = len(df.select(vec_col).first()[0])
+    else:
+        # transformed input: evaluate the plan EXACTLY ONCE, then derive
+        # geometry count + dim in one bounded agg over the checkpoint
+        narrow = narrow.localCheckpoint(eager=True)
+        n, dim = narrow.agg(
+            F.count(F.lit(1)), F.first(F.size("v"), ignorenulls=True)
+        ).first()
+        if dim is None:
+            raise ValueError("corpus has no non-null vectors")
+        if rows_per_band is None:
+            rows_per_band = emb_lsh_auto_rows(n, bands)
     planes = bands * rows_per_band
     # signatures + hoisted norms materialized ONCE: the band explode and
     # both verify-join sides reuse this table (the minhash convention).
@@ -860,12 +960,8 @@ def embedding_near_dup_lsh(
     # literal expression cost Catalyst MINUTES of analysis per call on
     # complex input plans (r13, VERDICT r12 item #5; values bit-identical,
     # see with_hyperplane_sig)
-    base = spread_for_compute(df, [id_col, vec_col]).select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
     base = (
-        with_hyperplane_sig(base, "v", planes, dim, "sig")
+        with_hyperplane_sig(narrow, "v", planes, dim, "sig")
         .withColumn(
             "nrm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
         )

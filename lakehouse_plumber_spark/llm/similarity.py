@@ -104,20 +104,42 @@ def with_hyperplane_sig(
     scripts_scale_emb_lsh.py; r13 before/after in BASELINE.md).  The
     1-row broadcast join is a constant-cost BroadcastNestedLoopJoin.
     `hyperplane_bucket_expr` remains for small-plane callers (knn_lsh at 8
-    planes) and as the cross-engine oracle's reference formulation."""
+    planes) and as the cross-engine oracle's reference formulation.
+
+    All lambda variables in the generated SQL carry the `__lhp_` prefix so
+    a caller's `v_col` can never be shadowed inside the nested lambdas
+    (r14, ADVICE r13: a `v_col` named `w` or `p` would have silently bound
+    to the lambda variable and produced a garbage signature); `out_col`
+    overwriting an existing column raises for the same
+    silent-clobber reason."""
     if "__lhp_hw" in df.columns:
         raise ValueError(
             "with_hyperplane_sig: input already carries the reserved "
             "weights column '__lhp_hw'"
         )
+    if v_col.startswith("__lhp_"):
+        raise ValueError(
+            f"with_hyperplane_sig: v_col {v_col!r} collides with the "
+            "reserved '__lhp_' lambda-variable namespace"
+        )
+    if out_col in df.columns:
+        raise ValueError(
+            f"with_hyperplane_sig: out_col {out_col!r} already exists on "
+            "the input — it would be silently replaced"
+        )
     spark = df.sparkSession
     w = hyperplane_weights(planes, dim)
     wdf = spark.createDataFrame([(w,)], "__lhp_hw array<array<double>>")
-    dot = f"aggregate(zip_with({v_col}, w, (x, y) -> x * y), 0D, (a, z) -> a + z)"
+    dot = (
+        f"aggregate(zip_with({v_col}, __lhp_w, "
+        "(__lhp_x, __lhp_y) -> __lhp_x * __lhp_y), 0D, "
+        "(__lhp_a, __lhp_z) -> __lhp_a + __lhp_z)"
+    )
     sig = (
         f"aggregate(zip_with(__lhp_hw, sequence(0, {planes - 1}), "
-        f"(w, p) -> CASE WHEN ({dot}) > 0 THEN shiftleft(1L, p) ELSE 0L END), "
-        "0L, (acc, b) -> acc + b)"
+        f"(__lhp_w, __lhp_p) -> CASE WHEN ({dot}) > 0 "
+        "THEN shiftleft(1L, __lhp_p) ELSE 0L END), "
+        "0L, (__lhp_acc, __lhp_b) -> __lhp_acc + __lhp_b)"
     )
     return (
         df.crossJoin(F.broadcast(wdf))
@@ -685,7 +707,32 @@ def ivf_index_append(
     scan to those lists (<= n_centroids ints collected driver-side; a
     pushed-down `list_id IN` scan filter, see `_ivf_committed_ids`)
     instead of reading the whole index.  The normal path never reads
-    history."""
+    history.
+
+    CONCURRENT WRITERS REFUSE (r14, VERDICT r13 item #4, mirrors
+    `incremental_dedup_batch`): the assign+append runs under
+    `store.writer_lock(index_table)` — a second concurrent appender
+    raises `ConcurrentWriterError` rather than risking two Spark write
+    jobs sharing the table's `_temporary` staging dir (the default file
+    committer can clobber the other job's in-flight task files) and
+    interleaving with a concurrent retry probe.  Stale locks from a
+    crashed same-host writer are stolen automatically; see
+    `ParquetTableStore.writer_lock`."""
+    import contextlib
+
+    lock = (
+        store.writer_lock(index_table, owner="ivf_index_append")
+        if hasattr(store, "writer_lock")
+        else contextlib.nullcontext()
+    )
+    with lock:
+        _ivf_index_append_unlocked(batch, store, index_table, vec_col, id_col, retry)
+
+
+def _ivf_index_append_unlocked(
+    batch: DataFrame, store, index_table: str, vec_col: str, id_col: str,
+    retry: bool,
+) -> None:
     cents = _load_centroids(store, index_table)
     base = batch.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")

@@ -293,7 +293,11 @@ class DedupConfig(BaseModel):
     # cross-engine oracles that enumerate a fixed bands x rows geometry
     rows_per_band: Optional[int] = None
     n_centroids: int = 16
-    # incremental (persisted index table names, resolved via the run store)
+    # incremental (persisted index table names, resolved via the run store).
+    # SINGLE WRITER per index: the action runs under the store's writer
+    # lock — a second pipeline appending the same index concurrently
+    # refuses with ConcurrentWriterError rather than silently missing
+    # cross-batch pairs (see llm/dedup.py:incremental_dedup_batch).
     index_table: Optional[str] = None
     grams_table: Optional[str] = None
     # incremental only: re-running a crashed batch. With retry true the

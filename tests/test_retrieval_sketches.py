@@ -1098,3 +1098,37 @@ def test_with_hyperplane_sig_matches_literal_expr(spark):
         bc = with_hyperplane_sig(df, "v", planes, 16, "sig").select("vec_id", "sig")
         assert lit.exceptAll(bc).count() == 0
         assert bc.exceptAll(lit).count() == 0
+
+
+def test_with_hyperplane_sig_collision_proof_names(spark):
+    """r14 (ADVICE r13): the generated SQL's lambda variables are
+    `__lhp_`-prefixed, so a vector column named after a former lambda
+    variable (`w`, `p`, `x`, ...) binds to the COLUMN, not the lambda —
+    the signature must equal the one computed under a neutral name.
+    out_col clobbering an existing column and a `__lhp_`-namespace v_col
+    both raise instead of silently corrupting."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.similarity import with_hyperplane_sig
+
+    mk = lambda name: spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), j -> cast(sin(id * 0.7 + j * 1.3) AS double))"
+        ).alias(name),
+    )
+    want = {
+        r["vec_id"]: r["sig"]
+        for r in with_hyperplane_sig(mk("v"), "v", 8, 8, "sig").collect()
+    }
+    for name in ("w", "p", "x", "y", "a", "z", "acc", "b"):
+        got = {
+            r["vec_id"]: r["sig"]
+            for r in with_hyperplane_sig(mk(name), name, 8, 8, "sig").collect()
+        }
+        assert got == want, f"v_col={name!r} shadowed inside the lambdas"
+    with pytest.raises(ValueError, match="already exists"):
+        with_hyperplane_sig(mk("v"), "v", 8, 8, "vec_id")
+    with pytest.raises(ValueError, match="__lhp_"):
+        with_hyperplane_sig(mk("__lhp_w"), "__lhp_w", 8, 8, "sig")
