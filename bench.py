@@ -138,8 +138,20 @@ R11_REF = {
 
 
 def interleave_ctrl_for(name: str) -> str:
-    """Control query to bracket `name`'s timed runs with."""
+    """Primary control query to bracket `name`'s timed runs with."""
     return INTERLEAVE_CTRL_ALT if name == INTERLEAVE_CTRL else INTERLEAVE_CTRL
+
+
+def interleave_ctrl2_for(name: str) -> str | None:
+    """Secondary (exchange-bound) bracket.  The first r14 interleaved run
+    showed the waves can INVERT character: q1 (CPU-bound) sat at its r11
+    level while the exchange-bound controls read 1.4-1.7x — a CPU yardstick
+    cannot cancel an exchange-bound wave, so both lenses are recorded and
+    the reader picks the normalization whose control was disturbed the way
+    the query is."""
+    if name in (INTERLEAVE_CTRL, INTERLEAVE_CTRL_ALT):
+        return None  # each yardstick is already bracketed by the other
+    return INTERLEAVE_CTRL_ALT
 
 
 def normalized_sec(sec: float, ctrl_sec: float, ctrl_name: str) -> float:
@@ -200,13 +212,17 @@ def main() -> None:
         if name in STREAMING_WARM_TWICE:
             fn(spark, sf_dir).count()
         ctrl_name = interleave_ctrl_for(name)
-        ctrl_fn = qs[ctrl_name]
-        samples, ctrl_samples, n = [], [], 0
+        ctrl2_name = interleave_ctrl2_for(name)
+        samples, ctrl_samples, ctrl2_samples, n = [], [], [], 0
         for _ in range(runs):
             if do_interleave:
                 c0 = time.time()
-                ctrl_fn(spark, sf_dir).count()
+                qs[ctrl_name](spark, sf_dir).count()
                 ctrl_samples.append(time.time() - c0)
+                if ctrl2_name:
+                    c0 = time.time()
+                    qs[ctrl2_name](spark, sf_dir).count()
+                    ctrl2_samples.append(time.time() - c0)
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -223,6 +239,18 @@ def main() -> None:
                 "norm_sec": norm,
                 "vs_r11": round(norm / R11_REF[name], 3) if name in R11_REF else None,
             }
+            if ctrl2_name:
+                c2best = round(min(ctrl2_samples), 3)
+                norm2 = normalized_sec(best, c2best, ctrl2_name)
+                interleave[name].update(
+                    ctrl2=ctrl2_name,
+                    ctrl2_sec=c2best,
+                    ratio2=round(best / c2best, 3) if c2best else 0.0,
+                    norm2_sec=norm2,
+                    vs_r11_2=(
+                        round(norm2 / R11_REF[name], 3) if name in R11_REF else None
+                    ),
+                )
             print(
                 f"# {name}: {best}s rows={n} spread={spread:.0%} "
                 f"ctrl[{ctrl_name}]={cbest}s norm={norm}s",

@@ -43,8 +43,14 @@ def test_interleave_yardsticks():
     assert bench.INTERLEAVE_CTRL_ALT in bench.CONTROLS
     assert bench.interleave_ctrl_for("dedup_exact") == bench.INTERLEAVE_CTRL
     assert bench.interleave_ctrl_for(bench.INTERLEAVE_CTRL) == bench.INTERLEAVE_CTRL_ALT
+    # the secondary (exchange-bound) bracket covers every non-yardstick
+    # query; the yardsticks bracket each other only once
+    assert bench.interleave_ctrl2_for("dedup_exact") == bench.INTERLEAVE_CTRL_ALT
+    assert bench.interleave_ctrl2_for(bench.INTERLEAVE_CTRL) is None
+    assert bench.interleave_ctrl2_for(bench.INTERLEAVE_CTRL_ALT) is None
     for name in bench.HEADLINE + bench.EXTENDED:
         assert bench.interleave_ctrl_for(name) != name
+        assert bench.interleave_ctrl2_for(name) != name
 
 
 def test_normalization_math():
