@@ -301,6 +301,16 @@ def main() -> None:
         out["norm_extended_sec"] = round(
             sum(interleave[q]["norm_sec"] for q in EXTENDED), 3
         )
+        # exchange-bound lens; the yardsticks (no ctrl2) contribute their
+        # primary normalization, which already uses the other yardstick
+        out["norm2_headline_sec"] = round(
+            sum(interleave[q].get("norm2_sec", interleave[q]["norm_sec"])
+                for q in HEADLINE), 3
+        )
+        out["norm2_extended_sec"] = round(
+            sum(interleave[q].get("norm2_sec", interleave[q]["norm_sec"])
+                for q in EXTENDED), 3
+        )
     print(json.dumps(out))
 
 
