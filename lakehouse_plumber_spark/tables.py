@@ -501,9 +501,15 @@ class ParquetTableStore:
         a lock whose pid is dead ON THE SAME HOST is stale (the holder
         crashed before its `finally`) and is stolen with a warning — the
         crashed attempt's partial state is exactly what `retry=True`
-        recovers.  A lock from ANOTHER host is never stolen (no liveness
-        signal); the error names the holder and the file to remove after
-        verifying that writer is gone.  On object stores without atomic
+        recovers.  The steal itself is an atomic `os.rename` to a
+        pid-unique name — two writers that both observe the same dead
+        holder race the rename, exactly one wins, and the loser falls
+        back to the normal create-exclusive path against the winner's
+        fresh lock (an unlink-based steal would let the loser delete the
+        winner's NEW lock and leave both believing they hold it).  A lock
+        from ANOTHER host is never stolen (no liveness signal); the error
+        names the holder and the file to remove after verifying that
+        writer is gone.  On object stores without atomic
         create-exclusive, swap in DeltaTableStore and its transactional
         log instead of relying on this file.
         """
@@ -531,6 +537,12 @@ class ParquetTableStore:
                     try:
                         with open(lp) as f:
                             holder = _json.load(f)
+                    except FileNotFoundError:
+                        if attempt == 0:
+                            # holder released between our failed create
+                            # and this read — retry the create once
+                            continue
+                        holder = {}
                     except Exception:
                         holder = {}
                     same_host = holder.get("host") == me["host"]
@@ -552,8 +564,17 @@ class ParquetTableStore:
                             "is dead); if that writer crashed mid-append, "
                             "re-run with retry=True", lp, pid,
                         )
-                        with contextlib.suppress(FileNotFoundError):
-                            os.remove(lp)
+                        # atomic steal: exactly one of N concurrent
+                        # stealers wins this rename; losers retry the
+                        # create and refuse against the winner's lock
+                        stale = f"{lp}.stale.{me['pid']}"
+                        try:
+                            os.rename(lp, stale)
+                        except FileNotFoundError:
+                            pass  # another stealer won (or holder exited)
+                        else:
+                            with contextlib.suppress(FileNotFoundError):
+                                os.remove(stale)
                         continue
                     raise ConcurrentWriterError(
                         f"table {name!r} already has an active writer "

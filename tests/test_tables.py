@@ -578,3 +578,51 @@ def test_writer_lock_contract(spark, tmp_path):
     with store.writer_lock("c.s.idx"):
         with store.writer_lock("c.s.other"):
             pass
+
+
+def test_writer_lock_steal_race_loser_refuses(spark, tmp_path, monkeypatch):
+    """The stale-lock steal is an atomic rename: a stealer that LOSES the
+    rename race must fall back to the normal create path and refuse — it
+    must never unlink the winner's fresh lock (the unlink-based steal bug:
+    both racers delete-and-recreate, the slower one deletes the faster
+    one's NEW lock, and two writers proceed concurrently)."""
+    import json
+    import os
+    import socket
+
+    import pytest
+
+    from lakehouse_plumber_spark.tables import (
+        ConcurrentWriterError,
+        ParquetTableStore,
+    )
+
+    store = ParquetTableStore(spark, str(tmp_path / "s"))
+    lp = store._lock_path("c.r.idx")
+    os.makedirs(os.path.dirname(lp), exist_ok=True)
+    with open(lp, "w") as f:
+        json.dump({"pid": 2**22 + 54321, "host": socket.gethostname(),
+                   "owner": "crashed", "ts": 0}, f)
+
+    removed = []
+    real_remove = os.remove
+
+    def lose_rename(src, dst):
+        # simulate the other stealer winning: it renamed the stale lock
+        # away and immediately recreated its own fresh lock at `src`
+        raise FileNotFoundError(src)
+
+    def tracking_remove(path):
+        removed.append(path)
+        real_remove(path)
+
+    monkeypatch.setattr(os, "rename", lose_rename)
+    monkeypatch.setattr(os, "remove", tracking_remove)
+    with pytest.raises(ConcurrentWriterError, match="owner='crashed'"):
+        with store.writer_lock("c.r.idx", owner="loser"):
+            pass
+    monkeypatch.undo()
+    # the loser never unlinked the lock path itself
+    assert lp not in removed
+    assert os.path.exists(lp)
+    os.remove(lp)
