@@ -940,7 +940,12 @@ def embedding_near_dup_lsh(
         # scan later costs no more than a checkpoint read would
         if rows_per_band is None:
             rows_per_band = emb_lsh_auto_rows(df.select(id_col).count(), bands)
-        dim = len(df.select(vec_col).first()[0])
+        probe = (
+            df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        )
+        if probe is None:
+            raise ValueError("corpus has no non-null vectors")
+        dim = len(probe[0])
     else:
         # transformed input: evaluate the plan EXACTLY ONCE, then derive
         # geometry count + dim in one bounded agg over the checkpoint
