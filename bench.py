@@ -137,6 +137,19 @@ R11_REF = {
 }
 
 
+# streaming-machinery queries (checkpointed availableNow runs, state
+# store, foreachBatch merges) JIT a much larger code surface than the
+# batch shapes — one warm run still leaves Janino/JVM compilation inside
+# the first timed runs (measured: cdc_scd2 settles over ~4 iterations on
+# a fresh JVM). Give those shapes one extra untimed warm; this is
+# per-shape setup cost, not throughput, same rationale as the single warm.
+# Module-level so the out-of-band probes (scripts_cluster_min_probe.py)
+# share one definition instead of a drift-prone copy.
+STREAMING_WARM_TWICE = {
+    "pipe_cdc_scd2", "pipe_streaming_fanin", "pipe_stateful_sessionize",
+}
+
+
 def interleave_ctrl_for(name: str) -> str:
     """Primary control query to bracket `name`'s timed runs with."""
     return INTERLEAVE_CTRL_ALT if name == INTERLEAVE_CTRL else INTERLEAVE_CTRL
@@ -196,15 +209,6 @@ def main() -> None:
     do_interleave = os.environ.get("LHP_BENCH_INTERLEAVE", "1") != "0"
     timings: dict[str, float] = {}
     interleave: dict[str, dict] = {}
-    # streaming-machinery queries (checkpointed availableNow runs, state
-    # store, foreachBatch merges) JIT a much larger code surface than the
-    # batch shapes — one warm run still leaves Janino/JVM compilation inside
-    # the first timed runs (measured: cdc_scd2 settles over ~4 iterations on
-    # a fresh JVM). Give those shapes one extra untimed warm; this is
-    # per-shape setup cost, not throughput, same rationale as the single warm.
-    STREAMING_WARM_TWICE = {
-        "pipe_cdc_scd2", "pipe_streaming_fanin", "pipe_stateful_sessionize",
-    }
 
     def time_one(name: str) -> float:
         fn = qs[name]

@@ -53,10 +53,17 @@ def _plan_is_bare_scan(df: DataFrame) -> bool:
         return False
     allowed = (
         "Project", "Filter", "Relation", "LogicalRelation", "RelationV2",
-        "LogicalRDD", "InMemoryRelation",
+        "LogicalRDD",
     )
     for line in text.splitlines():
         node = line.lstrip(" +:-").split(" ", 1)[0].split("[", 1)[0]
+        if node.startswith("InMemoryRelation"):
+            # a cached input: its tree string embeds the CACHED physical
+            # plan as child lines (which would fail the allowlist), but
+            # every ancestor line already validated as a single-child
+            # Project/Filter, so this is the plan's unique leaf — the
+            # remaining lines describe what is already materialized
+            return True
         if node and not node.startswith(allowed):
             return False
     return True
@@ -930,6 +937,13 @@ def embedding_near_dup_lsh(
             f"need 1 <= bands*rows_per_band <= 62 sign bits, got "
             f"bands={bands} rows_per_band={rows_per_band}"
         )
+    reserved = {"v", "sig", "nrm", "bd", "band", "key", "__bn",
+                "id_a", "id_b", "cosine"}
+    if id_col in reserved:
+        raise ValueError(
+            f"embedding_near_dup_lsh: id_col {id_col!r} collides with an "
+            f"internal column — rename it (reserved: {sorted(reserved)})"
+        )
     narrow = spread_for_compute(df, [id_col, vec_col]).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -950,8 +964,15 @@ def embedding_near_dup_lsh(
         # transformed input: evaluate the plan EXACTLY ONCE, then derive
         # geometry count + dim in one bounded agg over the checkpoint
         narrow = narrow.localCheckpoint(eager=True)
+        # size() is wrapped in when(isNotNull): on non-ANSI sessions
+        # size(NULL) is -1, not NULL, so a bare first(size(v),
+        # ignorenulls) could pick -1 from a null-vector row and collapse
+        # every signature to 0 (all vectors in one bucket, O(n^2) pairs)
         n, dim = narrow.agg(
-            F.count(F.lit(1)), F.first(F.size("v"), ignorenulls=True)
+            F.count(F.lit(1)),
+            F.first(
+                F.when(F.col("v").isNotNull(), F.size("v")), ignorenulls=True
+            ),
         ).first()
         if dim is None:
             raise ValueError("corpus has no non-null vectors")

@@ -637,7 +637,35 @@ def ivf_index_build(
     a production IVF index partitions a 100 TB corpus); after that,
     arrivals append (`ivf_index_append`) and queries prune to probed lists
     (`ivf_index_search`) without ever rescanning or re-shuffling history.
-    Returns the centroids (n_centroids driver-bounded rows)."""
+    Returns the centroids (n_centroids driver-bounded rows).
+
+    Holds the same `store.writer_lock(index_table)` as `ivf_index_append`
+    for the whole train+overwrite sequence (r14): a rebuild racing a
+    concurrent append would otherwise overwrite the table AFTER the
+    append committed — silently dropping the appended batch from the
+    index — so the appender refuses loudly instead."""
+    import contextlib
+
+    lock = (
+        store.writer_lock(index_table, owner="ivf_index_build")
+        if hasattr(store, "writer_lock")
+        else contextlib.nullcontext()
+    )
+    with lock:
+        return _ivf_index_build_unlocked(
+            df, store, index_table, n_centroids, vec_col, id_col, max_iter
+        )
+
+
+def _ivf_index_build_unlocked(
+    df: DataFrame,
+    store,
+    index_table: str,
+    n_centroids: int,
+    vec_col: str,
+    id_col: str,
+    max_iter: int,
+) -> list[tuple[int, list[float]]]:
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     cents = _collect_centroids(base.orderBy("id").limit(n_centroids).select("id", "v"))
     if not cents:

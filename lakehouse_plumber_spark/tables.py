@@ -300,6 +300,12 @@ class ParquetTableStore:
         dataChange=false; a parquet directory has no equivalent). Tables
         ever read via ``read_stream`` are therefore refused unless
         ``force=True`` (ADVICE r4 high).
+
+        Holds ``writer_lock(name)`` for the read→rewrite (r14): compacting
+        a persisted incremental index while a locked operator appends to
+        it would drop the in-flight append from the rewritten table — the
+        compaction refuses instead (and vice versa).  DeltaTableStore's
+        override needs no lock: Delta OPTIMIZE is transactional.
         """
         if not force and self.get_meta(name, "streaming_consumed"):
             raise ValueError(
@@ -308,6 +314,18 @@ class ParquetTableStore:
                 "make checkpointed streaming consumers re-ingest it in full; "
                 "pass force=True only if all consumer checkpoints are reset"
             )
+        with self.writer_lock(name, owner="compact"):
+            return self._compact_locked(
+                name, target_rows_per_file, order_within_files, morton
+            )
+
+    def _compact_locked(
+        self,
+        name: str,
+        target_rows_per_file: int,
+        order_within_files: Optional[list[str]],
+        morton: bool,
+    ) -> dict:
         before = self._data_file_count(name)
         part_cols = self._partition_columns_on_disk(name)
         df = self.read(name)

@@ -36,6 +36,12 @@ def test_r11_reference_covers_every_benched_query():
     assert set(bench.R11_REF) == set(bench.HEADLINE) | set(bench.EXTENDED)
 
 
+def test_streaming_warm_twice_is_module_level_and_benched():
+    # scripts_cluster_min_probe.py imports this set (and R11_REF) instead
+    # of carrying drift-prone copies; its members must be benched queries
+    assert bench.STREAMING_WARM_TWICE <= set(bench.HEADLINE) | set(bench.EXTENDED)
+
+
 def test_interleave_yardsticks():
     # q1 (CPU-bound) brackets everything except itself; q3 (exchange-bound)
     # brackets q1.  Both are untouched TPC-H controls.

@@ -1735,6 +1735,14 @@ def test_emb_lsh_input_single_evaluation_paths_agree(spark):
     # an already-materialized input re-reads from the block manager — as
     # cheap as a scan, so no second materialization
     assert _plan_is_bare_scan(emb.localCheckpoint(eager=True))
+    # a CACHED input counts too: InMemoryRelation's tree string embeds the
+    # cached physical plan as child lines, which must not trip the
+    # allowlist (they describe what is already materialized)
+    cached = emb.select("vec_id", "embedding").cache()
+    try:
+        assert _plan_is_bare_scan(cached)
+    finally:
+        cached.unpersist()
     # a union is not a bare scan (re-executing it repeats real work), nor
     # is anything with an aggregate/join upstream
     transformed = emb.unionByName(emb.where("vec_id < 0"))
@@ -1749,6 +1757,42 @@ def test_emb_lsh_input_single_evaluation_paths_agree(spark):
         for r in embedding_near_dup_lsh(transformed, threshold=0.3).collect()
     }
     assert bare == ckpt and len(bare) > 0
+
+
+def test_emb_lsh_probe_guards(spark):
+    """Input-probe edge cases on both evaluation paths: an id_col that
+    collides with an internal column refuses up front (it would key the
+    band join on garbage), and a corpus with no non-null vectors raises
+    the same clean ValueError on the bare-scan and the transformed path —
+    including under ANSI-off sessions, where size(NULL) is -1 rather than
+    NULL and a naive first(size(v), ignorenulls) would report dim=-1 and
+    collapse every signature into one bucket."""
+    import pytest
+
+    from lakehouse_plumber_spark.llm.dedup import embedding_near_dup_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="internal column"):
+        embedding_near_dup_lsh(
+            emb.withColumnRenamed("vec_id", "nrm"), id_col="nrm"
+        )
+
+    allnull = emb.select(
+        "vec_id", F.lit(None).cast("array<double>").alias("embedding")
+    )
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        embedding_near_dup_lsh(allnull)  # bare-scan path
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        assert spark.sql(
+            "SELECT size(CAST(NULL AS array<double>))"
+        ).first()[0] == -1  # the hazard this test pins against
+        with pytest.raises(ValueError, match="no non-null vectors"):
+            # union defeats the bare-scan classifier -> checkpoint path
+            embedding_near_dup_lsh(allnull.unionByName(allnull.limit(0)))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_before)
 
 
 def test_concurrent_writer_refusal_on_persisted_indexes(spark, tmp_path):
@@ -1795,5 +1839,10 @@ def test_concurrent_writer_refusal_on_persisted_indexes(spark, tmp_path):
     with store.writer_lock("c.w.ivf", owner="other-pipeline"):
         with pytest.raises(ConcurrentWriterError, match="other-pipeline"):
             ivf_index_append(arriving, store, "c.w.ivf")
+        # a REBUILD racing an appender is the same silent-drop hazard
+        # (build's overwrite would discard a concurrently appended batch),
+        # so ivf_index_build shares the appender's lock
+        with pytest.raises(ConcurrentWriterError, match="other-pipeline"):
+            ivf_index_build(vecs, store, "c.w.ivf", n_centroids=4)
     ivf_index_append(arriving, store, "c.w.ivf")
     assert store.read("c.w.ivf").count() == 40

@@ -626,3 +626,25 @@ def test_writer_lock_steal_race_loser_refuses(spark, tmp_path, monkeypatch):
     assert lp not in removed
     assert os.path.exists(lp)
     os.remove(lp)
+
+
+def test_compact_shares_the_writer_lock(spark, tmp_path):
+    """compact() rewrites the table through a shadow swap; doing that to a
+    persisted incremental index while a locked operator appends would drop
+    the in-flight append from the rewritten table.  It therefore takes the
+    same per-table writer lock: refused while held, fine after release."""
+    import pytest
+
+    from lakehouse_plumber_spark.tables import (
+        ConcurrentWriterError,
+        ParquetTableStore,
+    )
+
+    store = ParquetTableStore(spark, str(tmp_path / "s"))
+    store.overwrite("c.k.idx", spark.range(100).selectExpr("id", "id * 2 AS v"))
+    with store.writer_lock("c.k.idx", owner="appender"):
+        with pytest.raises(ConcurrentWriterError, match="owner='appender'"):
+            store.compact("c.k.idx")
+    res = store.compact("c.k.idx")
+    assert res["files_after"] >= 1
+    assert store.read("c.k.idx").count() == 100
