@@ -172,6 +172,33 @@ def normalized_sec(sec: float, ctrl_sec: float, ctrl_name: str) -> float:
     return round(sec / ctrl_sec * R11_REF[ctrl_name], 3) if ctrl_sec else 0.0
 
 
+def host_probe(spark) -> dict:
+    """One-shot dispatch-vs-CPU host-state reading, recorded in the bench
+    artifact so the run's box condition is readable from the JSON alone.
+
+    The box degrades in two INDEPENDENT modes (BASELINE.md round-14
+    mechanism record): single-stream CPU speed (inflates fat-task
+    scan-aggs like q1) and task-dispatch latency (inflates many-jobs /
+    tiny-task shapes — streaming micro-batch pipes, sub-second multi-stage
+    aggs — which no single control query can normalize away).  Healthy
+    local-mode numbers on this image: cpu_1e9_sec ~0.17, per_task_ms
+    ~0.1-0.3, job overhead tens of ms; the round-14 loud profile read
+    ~1.0-1.7 ms/task at quiet CPU speed.  scripts_dispatch_probe.py is the
+    standalone min-of-3 version of the same reading."""
+    t0 = time.time(); spark.range(1_000_000_000).count()
+    cpu = time.time() - t0
+    t0 = time.time(); spark.range(3200).repartition(3200).count()
+    t3200 = time.time() - t0
+    t0 = time.time(); spark.range(32).repartition(32).count()
+    t32 = time.time() - t0
+    return {
+        "cpu_1e9_sec": round(cpu, 3),
+        "tasks3200_sec": round(t3200, 3),
+        "tasks32_sec": round(t32, 3),
+        "per_task_ms": round((t3200 - t32) / 3168 * 1000, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -195,6 +222,7 @@ def main() -> None:
     # isn't paying shape-compilation cost inside another query's window
     qs[INTERLEAVE_CTRL](spark, sf_dir).count()
     qs[INTERLEAVE_CTRL_ALT](spark, sf_dir).count()
+    probe_pre = host_probe(spark)
 
     # Each query shape is executed once untimed (Janino codegen + JVM JIT of
     # the generated classes is per-shape setup cost, not throughput), then
@@ -278,6 +306,10 @@ def main() -> None:
                 print(json.dumps({
                     "metric": "bench_aborted_loud_box",
                     "controls_sec": csec, "gate": float(gate), "sf": sf,
+                    # which degradation mode made the box loud (CPU vs
+                    # dispatch) — turns the poller's abort series into a
+                    # host-condition record, not just a boolean
+                    "host_probe_pre": probe_pre,
                 }))
                 return
             gate = None  # evaluated once, first time all controls are in
@@ -294,6 +326,11 @@ def main() -> None:
         "extended": extended,
         "extended_sec": round(sum(extended.values()), 3),
         "controls_sec": round(sum(timings[c] for c in CONTROLS), 3),
+        # box condition bracketing the run: dispatch latency + CPU speed
+        # (see host_probe — makes the artifact self-interpreting when the
+        # sub-second cluster reads high on a dispatch-degraded box)
+        "host_probe_pre": probe_pre,
+        "host_probe_post": host_probe(spark),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if do_interleave:
