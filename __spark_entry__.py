@@ -4124,7 +4124,7 @@ def _semdedup_duck() -> str:
                   (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),
                   6) >= {_SEMDEDUP_T}
     )
-    SELECT a.vec_id, CAST(a.list_id AS INT) AS list_id,
+    SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
            (a.vec_id IN (SELECT vid FROM retired_t)) AS retired
     FROM asg a
     """
@@ -5053,7 +5053,7 @@ def pipe_semantic_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ctx = runner.run(fg)
     return ctx.resolve_view("main.curation.sem_dedup").select(
-        "vec_id", F.col("list_id").cast("int").alias("list_id"), "retired"
+        "vec_id", F.col("list_id").cast("bigint").alias("list_id"), "retired"
     )
 
 

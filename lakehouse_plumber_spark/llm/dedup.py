@@ -133,6 +133,26 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_from_hashes(
+    df: DataFrame, id_col: str = "doc_id", hash_col: str = "grams",
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """MinHash signature from an ALREADY-HASHED shingle array — bit-identical
+    to `minhash_signatures` (same md5-derived hash array, same mix
+    coefficients, same array_min fold), for callers that materialize the
+    shingle hashes once and reuse them (`incremental_dedup_batch` derives
+    both the signature and the grams index rows from one tokenize+md5
+    pass; tokenization + md5 is the dominant per-row CPU cost, measured in
+    `minhash_lsh_dedup`'s shared-gram-table note)."""
+    from lakehouse_plumber_spark.llm.hashing import minhash_coeffs, minhash_mix
+
+    sig_entries = ", ".join(
+        f"array_min(transform({hash_col}, h -> {minhash_mix(a, b, c, 'h', 'spark')}))"
+        for a, b, c in minhash_coeffs(k)
+    )
+    return df.select(F.col(id_col), F.expr(f"array({sig_entries})").alias("sig"))
+
+
 def lsh_bands(
     sigs: DataFrame, id_col: str = "doc_id", bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
@@ -450,7 +470,18 @@ def _incremental_dedup_batch_unlocked(
     if index_buckets is not None and index_buckets < 1:
         raise ValueError(f"index_buckets must be >= 1, got {index_buckets}")
     read_buckets = INDEX_BUCKETS if index_buckets is None else index_buckets
-    sigs = minhash_signatures(batch, text_col, id_col)
+    # ONE tokenize+md5 pass over the batch text: both the signatures and
+    # the grams index rows fold from this checkpointed hash array
+    # (previously each re-derived it — tokenization + md5 is the dominant
+    # per-row CPU cost, so that doubled the batch's hashing work)
+    hashed = spread_for_compute(batch, [id_col, text_col]).select(
+        F.col(id_col),
+        F.expr(
+            f"transform({word_ngrams_spark(text_col, SHINGLE_N)}, "
+            f"g -> {md5int_spark('g')})"
+        ).alias("grams"),
+    ).localCheckpoint(eager=True)
+    sigs = minhash_signatures_from_hashes(hashed, id_col)
     # pinned: reused for the bucket-list collect, the candidate join, and
     # the append — one signature computation per batch, not three
     nb = lsh_bands(sigs, id_col).localCheckpoint(eager=True)
@@ -524,13 +555,7 @@ def _incremental_dedup_batch_unlocked(
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    grams_b = spread_for_compute(batch, [id_col, text_col]).select(
-        F.col(id_col),
-        F.expr(
-            f"transform({word_ngrams_spark(text_col, SHINGLE_N)}, "
-            f"g -> {md5int_spark('g')})"
-        ).alias("grams"),
-    )
+    grams_b = hashed  # the same checkpointed (id, grams) pass as the sigs
     committed_gram_ids = None
     if store.exists(grams_table):
         hist = _pruned_index_read(
@@ -748,7 +773,19 @@ def simhash_near_dup_pairs(
     Candidate generation: band the fingerprint into (max_hamming+1) segments —
     any pair within distance d shares at least one exact segment (pigeonhole),
     so the join is equi on (segment_id, segment_value), never O(n^2).
+
+    `max_hamming` must leave each segment at least one bit
+    (max_hamming + 1 <= SIMHASH_BITS): beyond that every segment value
+    degenerates to 0, all rows collide in every segment bucket, and the
+    equi-join silently becomes the O(n^2) self-join the banding exists to
+    prevent — refused loudly instead.
     """
+    if not 0 <= max_hamming < SIMHASH_BITS:
+        raise ValueError(
+            f"max_hamming must be in [0, {SIMHASH_BITS - 1}] (got "
+            f"{max_hamming}): the pigeonhole banding needs max_hamming+1 "
+            f"segments of >= 1 bit out of the {SIMHASH_BITS}-bit fingerprint"
+        )
     nseg = max_hamming + 1
     seg_bits = SIMHASH_BITS // nseg
     fp = simhash_fingerprints(df, text_col, id_col)
@@ -776,17 +813,31 @@ def simhash_near_dup_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = SHINGLE_N, threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via shingle-inverted-index join.
 
     explode shingles -> equi-join on shingle -> count shared -> Jaccard.
-    Shuffle key is the shingle (high cardinality, well distributed); document
-    frequency cap on shingles (stopword-gram removal) bounds hot keys at scale.
+    Shuffle key is the shingle (high cardinality, well distributed).
+
+    `max_doc_freq` (None = off) drops shingles that appear in more than
+    that many documents from the CANDIDATE join only — a boilerplate
+    shingle in m documents otherwise contributes ~m^2/2 join rows on one
+    key, the single superlinear shape of this plan at scale (same knob as
+    `containment_dedup`).  Denominators keep the full per-doc shingle-set
+    sizes, so a capped run can only UNDER-estimate Jaccard (never emits a
+    pair the uncapped run would not) — pairs held together solely by
+    dropped ubiquitous shingles are the intended casualty.
     """
     grams = spread_for_compute(df, [id_col, text_col]).select(
         F.col(id_col), F.explode(F.expr(word_ngrams_spark(text_col, n))).alias("g")
     )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_doc_freq is not None:
+        freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+        grams = grams.join(
+            freq.where(F.col("__df") <= max_doc_freq), on="g"
+        ).drop("__df")
     a, b = grams.alias("a"), grams.alias("b")
     shared = (
         a.join(b, on="g")
@@ -944,9 +995,19 @@ def embedding_near_dup_lsh(
             f"embedding_near_dup_lsh: id_col {id_col!r} collides with an "
             f"internal column — rename it (reserved: {sorted(reserved)})"
         )
-    narrow = spread_for_compute(df, [id_col, vec_col]).select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    # NULL vectors are excluded up front: a null embedding's dot product
+    # is NULL in every plane, so every such row gets signature 0 and ALL
+    # of them collide in bucket 0 of every band — m null rows would emit
+    # O(m^2) candidate pairs that only die at the cosine filter AFTER the
+    # shuffle.  A null vector cannot be a near-dup of anything, so
+    # dropping the rows is semantics-preserving.
+    narrow = (
+        spread_for_compute(df, [id_col, vec_col])
+        .where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
     if _plan_is_bare_scan(df):
         # plain file scan: count is column-pruned (parquet metadata-only)

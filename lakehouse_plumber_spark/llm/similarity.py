@@ -174,7 +174,10 @@ def knn_lsh(
     base = spread_for_compute(df, [id_col, vec_col]).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    dim = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        raise ValueError("knn_lsh: collection has no non-null vectors")
+    dim = len(probe[0])
     base = base.withColumn("bucket", F.expr(hyperplane_bucket_expr("v", planes, dim)))
     q = base.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
@@ -394,6 +397,12 @@ def ivfpq_search(
         return acc
 
     q_rows = {r[0]: list(r[1]) for r in base.where(F.col(id_col).isin(query_ids)).collect()}
+    missing = sorted(set(query_ids) - set(q_rows))
+    if missing:
+        # same contract as ivf_index_search: an unknown id must not just
+        # vanish from the output — the caller could not tell it from a
+        # query with no neighbors
+        raise KeyError(f"ivfpq_search: query ids not in collection: {missing}")
     probe_rows = []
     for qid in sorted(q_rows):
         qv = q_rows[qid]
@@ -565,7 +574,10 @@ def semantic_dedup(
         assigned.join(dup_pairs, id_col, "left")
         .select(
             id_col,
-            F.col("list_id").cast("int").alias("list_id"),
+            # bigint, not int: list ids are SEED VECTOR IDS (lowest-id
+            # init), so snowflake-style 64-bit ids would overflow an int
+            # cast — CAST_OVERFLOW under ANSI, silent wraparound without
+            F.col("list_id").cast("bigint").alias("list_id"),
             F.coalesce("__retired", F.lit(False)).alias("retired"),
         )
     )
@@ -657,6 +669,32 @@ def ivf_index_build(
         )
 
 
+def _ivf_rebuild_flag(store, index_table: str, value) -> None:
+    if getattr(store, "set_meta", None) is not None:
+        store.set_meta(index_table, "rebuilding", value)
+
+
+def ivf_check_not_mid_rebuild(store, index_table: str) -> None:
+    """Refuse to use an index whose rebuild crashed between its two table
+    writes.  `ivf_index_build` writes the assignments and the centroids as
+    two separate overwrites; a crash in between leaves rows partitioned by
+    NEW centroids while `__centroids` still holds the OLD ones — searches
+    would probe the wrong lists and appends would assign against stale
+    geometry, both silently.  The build brackets the writes with a
+    `rebuilding` meta flag (set before the first overwrite, cleared after
+    the last), so the torn state is detectable; recovery is simply
+    re-running `ivf_index_build` (it regenerates both tables in full)."""
+    if getattr(store, "get_meta", None) is not None and store.get_meta(
+        index_table, "rebuilding"
+    ):
+        raise RuntimeError(
+            f"ivf index {index_table!r}: a rebuild crashed between its "
+            "assignment and centroids writes — the two tables may disagree "
+            "on the centroid set. Re-run ivf_index_build to regenerate "
+            "both."
+        )
+
+
 def _ivf_index_build_unlocked(
     df: DataFrame,
     store,
@@ -684,6 +722,11 @@ def _ivf_index_build_unlocked(
                 F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
             )
         )
+    # the two overwrites cannot be atomic together on plain parquet, so
+    # bracket them with a meta flag: a crash in between leaves the flag
+    # set and ivf_check_not_mid_rebuild refuses the torn index loudly
+    # instead of searching stale centroids against new assignments
+    _ivf_rebuild_flag(store, index_table, True)
     store.overwrite(
         index_table,
         base.select(F.expr(centroid_argmin_expr(cents)).alias("list_id"), "id", "v"),
@@ -692,9 +735,12 @@ def _ivf_index_build_unlocked(
     store.overwrite(
         f"{index_table}__centroids",
         spark.createDataFrame(
-            [(cid, cv) for cid, cv in cents], "cid int, cv array<double>"
+            # cid long: centroid labels are seed vector ids — an int
+            # schema fails createDataFrame outright for 64-bit id spaces
+            [(cid, cv) for cid, cv in cents], "cid long, cv array<double>"
         ),
     )
+    _ivf_rebuild_flag(store, index_table, False)
     return cents
 
 
@@ -761,6 +807,7 @@ def _ivf_index_append_unlocked(
     batch: DataFrame, store, index_table: str, vec_col: str, id_col: str,
     retry: bool,
 ) -> None:
+    ivf_check_not_mid_rebuild(store, index_table)
     cents = _load_centroids(store, index_table)
     base = batch.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -815,6 +862,7 @@ def ivf_index_search(
     output carries one top-k block per distinct query_id)."""
     if not query_ids:
         raise ValueError("ivf_index_search needs at least one query id")
+    ivf_check_not_mid_rebuild(store, index_table)
     cents = _load_centroids(store, index_table)
     index = store.read(index_table)
     # driver-bounded resolution check: at most |query_ids| rows collected

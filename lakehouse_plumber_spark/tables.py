@@ -97,13 +97,70 @@ class ParquetTableStore:
     def path(self, name: str) -> str:
         return os.path.join(self.root, _safe_name(name))
 
+    def _heal_interrupted_swap(self, name: str) -> None:
+        """Complete an `overwrite` whose process died between its two
+        commit renames (target→backup, then shadow→target): that window
+        leaves NO table dir at all, and `exists() == False` would make an
+        incremental caller silently recreate an empty index and miss every
+        cross-batch duplicate against the stranded history.
+
+        Safe because of the write ordering: the shadow is only ever
+        renamed after its write job completed (Spark's `_SUCCESS` marker
+        proves completion), so target-missing + backup-present means the
+        newest marker-bearing shadow is the finished new table — finish
+        the rename it started.  If no completed shadow survives, restore
+        the backup (the old data) instead.  Shadows are never touched
+        while the target exists: one may belong to a LIVE overwrite in
+        another process.  Idempotent and crash-tolerant itself: renames
+        that lose a race to another healer surface as OSError and are
+        re-checked against the target."""
+        target = self.path(name)
+        if os.path.isdir(target):
+            return
+        parent, base = os.path.split(target)
+        if not os.path.isdir(parent):
+            return
+        backups = sorted(
+            (d for d in os.listdir(parent) if d.startswith(base + "__old_")),
+            key=lambda d: os.path.getmtime(os.path.join(parent, d)),
+        )
+        if not backups:
+            return
+        shadows = sorted(
+            (
+                d
+                for d in os.listdir(parent)
+                if d.startswith(base + "__swap_")
+                and os.path.exists(os.path.join(parent, d, "_SUCCESS"))
+            ),
+            key=lambda d: os.path.getmtime(os.path.join(parent, d)),
+        )
+        src = shadows[-1] if shadows else backups[-1]
+        try:
+            os.rename(os.path.join(parent, src), target)
+        except OSError:
+            if not os.path.isdir(target):
+                raise
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "healed interrupted overwrite of %s (completed the swap from "
+            "%s)", name, src,
+        )
+        for d in backups:
+            p = os.path.join(parent, d)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+
     def exists(self, name: str) -> bool:
+        self._heal_interrupted_swap(name)
         p = self.path(name)
         return os.path.isdir(p) and any(
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
         )
 
     def read(self, name: str) -> DataFrame:
+        self._heal_interrupted_swap(name)
         return self.spark.read.format(self.FMT).load(self.path(name))
 
     def read_stream(self, name: str) -> DataFrame:
@@ -151,6 +208,29 @@ class ParquetTableStore:
                 order_within_files=order_within_files,
             )
             return
+        if partition_columns and not self._partition_columns_on_disk(name):
+            # the table exists but has no key=value dirs: either the
+            # zero-row placeholder overwrite's fallback leaves behind (an
+            # empty partitioned write emits no files, so it writes one
+            # unpartitioned schema-bearing file), or a genuinely
+            # unpartitioned table.  Appending partition dirs beside a root
+            # data file is an undefined mixed layout (current Spark
+            # happens to read it; other readers raise 'Conflicting
+            # directory structures'), so: replace an empty placeholder
+            # with the real partitioned write, refuse loudly otherwise.
+            if self.read(name).isEmpty():
+                self.overwrite(
+                    name, df, partition_columns=partition_columns,
+                    order_within_files=order_within_files,
+                )
+                return
+            raise ValueError(
+                f"append to {name!r} with partition_columns="
+                f"{partition_columns} but the table on disk is "
+                "unpartitioned and non-empty — a mixed root-file/"
+                "partition-dir layout is not portable; rewrite the table "
+                "with overwrite(partition_columns=...) first"
+            )
         out = df
         if order_within_files:
             out = out.sortWithinPartitions(

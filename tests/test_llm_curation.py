@@ -1846,3 +1846,157 @@ def test_concurrent_writer_refusal_on_persisted_indexes(spark, tmp_path):
             ivf_index_build(vecs, store, "c.w.ivf", n_centroids=4)
     ivf_index_append(arriving, store, "c.w.ivf")
     assert store.read("c.w.ivf").count() == 40
+
+
+def test_ivf_torn_rebuild_detected(spark, tmp_path):
+    """ivf_index_build writes assignments and centroids as two overwrites;
+    a crash in between leaves rows partitioned by new centroids while
+    __centroids holds the old set — search would probe the wrong lists
+    silently.  The build brackets the writes with a `rebuilding` meta
+    flag: a torn index refuses search AND append with an actionable
+    error, and re-running the build clears it."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_search,
+    )
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    store = ParquetTableStore(spark, str(tmp_path / "torn"))
+    vecs = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), j -> cast(sin(id * 0.37 + j) AS double))"
+        ).alias("embedding"),
+    )
+    ivf_index_build(vecs, store, "t.r.ivf", n_centroids=4)
+    # simulate the crash window: flag set, process died before clearing
+    store.set_meta("t.r.ivf", "rebuilding", True)
+    with pytest.raises(RuntimeError, match="rebuild crashed"):
+        ivf_index_search(store, "t.r.ivf", [0], k=2)
+    with pytest.raises(RuntimeError, match="rebuild crashed"):
+        ivf_index_append(vecs.limit(1), store, "t.r.ivf")
+    # recovery = re-run the build; both surfaces work again
+    ivf_index_build(vecs, store, "t.r.ivf", n_centroids=4)
+    assert ivf_index_search(store, "t.r.ivf", [0], k=2).count() > 0
+    ivf_index_append(
+        vecs.select(F.col("vec_id") + 100, "embedding").toDF("vec_id", "embedding"),
+        store, "t.r.ivf",
+    )
+    assert store.read("t.r.ivf").count() == 60
+
+
+def test_ivfpq_search_unknown_query_id_raises(spark):
+    """Same query-id contract as ivf_index_search: an id absent from the
+    collection raises KeyError instead of silently vanishing from the
+    output (indistinguishable from 'no neighbors found')."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.similarity import ivfpq_search
+
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), j -> cast(sin(id * 0.37 + j) AS double))"
+        ).alias("embedding"),
+    )
+    with pytest.raises(KeyError, match="999"):
+        ivfpq_search(vecs, [5, 999], k=3)
+
+
+def test_simhash_max_hamming_validated(spark):
+    """max_hamming beyond the fingerprint width would give every segment
+    zero bits — all rows collide in every segment bucket and the banded
+    equi-join silently degenerates to O(n^2).  Refused loudly."""
+    from lakehouse_plumber_spark.llm.dedup import (
+        SIMHASH_BITS,
+        simhash_near_dup_pairs,
+    )
+
+    df = _clique_corpus(spark)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup_pairs(df, max_hamming=SIMHASH_BITS)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup_pairs(df, max_hamming=-1)
+    # boundary: widest legal setting still runs (1 bit per segment)
+    simhash_near_dup_pairs(df, max_hamming=SIMHASH_BITS - 1).count()
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """max_doc_freq drops ubiquitous shingles from the candidate join only:
+    denominators keep full shingle-set sizes, so the capped run's pairs are
+    a subset of the uncapped run's (Jaccard only ever under-estimated) and
+    pairs NOT held together by the hot shingles are unaffected."""
+    from lakehouse_plumber_spark.llm.dedup import ngram_jaccard_pairs
+
+    df = _clique_corpus(spark)
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=3).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    for k, j in capped.items():
+        assert j <= uncapped[k] + 1e-9
+
+
+def test_emb_lsh_null_vectors_excluded(spark):
+    """NULL embeddings must not enter candidate generation: every null
+    vector hashes to signature 0, so m null rows would band-collide into
+    O(m^2) candidate pairs that die only after the shuffle.  Pairs over a
+    corpus with nulls must equal the pairs over the same corpus with the
+    null rows removed — on both evaluation paths."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.dedup import embedding_near_dup_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    nulls = spark.range(10_000, 10_050).select(
+        F.col("id").alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit("x").alias("label"),
+    )
+    with_nulls = emb.unionByName(nulls)
+    clean = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh(emb, threshold=0.3).collect()
+    }
+    dirty = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh(with_nulls, threshold=0.3).collect()
+    }
+    assert clean == dirty and len(clean) > 0
+
+
+def test_minhash_signatures_from_hashes_bit_identical(spark, testdata):
+    """incremental_dedup_batch derives signatures AND gram index rows from
+    ONE checkpointed tokenize+md5 pass; the from-hashes signature fold must
+    be bit-identical to the from-text one (same md5 array, same mix
+    coefficients, same array_min fold) or the incremental index silently
+    diverges from the one-shot oracle."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_plumber_spark.llm.dedup import (
+        SHINGLE_N,
+        minhash_signatures,
+        minhash_signatures_from_hashes,
+        word_ngrams_spark,
+    )
+    from lakehouse_plumber_spark.llm.hashing import md5int_spark
+
+    docs = spark.table("documents").select("doc_id", "text")
+    from_text = minhash_signatures(docs).orderBy("doc_id").collect()
+    hashed = docs.select(
+        F.col("doc_id"),
+        F.expr(
+            f"transform({word_ngrams_spark('text', SHINGLE_N)}, "
+            f"g -> {md5int_spark('g')})"
+        ).alias("grams"),
+    )
+    from_hashes = minhash_signatures_from_hashes(hashed).orderBy("doc_id").collect()
+    assert from_text == from_hashes and len(from_text) > 0

@@ -648,3 +648,73 @@ def test_compact_shares_the_writer_lock(spark, tmp_path):
     res = store.compact("c.k.idx")
     assert res["files_after"] >= 1
     assert store.read("c.k.idx").count() == 100
+
+
+def test_empty_partitioned_overwrite_then_append_restores_layout(spark, tmp_path):
+    """A zero-row partitioned overwrite leaves the fallback's unpartitioned
+    schema-bearing placeholder (an empty partitioned write emits no parquet
+    footer at all).  The first real partitioned append must REPLACE that
+    placeholder instead of laying partition dirs beside a root data file —
+    a mixed layout current Spark happens to read but other readers refuse.
+    A non-empty unpartitioned table refuses the partitioned append loudly."""
+    import os
+
+    import pytest
+
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    store = ParquetTableStore(spark, str(tmp_path / "s"))
+    empty = spark.range(0).selectExpr("id", "cast(id % 4 AS int) AS __b")
+    store.overwrite("l.p.idx", empty, partition_columns=["__b"])
+    assert store._partition_columns_on_disk("l.p.idx") == []
+    rows = spark.range(100).selectExpr("id", "cast(id % 4 AS int) AS __b")
+    store.append("l.p.idx", rows, partition_columns=["__b"])
+    # clean partitioned layout: dirs present, no root-level data file
+    assert store._partition_columns_on_disk("l.p.idx") == ["__b"]
+    root_files = [
+        f for f in os.listdir(store.path("l.p.idx")) if f.endswith(".parquet")
+    ]
+    assert root_files == []
+    assert store.read("l.p.idx").count() == 100
+    # partition pruning still works on the restored layout
+    plan = store.read("l.p.idx").where("__b = 1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__b" in plan
+
+    # non-empty unpartitioned table + partitioned append -> loud refusal
+    store.overwrite("l.p.flat", spark.range(10).selectExpr("id", "cast(1 AS int) AS __b"))
+    with pytest.raises(ValueError, match="mixed root-file"):
+        store.append("l.p.flat", rows, partition_columns=["__b"])
+
+
+def test_interrupted_overwrite_swap_heals_on_access(spark, tmp_path):
+    """overwrite commits via two renames (target->backup, shadow->target);
+    a crash in between leaves NO table dir, and exists()=False would make
+    an incremental caller silently recreate an empty index over stranded
+    history.  The next access completes the swap from the marker-bearing
+    shadow (written fully before the first rename ever happens); with no
+    completed shadow, the backup is restored instead."""
+    import os
+    import shutil as sh
+
+    from lakehouse_plumber_spark.tables import ParquetTableStore
+
+    store = ParquetTableStore(spark, str(tmp_path / "s"))
+    store.overwrite("h.e.t", spark.range(50).selectExpr("id"))
+    target = store.path("h.e.t")
+    parent = os.path.dirname(target)
+
+    # simulate the crash window: new data sits in a completed shadow
+    # (_SUCCESS present), old data was renamed to backup, target gone
+    sh.copytree(target, os.path.join(parent, "t__swap_deadbeef"))
+    os.rename(target, os.path.join(parent, "t__old_deadbeef"))
+    assert store.exists("h.e.t")  # heal ran inside exists()
+    assert store.read("h.e.t").count() == 50
+    assert not os.path.isdir(os.path.join(parent, "t__old_deadbeef"))
+    assert not os.path.isdir(os.path.join(parent, "t__swap_deadbeef"))
+
+    # no completed shadow (crash before the shadow's job finished can't
+    # reach this state, but an operator may have deleted it): restore the
+    # backup so the OLD data survives
+    os.rename(target, os.path.join(parent, "t__old_cafe"))
+    assert store.exists("h.e.t")
+    assert store.read("h.e.t").count() == 50
