@@ -6489,9 +6489,12 @@ _PRIORITY: list[str] = [
     # r14: NO rotation (VERDICT r13 item #3, same standing rule): the
     # round's changes are writer-lock refusal on the persisted indexes, a
     # single-evaluation input probe inside dedup_embedding_lsh (bare-scan
-    # inputs — what the driver rows read — keep the identical plan), and
-    # the bench interleave protocol — no new plan shape, board stable for
-    # the fourth round running.
+    # inputs — what the driver rows read — keep the same plan shape, now
+    # with a pushed-down IsNotNull on the vector column), the bench
+    # interleave protocol, and guard/heal hardening (torn-rebuild flag,
+    # swap heal, single-pass incremental hashing — bit-identical outputs
+    # by test) — no new plan shape, board stable for the fourth round
+    # running.
     "dedup_survivors",
     "dedup_embedding_lsh",
     "pipe_stream_incremental_dedup",
