@@ -3695,16 +3695,17 @@ def text_metrics_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded PII redaction md5 — in one row per document, so the family keeps a
     hard correctness signal inside the driver's 50-row prefix.
 
-    Plan shape: every metric except top2_frac — including dup5_frac and the
-    PII pass over the seeded text — fuses into ONE whole-stage-codegen
-    projection over a single documents scan; top2_frac's explode→two-level
-    agg is the only other scan, joined back on doc_id. Two scans, one join —
-    the plan you want at 100 TB (the naive composition reads the corpus four
-    times)."""
+    Plan shape (r14): EVERY metric — including top2_frac, which until r14
+    was the one explode→two-level-aggregate holdout (see
+    `top_ngram_fraction_expr`'s sorted-run fold) — fuses into ONE
+    whole-stage-codegen projection over a single documents scan.  One scan,
+    zero joins, zero exchanges — the plan you want at 100 TB (the naive
+    composition reads the corpus four times; the pre-r14 shape read it
+    twice and shuffled the gram stream)."""
     _prep(spark, sf_dir)
     docs = spark.table("documents")
     seeded = docs.withColumn("__seeded", F.expr(_pii_seed_sql("spark")))
-    per_row = (
+    return (
         TX.with_token_count(seeded)
         .transform(TX.with_bpe_token_count)
         .transform(TX.with_fingerprint)
@@ -3717,9 +3718,9 @@ def text_metrics_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_tokens", "n_bpe_tokens", "fingerprint",
             "quality_score", "lang_pred", "winnow_fp", "dup5_frac",
             "n_emails", "n_phones", F.md5("redacted").alias("red_md5"),
+            F.expr(TX.top_ngram_fraction_expr("text")).alias("top2_frac"),
         )
     )
-    return per_row.join(TX.top_ngram_fraction(docs), "doc_id")
 
 
 @_register(

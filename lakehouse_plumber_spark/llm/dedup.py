@@ -632,7 +632,15 @@ def lsh_candidate_pairs(
     size m contributes m^2 join rows, so one boilerplate cluster of 10^6 docs
     would otherwise dominate the whole job).
     """
-    banded = lsh_bands(sigs, id_col, bands, rows)
+    # materialize the band rows ONCE (r14): the bucket-size aggregate and
+    # BOTH self-join sides consume `banded`, and without this each of the
+    # three consumers re-evaluated the full signature pipeline (16 minhash
+    # mixes per doc — and for callers like `edit_distance_dedup` that pass
+    # un-materialized sigs, the tokenize+md5 pass too) from scratch.  The
+    # checkpoint is the persistable index form itself — (id, band, h) at
+    # ~4 narrow rows/doc — i.e. exactly what `lsh_bands` documents as the
+    # thing you'd write to storage at corpus scale.
+    banded = lsh_bands(sigs, id_col, bands, rows).localCheckpoint(eager=True)
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "h").agg(F.count(F.lit(1)).alias("__bn"))
         banded = (
@@ -788,7 +796,11 @@ def simhash_near_dup_pairs(
         )
     nseg = max_hamming + 1
     seg_bits = SIMHASH_BITS // nseg
-    fp = simhash_fingerprints(df, text_col, id_col)
+    # materialize fingerprints ONCE (r14): both self-join sides consume the
+    # banded fp rows, and without this each side re-ran the per-bit token
+    # fold (SIMHASH_BITS aggregates over every token of every doc) from the
+    # text.  (id, fp) is ~16 bytes/doc — the persistable fingerprint table.
+    fp = simhash_fingerprints(df, text_col, id_col).localCheckpoint(eager=True)
     segs = ", ".join(
         f"named_struct('seg', {s}, 'v', shiftright(fp, {s * seg_bits}) % {1 << seg_bits})"
         for s in range(nseg)
@@ -829,10 +841,19 @@ def ngram_jaccard_pairs(
     pair the uncapped run would not) — pairs held together solely by
     dropped ubiquitous shingles are the intended casualty.
     """
-    grams = spread_for_compute(df, [id_col, text_col]).select(
-        F.col(id_col), F.explode(F.expr(word_ngrams_spark(text_col, n))).alias("g")
+    # materialize the per-doc shingle sets ONCE (r14): the size table, the
+    # optional doc-frequency cap, and BOTH candidate-join sides all consume
+    # the shingles, and without this each consumer re-ran tokenization +
+    # n-gram assembly from the text (3-4 full passes).  Bonus: the per-doc
+    # set size is now size(array) per row instead of a groupBy over the
+    # exploded occurrence stream — one whole exchange gone.
+    docg = (
+        spread_for_compute(df, [id_col, text_col])
+        .select(F.col(id_col), F.expr(word_ngrams_spark(text_col, n)).alias("__gs"))
+        .localCheckpoint(eager=True)
     )
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sizes = docg.select(F.col(id_col), F.size("__gs").cast("long").alias("sz"))
+    grams = docg.select(F.col(id_col), F.explode("__gs").alias("g"))
     if max_doc_freq is not None:
         freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
         grams = grams.join(
@@ -1113,14 +1134,26 @@ def containment_dedup(
     rows) — an excerpt relation still has plenty of rarer shingles to
     surface through, so the cap costs little recall.
     """
-    grams = spread_for_compute(df, [id_col, text_col]).select(
-        F.col(id_col),
-        F.explode(F.expr(word_ngrams_spark(text_col, SHINGLE_N))).alias("g"),
+    # single-tokenization materialization, same rationale as
+    # `ngram_jaccard_pairs` (r14).  NB the size semantics differ from
+    # jaccard's: containment's denominators count the CAPPED per-doc sets
+    # (sizes computed after the doc-frequency cut), so the per-row
+    # size(array) shortcut only applies on the uncapped path.
+    docg = (
+        spread_for_compute(df, [id_col, text_col])
+        .select(
+            F.col(id_col),
+            F.expr(word_ngrams_spark(text_col, SHINGLE_N)).alias("__gs"),
+        )
+        .localCheckpoint(eager=True)
     )
+    grams = docg.select(F.col(id_col), F.explode("__gs").alias("g"))
     if max_doc_freq is not None:
         freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
         grams = grams.join(freq.where(F.col("__df") <= max_doc_freq), on="g").drop("__df")
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = docg.select(F.col(id_col), F.size("__gs").cast("long").alias("sz"))
     a, b = grams.alias("a"), grams.alias("b")
     shared = (
         a.join(b, on="g")
@@ -1216,11 +1249,17 @@ def dedup_connected_components(
             f"({changed} labels still changing); raise max_rounds — returning "
             "partially-propagated clusters would silently merge/split groups"
         )
-    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes, "lbl").select(
+    # cluster_size as a partition-only window count (r14): the old
+    # groupBy(lbl) + self-join shuffled the label table TWICE (agg exchange
+    # + join exchange) and sort-merge-joined it with itself; the window
+    # needs exactly one hash exchange on lbl.  Same rows, same counts.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lbl")
+    return labels.select(
         F.col("id").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),
-        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
     )
 
 
@@ -1243,9 +1282,15 @@ def crossdoc_dup_ngram_fraction(
     Two well-keyed exchanges, no joins wider than the shingle index; at
     corpus scale both aggregations are map-side-combinable.
     """
-    grams = spread_for_compute(df, [id_col, text_col]).select(
-        F.col(id_col), F.explode(F.expr(word_ngrams_spark(text_col, n))).alias("g")
+    # single-tokenization materialization (r14): the doc-frequency aggregate
+    # and the flagging join both consume the shingle stream; checkpointing
+    # the compact per-doc arrays runs tokenization once instead of twice.
+    docg = (
+        spread_for_compute(df, [id_col, text_col])
+        .select(F.col(id_col), F.expr(word_ngrams_spark(text_col, n)).alias("__gs"))
+        .localCheckpoint(eager=True)
     )
+    grams = docg.select(F.col(id_col), F.explode("__gs").alias("g"))
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     flagged = grams.join(freq, on="g").withColumn(
         "__dup", (F.col("__df") >= F.lit(min_docs)).cast("int")
@@ -1350,9 +1395,15 @@ def remove_duplicated_spans(
     """
     from lakehouse_plumber_spark.llm.hashing import tokens_spark
 
+    # materialize the token arrays ONCE (r14): the window-hash explode and
+    # the final text-rebuild join both consume `t`, and without this each
+    # re-tokenized the text.  The (id, pos, h) window stream is ALSO
+    # materialized — the doc-frequency aggregate and the covered-positions
+    # join both consume it, and the md5 per window is the dominant per-row
+    # cost here; (id, pos, h) is ~20 bytes/window of plain longs.
     base = spread_for_compute(df, [id_col, text_col]).select(
         F.col(id_col), F.expr(tokens_spark(text_col)).alias("t")
-    )
+    ).localCheckpoint(eager=True)
     gram_h = md5int_spark(f"array_join(slice(t, i, {k}), ' ')")
     win_expr = (
         f"CASE WHEN size(t) >= {k} THEN "
@@ -1362,6 +1413,7 @@ def remove_duplicated_spans(
     grams = (
         base.select(F.col(id_col), F.explode(F.expr(win_expr)).alias("w"))
         .select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+        .localCheckpoint(eager=True)
     )
     dup_h = (
         grams.groupBy("h")

@@ -153,7 +153,14 @@ def extract_features(
             )
             yield out
 
-    return assets.mapInPandas(run, FEATURE_SCHEMA)
+    # project to exactly what `run` reads before the Python boundary (r14):
+    # Spark cannot see inside an opaque mapInPandas function, so without
+    # this every asset column — including mime/geometry metadata the
+    # extractor never touches — is read from storage and shipped through
+    # the Arrow transpose (guide-class column pruning at the seam)
+    return assets.select("asset_id", "modality", "content").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
 
 
 def resize_images(
@@ -223,7 +230,11 @@ def resize_images(
                 }
             )
 
-    return assets.mapInPandas(run, ASSET_SCHEMA)
+    # same boundary-pruning as extract_features: width/height are replaced
+    # by literals inside `run`, so they need not cross into Python
+    return assets.select(
+        "asset_id", "modality", "content", "mime_type", "duration_ms"
+    ).mapInPandas(run, ASSET_SCHEMA)
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:

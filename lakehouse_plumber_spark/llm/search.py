@@ -125,8 +125,15 @@ def bm25_topk(
         "toks",
         f"named_struct({fields})",
     )
-    base = docs.selectExpr(f"{id_col} AS doc_id", f"{s_expr} AS s").select(
-        "doc_id", "s.*"
+    # materialize the narrow per-doc term-frequency table ONCE (r14): the
+    # corpus-stats aggregate and the scoring pass both consume `base`, and
+    # without this each ran tokenization + per-term tf over the full text
+    # twice.  (doc_id, dl, tf_0..tf_n) is (nq+2) longs per doc — the
+    # lightweight proxy the two passes should share; the text is read once.
+    base = (
+        docs.selectExpr(f"{id_col} AS doc_id", f"{s_expr} AS s")
+        .select("doc_id", "s.*")
+        .localCheckpoint(eager=True)
     )
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -225,16 +232,28 @@ def bm25_topk_postings(
     dec = "decimal(18,6)"
 
     toks_expr = tokens_spark(f"lower(coalesce({text_col}, ''))")
-    base = docs.selectExpr(
-        f"{id_col} AS doc_id", f"{toks_expr} AS toks"
-    ).select("doc_id", F.col("toks"), F.expr("cast(size(toks) AS bigint)").alias("dl"))
+    # materialize a narrow per-doc projection ONCE (r14): dl plus the token
+    # list PRE-FILTERED to query terms (identical to the explode-then-where
+    # below — filter-then-explode emits the same multiset).  The corpus
+    # aggregate and the postings explode both consume it, so the text is
+    # tokenized once, and the checkpoint holds a few matching tokens per
+    # doc instead of the full token array.
+    terms_lit = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    base = (
+        docs.selectExpr(f"{id_col} AS doc_id", f"{toks_expr} AS toks")
+        .select(
+            "doc_id",
+            F.expr("cast(size(toks) AS bigint)").alias("dl"),
+            F.expr(f"filter(toks, t -> t IN ({terms_lit}))").alias("toks"),
+        )
+        .localCheckpoint(eager=True)
+    )
     corpus = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("double").alias("total_dl"),
     )
     posts = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .where(F.col("term").isin(query_terms))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )

@@ -152,24 +152,53 @@ def dup_ngram_fraction_expr(text_col: str = "text", n: int = REP_DUP_N) -> str:
     return f"round(1.0 - size(array_distinct({g})) / cast(size({g}) as double), 6)"
 
 
+def top_ngram_fraction_expr(text_col: str = "text", n: int = REP_TOP_N) -> str:
+    """Per-row most-frequent-n-gram fraction as a Spark-SQL expr string:
+    sort the gram array, take the longest equal-run with one `aggregate`
+    fold — O(g log g) per row inside whole-stage codegen, ZERO shuffle.
+
+    This replaces the explode → count(doc, gram) → max/sum two-level
+    aggregate (r14): that plan shipped the corpus' gram stream through two
+    exchanges plus a join back per caller, while the mode of a multiset is
+    computable per row once the array is sorted (the docstring fear of a
+    per-row O(g²) mode scan does not apply to the sorted-run form).  The
+    run/best counts are the same exact integers the relational aggregate
+    produced and the denominator is size(grams) = sum of the counts, so the
+    division and round are bit-identical to the oracle's relational SQL.
+
+    Membership note: every document emits >= 1 gram (empty text folds to
+    [''], null text to [null] — `word_ngrams_all_spark`'s degenerate gram),
+    so the old explode → aggregate kept every doc_id and this per-row form
+    does too; nulls group with nulls under the null-safe `<=>` just as the
+    relational GROUP BY grouped them."""
+    from lakehouse_plumber_spark.llm.hashing import let_spark, word_ngrams_all_spark
+
+    run = "CASE WHEN acc.prev <=> x THEN acc.run + 1L ELSE 1L END"
+    fold = (
+        "aggregate(array_sort(G), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        f"(acc, x) -> named_struct('prev', x, 'run', {run}, "
+        f"'best', greatest(acc.best, {run})), "
+        "acc -> acc.best)"
+    )
+    return let_spark(
+        word_ngrams_all_spark(text_col, n),
+        "G",
+        f"round({fold} / cast(size(G) as double), 6)",
+    )
+
+
 def top_ngram_fraction(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = REP_TOP_N, out: str = "top2_frac",
 ) -> DataFrame:
-    """Most-frequent-n-gram fraction per document, relationally: explode →
-    two-level aggregate with map-side partials (a per-row O(grams²) mode
-    computation would blow up on long documents)."""
+    """Most-frequent-n-gram fraction per document — one narrow projection
+    over the scan (see `top_ngram_fraction_expr` for why no shuffle is
+    needed)."""
     from lakehouse_plumber_spark.llm.dedup import spread_for_compute
-    from lakehouse_plumber_spark.llm.hashing import word_ngrams_all_spark
 
-    g = word_ngrams_all_spark(text_col, n)
-    return (
-        spread_for_compute(df, [id_col, text_col])
-        .select(F.col(id_col), F.explode(F.expr(g)).alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(out))
+    return spread_for_compute(df, [id_col, text_col]).select(
+        F.col(id_col), F.expr(top_ngram_fraction_expr(text_col, n)).alias(out)
     )
 
 
@@ -181,17 +210,17 @@ def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc
     - `dup5_frac`: fraction of word 5-grams that are repeats of an earlier
       5-gram, i.e. 1 - distinct/total (copy-paste detector).
 
-    dup5 is a per-row array expression (no shuffle, whole-stage codegen over
-    the scan); top2 is the relational explode-aggregate.
+    Both metrics are per-row array expressions as of r14 (top2 via the
+    sorted-run fold in `top_ngram_fraction_expr`): ONE whole-stage-codegen
+    projection over the scan, no shuffle, no join.
     """
     from lakehouse_plumber_spark.llm.dedup import spread_for_compute
 
-    base = spread_for_compute(df, [id_col, text_col])
-    dup5 = base.select(
+    return spread_for_compute(df, [id_col, text_col]).select(
         F.col(id_col),
+        F.expr(top_ngram_fraction_expr(text_col)).alias("top2_frac"),
         F.expr(dup_ngram_fraction_expr(text_col)).alias("dup5_frac"),
     )
-    return top_ngram_fraction(base, text_col, id_col).join(dup5, id_col)
 
 
 # --- PII redaction ----------------------------------------------------------
@@ -827,20 +856,39 @@ def bigram_logprob(
     DECIMAL(18,6); per-document sums are exact decimal, so the DuckDB
     oracle reproduces scores bit-for-bit.
     """
-    from lakehouse_plumber_spark.llm.hashing import word_ngrams_all_spark
+    # materialize the token arrays ONCE (r14): the unigram counts, the
+    # bigram model counts, and the scoring join all tokenize the corpus,
+    # and without this each of the three ran split+filter over the full
+    # text from scratch (the docstring's "explode runs twice" floor was
+    # about the OCCURRENCE-sized gram stream — the compact per-doc token
+    # array is the right thing to materialize instead).  The bigram
+    # assembly below is word_ngrams_all_spark inlined over the checkpointed
+    # array, so the emitted grams are byte-identical.
+    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
 
-    toks = tokens_spark(f"lower({text_col})")
+    toks_df = (
+        spread_for_compute(df, [id_col, text_col])
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(tokens_spark(f"lower({text_col})")).alias("t"),
+        )
+        .localCheckpoint(eager=True)
+    )
     uni = (
-        df.select(F.explode(F.expr(toks)).alias("w"))
+        toks_df.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cu"))
     )
     vocab = uni.count()  # V as a literal; uni recomputes once in the job
     if not vocab:
         raise ValueError(f"no tokens in {text_col!r}; cannot train a bigram model")
-    big = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.expr(word_ngrams_all_spark(f"lower({text_col})", 2))).alias("g"),
+    bigram_expr = (
+        "transform(sequence(1, greatest(size(t) - 1, 1)), "
+        "i -> array_join(slice(t, i, 2), ' '))"
+    )
+    big = toks_df.select(
+        "doc_id",
+        F.explode(F.expr(bigram_expr)).alias("g"),
     ).where("g LIKE '% %'")  # docs with one token emit a degenerate 1-gram
     model = (
         big.groupBy("g")

@@ -172,9 +172,15 @@ def test_repetition_bounded_shuffles(spark, q):
     df = q["text_repetition"](spark, SF)
     plan = _spark_plan(df)
     assert "CartesianProduct" not in plan
-    # explode -> (doc, gram) count -> per-doc aggregate -> join with the
-    # per-row dup5 side: every aggregate must have a map-side partial
-    assert plan.count("HashAggregate") >= 8
+    # r14: BOTH metrics are per-row array folds (top2 = sorted-run mode,
+    # dup5 = distinct/total) — one projection over the scan, no aggregation
+    # shuffle, no join (the pre-r14 shape shipped the gram stream through
+    # two hash exchanges and joined the two metric sides back on doc_id).
+    # The only exchange allowed is spread_for_compute's round-robin fan-out
+    # of a single-row-group input, which vanishes on an already-split scan.
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
 
 
 def test_crossdoc_dup_fraction_bounded_exchanges(spark, q):
@@ -192,14 +198,17 @@ def test_crossdoc_dup_fraction_bounded_exchanges(spark, q):
 
 def test_text_metrics_all_two_scans_one_join(spark, q):
     """The composite text/PII driver row must fuse every per-row metric
-    (counts, fingerprints, quality, lang-id, dup5, PII) into ONE documents
-    scan, with top2's explode-aggregate as the only other scan — a naive
-    composition reads the corpus four times."""
+    (counts, fingerprints, quality, lang-id, dup5, top2, PII) into ONE
+    documents scan — a naive composition reads the corpus four times, and
+    the pre-r14 shape still paid a second scan plus a doc_id join for
+    top2's explode-aggregate (now the per-row sorted-run fold)."""
     df = q["text_metrics_all"](spark, SF)
     plan = _spark_plan(df)
     # formatted explain lists each scan once in the tree and once in the
-    # details section -> 2 scans appear as 4 mentions
-    assert plan.count("Scan parquet") <= 4
+    # details section -> 1 scan appears as 2 mentions
+    assert plan.count("Scan parquet") <= 2
+    assert "Exchange" not in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -277,15 +286,15 @@ def test_doc_chunk_entirely_narrow(spark, q):
 def test_bm25_two_pruned_scans_broadcast_stats_distributed_topk(spark, q):
     df = q["search_bm25"](spark, SF)
     plan = _spark_plan(df)
-    # pass 1 (corpus stats) + pass 2 (scoring) — the BM25 floor; no postings
-    # explode, no per-term join
-    assert plan.count("Scan parquet") == 4  # two scans (tree + details)
+    # r14: the narrow (doc_id, dl, tf_i) base is materialized once, so the
+    # text is tokenized in ONE pass (the checkpoint job) and the final plan
+    # reads no parquet at all — stats pass and scoring pass both consume
+    # the checkpointed longs
+    assert plan.count("Scan parquet") == 0
     assert "Generate" not in plan  # unrolled tf expressions, not explode
     assert plan.count("BroadcastExchange") == 2  # the 1-row stats broadcast
     assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
     assert "SortMergeJoin" not in plan
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        assert "lang" not in m.group(1) and "n_chars" not in m.group(1)
 
 
 def test_weighted_poisson_one_metadata_agg_then_narrow_filter(spark, q):
