@@ -1282,15 +1282,16 @@ def crossdoc_dup_ngram_fraction(
     Two well-keyed exchanges, no joins wider than the shingle index; at
     corpus scale both aggregations are map-side-combinable.
     """
-    # single-tokenization materialization (r14): the doc-frequency aggregate
-    # and the flagging join both consume the shingle stream; checkpointing
-    # the compact per-doc arrays runs tokenization once instead of twice.
-    docg = (
-        spread_for_compute(df, [id_col, text_col])
-        .select(F.col(id_col), F.expr(word_ngrams_spark(text_col, n)).alias("__gs"))
-        .localCheckpoint(eager=True)
+    # NB (r14): checkpointing the per-doc gram arrays to share one
+    # tokenization between the two consumers was TRIED and reverted — the
+    # interleaved A/B at sf0.1 read 1.16x SLOWER (gram arrays are ~3x the
+    # text; writing+reading them costs more than the one saved
+    # tokenize+assemble pass, and unlike the jaccard/containment paths
+    # there is no self-join fan-out or sizes aggregate to amortize it
+    # over).  Two passes over the text is the measured floor here.
+    grams = spread_for_compute(df, [id_col, text_col]).select(
+        F.col(id_col), F.explode(F.expr(word_ngrams_spark(text_col, n))).alias("g")
     )
-    grams = docg.select(F.col(id_col), F.explode("__gs").alias("g"))
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     flagged = grams.join(freq, on="g").withColumn(
         "__dup", (F.col("__df") >= F.lit(min_docs)).cast("int")
@@ -1395,15 +1396,17 @@ def remove_duplicated_spans(
     """
     from lakehouse_plumber_spark.llm.hashing import tokens_spark
 
-    # materialize the token arrays ONCE (r14): the window-hash explode and
-    # the final text-rebuild join both consume `t`, and without this each
-    # re-tokenized the text.  The (id, pos, h) window stream is ALSO
-    # materialized — the doc-frequency aggregate and the covered-positions
-    # join both consume it, and the md5 per window is the dominant per-row
-    # cost here; (id, pos, h) is ~20 bytes/window of plain longs.
+    # NB (r14): materializing either fan-out input here was TRIED and
+    # reverted after interleaved A/Bs at sf0.1 — checkpointing the token
+    # arrays + window hashes read 1.29x slower, the compact (id, pos, h)
+    # stream alone still 1.17x.  Both intermediates are payload-sized
+    # (~20 bytes/window ≈ the token stream itself), so the write+read
+    # costs more than re-running the md5 pass, at sf0.1 and — napkin math,
+    # ~500 TB of window rows for a 100 TB corpus — at scale too.  The
+    # duplicated hash pass is the measured floor for ExactSubstr.
     base = spread_for_compute(df, [id_col, text_col]).select(
         F.col(id_col), F.expr(tokens_spark(text_col)).alias("t")
-    ).localCheckpoint(eager=True)
+    )
     gram_h = md5int_spark(f"array_join(slice(t, i, {k}), ' ')")
     win_expr = (
         f"CASE WHEN size(t) >= {k} THEN "
@@ -1413,7 +1416,6 @@ def remove_duplicated_spans(
     grams = (
         base.select(F.col(id_col), F.explode(F.expr(win_expr)).alias("w"))
         .select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-        .localCheckpoint(eager=True)
     )
     dup_h = (
         grams.groupBy("h")

@@ -856,39 +856,27 @@ def bigram_logprob(
     DECIMAL(18,6); per-document sums are exact decimal, so the DuckDB
     oracle reproduces scores bit-for-bit.
     """
-    # materialize the token arrays ONCE (r14): the unigram counts, the
-    # bigram model counts, and the scoring join all tokenize the corpus,
-    # and without this each of the three ran split+filter over the full
-    # text from scratch (the docstring's "explode runs twice" floor was
-    # about the OCCURRENCE-sized gram stream — the compact per-doc token
-    # array is the right thing to materialize instead).  The bigram
-    # assembly below is word_ngrams_all_spark inlined over the checkpointed
-    # array, so the emitted grams are byte-identical.
-    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
+    # NB (r14): checkpointing the per-doc token arrays to share one
+    # tokenization across the three consumers was TRIED and reverted —
+    # the interleaved A/B at sf0.1 read 1.46x SLOWER (the checkpoint
+    # write/read of a text-sized intermediate costs more than the saved
+    # split+slice recompute; unlike the minhash/simhash paths there is no
+    # per-gram md5 to amortize).  The re-tokenization below is the
+    # measured floor, consistent with the earlier uncached-`uni` record.
+    from lakehouse_plumber_spark.llm.hashing import word_ngrams_all_spark
 
-    toks_df = (
-        spread_for_compute(df, [id_col, text_col])
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.expr(tokens_spark(f"lower({text_col})")).alias("t"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    toks = tokens_spark(f"lower({text_col})")
     uni = (
-        toks_df.select(F.explode("t").alias("w"))
+        df.select(F.explode(F.expr(toks)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cu"))
     )
     vocab = uni.count()  # V as a literal; uni recomputes once in the job
     if not vocab:
         raise ValueError(f"no tokens in {text_col!r}; cannot train a bigram model")
-    bigram_expr = (
-        "transform(sequence(1, greatest(size(t) - 1, 1)), "
-        "i -> array_join(slice(t, i, 2), ' '))"
-    )
-    big = toks_df.select(
-        "doc_id",
-        F.explode(F.expr(bigram_expr)).alias("g"),
+    big = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(word_ngrams_all_spark(f"lower({text_col})", 2))).alias("g"),
     ).where("g LIKE '% %'")  # docs with one token emit a degenerate 1-gram
     model = (
         big.groupBy("g")
