@@ -6495,7 +6495,11 @@ _PRIORITY: list[str] = [
     # interleave protocol, and guard/heal hardening (torn-rebuild flag,
     # swap heal, single-pass incremental hashing — bit-identical outputs
     # by test) — no new plan shape, board stable for the fourth round
-    # running.
+    # running.  The r14 OPTIMIZATION session reshapes several EXISTING
+    # rows' plans (per-row top2 fold, fan-out checkpoints — see
+    # OPTIMIZATION_r14.md) without adding any operator: the standing
+    # board already hash-proves every reshaped query, which is exactly
+    # the coverage an optimization round needs, so still no rotation.
     "dedup_survivors",
     "dedup_embedding_lsh",
     "pipe_stream_incremental_dedup",
