@@ -846,7 +846,13 @@ def ngram_jaccard_pairs(
     # the shingles, and without this each consumer re-ran tokenization +
     # n-gram assembly from the text (3-4 full passes).  Bonus: the per-doc
     # set size is now size(array) per row instead of a groupBy over the
-    # exploded occurrence stream — one whole exchange gone.
+    # exploded occurrence stream — one whole exchange gone.  Trade-off,
+    # same as the minhash grams checkpoint above: the arrays (~3x the
+    # text) live as non-replicated executor-local blocks with lineage
+    # truncated, so an executor loss mid-job fails the job instead of
+    # recomputing — acceptable for a batch operator that simply re-runs,
+    # and measured 0.78x vs the recompute plan (crossdoc, with only ONE
+    # saved pass, measured the other way and keeps recompute).
     docg = (
         spread_for_compute(df, [id_col, text_col])
         .select(F.col(id_col), F.expr(word_ngrams_spark(text_col, n)).alias("__gs"))

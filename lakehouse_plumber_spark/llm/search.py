@@ -50,12 +50,20 @@ def _norm_terms(query_terms: list[str]) -> list[str]:
     return out
 
 
+def _spark_str_lit(term: str) -> str:
+    """`term` as a quoted Spark-SQL string literal.  Spark string literals
+    treat backslash as an escape (DuckDB does not), so BOTH backslash and
+    quote must be doubled — the one-site-per-plan copies of this rule are
+    what let the r14 postings pre-filter ship with the backslash half
+    missing (a term like 'a\\b' silently failed to match; a trailing
+    backslash raised ParseException)."""
+    return "'" + term.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 def _tf_expr(term: str, i: int, dialect: str) -> str:
     """Occurrences of `term` in the let-bound token array — narrow, no explode."""
     if dialect == "spark":
-        # Spark string literals treat backslash as an escape; DuckDB does not
-        lit = term.replace("\\", "\\\\").replace("'", "''")
-        return f"'tf_{i}', cast(size(filter(toks, x -> x = '{lit}')) AS bigint)"
+        return f"'tf_{i}', cast(size(filter(toks, x -> x = {_spark_str_lit(term)})) AS bigint)"
     lit = term.replace("'", "''")
     return f"CAST(len(list_filter(toks, x -> x = '{lit}')) AS BIGINT) AS tf_{i}"
 
@@ -238,7 +246,7 @@ def bm25_topk_postings(
     # aggregate and the postings explode both consume it, so the text is
     # tokenized once, and the checkpoint holds a few matching tokens per
     # doc instead of the full token array.
-    terms_lit = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    terms_lit = ", ".join(_spark_str_lit(t) for t in query_terms)
     base = (
         docs.selectExpr(f"{id_col} AS doc_id", f"{toks_expr} AS toks")
         .select(

@@ -295,6 +295,25 @@ def test_bm25_two_pruned_scans_broadcast_stats_distributed_topk(spark, q):
     assert plan.count("BroadcastExchange") == 2  # the 1-row stats broadcast
     assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
     assert "SortMergeJoin" not in plan
+    # the parquet scan now lives inside the eager checkpoint job, invisible
+    # to the final plan — pin its column pruning by building the SAME
+    # pre-checkpoint projection the operator builds and reading ITS plan
+    from lakehouse_plumber_spark.llm.hashing import let_spark, tokens_spark
+    from lakehouse_plumber_spark.llm.search import _tf_expr
+
+    fields = ", ".join(
+        ["'dl', cast(size(toks) AS bigint)", _tf_expr("the", 0, "spark")]
+    )
+    s_expr = let_spark(tokens_spark("lower(coalesce(text, ''))"), "toks",
+                       f"named_struct({fields})")
+    pre = (
+        spark.read.parquet(SF + "/documents.parquet")
+        .selectExpr("doc_id AS doc_id", f"{s_expr} AS s")
+        .select("doc_id", "s.*")
+    )
+    pre_plan = _spark_plan(pre)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", pre_plan)
+    assert m and "lang" not in m.group(1) and "n_chars" not in m.group(1)
 
 
 def test_weighted_poisson_one_metadata_agg_then_narrow_filter(spark, q):

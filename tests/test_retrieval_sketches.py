@@ -172,6 +172,31 @@ def test_bm25_multi_term_and_length_normalization(spark):
     assert out[0].n_terms_hit == 2 and out[1].n_terms_hit == 2
 
 
+def test_bm25_postings_escapes_backslash_and_quote_terms(spark):
+    """r14 regression: the postings plan embeds query terms as Spark SQL
+    string literals in its pre-filter; a term containing a backslash was
+    silently dropped (Spark literal parsing ate the backslash) and a
+    trailing backslash raised ParseException.  Both plans must agree on
+    such terms — the unrolled plan's escaping (_spark_str_lit) is the
+    reference."""
+    from lakehouse_plumber_spark.llm.search import bm25_topk_postings
+
+    docs = _docs(
+        spark,
+        [
+            (1, "see \\alpha beta"),
+            (2, "beta beta gamma"),
+            (3, "it's o'clock beta"),
+            (4, "trailing\\ token"),
+        ],
+    )
+    for terms in (["\\alpha", "gamma"], ["o'clock"], ["trailing\\"]):
+        unrolled = bm25_topk(docs, terms, k=10).collect()
+        postings = bm25_topk_postings(docs, terms, k=10).collect()
+        assert unrolled == postings, terms
+        assert unrolled, terms  # the odd terms really do match documents
+
+
 def test_bm25_rejects_empty_query(spark):
     with pytest.raises(ValueError):
         bm25_topk(_docs(spark, [(1, "a")]), [])
