@@ -356,11 +356,33 @@ def ivfpq_search(
     if refine < 0:
         raise ValueError(f"refine must be >= 0, got {refine}")
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    if "__lhp_isq" in base.columns:
+        raise ValueError(
+            f"ivfpq_search: id column {id_col!r} collides with the reserved "
+            "'__lhp_isq' marker column"
+        )
     n_seeds = max(n_centroids, n_codes)
-    seeds = [
-        (r[0], list(r[1]))
-        for r in base.orderBy(id_col).limit(n_seeds).select(id_col, "v").collect()
-    ]
+    # Seed rows and query vectors come back in ONE driver job: the
+    # lowest-id seed side (a per-partition top-n + driver merge) and the
+    # query-filter side are unioned with a marker column and collected
+    # together.  Previously two separate .collect()s each paid a scan plus
+    # a driver job dispatch for |seeds|+|Q| metadata-sized rows; a row that
+    # is both seed and query surfaces once per side, exactly as the two
+    # collects returned it.
+    marked = (
+        base.orderBy(id_col).limit(n_seeds)
+        .withColumn("__lhp_isq", F.lit(False))
+        .unionByName(
+            base.where(F.col(id_col).isin(query_ids))
+            .withColumn("__lhp_isq", F.lit(True))
+        )
+    )
+    seeds, q_rows = [], {}
+    for r in marked.collect():
+        if r[2]:
+            q_rows[r[0]] = list(r[1])
+        else:
+            seeds.append((r[0], list(r[1])))
     seeds.sort()
     if len(seeds) < n_seeds:
         raise ValueError(
@@ -396,7 +418,6 @@ def ivfpq_search(
             acc += (x - y) * (x - y)
         return acc
 
-    q_rows = {r[0]: list(r[1]) for r in base.where(F.col(id_col).isin(query_ids)).collect()}
     missing = sorted(set(query_ids) - set(q_rows))
     if missing:
         # same contract as ivf_index_search: an unknown id must not just

@@ -380,6 +380,17 @@ def test_ivfpq_rejects_negative_refine(spark, testdata):
         S.ivfpq_search(spark.table("embeddings"), [0], k=3, refine=-1)
 
 
+def test_ivfpq_rejects_reserved_marker_id_col(spark, testdata):
+    # the r14 single-collect fold marks seed vs query rows with a reserved
+    # '__lhp_isq' column; an id column of that name would be silently
+    # clobbered by the marker, so it must raise instead
+    from lakehouse_plumber_spark.llm import similarity as S
+
+    emb = spark.table("embeddings").withColumnRenamed("vec_id", "__lhp_isq")
+    with pytest.raises(ValueError, match="__lhp_isq"):
+        S.ivfpq_search(emb, [0], k=3, id_col="__lhp_isq")
+
+
 # --------------------------------------------------------------------------
 # table stats
 # --------------------------------------------------------------------------
