@@ -268,13 +268,20 @@ def ivf_build_and_search(
     side shuffles once on assigned list id at build time, exactly how a
     production IVF index partitions a 100 TB corpus.
     """
+    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
+
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     cents = _collect_centroids(
         base.orderBy(id_col).limit(n_centroids).select(id_col, "v")
     )
+    # spread the argmin inputs (r15): every Lloyd round and the final
+    # assignment run the n_centroids*dim distance fold per row; a
+    # single-row-group input serializes that onto one core (no-op when
+    # the input is already split — the 100 TB case)
+    spread = spread_for_compute(base)
     dim = len(cents[0][1]) if cents else 0
     for _ in range(max_iter):
-        asg = base.select(
+        asg = spread.select(
             F.expr(centroid_argmin_expr(cents)).alias("cid"), "v"
         )
         cents = _collect_centroids(
@@ -282,7 +289,7 @@ def ivf_build_and_search(
                 F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
             )
         )
-    assigned = base.select(
+    assigned = spread.select(
         id_col, "v", F.expr(centroid_argmin_expr(cents)).alias("list_id")
     )
     probes = (
@@ -378,11 +385,15 @@ def ivfpq_search(
         )
     )
     seeds, q_rows = [], {}
+    # named access (r15, ADVICE r14): positional r[0]/r[1]/r[2] was
+    # implicitly coupled to base's column order surviving the unionByName —
+    # a future reorder or extra projected column would silently swap seed
+    # and query rows
     for r in marked.collect():
-        if r[2]:
-            q_rows[r[0]] = list(r[1])
+        if r["__lhp_isq"]:
+            q_rows[r[id_col]] = list(r["v"])
         else:
-            seeds.append((r[0], list(r[1])))
+            seeds.append((r[id_col], list(r["v"])))
     seeds.sort()
     if len(seeds) < n_seeds:
         raise ValueError(
@@ -406,7 +417,17 @@ def ivfpq_search(
         "array_min(" + centroid_distances_expr(books[m], f"slice(v, {m * d + 1}, {d})") + ").cid"
         for m in range(m_subvectors)
     ]
-    encoded = base.select(
+    # spread the ENCODE input (r15): the coarse argmin + m_subvectors code
+    # argmins are the most expensive per-row expression in this family
+    # (~n_centroids*dim + m*n_codes*d multiply-adds/row through interpreted
+    # higher-order functions), and a small single-row-group parquet arrives
+    # as ONE scan partition — serializing the whole encode onto one core.
+    # Round-robin spread is a no-op when the input is already split (the
+    # 100 TB case).  Interleaved A/B at sf0.1 (scripts_ab_r15_ivfpq.py):
+    # 0.76x end-to-end, outputs bit-identical.
+    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
+
+    encoded = spread_for_compute(base).select(
         id_col,
         F.expr(centroid_argmin_expr(cents)).alias("list_id"),
         F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes"),
@@ -578,8 +599,13 @@ def semantic_dedup(
     # final retired-flag join consume `assigned`, and without this each of
     # the three re-ran the n_centroids-way argmin distance fold over every
     # vector (plus the vector scan) from scratch.  Interleaved A/B at
-    # sf0.1: 0.74x, output row-identical.
-    assigned = base.select(
+    # sf0.1: 0.74x, output row-identical.  The argmin input is SPREAD
+    # (r15): a single-row-group input otherwise runs the n_centroids*dim
+    # distance fold serially on one core (A/B 0.49x at sf0.1; no-op when
+    # the input is already split).
+    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
+
+    assigned = spread_for_compute(base).select(
         id_col, "v", F.expr(centroid_argmin_expr(cents)).alias("list_id")
     ).localCheckpoint(eager=True)
     a = assigned.alias("a")
@@ -730,6 +756,8 @@ def _ivf_index_build_unlocked(
     id_col: str,
     max_iter: int,
 ) -> list[tuple[int, list[float]]]:
+    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
+
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     cents = _collect_centroids(base.orderBy("id").limit(n_centroids).select("id", "v"))
     if not cents:
@@ -741,8 +769,11 @@ def _ivf_index_build_unlocked(
             f"least one vector (building {index_table!r})"
         )
     dim = len(cents[0][1])
+    # spread the argmin inputs (r15): same serial-scan fix as
+    # ivf_build_and_search — no-op when the input is already split
+    spread = spread_for_compute(base)
     for _ in range(max_iter):
-        asg = base.select(F.expr(centroid_argmin_expr(cents)).alias("cid"), "v")
+        asg = spread.select(F.expr(centroid_argmin_expr(cents)).alias("cid"), "v")
         cents = _collect_centroids(
             asg.groupBy("cid").agg(
                 F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
@@ -755,7 +786,7 @@ def _ivf_index_build_unlocked(
     _ivf_rebuild_flag(store, index_table, True)
     store.overwrite(
         index_table,
-        base.select(F.expr(centroid_argmin_expr(cents)).alias("list_id"), "id", "v"),
+        spread.select(F.expr(centroid_argmin_expr(cents)).alias("list_id"), "id", "v"),
     )
     spark = df.sparkSession
     store.overwrite(
@@ -835,10 +866,12 @@ def _ivf_index_append_unlocked(
 ) -> None:
     ivf_check_not_mid_rebuild(store, index_table)
     cents = _load_centroids(store, index_table)
+    from lakehouse_plumber_spark.llm.dedup import spread_for_compute
+
     base = batch.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    assigned = base.select(
+    assigned = spread_for_compute(base).select(
         F.expr(centroid_argmin_expr(cents)).alias("list_id"), "id", "v"
     )
     if retry:

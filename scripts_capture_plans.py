@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for benched queries into plans/r14/.
+"""Capture .explain("formatted") for benched queries into plans/$LHP_PLANS_DIR (default r15).
 
 Usage: python scripts_capture_plans.py <suffix> [query ...]
   suffix: "before" or "after" (file name becomes plans/r14/<query>_<suffix>.txt)
@@ -36,7 +36,7 @@ def main() -> None:
     entry.warm(spark, sf_dir)
     qs = entry.queries()
 
-    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", os.environ.get("LHP_PLANS_DIR", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         spark.sparkContext.setJobDescription(f"capture_plans: {name}")
