@@ -1196,13 +1196,24 @@ def dedup_connected_components(
     converged when no label changes. Hops = component diameter, and near-dup
     components are quasi-cliques (diameter 2-3) regardless of corpus size, so
     the hop count does not grow with data. TWO hops are batched per
-    materialization (one localCheckpoint + one action per round): diameter-2/3
-    components converge-and-confirm in 2 materialized rounds instead of 3-4,
-    which halves the scheduler-latency-bound part of the wall clock — each
-    materialization is one job whose cost is dominated by job launch at small
-    scale and by the edge-shuffle at large scale, and both hops of a round
-    pipeline inside a single job. Only the scalar changed-count crosses to
-    the driver, riding the checkpoint materialization as an Observation.
+    materialization (one localCheckpoint + one action per round), and both
+    hops of a round pipeline inside a single job. Only the scalar
+    changed-count crosses to the driver, riding the checkpoint
+    materialization as an Observation.
+
+    Two further job cuts (r15, VERDICT r14 item #1):
+
+    - The FIRST hop needs no label table at all: with identity starting
+      labels, min-over-neighbors is `least(dst, min(src)) GROUP BY dst`
+      over the symmetrized edges — one aggregation, no distinct, no join,
+      and the separate identity-labels materialization job is gone.
+    - Convergence is detected from the LAST hop, not the whole round:
+      `hop` is deterministic, so if the final hop of a round changed no
+      label the labeling is a fixed point and no confirm round is needed.
+      A diameter-2 component (the near-dup common case: hop 1 converges,
+      hop 2 confirms inside the same job) finishes in ONE materialized
+      round where the r14 shape needed two plus the labels job.
+
     (For adversarial long-chain graphs, alternating large-star/small-star
     [Kiveris et al., "Connected Components in MapReduce"] gives O(log n)
     rounds; near-dup clustering never needs it.)
@@ -1211,16 +1222,11 @@ def dedup_connected_components(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("src").alias("id")).distinct()
-        .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
     from pyspark.sql import Observation
 
     def _hop(lab: DataFrame) -> DataFrame:
         """One min-label propagation step over the symmetrized edges,
-        preserving any extra columns (olbl) on the label table."""
+        preserving any extra columns (mlbl) on the label table."""
         neigh = (
             sym.join(lab.select(F.col("id").alias("__jid"), "lbl"), sym["src"] == F.col("__jid"))
             .groupBy(F.col("dst").alias("__nid"))
@@ -1236,13 +1242,25 @@ def dedup_connected_components(
             )
         )
 
+    labels: DataFrame | None = None
     changed = 0
     for rnd in range(max_rounds):
         obs = Observation(f"cc_round_{rnd}")
-        stepped = _hop(_hop(labels.withColumn("olbl", F.col("lbl"))))
+        if labels is None:
+            # hop 1 in aggregate form (identity labels): every node appears
+            # as a dst because sym is symmetrized, so this covers the full
+            # node set the old distinct produced
+            h1 = (
+                sym.groupBy(F.col("dst").alias("id"))
+                .agg(F.min("src").alias("__n1"))
+                .select("id", F.least(F.col("id"), F.col("__n1")).alias("lbl"))
+            )
+        else:
+            h1 = _hop(labels)
+        stepped = _hop(h1.withColumn("mlbl", F.col("lbl")))
         new_labels = (
             stepped
-            .observe(obs, F.sum((F.col("lbl") != F.col("olbl")).cast("long")).alias("changed"))
+            .observe(obs, F.sum((F.col("lbl") != F.col("mlbl")).cast("long")).alias("changed"))
             .localCheckpoint(eager=True)
         )
         changed = int(obs.get["changed"] or 0)

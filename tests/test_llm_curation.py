@@ -35,6 +35,38 @@ def test_connected_components_merging_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 9: 1}
 
 
+def test_connected_components_materialization_count(spark, monkeypatch):
+    """Job-count contract (r15, VERDICT r14 item #1): a diameter-2 component
+    set must resolve in TWO materializations total — the symmetrized edge
+    checkpoint plus ONE 2-hop round (hop 1 converges, hop 2 confirms inside
+    the same job via the last-hop Observation).  The r14 shape spent four
+    (edges, identity labels, round, confirm round)."""
+    # patch the concrete class (Spark 4: pyspark.sql.DataFrame is the
+    # abstract facade; instances are classic.dataframe.DataFrame)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = []
+    orig = DataFrame.localCheckpoint
+
+    def counting(self, eager=True):
+        calls.append(1)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting)
+    # star component 1-2, 1-3, 1-4 (diameter 2) + isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup_connected_components(pairs).collect()
+    }
+    assert out == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4), 10: (10, 2), 11: (10, 2)
+    }
+    assert len(calls) == 2, f"expected 2 materializations, saw {len(calls)}"
+
+
 def test_hash_split_stable_under_append(spark):
     base = spark.range(0, 500).withColumnRenamed("id", "doc_id")
     more = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
