@@ -8,13 +8,15 @@ training); the engine's ANN family (`llm/similarity.py`) is the dense half.
 
 Scale design (100 TB corpus, keyword-sized query): per-term frequencies are
 UNROLLED as |Q| narrow `size(filter(tokens, ...))` expressions — no explode,
-no per-(doc,term) rows, no join.  Pass 1 reduces the corpus to ONE scalar
-row (N, Σdl, df per term) via a map-side-combined aggregate; pass 2
-broadcasts that row and scores each document in a single codegen'd
-projection, finishing with a distributed `TakeOrderedAndProject` top-k.
-Two column-pruned scans total — the BM25 floor (corpus statistics must be
-complete before any document can be scored) without materializing a
-tokenized copy of the corpus.  For wider query sets the classic explode →
+no per-(doc,term) rows, no join.  Pass 1 materializes the narrow per-doc
+term-frequency base ONCE, with the corpus stats (N, Σdl, df per term)
+riding that job as an `Observation` (r15 — previously a separate 1-row
+aggregate + broadcast); pass 2 re-enters the stats as exact integer
+literals and scores each document in a single codegen'd projection,
+finishing with a distributed `TakeOrderedAndProject` top-k.  One
+column-pruned scan total — the BM25 floor (corpus statistics must be
+complete before any document can be scored) without re-tokenizing the
+corpus.  For wider query sets the classic explode →
 prune-at-Generate → broadcast-stats postings plan (`bm25_topk_postings`) is
 the right shape: the r8 width study (docs/operators.md "BM25 query width")
 measured the crossover at ≈8 terms on sf0.1, with the unrolled plan hitting
@@ -89,6 +91,48 @@ def _score_exprs(nq: int, k1: float, b: float, dialect: str) -> tuple[str, str]:
     return f"CAST({hits} AS INT)", f"CAST({parts} AS DOUBLE)"
 
 
+def _require_batch(docs: DataFrame, op: str) -> None:
+    """The checkpointing BM25 operators run an EAGER materialization job at
+    DataFrame-construction time, which a streaming input cannot do — refuse
+    with a named error instead of localCheckpoint's opaque
+    AnalysisException (ADVICE r14)."""
+    if docs.isStreaming:
+        raise ValueError(
+            f"{op} materializes its tokenized base eagerly and cannot run "
+            "on a streaming DataFrame — collect the stream into a batch "
+            "(foreachBatch) first"
+        )
+
+
+def bm25_base_projection(
+    docs: DataFrame, query_terms: list[str], text_col: str, id_col: str
+) -> DataFrame:
+    """The narrow pre-checkpoint projection of the unrolled plan:
+    (doc_id, dl, tf_0..tf_n) — dl + all per-term tfs inside ONE let-bound
+    lambda, so tokenization runs once per row no matter how many terms
+    reference the token array and projection collapse cannot duplicate it
+    (hashing.let_spark).  `query_terms` must already be `_norm_terms`-ed.
+
+    Shared by `bm25_topk` and the column-pruning plan pin in
+    test_plan_quality (ADVICE r14: the test previously hand-rebuilt this
+    projection and would have asserted against a stale shape if the
+    operator's internals moved)."""
+    from .hashing import let_spark
+
+    fields = ", ".join(
+        ["'dl', cast(size(toks) AS bigint)"]
+        + [_tf_expr(t, i, "spark") for i, t in enumerate(query_terms)]
+    )
+    s_expr = let_spark(
+        tokens_spark(f"lower(coalesce({text_col}, ''))"),
+        "toks",
+        f"named_struct({fields})",
+    )
+    return docs.selectExpr(f"{id_col} AS doc_id", f"{s_expr} AS s").select(
+        "doc_id", "s.*"
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -103,6 +147,10 @@ def bm25_topk(
     score).  Ties rank by doc_id; only documents hitting ≥1 query term are
     candidates.
 
+    NOTE: calling this function EXECUTES the corpus tokenization pass
+    immediately (the narrow term-frequency base is materialized eagerly and
+    shared by the stats and scoring passes); streaming inputs are refused.
+
     Queries wider than `max_unrolled_terms` (post-dedup) are refused loudly:
     the unrolled plan's Catalyst analysis cost cliffs past ~12 terms (6x at
     16, minutes at 24 — measured, docs/operators.md "BM25 query width");
@@ -110,6 +158,7 @@ def bm25_topk(
     explicitly only if you've measured your width on your Spark version."""
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
+    _require_batch(docs, "bm25_topk")
     if len(_norm_terms(query_terms)) > max_unrolled_terms:
         raise ValueError(
             f"bm25_topk got {len(_norm_terms(query_terms))} terms (cap "
@@ -117,45 +166,49 @@ def bm25_topk(
             "past ~12 terms — use bm25_topk_postings (identical results, "
             "|Q|-flat) or pass max_unrolled_terms= explicitly"
         )
-    from .hashing import let_spark
-
     query_terms = _norm_terms(query_terms)
     nq = len(query_terms)
-    # dl + all per-term tfs inside ONE let-bound lambda: tokenization runs
-    # once per row no matter how many terms reference the token array, and
-    # projection collapse cannot duplicate it (hashing.let_spark).
-    fields = ", ".join(
-        ["'dl', cast(size(toks) AS bigint)"]
-        + [_tf_expr(t, i, "spark") for i, t in enumerate(query_terms)]
-    )
-    s_expr = let_spark(
-        tokens_spark(f"lower(coalesce({text_col}, ''))"),
-        "toks",
-        f"named_struct({fields})",
-    )
     # materialize the narrow per-doc term-frequency table ONCE (r14): the
-    # corpus-stats aggregate and the scoring pass both consume `base`, and
-    # without this each ran tokenization + per-term tf over the full text
-    # twice.  (doc_id, dl, tf_0..tf_n) is (nq+2) longs per doc — the
-    # lightweight proxy the two passes should share; the text is read once.
+    # corpus stats and the scoring pass both consume `base`, and without
+    # this each ran tokenization + per-term tf over the full text twice.
+    # (doc_id, dl, tf_0..tf_n) is (nq+2) longs per doc — the lightweight
+    # proxy the two passes should share; the text is read once.
+    #
+    # The corpus stats RIDE the materialization as an Observation (r15,
+    # VERDICT r14 item #7): previously they were a separate 1-row aggregate
+    # materialized as a broadcast-exchange job at action time; now the
+    # checkpoint job computes them for free and they re-enter the scoring
+    # expression as exact integer literals (df/n_docs are longs, total_dl
+    # is CAST(<exact long sum> AS double) — bit-identical to the old
+    # runtime cast).
+    from pyspark.sql import Observation
+
+    obs = Observation()
     base = (
-        docs.selectExpr(f"{id_col} AS doc_id", f"{s_expr} AS s")
-        .select("doc_id", "s.*")
+        bm25_base_projection(docs, query_terms, text_col, id_col)
+        .observe(
+            obs,
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").alias("total_dl_sum"),
+            *[
+                F.expr(f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)")
+                .cast("long")
+                .alias(f"df_{i}")
+                for i in range(nq)
+            ],
+        )
         .localCheckpoint(eager=True)
     )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("double").alias("total_dl"),
-        *[
-            F.expr(f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)")
-            .cast("long")
-            .alias(f"df_{i}")
-            for i in range(nq)
-        ],
-    )
+    m = obs.get
+    stats_sel = [
+        f"CAST({int(m['n_docs'] or 0)} AS bigint) AS n_docs",
+        f"CAST({int(m['total_dl_sum'] or 0)} AS double) AS total_dl",
+    ] + [
+        f"CAST({int(m[f'df_{i}'] or 0)} AS bigint) AS df_{i}" for i in range(nq)
+    ]
     hits, score = _score_exprs(nq, k1, b, "spark")
     scored = (
-        base.crossJoin(F.broadcast(stats))
+        base.selectExpr("*", *stats_sel)
         .selectExpr("doc_id", f"{hits} AS n_terms_hit", f"{score} AS score")
         .where("n_terms_hit > 0")
     )
@@ -236,6 +289,7 @@ def bm25_topk_postings(
     """
     if not query_terms:
         raise ValueError("bm25_topk_postings needs at least one query term")
+    _require_batch(docs, "bm25_topk_postings")
     query_terms = _norm_terms(query_terms)
     dec = "decimal(18,6)"
 
@@ -246,7 +300,17 @@ def bm25_topk_postings(
     # aggregate and the postings explode both consume it, so the text is
     # tokenized once, and the checkpoint holds a few matching tokens per
     # doc instead of the full token array.
+    #
+    # Corpus stats AND per-term dfs ride the materialization as an
+    # Observation (r15, VERDICT r14 item #7): df_t = docs with tf_t > 0 =
+    # docs whose filtered token list contains t, so the separate
+    # dfs-aggregate + broadcast join and the 1-row corpus broadcast are
+    # replaced by exact integer literals (a literal term->df map for the
+    # postings rows); values are bit-identical.
     terms_lit = ", ".join(_spark_str_lit(t) for t in query_terms)
+    from pyspark.sql import Observation
+
+    obs = Observation()
     base = (
         docs.selectExpr(f"{id_col} AS doc_id", f"{toks_expr} AS toks")
         .select(
@@ -254,26 +318,42 @@ def bm25_topk_postings(
             F.expr("cast(size(toks) AS bigint)").alias("dl"),
             F.expr(f"filter(toks, t -> t IN ({terms_lit}))").alias("toks"),
         )
+        .observe(
+            obs,
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").alias("total_dl_sum"),
+            *[
+                F.expr(
+                    f"sum(CASE WHEN array_contains(toks, {_spark_str_lit(t)}) "
+                    "THEN 1 ELSE 0 END)"
+                )
+                .cast("long")
+                .alias(f"df_{i}")
+                for i, t in enumerate(query_terms)
+            ],
+        )
         .localCheckpoint(eager=True)
     )
-    corpus = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("double").alias("total_dl"),
-    )
+    m = obs.get
+    n_docs = int(m["n_docs"] or 0)
+    total_dl = int(m["total_dl_sum"] or 0)
+    df_map = "map(" + ", ".join(
+        f"{_spark_str_lit(t)}, CAST({int(m[f'df_{i}'] or 0)} AS bigint)"
+        for i, t in enumerate(query_terms)
+    ) + ")"
     posts = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    dfs = posts.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     part = (
-        "ln((cast(n_docs AS double) - df + 0.5) / (df + 0.5) + 1.0)"
+        f"ln((cast({n_docs} AS double) - df + 0.5) / (df + 0.5) + 1.0)"
         f" * (tf * (1.0 + {k1})) / "
-        f"(tf + {k1} * (1.0 - {b} + {b} * dl * cast(n_docs AS double) / total_dl))"
+        f"(tf + {k1} * (1.0 - {b} + {b} * dl * cast({n_docs} AS double) / "
+        f"CAST({total_dl} AS double)))"
     )
     scored = (
-        posts.join(F.broadcast(dfs), "term")
-        .crossJoin(F.broadcast(corpus))
+        posts.selectExpr("*", f"element_at({df_map}, term) AS df")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_terms_hit"),

@@ -288,28 +288,21 @@ def test_bm25_two_pruned_scans_broadcast_stats_distributed_topk(spark, q):
     plan = _spark_plan(df)
     # r14: the narrow (doc_id, dl, tf_i) base is materialized once, so the
     # text is tokenized in ONE pass (the checkpoint job) and the final plan
-    # reads no parquet at all — stats pass and scoring pass both consume
-    # the checkpointed longs
+    # reads no parquet at all.  r15: the corpus stats ride that job as an
+    # Observation and re-enter as literals, so the final plan has no
+    # broadcast and no join at all — one scan of the checkpointed longs
     assert plan.count("Scan parquet") == 0
     assert "Generate" not in plan  # unrolled tf expressions, not explode
-    assert plan.count("BroadcastExchange") == 2  # the 1-row stats broadcast
+    assert "BroadcastExchange" not in plan and "Join" not in plan
     assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
-    assert "SortMergeJoin" not in plan
     # the parquet scan now lives inside the eager checkpoint job, invisible
-    # to the final plan — pin its column pruning by building the SAME
-    # pre-checkpoint projection the operator builds and reading ITS plan
-    from lakehouse_plumber_spark.llm.hashing import let_spark, tokens_spark
-    from lakehouse_plumber_spark.llm.search import _tf_expr
+    # to the final plan — pin its column pruning on the SAME pre-checkpoint
+    # projection the operator builds (shared builder, ADVICE r14: the test
+    # previously hand-rebuilt the projection and could go stale)
+    from lakehouse_plumber_spark.llm.search import bm25_base_projection
 
-    fields = ", ".join(
-        ["'dl', cast(size(toks) AS bigint)", _tf_expr("the", 0, "spark")]
-    )
-    s_expr = let_spark(tokens_spark("lower(coalesce(text, ''))"), "toks",
-                       f"named_struct({fields})")
-    pre = (
-        spark.read.parquet(SF + "/documents.parquet")
-        .selectExpr("doc_id AS doc_id", f"{s_expr} AS s")
-        .select("doc_id", "s.*")
+    pre = bm25_base_projection(
+        spark.read.parquet(SF + "/documents.parquet"), ["the"], "text", "doc_id"
     )
     pre_plan = _spark_plan(pre)
     m = re.search(r"ReadSchema: struct<([^>]*)>", pre_plan)
