@@ -123,7 +123,17 @@ def _dedup_key_seq(events: DataFrame, cfg: CDCConfig) -> DataFrame:
     final tiebreak, two conflicting events with the same (key, seq, batch,
     delete-flag) would survive by shuffle order and the visible row would
     flip between runs/engines (intra-batch conflicts are ambiguous input,
-    but the resolution must still be a pure function of the data)."""
+    but the resolution must still be a pure function of the data).
+
+    Partitioned by the CDC keys ONLY (r15, guide §2.4): the window orders by
+    (seq asc, tiebreaks) within each key and keeps the first row of every
+    seq group via a null-safe lag compare — the same winner the old
+    (key, seq)-partitioned row_number picked, but on the partitioning every
+    downstream rebuild window already needs, so the whole
+    dedup -> forward-fill -> change-run -> interval chain runs off ONE
+    exchange instead of two.  Seq groups are contiguous under the asc sort
+    (nulls first), and <=> treats null seq values as equal exactly like
+    hash-partitioning on them did."""
     internal = {_DEL, _TRUNC, _PRIO, START_COL, END_COL, EVENT_DEL, TOMBSTONE, BUCKET_COL}
     keyed = set(cfg.keys) | set(_seq_cols(cfg))
     value_cols = [
@@ -134,14 +144,16 @@ def _dedup_key_seq(events: DataFrame, cfg: CDCConfig) -> DataFrame:
         # inside a struct/array)
         and "map<" not in f.dataType.simpleString()
     ]
-    order = [F.col(_PRIO).desc(), F.col(_DEL).desc()] + [
-        F.col(c).desc_nulls_last() for c in sorted(value_cols)
-    ]
-    w = Window.partitionBy(*cfg.keys, *_seq_cols(cfg)).orderBy(*order)
+    seqs = _seq_cols(cfg)
+    order = [F.col(c).asc_nulls_first() for c in seqs] + [
+        F.col(_PRIO).desc(), F.col(_DEL).desc()
+    ] + [F.col(c).desc_nulls_last() for c in sorted(value_cols)]
+    w = Window.partitionBy(*cfg.keys).orderBy(*order)
+    seq_struct = F.struct(*[F.col(c) for c in seqs])
     return (
-        events.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        events.withColumn("__first", ~F.lag(seq_struct).over(w).eqNullSafe(seq_struct))
+        .filter(F.coalesce(F.col("__first"), F.lit(True)))
+        .drop("__first")
     )
 
 
