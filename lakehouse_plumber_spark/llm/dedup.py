@@ -14,6 +14,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from lakehouse_plumber_spark.materialize import materialize_once, materialize_pinned
 
 from lakehouse_plumber_spark.llm.hashing import md5int_spark, tokens_spark, word_ngrams_spark
 
@@ -480,11 +481,11 @@ def _incremental_dedup_batch_unlocked(
             f"transform({word_ngrams_spark(text_col, SHINGLE_N)}, "
             f"g -> {md5int_spark('g')})"
         ).alias("grams"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_pinned)
     sigs = minhash_signatures_from_hashes(hashed, id_col)
     # pinned: reused for the bucket-list collect, the candidate join, and
     # the append — one signature computation per batch, not three
-    nb = lsh_bands(sigs, id_col).localCheckpoint(eager=True)
+    nb = lsh_bands(sigs, id_col).transform(materialize_pinned)
     ids_b = nb.select(id_col).distinct()
     index = None
     committed_bands = None
@@ -500,7 +501,7 @@ def _incremental_dedup_batch_unlocked(
             # lineage reads, and the anti-join mask consumes it afterwards.
             committed_bands = (
                 index.join(ids_b, id_col, "left_semi")
-                .localCheckpoint(eager=True)
+                .transform(materialize_pinned)
             )
             # mask them so probe semantics equal a clean first run
             index = index.join(ids_b, id_col, "left_anti")
@@ -549,7 +550,7 @@ def _incremental_dedup_batch_unlocked(
             )
     cands = lsh_candidate_pairs_incremental(
         nb, index, id_col, max_bucket_size=max_bucket_size
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_pinned)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -568,7 +569,7 @@ def _incremental_dedup_batch_unlocked(
                 _pruned_index_read(store, grams_table, ids_b, [id_col], read_buckets)
                 .join(ids_b, id_col, "left_semi")
                 .select(id_col).distinct()
-                .localCheckpoint(eager=True)
+                .transform(materialize_pinned)
             )
             hist = hist.join(ids_b, id_col, "left_anti")
         all_grams = hist.unionByName(grams_b)
@@ -592,7 +593,7 @@ def _incremental_dedup_batch_unlocked(
     )
     # pin the batch's pairs BEFORE the index appends below mutate the
     # tables its lineage reads
-    verified = verified.localCheckpoint(eager=True)
+    verified = verified.transform(materialize_pinned)
     # append ordering (retry contract): index first, pairs LAST.  On retry,
     # every append is per-row anti-joined against committed state so a
     # PARTIALLY committed prior append (a crash inside job commit can leave
@@ -714,7 +715,7 @@ def minhash_lsh_dedup(
                 f"transform({word_ngrams_spark(text_col, SHINGLE_N)}, g -> {md5int_spark('g')})"
             ).alias("grams"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize_once)
     )
     sig_entries = ", ".join(
         f"array_min(transform(grams, h -> {minhash_mix(a, b, c, 'h', 'spark')}))"
@@ -821,7 +822,7 @@ def simhash_near_dup_pairs(
     # banded fp rows, and without this each side re-ran the per-bit token
     # fold (SIMHASH_BITS aggregates over every token of every doc) from the
     # text.  (id, fp) is ~16 bytes/doc — the persistable fingerprint table.
-    fp = simhash_fingerprints(df, text_col, id_col).localCheckpoint(eager=True)
+    fp = simhash_fingerprints(df, text_col, id_col).transform(materialize_once)
     segs = ", ".join(
         f"named_struct('seg', {s}, 'v', shiftright(fp, {s * seg_bits}) % {1 << seg_bits})"
         for s in range(nseg)
@@ -877,7 +878,7 @@ def ngram_jaccard_pairs(
     docg = (
         spread_for_compute(df, [id_col, text_col])
         .select(F.col(id_col), F.expr(word_ngrams_spark(text_col, n)).alias("__gs"))
-        .localCheckpoint(eager=True)
+        .transform(materialize_once)
     )
     sizes = docg.select(F.col(id_col), F.size("__gs").cast("long").alias("sz"))
     grams = docg.select(F.col(id_col), F.explode("__gs").alias("g"))
@@ -1072,7 +1073,7 @@ def embedding_near_dup_lsh(
     else:
         # transformed input: evaluate the plan EXACTLY ONCE, then derive
         # geometry count + dim in one bounded agg over the checkpoint
-        narrow = narrow.localCheckpoint(eager=True)
+        narrow = narrow.transform(materialize_once)
         # size() is wrapped in when(isNotNull): on non-ANSI sessions
         # size(NULL) is -1, not NULL, so a bare first(size(v),
         # ignorenulls) could pick -1 from a null-vector row and collapse
@@ -1100,7 +1101,7 @@ def embedding_near_dup_lsh(
         .withColumn(
             "nrm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize_once)
     )
     mask = (1 << rows_per_band) - 1
     band_entries = ", ".join(
@@ -1172,7 +1173,7 @@ def containment_dedup(
             F.col(id_col),
             F.expr(word_ngrams_spark(text_col, SHINGLE_N)).alias("__gs"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize_once)
     )
     grams = docg.select(F.col(id_col), F.explode("__gs").alias("g"))
     if max_doc_freq is not None:
@@ -1242,7 +1243,7 @@ def dedup_connected_components(
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_once)
     from pyspark.sql import Observation
 
     def _hop(lab: DataFrame) -> DataFrame:
@@ -1282,7 +1283,7 @@ def dedup_connected_components(
         new_labels = (
             stepped
             .observe(obs, F.sum((F.col("lbl") != F.col("mlbl")).cast("long")).alias("changed"))
-            .localCheckpoint(eager=True)
+            .transform(materialize_once)
         )
         changed = int(obs.get["changed"] or 0)
         labels = new_labels.select("id", "lbl")

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from lakehouse_plumber_spark.materialize import materialize_once
 
 from .hashing import tokens_duck, tokens_spark
 
@@ -197,7 +198,7 @@ def bm25_topk(
                 for i in range(nq)
             ],
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize_once)
     )
     m = obs.get
     stats_sel = [
@@ -332,7 +333,7 @@ def bm25_topk_postings(
                 for i, t in enumerate(query_terms)
             ],
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize_once)
     )
     m = obs.get
     n_docs = int(m["n_docs"] or 0)

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from lakehouse_plumber_spark.materialize import materialize_once, materialize_pinned
 
 from lakehouse_plumber_spark.llm.hashing import md5int_spark
 
@@ -607,7 +608,7 @@ def semantic_dedup(
 
     assigned = spread_for_compute(base).select(
         id_col, "v", F.expr(centroid_argmin_expr(cents)).alias("list_id")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize_once)
     a = assigned.alias("a")
     b = assigned.alias("b")
     dup_pairs = (
@@ -881,7 +882,7 @@ def _ivf_index_append_unlocked(
             _ivf_committed_ids(store, index_table, lists), "id", "left_anti"
         ).select("list_id", "id", "v")
         # pin before the append mutates the table the mask's lineage reads
-        assigned = assigned.localCheckpoint(eager=True)
+        assigned = assigned.transform(materialize_pinned)
     store.append(index_table, assigned)
 
 

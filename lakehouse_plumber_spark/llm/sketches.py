@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from lakehouse_plumber_spark.materialize import materialize_once
 
 from .hashing import md5int_duck, md5int_spark
 
@@ -261,8 +262,8 @@ def kmv_overlap_matrix(
     # lazy plan re-derives each side from scratch and the FACT table is
     # scanned twice (found r12 when the plan test stopped accepting a
     # rescan); at 100 TB a second corpus scan halves throughput
-    sk = kmv_sketch(df, group_col, value_col, k, fanout).localCheckpoint(
-        eager=True
+    sk = kmv_sketch(df, group_col, value_col, k, fanout).transform(
+        materialize_once
     )
     a = sk.select(
         F.col("stratum").alias("stratum_a"), F.col("mins").alias("mins_a")

@@ -1,0 +1,84 @@
+"""Eager single-evaluation materialization with a configurable backend.
+
+Many operators evaluate an expensive intermediate (hashed shingles, banded
+signatures, centroid assignments, tokenized BM25 bases) that several
+downstream consumers — or several driver actions — would otherwise each
+re-run from scratch.  They materialize it ONCE through this helper.
+
+The backend is a session conf, because the right trade differs by
+deployment (VERDICT r14 item #2):
+
+``spark.lhp.materialize.mode`` — one of
+
+- ``localCheckpoint`` (default): eager local checkpoint.  Fastest locally
+  (no extra action, blocks written once), but the blocks are
+  NON-REPLICATED and lineage is severed: on a real cluster an executor
+  loss fails the job instead of recomputing the lost partitions.
+- ``persist``: MEMORY_AND_DISK cache, eagerly filled with one ``count()``.
+  Lineage-preserving — an executor loss recomputes only the lost
+  partitions from the plan — at the price of keeping the full logical
+  plan alive (larger plans for iterative callers).
+- ``checkpoint``: reliable checkpoint (replicated to
+  ``spark.lhp.materialize.checkpointDir``, which must be set — on a
+  cluster, a DFS path).  Both lineage-severing AND loss-tolerant; the
+  slowest locally (writes through the checkpoint dir).
+
+``pin_lineage=True`` callers REQUIRE a lineage-severing backend
+(localCheckpoint or checkpoint) regardless of mode: their plan reads
+tables the caller is about to MUTATE (the incremental dedup/ANN
+probe-then-append sequences), so a persist-mode recompute after an
+executor loss would silently read post-append state and corrupt the
+result.  In ``persist`` mode those sites fall back to localCheckpoint.
+
+Blocks/cache entries are not unpersisted by the operators (the consuming
+action's lifetime is the caller's business); they are bounded by the
+materialized intermediate's size and die with the session.  All three
+backends execute INSIDE the operator call — nothing survives a process or
+keys on the input path, so repeated benchmark invocations re-materialize
+from the parquet inputs every time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+MODE_CONF = "spark.lhp.materialize.mode"
+DIR_CONF = "spark.lhp.materialize.checkpointDir"
+_MODES = ("localCheckpoint", "persist", "checkpoint")
+
+
+def materialize_pinned(df: DataFrame) -> DataFrame:
+    """`materialize_once` with `pin_lineage=True`, chainable via
+    `DataFrame.transform` at call sites whose lineage reads tables the
+    caller subsequently mutates."""
+    return materialize_once(df, pin_lineage=True)
+
+
+def materialize_once(df: DataFrame, pin_lineage: bool = False) -> DataFrame:
+    """Evaluate `df` once, eagerly; consumers of the returned frame never
+    re-run the producing plan.  See module docstring for the mode contract
+    and the `pin_lineage` mutation-protection rule."""
+    spark = df.sparkSession
+    mode = spark.conf.get(MODE_CONF, "localCheckpoint")
+    if mode not in _MODES:
+        raise ValueError(f"{MODE_CONF}={mode!r}: expected one of {_MODES}")
+    if mode == "persist" and pin_lineage:
+        mode = "localCheckpoint"
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()  # fill the cache NOW: callers rely on eager evaluation
+        return out
+    if mode == "checkpoint":
+        sc = spark.sparkContext
+        if sc._jsc.sc().checkpointDir().isEmpty():  # set once per session
+            d = spark.conf.get(DIR_CONF, None)
+            if not d:
+                raise ValueError(
+                    f"{MODE_CONF}=checkpoint requires {DIR_CONF} (a "
+                    "DFS-visible directory) to be set"
+                )
+            sc.setCheckpointDir(d)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

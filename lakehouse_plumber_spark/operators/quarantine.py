@@ -32,6 +32,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from lakehouse_plumber_spark.materialize import materialize_pinned
 
 from lakehouse_plumber_spark.context import BuildContext
 from lakehouse_plumber_spark.expectations import Expectation, combined_predicate, inverse_predicate
@@ -292,7 +293,7 @@ def _consume_fixed_into_outbox(
                     first = new_fixed.join(prior, on="_dlq_sk", how="left_anti")
                 else:
                     first = new_fixed
-                out_df = _parse_and_revalidate(first, schema, exps).localCheckpoint(eager=True)
+                out_df = _parse_and_revalidate(first, schema, exps).transform(materialize_pinned)
             if touched:
                 if ctx.store.exists(outbox):
                     # pruned upsert: only the touched buckets are read and
