@@ -10,6 +10,15 @@ from lakehouse_plumber_spark.materialize import materialize_once, materialize_pi
 
 from lakehouse_plumber_spark.llm.hashing import md5int_spark
 
+
+def _input_is_bare_scan(df: DataFrame) -> bool:
+    """True when re-executing `df`'s plan costs one storage scan (see
+    dedup._plan_is_bare_scan) — the gate for Lloyd-loop base
+    materialization: only computed inputs pay their plan per round."""
+    from lakehouse_plumber_spark.llm.dedup import _plan_is_bare_scan
+
+    return _plan_is_bare_scan(df)
+
 NUM_HYPERPLANES = 8
 
 
@@ -280,6 +289,16 @@ def ivf_build_and_search(
     # single-row-group input serializes that onto one core (no-op when
     # the input is already split — the 100 TB case)
     spread = spread_for_compute(base)
+    # transformed inputs ONLY: materialize the spread base so the Lloyd
+    # rounds + final assignment read blocks instead of re-running the
+    # producing plan each round (VERDICT r14 item #5 retest: bare parquet
+    # scan re-reads are page-cache-neutral — cold-cache A/B 0.975, warm
+    # 1.06 — but a computed input pays its plan per round: 0.85 on a
+    # 10x-union view).  Same gating machinery as embedding_near_dup_lsh.
+    if not _input_is_bare_scan(df):
+        from lakehouse_plumber_spark.materialize import materialize_once
+
+        spread = materialize_once(spread)
     dim = len(cents[0][1]) if cents else 0
     for _ in range(max_iter):
         asg = spread.select(
@@ -771,8 +790,14 @@ def _ivf_index_build_unlocked(
         )
     dim = len(cents[0][1])
     # spread the argmin inputs (r15): same serial-scan fix as
-    # ivf_build_and_search — no-op when the input is already split
+    # ivf_build_and_search — no-op when the input is already split; same
+    # transformed-input materialization gate too (see there for the
+    # cold/warm/10x A/B numbers)
     spread = spread_for_compute(base)
+    if not _input_is_bare_scan(df):
+        from lakehouse_plumber_spark.materialize import materialize_once
+
+        spread = materialize_once(spread)
     for _ in range(max_iter):
         asg = spread.select(F.expr(centroid_argmin_expr(cents)).alias("cid"), "v")
         cents = _collect_centroids(
