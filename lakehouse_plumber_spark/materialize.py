@@ -58,6 +58,17 @@ def materialize_once(df: DataFrame, pin_lineage: bool = False) -> DataFrame:
     """Evaluate `df` once, eagerly; consumers of the returned frame never
     re-run the producing plan.  See module docstring for the mode contract
     and the `pin_lineage` mutation-protection rule."""
+    if df.isStreaming:
+        # every backend below EXECUTES the plan now — on a streaming frame
+        # that surfaces as an opaque AnalysisException from deep inside the
+        # backend call. Name the contract instead (ADVICE r14: the pipeline
+        # layer guards streaming inputs, direct library callers did not).
+        raise ValueError(
+            "materialize_once requires a batch DataFrame: the plan is "
+            "evaluated eagerly at operator-construction time, which a "
+            "streaming source cannot do. Run the operator inside "
+            "foreachBatch on each micro-batch instead."
+        )
     spark = df.sparkSession
     mode = spark.conf.get(MODE_CONF, "localCheckpoint")
     if mode not in _MODES:

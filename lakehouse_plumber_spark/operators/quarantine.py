@@ -205,15 +205,23 @@ def _quarantine_merge_batch(
     )
 
     # idempotent insert-only merge on _dlq_sk (whenNotMatchedInsertAll),
-    # pruned to the _dlq_sk-hash buckets this batch touches
+    # pruned to the _dlq_sk-hash buckets this batch touches.  `new_rows` is
+    # materialized ONCE before the table append and the change-feed write:
+    # previously each of those two actions re-evaluated the whole anti-join
+    # plan (batch fingerprinting + a second scan of the touched DLQ buckets —
+    # and the second evaluation ran AFTER the append, kept correct only by
+    # the stale cached file listing of the pre-append read). One DLQ scan
+    # and one batch evaluation per micro-batch instead of two of each.
     n_buckets = 64
+    part_cols = [DLQ_BUCKET_COL]
+    created = False
     if ctx.store.exists(dlq_table):
         stored = ctx.store.get_meta(dlq_table, "dlq_buckets")
         if stored is None:
             # legacy unbucketed DLQ: fall back to the full anti-join
             existing = ctx.store.read(dlq_table).select("_dlq_sk")
             new_rows = dlq_row.join(existing, on="_dlq_sk", how="left_anti")
-            ctx.store.append(dlq_table, new_rows)
+            part_cols = None
         else:
             n_buckets = int(stored)
             bucket = F.pmod(F.xxhash64(F.col("_dlq_sk")), F.lit(n_buckets)).cast("int")
@@ -225,15 +233,24 @@ def _quarantine_merge_batch(
                 .select("_dlq_sk")
             )
             new_rows = dlq_row.join(existing, on="_dlq_sk", how="left_anti")
-            ctx.store.append(dlq_table, new_rows, [DLQ_BUCKET_COL])
     else:
         # size the bucket layout once, from the first quarantined batch
         n_buckets = _dlq_creation_buckets(dlq_row.count())
         bucket = F.pmod(F.xxhash64(F.col("_dlq_sk")), F.lit(n_buckets)).cast("int")
         new_rows = dlq_row.withColumn(DLQ_BUCKET_COL, bucket)
-        ctx.store.append(dlq_table, new_rows, [DLQ_BUCKET_COL])
+        created = True
+    # pinned (lineage-severing): the plan reads the DLQ buckets this call is
+    # about to append to — a lineage-preserving recompute after the append
+    # would see its own output and anti-join the new rows away
+    new_rows = materialize_pinned(new_rows)
+    ctx.store.append(dlq_table, new_rows, part_cols)
+    if created:
         ctx.store.set_meta(dlq_table, "dlq_buckets", n_buckets)
-    ctx.store.log_changes(dlq_table, new_rows.drop(DLQ_BUCKET_COL), "insert")
+    ctx.store.log_changes(
+        dlq_table,
+        new_rows.drop(DLQ_BUCKET_COL) if part_cols else new_rows,
+        "insert",
+    )
     ctx.log(action.name, "quarantined", dlq_table=dlq_table)
     return clean
 

@@ -82,6 +82,19 @@ def test_pin_lineage_severs_even_in_persist_mode(spark, testdata):
         spark.conf.set(MODE_CONF, "localCheckpoint")
 
 
+def test_streaming_input_rejected_by_name(spark, testdata, tmp_path):
+    """A streaming frame cannot be evaluated eagerly; the guard must name the
+    contract instead of surfacing the backend's opaque AnalysisException
+    (ADVICE r14 item 1, closed for all materialize_once call sites at once)."""
+    src = str(tmp_path / "stream_src")
+    spark.table("documents").select("doc_id").limit(5).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long").parquet(src)
+    with pytest.raises(ValueError, match="batch DataFrame"):
+        materialize_once(stream)
+    with pytest.raises(ValueError, match="foreachBatch"):
+        materialize_pinned(stream)
+
+
 def test_unknown_mode_rejected(spark, testdata):
     spark.conf.set(MODE_CONF, "cache")
     try:

@@ -88,6 +88,59 @@ def test_dlq_bucketed_layout_and_idempotent_merge(spark, testdata, runner):
     assert "PartitionFilters" in plan and DLQ_BUCKET_COL in plan.split("PartitionFilters")[1][:200]
 
 
+def test_dlq_merge_evaluates_batch_plan_once(spark, testdata, runner):
+    """The DLQ merge materializes `new_rows` once; the table append and the
+    change-feed write both consume the materialized rows (r15). Previously
+    each of those two actions re-ran the whole anti-join plan — counted here
+    by an accumulator UDF in the input plan: the input must flow through the
+    quarantine transform at most 3x per run (clean write + touched-bucket
+    probe + one materialization), where the old shape paid 4x (clean +
+    touched + append re-eval + change-feed re-eval)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def _bump(x):
+        acc.add(1)
+        return x
+
+    spark.udf.register("lhp_test_bump_qx", _bump, "long")
+    n_clean = spark.sql("SELECT 1 FROM customer WHERE c_acctbal > 0").count()
+    n_bad = spark.table("customer").count() - n_clean
+    assert n_bad > 0
+    dlq = "m.dlq.evalcount"
+    fg = load_flowgroup({
+        "pipeline": "t", "flowgroup": "qx",
+        "actions": [
+            {"name": "ld", "type": "load",
+             "source": {"type": "sql",
+                        "sql": "SELECT lhp_test_bump_qx(c_custkey) AS c_custkey, c_name, "
+                               "CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer"},
+             "target": "v_c"},
+            {"name": "dq", "type": "transform", "transform_type": "data_quality",
+             "source": "v_c", "target": "v_clean", "mode": "quarantine",
+             "quarantine": {"dlq_table": dlq, "source_table": "customer"},
+             "expectations_inline": [
+                 {"name": "pos", "constraint": "c_acctbal > 0", "action": "drop"},
+             ]},
+            {"name": "mv", "type": "write", "source": "v_clean",
+             "write_target": {"type": "materialized_view", "database": "m.s", "table": "outx"}},
+        ],
+    })
+    runner.run(fg)
+    first = acc.value
+    # creation run: clean rows once (the MV write; the pushed-down predicate
+    # keeps failing rows out of it) + bad rows once (the materialization; the
+    # bucket-sizing count prunes the UDF column). Old shape: + n_bad more
+    # (the change-feed write re-ran the plan) = n_clean + 2*n_bad — must fail.
+    assert 0 < first <= n_clean + n_bad, f"first run: {first} evals"
+    # steady state (DLQ exists, bucketed): clean + touched-bucket probe + one
+    # materialization of the anti-join. Old shape re-evaluated the anti-join
+    # for the append AND the change-feed write: n_clean + 3*n_bad — must fail.
+    acc.value = 0
+    runner.run(fg)
+    again = acc.value
+    assert 0 < again <= n_clean + 2 * n_bad, f"merge run: {again} evals"
+
+
 def test_recycle_roundtrip(spark, testdata, runner):
     dlq = "m.dlq.r"
     runner.run(_quarantine_fg(dlq))
