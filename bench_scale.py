@@ -118,6 +118,11 @@ NAMES = [
     # copies here — the candidate-scan stress shape knn rows use)
     "sketch_overlap_matrix",
     "pipe_incremental_ann",
+    # r15 addition: the connected-components path (VERDICT r15 item #6 runs
+    # the five most shuffle-intensive benched queries at an sf1-equivalent
+    # scale point; dedup_survivors covers CC only bundled with the survivor
+    # join, this is the benched CC row itself)
+    "dedup_clusters",
     "pipe_knn_yaml",
     "pipe_rrf_yaml",
     "pipe_multimodal_yaml",
@@ -257,6 +262,7 @@ def main() -> None:
                 "unit": f"x ({FACTOR}x data => ideal <= {FACTOR})",
                 "queries": detail,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
             }
         )
     )
